@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a Spark implementation plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle SQL over
+  * the same parquet tables. The driver hash-compares the two at
+  * sf0.01 (`CORRECTNESS_r{N}.json`). Queries without an oracle get a
+  * weaker rows-only check. */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Central registry — every operator from SURVEY.md §2 plus the
+  * training-data-pipeline extensions registers here; `SparkEntry`
+  * exposes it to the driver harness. */
+object Registry {
+  def all: Seq[Q] =
+    graft.queries.CoreQueries.all
+}
