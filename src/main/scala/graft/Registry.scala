@@ -17,5 +17,6 @@ final case class Q(
   * exposes it to the driver harness. */
 object Registry {
   def all: Seq[Q] =
-    graft.queries.CoreQueries.all
+    graft.queries.CoreQueries.all ++
+      graft.queries.PipelineQueries.all
 }
