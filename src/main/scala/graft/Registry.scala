@@ -18,5 +18,9 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     graft.queries.CoreQueries.all ++
-      graft.queries.PipelineQueries.all
+      graft.queries.PipelineQueries.all ++
+      graft.queries.AnalyticsQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.DedupQueries.all ++
+      graft.queries.SimilarityQueries.all
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * centroid partitioning as the scale path, and label-blocked
+  * near-duplicate pairing.
+  *
+  * Scale design: brute-force is O(queries × corpus) — fine for small
+  * query sets because the corpus side stays partitioned and the tiny
+  * query side broadcasts. The IVF path cuts the searched corpus to one
+  * cell per query (centroid assignment is a broadcast join against C
+  * centroids; cells are co-partitioned by `repartition(cell)` for
+  * repeated probes). All arithmetic is promoted to double with a fixed
+  * evaluation order so results are reproducible across engines.
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to 6 dp (ranking happens on the rounded
+    * value so cross-engine ties resolve identically). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors by (cosine desc, vec_id asc). The query side is
+    * tiny — broadcast it so the corpus never shuffles. */
+  def knnBruteForce(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    val scored = embeddings.filter(col("vec_id") >= queryMaxId)
+      .crossJoin(queries)
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** IVF-style cell assignment: centroids = the first C vectors; every
+    * vector lands in the cell of its nearest centroid (cosine, ties to
+    * the lower centroid id). Returns `(vec_id, cell)`. */
+  def ivfAssign(embeddings: DataFrame, numCentroids: Int): DataFrame = {
+    val centroids = broadcast(
+      embeddings.filter(col("vec_id") < numCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("cid"), cosine(col("embedding"), col("cvec")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** Cell occupancy of the IVF partitioning (the index-build step). */
+  def ivfCells(embeddings: DataFrame, numCentroids: Int): DataFrame =
+    ivfAssign(embeddings, numCentroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+
+  /** Label-blocked near-duplicate pairs: only same-label pairs are
+    * compared (the blocking key stands in for an LSH bucket at scale),
+    * keeping the pair count linear in block sizes instead of n². */
+  def blockedNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("va"), col("vb"))
+  }
+}

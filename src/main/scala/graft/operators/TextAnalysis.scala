@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID-style profile
+  * classification, document fingerprinting, and shingling (the input to
+  * MinHash/Jaccard dedup in [[Dedup]]).
+  *
+  * Everything is a pure `Column` expression (codegen'd, no UDFs), so
+  * the operators run inside whole-stage codegen and scale linearly with
+  * the corpus — no shuffle is introduced by any function here.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** High-frequency function words used for quality/profile scoring. */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length (codepoints), computed as sum(len)/n in double. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1] — the standard shape of corpus
+    * quality heuristics (length saturation + low stopword mass + lexical
+    * diversity). Deterministic, order-fixed double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val stop = stopwordCount(text).cast("double")
+    val uniq = distinctTokenCount(text).cast("double")
+    round(
+      least(n / 100.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - stop / n) * 0.3 +
+        (uniq / n) * 0.4,
+      6)
+  }
+
+  /** Token-profile classifier — the language-ID operator shape
+    * (profile scores + argmax with deterministic tie-break). The
+    * synthetic corpus has no natural-language function words, so the
+    * profiles are domain-term sets; with real corpora these would be
+    * per-language character n-gram / stopword profiles. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "olap" -> Seq("join", "query", "table", "scan", "agg"),
+    "stream" -> Seq("stream", "batch", "window", "merge"),
+    "storage" -> Seq("row", "column", "data", "key"))
+
+  def profileScore(text: Column, terms: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(terms.map(x => x: Any): _*)))
+
+  /** Argmax over profile scores; ties break toward the earlier profile
+    * in the declared order. */
+  def predictedProfile(text: Column): Column = {
+    val scored = profiles.map { case (name, terms) => (name, profileScore(text, terms)) }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestName), (name, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(name)).otherwise(bestName))
+    }._2
+  }
+
+  /** Canonical-form document fingerprint: lowercase, strip
+    * non-alphanumerics, collapse whitespace, md5. Identical fingerprints
+    * = dups up to formatting (the exact-dedup key at scale). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " ")))
+
+  /** Word n-gram shingles (default 5) — MinHash/Jaccard input. Returns
+    * an empty array for docs shorter than n tokens. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -112,15 +112,35 @@ object Unify {
   /** The full flagship pipeline: filter → canonicalize → bucket →
     * first-wins dedup → complete-only priority-ordered projection.
     * Exercises S1-S3, P1, P2, U1, G2-G5, G8 in one query (SURVEY.md §7
-    * phase 1). */
+    * phase 1).
+    *
+    * Scale-optimal formulation: because the required-type set is a
+    * small constant, first-wins dedup is expressed as one
+    * `min(when(type = t, struct(ts, event_id)))` aggregate per type —
+    * a single hash aggregate with map-side partial aggregation and ONE
+    * shuffle on (user_id, bucket). The window/row_number formulation
+    * ([[dedupFirstWins]], kept for the per-operator verify queries)
+    * needs an extra exchange + sort; at 100 TB the difference is a full
+    * pass over the data. */
   def projection(events: DataFrame): DataFrame = {
     val canon = filterValid(events, "user_id", "event_type")
       .withColumn("event_type",
         canonicalizeType(col("event_type"), col("event_type")))
       .filter(col("event_type").isin(requiredTypes: _*))
-      .withColumn("priority", priorityOf(col("event_type")))
     val bucketed = withBucket(canon, "ts")
-    assembleProjections(dedupFirstWins(bucketed))
+    val firstOf = typePriority.map { case (t, _) =>
+      min(when(col("event_type") === t,
+        struct(col("ts"), col("event_id")))).as(s"first_$t")
+    }
+    bucketed
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(firstOf.head, firstOf.tail: _*)
+      .filter(typePriority.map { case (t, _) => col(s"first_$t").isNotNull }
+        .reduce(_ && _))
+      .select(col("user_id"), col("bucket"),
+        concat_ws(",", typePriority.map { case (t, _) =>
+          concat_ws(":", lit(t), col(s"first_$t")("event_id"))
+        }: _*).as("payload"))
       .orderBy(col("user_id"), col("bucket"))
   }
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Analytics closure queries (SURVEY.md §2.6): the operator families
+  * the reference lacks but the harness + north star require — hash
+  * aggregates, broadcast + shuffle joins, ranking/running windows,
+  * rollup, time windows, session windows, approximate distinct.
+  *
+  * Determinism across engines: money aggregates are computed per-row in
+  * double with a fixed expression order, rounded to 4 dp, cast to
+  * DECIMAL(18,4) (exact, order-independent summation), then cast back
+  * to double. Plain-double SUMs are never compared directly. */
+object AnalyticsQueries {
+
+  /** Engine-portable money rounding: floor(x*10000 + 0.5) in double is
+    * bitwise-identical everywhere (SQL round() half-way rules differ
+    * between engines); the BIGINT sum is exact and order-independent. */
+  private def money(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000.0) + lit(0.5)).cast("bigint")
+
+  /** TPC-H Q1-shaped pricing summary: wide hash aggregate with
+    * map-side partial aggregation; one shuffle on the 2-column key. */
+  val qAggPricing: Q = Q(
+    "q_agg_pricing",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          (sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            / lit(10000.0)).as("sum_disc_price"),
+          (sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))) / lit(10000.0)).as("sum_charge"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("n"), 6))
+        .withColumn("avg_price", round(col("sum_base_price") / col("n"), 6))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                                 * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+             count(*) AS n,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.trim))
+
+  /** Star-schema broadcast join: fact (customer) against two broadcast
+    * dims — no shuffle on the fact side beyond the final aggregate. */
+  val qJoinBroadcast: Q = Q(
+    "q_join_broadcast",
+    (spark, dir) => Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name")),
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name
+    """.trim))
+
+  /** Shuffle join + top-n: revenue per customer over orders⨝lineitem
+    * (both large — sort-merge/shuffle-hash territory), then a global
+    * ordered limit. */
+  val qJoinRevenue: Q = Q(
+    "q_join_revenue",
+    (spark, dir) => Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        / lit(10000.0)).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(20),
+    Some("""
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+      ORDER BY revenue DESC, o_custkey
+      LIMIT 20
+    """.trim))
+
+  /** Ranking window: top-3 orders per customer by totalprice. */
+  val qWindowTopn: Q = Q(
+    "q_window_topn",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn
+    """.trim))
+
+  /** Running-sum window: cumulative quantity per supplier in
+    * (shipdate, orderkey, linenumber) order — exact decimal running
+    * totals. */
+  val qWindowRunning: Q = Q(
+    "q_window_running",
+    (spark, dir) => {
+      // (orderkey, linenumber) is not unique in the synthetic lineitem:
+      // pre-aggregate to a unique (suppkey, shipdate, orderkey,
+      // linenumber) grain so the running order is total.
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("qty")).over(w).cast("double").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(sum(qty) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM (
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem
+        GROUP BY l_suppkey, l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """.trim))
+
+  /** Rollup over the region/nation hierarchy (grouping-sets family). */
+  val qAggRollup: Q = Q(
+    "q_agg_rollup",
+    (spark, dir) => Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""
+      SELECT r_name, n_name, count(*) AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """.trim))
+
+  /** Tumbling event-time window (1 day) — the windowed-aggregation
+    * family; window start aligns to the UTC epoch in both engines. */
+  val qWindowTime: Q = Q(
+    "q_window_time",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("wstart"), col("event_type")),
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wstart, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY date_trunc('day', ts), event_type
+      ORDER BY wstart, event_type
+    """.trim))
+
+  /** Session windows (30 min gap) per user — oracle via the
+    * gaps-and-islands formulation (a session starts where the gap from
+    * the previous event exceeds the timeout). */
+  val qSessionWindow: Q = Q(
+    "q_session_window",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_session"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_in_session")).as("n_events"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             sum(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END) AS n_sessions,
+             count(*) AS n_events
+      FROM (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events)
+      GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  /** Approximate distinct (HLL++) — sketch implementations differ
+    * across engines, so no SQL oracle (driver records a rows-only
+    * check); the exact counterpart is covered by q_scan_events. */
+  val qApproxDistinct: Q = Q(
+    "q_approx_distinct",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
+      .orderBy(col("event_type")),
+    None)
+
+  def all: Seq[Q] = Seq(
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qWindowTopn, qWindowRunning,
+    qAggRollup, qWindowTime, qSessionWindow, qApproxDistinct)
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search verify queries over the `embeddings` table.
+  * Cosines are computed in double with a fixed evaluation order and
+  * rounded to 6 dp BEFORE ranking, so ordering ties resolve identically
+  * across engines. */
+object SimilarityQueries {
+
+  private val cosSql =
+    """round(list_sum([a[i]::DOUBLE * b[i]::DOUBLE
+       |                  FOR i IN generate_series(1, len(a))]) /
+       |        (sqrt(list_sum([a[i]::DOUBLE * a[i]::DOUBLE
+       |                        FOR i IN generate_series(1, len(a))])) *
+       |         sqrt(list_sum([b[i]::DOUBLE * b[i]::DOUBLE
+       |                        FOR i IN generate_series(1, len(b))]))), 6)""".stripMargin
+
+  /** Brute-force cosine top-5 for query vectors (vec_id < 8) over the
+    * rest of the corpus — the exact ANN baseline. */
+  val qEmbedKnn: Q = Q(
+    "q_embed_knn",
+    (spark, dir) => Similarity
+      .knnBruteForce(Tables.embeddings(spark, dir), queryMaxId = 8, k = 5)
+      .withColumnRenamed("rank", "rnk"),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS a FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT qid, e.vec_id, ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, q WHERE e.vec_id >= 8),
+      r AS (SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5
+      ORDER BY qid, rnk
+    """.trim))
+
+  /** IVF index build: assign every vector to its nearest of 8 centroid
+    * vectors; verify the cell occupancy histogram. */
+  val qEmbedIvf: Q = Q(
+    "q_embed_ivf",
+    (spark, dir) => Similarity.ivfCells(Tables.embeddings(spark, dir), numCentroids = 8),
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS a FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, cid, ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, c),
+      assigned AS (
+        SELECT vec_id, cid AS cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored)
+      SELECT cell, count(*) AS n_vectors FROM assigned WHERE rn = 1
+      GROUP BY cell ORDER BY cell
+    """.trim))
+
+  /** Embedding-cosine near-duplicate pairs, label-blocked (the blocking
+    * key stands in for an LSH bucket at scale). */
+  val qEmbedNeardup: Q = Q(
+    "q_embed_neardup",
+    (spark, dir) => Similarity.blockedNearDupPairs(Tables.embeddings(spark, dir), 0.4),
+    Some(s"""
+      SELECT x.vec_id AS va, y.vec_id AS vb, x.label AS label,
+             ${cosSql.replace("a[", "x.embedding[").replace("len(a)", "len(x.embedding)")
+                     .replace("b[", "y.embedding[").replace("len(b)", "len(y.embedding)")} AS cos
+      FROM embeddings x JOIN embeddings y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE ${cosSql.replace("a[", "x.embedding[").replace("len(a)", "len(x.embedding)")
+                    .replace("b[", "y.embedding[").replace("len(b)", "len(y.embedding)")} >= 0.4
+      ORDER BY va, vb
+    """.trim))
+
+  def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedNeardup)
+}

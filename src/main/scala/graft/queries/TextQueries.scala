@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal verify queries over the `documents`
+  * table — the training-data-pipeline operator surface (token
+  * counting, quality scoring, profile/language classification,
+  * fingerprinting, binary-column decode plumbing). */
+object TextQueries {
+
+  /** Token counting per source: whitespace tokenization, exact int
+    * aggregates. */
+  val qTextTokens: Q = Q(
+    "q_text_tokens",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+        round(sum(col("n_toks")).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+      .orderBy(col("source")),
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+             round(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+                   / count(*), 6) AS avg_tokens
+      FROM documents GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Per-document quality scoring: length saturation, stopword mass,
+    * lexical diversity — fixed-order double arithmetic, rounded. */
+  val qTextQuality: Q = Q(
+    "q_text_quality",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+        TextAnalysis.distinctTokenCount(col("text")).as("n_unique"),
+        round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, n_tokens, n_stopwords, n_unique,
+             round(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+             round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                   (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+                   (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS quality
+      FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+               len(list_distinct(toks)) AS n_unique,
+               list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
+      ORDER BY doc_id
+    """.trim))
+
+  /** Profile classification (the language-ID operator shape): argmax
+    * over token-profile scores with tie-break toward the earlier
+    * profile. */
+  val qTextLangid: Q = Q(
+    "q_text_langid",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.profileScore(col("text"), TextAnalysis.profiles(0)._2).as("s_olap"),
+        TextAnalysis.profileScore(col("text"), TextAnalysis.profiles(1)._2).as("s_stream"),
+        TextAnalysis.profileScore(col("text"), TextAnalysis.profiles(2)._2).as("s_storage"),
+        TextAnalysis.predictedProfile(col("text")).as("predicted"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, s_olap, s_stream, s_storage,
+             CASE WHEN s_storage > greatest(s_olap, s_stream) THEN 'storage'
+                  WHEN s_stream > s_olap THEN 'stream'
+                  ELSE 'olap' END AS predicted
+      FROM (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('join','query','table','scan','agg'))) AS s_olap,
+               len(list_filter(toks, x -> x IN ('stream','batch','window','merge'))) AS s_stream,
+               len(list_filter(toks, x -> x IN ('row','column','data','key'))) AS s_storage
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
+      ORDER BY doc_id
+    """.trim))
+
+  /** Canonical-form fingerprint per document (rolling-hash analog for
+    * formatting-insensitive dedup keys). */
+  val qTextFingerprint: Q = Q(
+    "q_text_fingerprint",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** Multimodal decode plumbing: opaque binary column -> typed metadata
+    * via partition-batched decode (stubbed codec, real Spark mechanics:
+    * mapPartitions over a typed Dataset). The oracle reproduces the
+    * deterministic stub arithmetic. */
+  val qMultimodalDecode: Q = Q(
+    "q_multimodal_decode",
+    (spark, dir) => Multimodal
+      .decodeBatch(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+        col("contentHash").as("content_hash"), col("width"), col("height"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
+             CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+             CAST(64 + octet_length(encode(text)) % 384 AS INT) AS height
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  def all: Seq[Q] = Seq(
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode)
+}

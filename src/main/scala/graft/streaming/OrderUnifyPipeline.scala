@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** End-to-end streaming pipeline — Spark re-expression of the
+  * reference topology (`OrderProjectionTopology.java:39-64`):
+  *
+  * {{{
+  * kafka(3 topics) -> parse JSON -> canonicalize type w/ topic fallback
+  *   -> filter null/invalid -> groupByKey(orderId)   // ≙ repartition topic
+  *   -> flatMapGroupsWithState(unify)                // ≙ transformer+punctuator
+  *   -> (key=orderId, value=payload JSON) -> kafka sink
+  * }}}
+  *
+  * Scale design: the only shuffle is the `groupByKey` exchange on
+  * orderId (high cardinality — partitions evenly at any cluster width);
+  * state per key is bounded (≤3 events + deadline), and Spark's state
+  * store fires per-key timeouts per micro-batch instead of the
+  * reference's O(all pending keys) full-store scan every second
+  * (`OrderProjectionTransformer.java:35,90-104`) — same semantics,
+  * strictly better asymptotics.
+  */
+object OrderUnifyPipeline {
+
+  implicit val stringEnc: Encoder[String] = Encoders.STRING
+  implicit val orderEventEnc: Encoder[OrderEvent] = Encoders.product[OrderEvent]
+  implicit val pendingEnc: Encoder[PendingOrder] = Encoders.product[PendingOrder]
+  implicit val resultEnc: Encoder[ProjectionResult] = Encoders.product[ProjectionResult]
+
+  val sourceTopics: Seq[String] =
+    Seq("order-created", "order-placed", "order-cancelled")
+  val sinkTopic: String = "order-projection"
+
+  /** S2+S3+P1+P2 — parse kafka-shaped records (columns: `key`, `value`,
+    * `topic`, `seq`) into valid canonicalized events.
+    *
+    * Divergence from the reference, by design (SURVEY.md §7 risk 5):
+    * malformed JSON nulls-and-filters instead of crashing the stream
+    * thread (`serde/JsonDeserializer.java:27-31`). All four envelope
+    * fields are required (`OrderEvent.java:21-24`) — missing id/type/
+    * timestamp drops the record. `order_details` passes through as raw
+    * JSON (whitespace-normalized by the JSON-path extractor).
+    */
+  def parseAndCanonicalize(records: DataFrame): Dataset[OrderEvent] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+
+    val aliasExpr = OrderEventType.aliases.foldLeft(
+      when(lit(false), lit(null: String))) { case (acc, (a, c)) =>
+      acc.when(lower(trim(col("rawType"))) === a, lit(c))
+    }
+    val fallbackExpr = OrderEventType.topicFallback.foldLeft(
+      when(lit(false), lit(null: String))) { case (acc, (t, c)) =>
+      acc.when(col("topic") === t, lit(c))
+    }
+
+    records
+      .withColumn("orderId", get_json_object(col("value"), "$['order-id']"))
+      .withColumn("rawType", get_json_object(col("value"), "$['type']"))
+      .withColumn("tsStr", get_json_object(col("value"), "$['timestamp']"))
+      .withColumn("orderDetails", get_json_object(col("value"), "$['order_details']"))
+      // P1 — canonicalize with topic fallback (OrderProjectionTopology.java:84-97)
+      .withColumn("eventType", coalesce(aliasExpr, fallbackExpr))
+      .withColumn("ts", col("tsStr").cast("timestamp"))
+      // P2 — null/invalid filter (OrderProjectionTopology.java:80) +
+      // required-envelope enforcement (OrderEvent.java:21-24)
+      .filter(col("orderId").isNotNull && col("eventType").isNotNull &&
+        col("ts").isNotNull)
+      .select(
+        col("orderId"),
+        col("eventType"),
+        unix_micros(col("ts")).as("timestampMicros"),
+        col("orderDetails"),
+        col("seq"))
+      .as[OrderEvent]
+  }
+
+  /** G1-G9 — the stateful unify step: shuffle by orderId (≙ the
+    * reference's repartition topic, `OrderProjectionTopology.java:57-59`)
+    * then buffer/merge/flush with processing-time timeouts. */
+  def unify(events: Dataset[OrderEvent],
+            bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
+    events
+      .groupByKey(_.orderId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        OrderUnify.stateFunc(bufferMillis) _)
+
+  /** Kafka source for the three lifecycle topics — the live deployment
+    * shape (S1). `seq` = partition offset (arrival order per key, since
+    * records are keyed by order-id, `test-consumer-app/main.go:302-304`). */
+  def kafkaSource(spark: SparkSession, bootstrap: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", sourceTopics.mkString(","))
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"),
+        col("offset").as("seq"))
+
+  /** Wrap any kafka-shaped streaming DataFrame (e.g. a MemoryStream of
+    * [[SourceRecord]]) — test/demo source. */
+  def recordSource(records: Dataset[SourceRecord]): DataFrame =
+    records.toDF()
+
+  /** Full pipeline: source records -> projections. */
+  def projections(records: DataFrame,
+                  bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
+    unify(parseAndCanonicalize(records), bufferMillis)
+
+  /** S5 — Kafka sink: key = orderId, value = payload JSON to
+    * `order-projection` (`OrderProjectionTopology.java:64`). Trigger
+    * interval ≙ the reference's 1 s punctuation granularity
+    * (`OrderProjectionTransformer.java:35`). */
+  def kafkaSink(out: Dataset[ProjectionResult], bootstrap: String,
+                checkpoint: String): DataStreamWriter[Row] =
+    out.select(col("orderId").as("key"), col("payloadJson").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", sinkTopic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("1 second"))
+}

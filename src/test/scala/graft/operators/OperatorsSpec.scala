@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch operator unit tests on tiny literal datasets (the oracle
+  * parity harness covers the full testdata; these pin the semantics on
+  * hand-checkable inputs). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("canonicalizeType: aliases, case-insensitivity, fallback") {
+    val df = Seq("SIGNUP", "event-purchase", "click", "garbage", "Sign-Up")
+      .toDF("raw")
+      .select(Unify.canonicalizeType(col("raw"), lit("fallback")).as("c"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("signup", "purchase", "click", "fallback", "signup"))
+  }
+
+  test("shingles: 5-gram windows, short docs yield empty") {
+    val df = Seq("a b c d e f", "a b").toDF("text")
+      .select(TextAnalysis.shingles(col("text")).as("s"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c d e", "b c d e f"))
+    assert(got(1).isEmpty)
+  }
+
+  test("quality score components on a known doc") {
+    val df = Seq("the cat sat on the mat").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordCount(col("text")).as("stop"),
+      TextAnalysis.distinctTokenCount(col("text")).as("uniq"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 6 && r.getInt(1) == 2 && r.getInt(2) == 5)
+  }
+
+  test("fingerprint is formatting-insensitive") {
+    val df = Seq("Hello,  World!", "hello world").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("jaccardPairs finds near-dups and skips dissimilar docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"), // shares 5 of 11 shingle-sets
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash of identical docs matches; near-identical within hamming 3") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "qq ww ee rr tt yy uu ii")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
+  test("cosine: orthogonal=0, identical=1, known angle") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(1f, 1f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect().toSeq
+    assert(got(0) == 0.0 && got(1) == 1.0 && math.abs(got(2) - 0.707107) < 1e-6)
+  }
+
+  test("knnBruteForce ranks by cosine desc with id tiebreak") {
+    val e = Seq(
+      (0L, Array(1f, 0f), 0), // query
+      (10L, Array(1f, 0.1f), 1),
+      (11L, Array(1f, 1f), 1),
+      (12L, Array(-1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnBruteForce(e, queryMaxId = 1, k = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 11L))
+  }
+
+  test("multimodal decodeBatch: stub metadata + content hash") {
+    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeBatch(Multimodal.documentsAsMedia(docs)).collect().head
+    assert(meta.id == 7L && meta.nBytes == 5L)
+    assert(meta.contentHash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(meta.width == 64 + 5 && meta.height == 64 + 5)
+  }
+
+  test("minhash LSH: identical docs always candidate with est_sim 1.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(docs, 0.5)
+      .select("da", "db", "est_sim").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+}
