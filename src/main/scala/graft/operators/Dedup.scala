@@ -40,15 +40,18 @@ object Dedup {
     * Pairs sharing zero shingles never materialize — the join IS the
     * candidate filter. */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 5): DataFrame = {
+    // Shingle set sizes ride along each shingle row (window count), so
+    // the pair aggregation needs no extra joins; the shingled input is
+    // persisted because both sides of the self-join consume it (at
+    // cluster scale this is a checkpoint of the shingle table).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val sh = docShingles(documents, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val common = sh.as("a").join(sh.as("b"),
+      .withColumn("sz", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sa"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "sb"), "db")
+      .agg(count(lit(1)).as("common"), min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
@@ -61,59 +64,77 @@ object Dedup {
 
   /** Portable MinHash: h_seed(shingle) = md5(seed ++ ":" ++ shingle),
     * minimum taken lexicographically over the hex digest — identical in
-    * any engine with md5. Returns `(doc_id, seed, minhash)`. */
-  def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame =
+    * any engine with md5. WIDE layout: one row per doc with columns
+    * mh0..mh15, so the signature build is a single hash aggregate with
+    * map-side partial mins (no 16x row blowup through the shuffle). */
+  def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
+    val mins = (0 until MinhashSeeds).map(i =>
+      min(md5(concat(lit(i), lit(":"), col("shingle")))).as(s"mh$i"))
     docShingles(documents, n)
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash LSH near-duplicate candidates with estimated similarity:
     * band the 16-slot signature into 4 bands of 4, bucket-join on
     * identical bands, then estimate J as the fraction of agreeing
-    * signature slots. Only same-bucket pairs are ever compared. */
+    * signature slots. Only same-bucket pairs are ever compared; the
+    * signature tables carried through the joins are one narrow row per
+    * document. */
   def minhashLshPairs(documents: DataFrame, minEstSim: Double, n: Int = 5): DataFrame = {
+    // One narrow row per doc, consumed by three branches (band
+    // self-join sides + both signature-agreement joins): persist so the
+    // md5-heavy signature build runs exactly once.
     val sigs = minhashSignatures(documents, n)
-    val bands = sigs
-      .withColumn("band", floor(col("seed") / BandSize))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("|",
-        transform(sort_array(collect_list(struct(col("seed"), col("minhash")))),
-          s => s("minhash")))).as("bandhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until MinhashSeeds / BandSize).map { b =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bandhash")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val agree = cands
+    val agreeExpr = (0 until MinhashSeeds).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(MinhashSeeds.toDouble)
+    cands
       .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sigs.as("sb"),
-        col("db") === col("sb.doc_id") && col("sa.seed") === col("sb.seed"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("sa.minhash") === col("sb.minhash"), 1).otherwise(0)) /
-        lit(MinhashSeeds.toDouble)).as("est_sim"))
-    agree.filter(col("est_sim") >= minEstSim)
+      .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), agreeExpr.as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
       .select(col("da"), col("db"), round(col("est_sim"), 6).as("est_sim"))
       .orderBy(col("da"), col("db"))
   }
 
   val SimhashBits = 16
 
+  private val HiNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
   /** Portable 16-bit SimHash: bit i of a token's contribution is the
     * top bit of nibble i of md5(token) (hex char ≥ '8'); per-doc bit i
-    * is set iff the signed sum over tokens is positive. */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val bitExprs = (0 until SimhashBits).map { i =>
-      val contrib = aggregate(
-        transform(toks, t =>
-          when(substring(md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-            .otherwise(-1)),
-        lit(0), (acc, x) => acc + x)
-      when(contrib > 0, lit(1 << i)).otherwise(lit(0))
+    * is set iff the signed sum over tokens is positive.
+    *
+    * DataFrame formulation: tokens are exploded and md5 is computed
+    * ONCE per token (a single projected column feeding all 16 bit
+    * sums), then one hash aggregate produces the per-doc hash. The
+    * single-Column variant would recompute md5 16x per token. */
+  def simhashDocs(documents: DataFrame): DataFrame = {
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(when(substring(col("hx"), i + 1, 1).isin(HiNibbles: _*), 1).otherwise(-1))
+        .as(s"b$i")
     }
-    bitExprs.reduce(_ + _)
+    val value = (0 until SimhashBits).map(i =>
+      when(col(s"b$i") > 0, lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+    documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("hx"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), value.as("sh"))
   }
 
   /** SimHash near-duplicate pairs (hamming ≤ maxHamming ≤ 3) via
@@ -122,7 +143,7 @@ object Dedup {
     * joins on (block index, block value) replace the n² scan. */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking holds for hamming <= 3")
-    val hashed = documents.select(col("doc_id"), simhash(col("text")).as("sh"))
+    val hashed = simhashDocs(documents)
     val blkval = (0 until 4).map(i =>
         when(col("blk") === i, shiftright(col("sh"), i * 4).bitwiseAND(lit(15))))
       .reduceRight((a, b) => a.otherwise(b))

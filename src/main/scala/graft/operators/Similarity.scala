@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product of two float arrays, in double. */
+  /** Sequential-order dot product of two float arrays, in double —
+    * the fused native expression ([[graft.functions.FloatDotProduct]],
+    * whole-stage-codegen'd tight loop). Accumulation order matches the
+    * `aggregate(zip_with(...))` built-in formulation bit-for-bit. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.floatDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,17 +33,24 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
+  /** Pair cosine from precomputed norms — norms are O(corpus), pair
+    * dots are O(pairs); never recompute norms inside the pair join. */
+  private def pairCos(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by (cosine desc, vec_id asc). The query side is
     * tiny — broadcast it so the corpus never shuffles. */
   def knnBruteForce(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
     val queries = broadcast(
       embeddings.filter(col("vec_id") < queryMaxId)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
-    val scored = embeddings.filter(col("vec_id") >= queryMaxId)
-      .crossJoin(queries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          norm(col("embedding")).as("qnrm")))
+    val corpus = embeddings.filter(col("vec_id") >= queryMaxId)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val scored = corpus.crossJoin(queries)
       .select(col("qid"), col("vec_id"),
-        cosine(col("qvec"), col("embedding")).as("cos"))
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -55,10 +63,14 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, numCentroids: Int): DataFrame = {
     val centroids = broadcast(
       embeddings.filter(col("vec_id") < numCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+          norm(col("embedding")).as("cnrm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-    embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("cid"), cosine(col("embedding"), col("cvec")).as("cos"))
+    embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .crossJoin(centroids)
+      .select(col("vec_id"), col("cid"),
+        pairCos(col("embedding"), col("cvec"), col("nrm"), col("cnrm")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -74,12 +86,14 @@ object Similarity {
     * compared (the blocking key stands in for an LSH bucket at scale),
     * keeping the pair count linear in block sizes instead of n². */
   def blockedNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.label").as("label"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        pairCos(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("va"), col("vb"))
   }
