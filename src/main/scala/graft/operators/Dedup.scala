@@ -110,25 +110,25 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  val SimhashBits = 16
+  val SimhashBits = 32
 
   private val HiNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
-  /** Portable 16-bit SimHash: bit i of a token's contribution is the
+  /** Portable 32-bit SimHash: bit i of a token's contribution is the
     * top bit of nibble i of md5(token) (hex char ≥ '8'); per-doc bit i
     * is set iff the signed sum over tokens is positive.
     *
     * DataFrame formulation: tokens are exploded and md5 is computed
-    * ONCE per token (a single projected column feeding all 16 bit
+    * ONCE per token (a single projected column feeding all 32 bit
     * sums), then one hash aggregate produces the per-doc hash. The
-    * single-Column variant would recompute md5 16x per token. */
+    * single-Column variant would recompute md5 per bit per token. */
   def simhashDocs(documents: DataFrame): DataFrame = {
     val bitSums = (0 until SimhashBits).map { i =>
       sum(when(substring(col("hx"), i + 1, 1).isin(HiNibbles: _*), 1).otherwise(-1))
         .as(s"b$i")
     }
     val value = (0 until SimhashBits).map(i =>
-      when(col(s"b$i") > 0, lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     documents
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("hx"))
@@ -138,14 +138,15 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs (hamming ≤ maxHamming ≤ 3) via
-    * pigeonhole blocking: split the 16-bit hash into 4 nibble blocks;
+    * pigeonhole blocking: split the 32-bit hash into 4 byte blocks;
     * any pair within hamming 3 shares ≥1 exact block, so 4 equality
-    * joins on (block index, block value) replace the n² scan. */
+    * joins on (block index, block value) replace the n² scan — and a
+    * byte block (256 values) keeps each bucket small. */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "pigeonhole blocking holds for hamming <= 3")
     val hashed = simhashDocs(documents)
     val blkval = (0 until 4).map(i =>
-        when(col("blk") === i, shiftright(col("sh"), i * 4).bitwiseAND(lit(15))))
+        when(col("blk") === i, shiftright(col("sh"), i * 8).bitwiseAND(lit(255L))))
       .reduceRight((a, b) => a.otherwise(b))
     val blocks = hashed.select(col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("blk"))

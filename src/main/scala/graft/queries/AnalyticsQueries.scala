@@ -226,7 +226,78 @@ object AnalyticsQueries {
       .orderBy(col("event_type")),
     None)
 
+  /** Semi join (EXISTS): customers that placed at least one order. */
+  val qJoinSemi: Q = Q(
+    "q_join_semi",
+    (spark, dir) => Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey
+    """.trim))
+
+  /** Anti join (NOT EXISTS): customers with no orders. */
+  val qJoinAnti: Q = Q(
+    "q_join_anti",
+    (spark, dir) => Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey
+    """.trim))
+
+  /** INTERSECT / EXCEPT family over customer key sets by order status. */
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+      val both = f.intersect(op).agg(count(lit(1)).as("n")).withColumn("op", lit("both"))
+      val onlyF = f.except(op).agg(count(lit(1)).as("n")).withColumn("op", lit("only_f"))
+      both.unionByName(onlyF).select(col("op"), col("n")).orderBy(col("op"))
+    },
+    Some("""
+      SELECT 'both' AS op, count(*) AS n FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      UNION ALL
+      SELECT 'only_f' AS op, count(*) AS n FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      ORDER BY op
+    """.trim))
+
+  /** Aggregate + HAVING: market segments with enough customers. */
+  val qAggHaving: Q = Q(
+    "q_agg_having",
+    (spark, dir) => Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_acctbal"))
+      .filter(col("n_customers") >= 25)
+      .orderBy(col("c_mktsegment")),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      FROM customer
+      GROUP BY c_mktsegment
+      HAVING count(*) >= 25
+      ORDER BY c_mktsegment
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qWindowTopn, qWindowRunning,
-    qAggRollup, qWindowTime, qSessionWindow, qApproxDistinct)
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
+    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
+    qSessionWindow, qApproxDistinct)
 }

@@ -82,9 +82,9 @@ object DedupQueries {
       WHERE est >= 0.5 ORDER BY da, db
     """.trim))
 
-  /** 16-bit portable SimHash pairs within hamming distance 3. Spark
+  /** 32-bit portable SimHash pairs within hamming distance 3. Spark
     * uses pigeonhole block joins; the oracle brute-forces all pairs.
-    * The oracle SQL is generated so the 16 per-bit sums stay in sync
+    * The oracle SQL is generated so the per-bit sums stay in sync
     * with [[Dedup.SimhashBits]]. */
   val qDedupSimhash: Q = {
     val bitSums = (0 until Dedup.SimhashBits).map { i =>
@@ -92,7 +92,7 @@ object DedupQueries {
         s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$i"
     }.mkString(",\n               ")
     val valExpr = (0 until Dedup.SimhashBits).map { i =>
-      s"CASE WHEN b$i > 0 THEN ${1 << i} ELSE 0 END"
+      s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
     Q(
       "q_dedup_simhash",
