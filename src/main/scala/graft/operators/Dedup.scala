@@ -39,13 +39,29 @@ object Dedup {
     * count the intersection, derive |A∪B| from per-doc set sizes.
     * Pairs sharing zero shingles never materialize — the join IS the
     * candidate filter. */
-  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 5): DataFrame = {
+  /** N-gram Jaccard near-duplicate pairs.
+    *
+    * `maxDf`: at corpus scale, a shingle shared by k documents emits
+    * k² join rows — stop-phrase-like shingles make that quadratic.
+    * Setting a document-frequency cap drops those hot shingles from
+    * BOTH the join and the per-doc set sizes (so the Jaccard stays a
+    * true similarity over the retained shingle sets — the standard
+    * near-dup-at-scale tradeoff). `maxDf = None` is exact. */
+  def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 5,
+                   maxDf: Option[Int] = None): DataFrame = {
     // Shingle set sizes ride along each shingle row (window count), so
     // the pair aggregation needs no extra joins; the shingled input is
     // persisted because both sides of the self-join consume it (at
     // cluster scale this is a checkpoint of the shingle table).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val sh = docShingles(documents, n)
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    val base = maxDf match {
+      case Some(cap) => docShingles(documents, n)
+        .withColumn("df", count(lit(1)).over(wDf))
+        .filter(col("df") <= cap).drop("df")
+      case None => docShingles(documents, n)
+    }
+    val sh = base
       .withColumn("sz", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a").join(sh.as("b"),

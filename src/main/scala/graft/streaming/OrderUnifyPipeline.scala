@@ -91,7 +91,10 @@ object OrderUnifyPipeline {
 
   /** Kafka source for the three lifecycle topics — the live deployment
     * shape (S1). `seq` = partition offset (arrival order per key, since
-    * records are keyed by order-id, `test-consumer-app/main.go:302-304`). */
+    * records are keyed by order-id, `test-consumer-app/main.go:302-304`).
+    * Requires the spark-sql-kafka connector on the classpath (not
+    * present in this build environment, which also has no broker —
+    * tests drive the same pipeline through [[recordSource]]). */
   def kafkaSource(spark: SparkSession, bootstrap: String): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
