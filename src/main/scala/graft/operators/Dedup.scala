@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a (possibly single-split) input across the cluster before a
+    * compute-heavy per-row stage: input partitioning follows file
+    * splits, which under-parallelizes small-but-expensive tables (the
+    * 0.6 MB documents file arrives as ONE partition). Hash-distributing
+    * on the row key decouples CPU parallelism from input layout; AQE
+    * coalesces again afterwards if the stage output is small. */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** Distinct shingles per document: `(doc_id, shingle)`. */
   def docShingles(documents: DataFrame, n: Int = 5): DataFrame =
-    documents.select(col("doc_id"),
+    spread(documents, "doc_id").select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingles(col("text"), n))).as("shingle"))
 
   /** Exact + canonical-form duplication stats (single row): total docs,
@@ -139,15 +148,22 @@ object Dedup {
     * sums), then one hash aggregate produces the per-doc hash. The
     * single-Column variant would recompute md5 per bit per token. */
   def simhashDocs(documents: DataFrame): DataFrame = {
+    // Decode the 32 hex nibbles into 4 longs once per token (conv),
+    // then every per-bit contribution is two integer ops — ~32 string
+    // comparisons per token replaced by 4 parses.
+    val chunks = (0 until 4).map(j =>
+      conv(substring(col("hx"), j * 8 + 1, 8), 16, 10).cast("long").as(s"c$j"))
     val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(substring(col("hx"), i + 1, 1).isin(HiNibbles: _*), 1).otherwise(-1))
-        .as(s"b$i")
+      val j = i / 8
+      val shiftBits = (7 - (i % 8)) * 4 + 3 // top bit of nibble i within chunk j
+      sum(shiftright(col(s"c$j"), shiftBits).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
     }
     val value = (0 until SimhashBits).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    documents
+    spread(documents, "doc_id")
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("hx"))
+      .select(col("doc_id") +: chunks: _*)
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), value.as("sh"))

@@ -38,6 +38,12 @@ object Similarity {
   private def pairCos(a: Column, b: Column, na: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
+  /** Decouple CPU parallelism from input file splits (the embeddings
+    * table is one small file = one partition, but the pair loops it
+    * feeds are the most compute-intense stages in the engine). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by (cosine desc, vec_id asc). The query side is
     * tiny — broadcast it so the corpus never shuffles. */
@@ -46,7 +52,7 @@ object Similarity {
       embeddings.filter(col("vec_id") < queryMaxId)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           norm(col("embedding")).as("qnrm")))
-    val corpus = embeddings.filter(col("vec_id") >= queryMaxId)
+    val corpus = spread(embeddings.filter(col("vec_id") >= queryMaxId))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val scored = corpus.crossJoin(queries)
       .select(col("qid"), col("vec_id"),
@@ -66,7 +72,7 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
           norm(col("embedding")).as("cnrm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-    embeddings
+    spread(embeddings)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(centroids)
       .select(col("vec_id"), col("cid"),
@@ -86,7 +92,7 @@ object Similarity {
     * compared (the blocking key stands in for an LSH bucket at scale),
     * keeping the pair count linear in block sizes instead of n². */
   def blockedNearDupPairs(embeddings: DataFrame, minCos: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+    val e = spread(embeddings).select(col("vec_id"), col("label"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
