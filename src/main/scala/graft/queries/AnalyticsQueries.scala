@@ -296,8 +296,64 @@ object AnalyticsQueries {
       ORDER BY c_mktsegment
     """.trim))
 
+  /** Pivot: per-user event-type count matrix. Spark uses the pivot
+    * relational op; the oracle uses conditional aggregation (same
+    * result, independent formulation). */
+  val qPivot: Q = Q(
+    "q_pivot",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("signup", "purchase", "click", "view", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("user_id", "n_signup", "n_purchase", "n_click", "n_view", "n_error")
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+      FROM events GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  /** Descriptive statistics via explicit moment sums (engine-native
+    * stddev/corr differ in accumulation details; the moment formulation
+    * in fixed-point is exactly portable). Values are scaled to
+    * integer hundredths, so the moment sums are exact integers. */
+  val qStatsMoments: Q = Q(
+    "q_stats_moments",
+    (spark, dir) => {
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("bigint")
+      Tables.events(spark, dir)
+        .select(col("event_type"), cents.as("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+        .select(col("event_type"), col("n"),
+          round(col("s1") / lit(100.0) / col("n"), 6).as("mean"),
+          round((col("s2") / lit(10000.0) -
+            (col("s1") / lit(100.0)) * (col("s1") / lit(100.0)) / col("n")) /
+            (col("n") - 1), 6).as("variance"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, n,
+             round(s1 / 100.0 / n, 6) AS mean,
+             round((s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1), 6)
+               AS variance
+      FROM (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s1,
+               sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                   * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s2
+        FROM events GROUP BY event_type)
+      ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
-    qSessionWindow, qApproxDistinct)
+    qSessionWindow, qApproxDistinct, qPivot, qStatsMoments)
 }
