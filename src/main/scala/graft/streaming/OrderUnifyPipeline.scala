@@ -65,6 +65,15 @@ object OrderUnifyPipeline {
       // P1 — canonicalize with topic fallback (OrderProjectionTopology.java:84-97)
       .withColumn("eventType", coalesce(aliasExpr, fallbackExpr))
       .withColumn("ts", col("tsStr").cast("timestamp"))
+      // S7 — observability: the reference crashes on malformed JSON
+      // (serde/JsonDeserializer.java:27-31); we null-and-filter and
+      // surface the drop count as an observed metric instead
+      // (SURVEY.md §1.3). Read via StreamingQueryProgress
+      // .observedMetrics("graft_parse") or QueryExecutionListener.
+      .observe("graft_parse",
+        count(lit(1)).as("records"),
+        count(when(col("orderId").isNull || col("eventType").isNull ||
+          col("ts").isNull, 1)).as("dropped"))
       // P2 — null/invalid filter (OrderProjectionTopology.java:80) +
       // required-envelope enforcement (OrderEvent.java:21-24)
       .filter(col("orderId").isNotNull && col("eventType").isNotNull &&
