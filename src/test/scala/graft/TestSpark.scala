@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // Spark 4.1's checksum checkpoint-file manager can deadlock on
       // state-store delta commit in rapid micro-batch tests (tasks
       // wait forever in ChecksumCancellableFSDataOutputStream.close)
