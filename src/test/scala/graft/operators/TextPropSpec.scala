@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks of the batch text/dedup operators' invariants
+  * (complementing the exact oracle parity): fingerprint formatting
+  * insensitivity, Jaccard bounds/symmetry, simhash self-identity. */
+object TextPropSpec extends Properties("TextOps") {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  // every case runs Spark jobs; 15 cases per property is plenty
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(15)
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val doc: Gen[String] = Gen.choose(5, 30)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  property("fingerprint ignores case, punctuation and extra whitespace") =
+    forAll(doc) { d =>
+      val mangled = "  " + d.toUpperCase.replace(" ", "  !! ") + " ,"
+      val fps = Seq(d, mangled).toDF("text")
+        .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+      fps(0) == fps(1)
+    }
+
+  property("shingle count = max(0, tokens - 4)") = forAll(doc) { d =>
+    val got = Seq(d).toDF("text")
+      .select(size(TextAnalysis.shingles(col("text")))).as[Int].collect().head
+    val n = d.split("\\s+").length
+    got == math.max(0, n - 4)
+  }
+
+  property("identical docs: jaccard 1.0; est_sim 1.0; simhash hamming 0") =
+    forAll(doc) { d =>
+      val docs = Seq((1L, d), (2L, d)).toDF("doc_id", "text")
+      val j = Dedup.jaccardPairs(docs, 0.99).select("jaccard").as[Double].collect()
+      val m = Dedup.minhashLshPairs(docs, 0.99).select("est_sim").as[Double].collect()
+      val s = Dedup.simhashPairs(docs, 0).select("hamming").as[Int].collect()
+      j.sameElements(Array(1.0)) && m.sameElements(Array(1.0)) &&
+        s.sameElements(Array(0))
+    }
+
+  property("quality score stays within [0, 1]") = forAll(doc) { d =>
+    val q = Seq(d).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).as[Double].collect().head
+    q >= 0.0 && q <= 1.0
+  }
+}
