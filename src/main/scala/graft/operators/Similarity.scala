@@ -88,6 +88,33 @@ object Similarity {
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
 
+  /** IVF search (single-probe): query vectors look only inside their
+    * own cell — the join on `cell` is what makes ANN sub-linear; the
+    * searched fraction is 1/C instead of the whole corpus. Queries are
+    * vectors with `qMinId <= vec_id < qMaxId`; candidates are all other
+    * vectors sharing the query's cell. */
+  def ivfSearch(embeddings: DataFrame, numCentroids: Int,
+                qMinId: Long, qMaxId: Long, k: Int): DataFrame = {
+    val assigned = embeddings
+      .join(ivfAssign(embeddings, numCentroids), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = assigned
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    val scored = assigned
+      .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
+      .join(broadcast(queries), "cell")
+      .select(col("qid"), col("vec_id"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Label-blocked near-duplicate pairs: only same-label pairs are
     * compared (the blocking key stands in for an LSH bucket at scale),
     * keeping the pair count linear in block sizes instead of n². */

@@ -71,5 +71,41 @@ object SimilarityQueries {
       ORDER BY va, vb
     """.trim))
 
-  def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedNeardup)
+  /** IVF single-probe search: query vectors 8..15 search only their own
+    * cell (8 centroid cells from vectors 0..7) for their top-3 — the
+    * sub-linear ANN path end-to-end. */
+  val qEmbedIvfKnn: Q = Q(
+    "q_embed_ivf_knn",
+    (spark, dir) => Similarity.ivfSearch(Tables.embeddings(spark, dir),
+      numCentroids = 8, qMinId = 8, qMaxId = 16, k = 3),
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS a FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT e.vec_id, cid, ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, c),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM scored)
+        WHERE rn = 1),
+      q AS (
+        SELECT e.vec_id AS qid, a2.cell, e.embedding AS a
+        FROM embeddings e JOIN assigned a2 USING (vec_id)
+        WHERE e.vec_id >= 8 AND e.vec_id < 16),
+      cand AS (
+        SELECT q.qid, e.vec_id,
+               ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e
+        JOIN assigned a3 ON e.vec_id = a3.vec_id
+        JOIN q ON a3.cell = q.cell
+        WHERE e.vec_id < 8 OR e.vec_id >= 16),
+      r AS (SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM cand)
+      SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+      ORDER BY qid, rnk
+    """.trim))
+
+  def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn, qEmbedNeardup)
 }
