@@ -49,7 +49,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver extracts the JSON line from stdout, which sbt wraps in
+    // [info]/[error] prefixes and interleaves with Spark log noise: make
+    // the result available three ways — a plain file, a line printed
+    // before shutdown, and a bare final line after spark.stop() (the
+    // very last stdout of the run, after all Spark shutdown logging).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_result.json"),
+      json.getBytes("UTF-8"))
+    println(json)
     spark.stop()
+    println(json)
   }
 }

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *  - Jaccard/MinHash avoid the O(n²) all-pairs comparison by joining
   *    on shared shingles / LSH band buckets, so cost follows the number
   *    of genuinely-similar pairs, not n².
-  *  - SimHash pairs use pigeonhole blocking (4 blocks of 4 bits:
-  *    hamming ≤ 3 ⟹ at least one block identical), turning the
-  *    all-pairs scan into 4 equality joins.
+  *  - SimHash pairs use pigeonhole blocking (64-bit hash, 4 blocks of
+  *    16 bits: hamming ≤ 3 ⟹ at least one block identical), turning
+  *    the all-pairs scan into 4 equality joins with 65,536-way buckets.
   *
   * Hashes are md5-based so results are engine-portable (the DuckDB
   * oracles compute the identical digests).
@@ -87,15 +87,41 @@ object Dedup {
   val MinhashSeeds = 16
   val BandSize = 4
 
-  /** Portable MinHash: h_seed(shingle) = md5(seed ++ ":" ++ shingle),
-    * minimum taken lexicographically over the hex digest — identical in
-    * any engine with md5. WIDE layout: one row per doc with columns
-    * mh0..mh15, so the signature build is a single hash aggregate with
-    * map-side partial mins (no 16x row blowup through the shuffle). */
+  /** Minhash mix parameters: slot i applies an affine mix to md5 chunk
+    * i%4 modulo the Mersenne prime 2^31-1. Fixed odd multipliers /
+    * offsets (shared with the generated DuckDB oracle — the two engines
+    * must compute bit-identical slot values). */
+  val MixP: Long = 2147483647L
+  val MixA: IndexedSeq[Long] = IndexedSeq(
+    769230721L, 995518081L, 433494437L, 644245093L,
+    373587883L, 982451653L, 617707627L, 715827883L,
+    265443577L, 899809343L, 533000401L, 735632791L,
+    179424673L, 961748941L, 472882027L, 686572993L)
+  val MixB: IndexedSeq[Long] = IndexedSeq(
+    12582917L, 23456789L, 34567891L, 45678917L,
+    56789123L, 67891241L, 78912353L, 89123471L,
+    91234583L, 13456913L, 24567929L, 35678941L,
+    46789051L, 57891067L, 68912087L, 79123099L)
+
+  /** Portable MinHash, ONE md5 per shingle: the 128-bit digest is split
+    * into four 32-bit chunks (conv from hex), and each of the 16
+    * signature slots is an affine mix `(a_i * chunk_{i%4} + b_i) mod
+    * (2^31-1)` — 16 pseudo-independent permutations from a single hash
+    * (the standard "one hash + universal mixing" minhash construction).
+    * Replaces round 1's 16 separate md5 calls per shingle, which were
+    * the dominant allocation cost of the whole bench.
+    *
+    * WIDE layout: one row per doc with columns mh0..mh15, so the
+    * signature build is a single hash aggregate with map-side partial
+    * mins (no 16x row blowup through the shuffle). */
   def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
+    val chunks = (0 until 4).map(j =>
+      conv(substring(col("hx"), j * 8 + 1, 8), 16, 10).cast("long").as(s"c$j"))
     val mins = (0 until MinhashSeeds).map(i =>
-      min(md5(concat(lit(i), lit(":"), col("shingle")))).as(s"mh$i"))
+      min((col(s"c${i % 4}") * lit(MixA(i)) + lit(MixB(i))) % lit(MixP)).as(s"mh$i"))
     docShingles(documents, n)
+      .select(col("doc_id"), md5(col("shingle")).as("hx"))
+      .select(col("doc_id") +: chunks: _*)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
   }
@@ -135,31 +161,33 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  val SimhashBits = 32
+  val SimhashBits = 64
+  val SimhashBlocks = 4
+  val SimhashBlockBits: Int = SimhashBits / SimhashBlocks
 
-  private val HiNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-
-  /** Portable 32-bit SimHash: bit i of a token's contribution is the
-    * top bit of nibble i of md5(token) (hex char ≥ '8'); per-doc bit i
-    * is set iff the signed sum over tokens is positive.
+  /** Portable 64-bit SimHash (Charikar / Manku-style): bit i of a
+    * token's contribution is bit `31-(i%32)` of 32-bit md5 chunk
+    * `i/32`; per-doc bit i is set iff the signed sum over tokens is
+    * positive. 64 bits (vs round 1's 32) is what makes the pigeonhole
+    * blocks selective: 16-bit block values give 65,536 bucket values
+    * per block instead of 256, so dissimilar-pair collisions drop 256×
+    * and candidate generation stops being ~n²/128 at corpus scale.
     *
     * DataFrame formulation: tokens are exploded and md5 is computed
-    * ONCE per token (a single projected column feeding all 32 bit
-    * sums), then one hash aggregate produces the per-doc hash. The
-    * single-Column variant would recompute md5 per bit per token. */
+    * ONCE per token; the two hex chunks are conv'd once per token and
+    * every per-bit contribution is two integer ops feeding one hash
+    * aggregate (64 long partials per doc). */
   def simhashDocs(documents: DataFrame): DataFrame = {
-    // Decode the 32 hex nibbles into 4 longs once per token (conv),
-    // then every per-bit contribution is two integer ops — ~32 string
-    // comparisons per token replaced by 4 parses.
-    val chunks = (0 until 4).map(j =>
+    val chunks = (0 until 2).map(j =>
       conv(substring(col("hx"), j * 8 + 1, 8), 16, 10).cast("long").as(s"c$j"))
     val bitSums = (0 until SimhashBits).map { i =>
-      val j = i / 8
-      val shiftBits = (7 - (i % 8)) * 4 + 3 // top bit of nibble i within chunk j
+      val j = i / 32
+      val shiftBits = 31 - (i % 32)
       sum(shiftright(col(s"c$j"), shiftBits).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
     }
     val value = (0 until SimhashBits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
     spread(documents, "doc_id")
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("hx"))
@@ -170,18 +198,23 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs (hamming ≤ maxHamming ≤ 3) via
-    * pigeonhole blocking: split the 32-bit hash into 4 byte blocks;
-    * any pair within hamming 3 shares ≥1 exact block, so 4 equality
-    * joins on (block index, block value) replace the n² scan — and a
-    * byte block (256 values) keeps each bucket small. */
+    * pigeonhole blocking: split the 64-bit hash into 4 blocks of 16
+    * bits; any pair within hamming 3 shares ≥1 exact block, so 4
+    * equality joins on (block index, block value) replace the n² scan —
+    * and a 16-bit block (65,536 values) keeps each bucket small even at
+    * corpus scale. */
   def simhashPairs(documents: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 3, "pigeonhole blocking holds for hamming <= 3")
+    require(maxHamming <= SimhashBlocks - 1,
+      s"pigeonhole blocking holds for hamming <= ${SimhashBlocks - 1}")
     val hashed = simhashDocs(documents)
-    val blkval = (0 until 4).map(i =>
-        when(col("blk") === i, shiftright(col("sh"), i * 8).bitwiseAND(lit(255L))))
+    // (sh >> s) & 0xffff: the mask makes arithmetic-shift sign fill
+    // irrelevant, so Spark and DuckDB agree on the top block too.
+    val blkval = (0 until SimhashBlocks).map(i =>
+        when(col("blk") === i,
+          shiftright(col("sh"), i * SimhashBlockBits).bitwiseAND(lit(65535L))))
       .reduceRight((a, b) => a.otherwise(b))
     val blocks = hashed.select(col("doc_id"), col("sh"),
-      explode(sequence(lit(0), lit(3))).as("blk"))
+      explode(sequence(lit(0), lit(SimhashBlocks - 1))).as("blk"))
       .withColumn("blkval", blkval)
     val cands = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&

@@ -204,8 +204,8 @@ object AnalyticsQueries {
       .orderBy(col("user_id")),
     Some("""
       SELECT user_id,
-             sum(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
-                      THEN 1 ELSE 0 END) AS n_sessions,
+             CAST(sum(CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM (
         SELECT user_id, ts,
@@ -214,17 +214,35 @@ object AnalyticsQueries {
       GROUP BY user_id ORDER BY user_id
     """.trim))
 
-  /** Approximate distinct (HLL++) — sketch implementations differ
-    * across engines, so no SQL oracle (driver records a rows-only
-    * check); the exact counterpart is covered by q_scan_events. */
+  /** Approximate distinct (HLL++). Sketch internals differ across
+    * engines, so the raw estimate is not oracle-comparable; instead the
+    * query emits the exact distinct counts PLUS booleans asserting the
+    * HLL estimate (rsd 0.01) lands within 5% relative error of exact.
+    * DuckDB computes the same exact counts and constant `true`s — a
+    * hash-matchable contract that still fails if the sketch ever drifts
+    * out of tolerance. */
   val qApproxDistinct: Q = Q(
     "q_approx_distinct",
     (spark, dir) => Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        countDistinct(col("event_id")).as("n_events_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
+        approx_count_distinct(col("event_id"), 0.01).as("ae"))
+      .select(col("event_type"), col("n_users_exact"), col("n_events_exact"),
+        (abs(col("au") - col("n_users_exact")).cast("double")
+          <= col("n_users_exact") * lit(0.05)).as("users_within_tol"),
+        (abs(col("ae") - col("n_events_exact")).cast("double")
+          <= col("n_events_exact") * lit(0.05)).as("events_within_tol"))
       .orderBy(col("event_type")),
-    None)
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_events_exact,
+             true AS users_within_tol,
+             true AS events_within_tol
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
 
   /** Semi join (EXISTS): customers that placed at least one order. */
   val qJoinSemi: Q = Q(

@@ -5,9 +5,32 @@ import graft.operators.Dedup
 
 /** Deduplication verify queries over the `documents` table. The DuckDB
   * oracles use *different algorithms* where possible (e.g.
-  * list_intersect vs shingle-join for Jaccard) so the comparison is an
-  * independent check of the math, not a translation of the plan. */
+  * list_intersect vs shingle-join for Jaccard, brute-force all-pairs vs
+  * pigeonhole blocking for SimHash) so the comparison is an independent
+  * check of the math, not a translation of the plan. Oracles that must
+  * reproduce hash arithmetic (minhash mixes, simhash bit sums) are
+  * GENERATED from the same constants in [[Dedup]], so the two sides
+  * cannot silently drift. */
 object DedupQueries {
+
+  /** DuckDB expression for 32-bit chunk `j` (0-based) of the hex digest
+    * column `hx`: big-endian nibble-weighted sum via strpos — the exact
+    * value Spark computes with `conv(substring(hx, j*8+1, 8), 16, 10)`. */
+  private def chunkSql(j: Int): String =
+    (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substring(hx, ${j * 8 + k + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", ")")
+
+  /** Shared shingle CTE prefix (5-gram shingles per doc). */
+  private val shinglesCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |           [array_to_string(tl[i:i+4], ' ')
+      |            FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+      |  FROM toks WHERE len(tl) >= 5)""".stripMargin
 
   val qDedupExact: Q = Q(
     "q_dedup_exact",
@@ -23,7 +46,9 @@ object DedupQueries {
 
   /** 5-gram Jaccard near-dup pairs at >= 0.8 — Spark joins on shared
     * shingles (pair cost ∝ actual overlap); the oracle brute-forces
-    * list_intersect over all pairs. Same math, different plan. */
+    * list_intersect over all pairs. Same math, different plan. Both
+    * engines filter on the 6dp-ROUNDED jaccard so boundary pairs
+    * resolve identically. */
   val qDedupNgramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
     (spark, dir) => Dedup.jaccardPairs(Tables.documents(spark, dir), 0.8),
@@ -40,32 +65,71 @@ object DedupQueries {
                    (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) AS jaccard
       FROM sh a, sh b
       WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
-            (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))) >= 0.8
+        AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+            (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.8
       ORDER BY da, db
     """.trim))
 
-  /** MinHash (16 portable md5-based slots) + LSH (4 bands of 4):
-    * candidates share >= 1 band; estimated similarity = agreeing
-    * slots / 16, kept at >= 0.5. */
-  val qDedupMinhash: Q = Q(
-    "q_dedup_minhash",
-    (spark, dir) => Dedup.minhashLshPairs(Tables.documents(spark, dir), 0.5),
-    Some("""
-      WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(
-                 [array_to_string(tl[i:i+4], ' ')
-                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
-        FROM toks WHERE len(tl) >= 5),
+  /** The document-frequency cap that keeps the shingle self-join linear
+    * at corpus scale (a shingle in k docs emits k² join rows; dropping
+    * df > cap shingles bounds k — ~1000 is the production setting). The
+    * synthetic fixture's max shingle df is 3, so the registered query
+    * uses cap=2: the only value that actually drops shingles (74 at
+    * sf0.01) while near-dup pairs survive — i.e. the guard is
+    * EXERCISED, not just wired. */
+  val JaccardCap = 2
+
+  /** maxDf-capped Jaccard — the scale-guarded variant: stop-phrase-like
+    * shingles (df > cap) are dropped from BOTH the join and the per-doc
+    * set sizes, in engine and oracle alike. Threshold 0.5 so pairs that
+    * lose hot shingles still surface. */
+  val qDedupJaccardCapped: Q = Q(
+    "q_dedup_jaccard_capped",
+    (spark, dir) => Dedup.jaccardPairs(
+      Tables.documents(spark, dir), 0.5, maxDf = Some(JaccardCap)),
+    Some(s"""
+      $shinglesCte,
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+                   (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) AS jaccard
+      FROM kept a, kept b
+      WHERE a.doc_id < b.doc_id
+        AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+            (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5
+      ORDER BY da, db
+    """.trim))
+
+  /** MinHash (16 slots from ONE md5 via affine chunk mixes) + LSH
+    * (4 bands of 4): candidates share >= 1 band; estimated similarity =
+    * agreeing slots / 16, kept at >= 0.5. The oracle recomputes the
+    * identical mixes from the [[Dedup.MixA]]/[[Dedup.MixB]] constants. */
+  val qDedupMinhash: Q = {
+    val seedRows = (0 until Dedup.MinhashSeeds).map(i =>
+      s"(${i}, ${Dedup.MixA(i)}, ${Dedup.MixB(i)}, ${i % 4})").mkString(", ")
+    Q(
+      "q_dedup_minhash",
+      (spark, dir) => Dedup.minhashLshPairs(Tables.documents(spark, dir), 0.5),
+      Some(s"""
+      $shinglesCte,
+      hx AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+      ch AS (SELECT doc_id, ${chunkSql(0)} AS c0, ${chunkSql(1)} AS c1,
+                    ${chunkSql(2)} AS c2, ${chunkSql(3)} AS c3 FROM hx),
+      seeds(seed, a, b, cidx) AS (VALUES $seedRows),
       sigs AS (
-        SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-        FROM sh, unnest(generate_series(0, 15)) s(seed)
-        GROUP BY doc_id, seed),
+        SELECT doc_id, seed,
+               min(((CASE cidx WHEN 0 THEN c0 WHEN 1 THEN c1
+                               WHEN 2 THEN c2 ELSE c3 END) * a + b)
+                   % ${Dedup.MixP}) AS minhash
+        FROM ch, seeds GROUP BY doc_id, seed),
       bands AS (
         SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(minhash, '|' ORDER BY seed)) AS bandhash
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bandhash
         FROM sigs GROUP BY doc_id, seed // 4),
       cand AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
@@ -80,20 +144,22 @@ object DedupQueries {
         GROUP BY da, db)
       SELECT da, db, round(est, 6) AS est_sim FROM agree
       WHERE est >= 0.5 ORDER BY da, db
-    """.trim))
+      """.trim))
+  }
 
-  /** 32-bit portable SimHash pairs within hamming distance 3. Spark
-    * uses pigeonhole block joins; the oracle brute-forces all pairs.
-    * The oracle SQL is generated so the per-bit sums stay in sync
-    * with [[Dedup.SimhashBits]]. */
+  /** 64-bit portable SimHash pairs within hamming distance 3. Spark
+    * uses 16-bit pigeonhole block joins; the oracle brute-forces all
+    * pairs. The oracle SQL is generated so the per-bit sums stay in
+    * sync with [[Dedup.SimhashBits]]: bit i is bit `3-(i%4)` of md5
+    * nibble `i/4` — exactly Spark's `(chunk(i/32) >> (31-i%32)) & 1`. */
   val qDedupSimhash: Q = {
     val bitSums = (0 until Dedup.SimhashBits).map { i =>
-      s"sum(CASE WHEN substring(hx, ${i + 1}, 1) IN " +
-        s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$i"
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(hx, ${i / 4 + 1}, 1)) - 1)" +
+        s" >> ${3 - (i % 4)}) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
     }.mkString(",\n               ")
     val valExpr = (0 until Dedup.SimhashBits).map { i =>
-      s"CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
+      s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
     Q(
       "q_dedup_simhash",
       (spark, dir) => Dedup.simhashPairs(Tables.documents(spark, dir), 3),
@@ -114,5 +180,6 @@ object DedupQueries {
       """.trim))
   }
 
-  def all: Seq[Q] = Seq(qDedupExact, qDedupNgramJaccard, qDedupMinhash, qDedupSimhash)
+  def all: Seq[Q] = Seq(
+    qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash, qDedupSimhash)
 }

@@ -22,7 +22,7 @@ object TextQueries {
       .orderBy(col("source")),
     Some("""
       SELECT source, count(*) AS n_docs,
-             sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
              round(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
                    / count(*), 6) AS avg_tokens
       FROM documents GROUP BY source ORDER BY source

@@ -4,6 +4,29 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for all suites. */
 object TestSpark {
+
+  /** Per-JVM checkpoint root: streaming checkpoints cannot be reused
+    * across runs (Spark refuses to recover flatMapGroupsWithState /
+    * transformWithState queries from a prior run's checkpoint), so the
+    * root is a fresh temp dir per test JVM, deleted on exit. Also
+    * removes the round-1 fixed path if a stale copy is present so old
+    * sandboxes converge. */
+  private val checkpointRoot: String = {
+    val legacy = new java.io.File("/dev/shm/graft-ckpt")
+    if (legacy.exists()) deleteRecursively(legacy)
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else sys.props("java.io.tmpdir"))
+    val dir = java.nio.file.Files.createTempDirectory(base.toPath, "graft-ckpt-").toFile
+    sys.addShutdownHook(deleteRecursively(dir))
+    dir.getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -21,7 +44,7 @@ object TestSpark {
       // snapshot maintenance, which starves rapid-trigger tests.
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .config("spark.sql.streaming.minBatchesToRetain", "2")
-      .config("spark.sql.streaming.checkpointLocation", "/dev/shm/graft-ckpt")
+      .config("spark.sql.streaming.checkpointLocation", checkpointRoot)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
