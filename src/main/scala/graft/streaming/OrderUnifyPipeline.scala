@@ -34,17 +34,41 @@ object OrderUnifyPipeline {
     Seq("order-created", "order-placed", "order-cancelled")
   val sinkTopic: String = "order-projection"
 
+  /** The envelope schema, for strict-mode parsing. All leaves are
+    * strings: `order_details` is free-form JSON captured as raw text
+    * (the reference treats it as an opaque passthrough,
+    * `OrderEvent.java:17,24`). */
+  val envelopeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("order-id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("order_details",
+        org.apache.spark.sql.types.StringType)))
+
   /** S2+S3+P1+P2 — parse kafka-shaped records (columns: `key`, `value`,
     * `topic`, `seq`) into valid canonicalized events.
     *
-    * Divergence from the reference, by design (SURVEY.md §7 risk 5):
-    * malformed JSON nulls-and-filters instead of crashing the stream
-    * thread (`serde/JsonDeserializer.java:27-31`). All four envelope
-    * fields are required (`OrderEvent.java:21-24`) — missing id/type/
+    * Malformed-JSON policy is configurable:
+    *  - `failFast = false` (default): null-and-filter, surfacing the
+    *    drop count as an observed metric (SURVEY.md §7 risk 5 — the
+    *    operationally safer divergence).
+    *  - `failFast = true`: reproduce the reference exactly — a record
+    *    whose value is not parseable JSON fails the stream
+    *    (`serde/JsonDeserializer.java:27-31` crashes the stream
+    *    thread). Parsing runs through `from_json` in FAILFAST mode, so
+    *    the micro-batch task throws and the query terminates.
+    *
+    * In both modes all four envelope fields are required
+    * (`OrderEvent.java:21-24`) — well-formed JSON missing id/type/
     * timestamp drops the record. `order_details` passes through as raw
-    * JSON (whitespace-normalized by the JSON-path extractor).
+    * JSON (whitespace-normalized by the extractor).
     */
-  def parseAndCanonicalize(records: DataFrame): Dataset[OrderEvent] = {
+  def parseAndCanonicalize(records: DataFrame,
+                           failFast: Boolean = false): Dataset[OrderEvent] = {
     val spark = records.sparkSession
     import spark.implicits._
 
@@ -57,11 +81,24 @@ object OrderUnifyPipeline {
       acc.when(col("topic") === t, lit(c))
     }
 
-    records
-      .withColumn("orderId", get_json_object(col("value"), "$['order-id']"))
-      .withColumn("rawType", get_json_object(col("value"), "$['type']"))
-      .withColumn("tsStr", get_json_object(col("value"), "$['timestamp']"))
-      .withColumn("orderDetails", get_json_object(col("value"), "$['order_details']"))
+    val extracted =
+      if (failFast)
+        records
+          .withColumn("env", from_json(col("value"), envelopeSchema,
+            Map("mode" -> "FAILFAST")))
+          .withColumn("orderId", col("env").getField("order-id"))
+          .withColumn("rawType", col("env").getField("type"))
+          .withColumn("tsStr", col("env").getField("timestamp"))
+          .withColumn("orderDetails", col("env").getField("order_details"))
+          .drop("env")
+      else
+        records
+          .withColumn("orderId", get_json_object(col("value"), "$['order-id']"))
+          .withColumn("rawType", get_json_object(col("value"), "$['type']"))
+          .withColumn("tsStr", get_json_object(col("value"), "$['timestamp']"))
+          .withColumn("orderDetails", get_json_object(col("value"), "$['order_details']"))
+
+    extracted
       // P1 — canonicalize with topic fallback (OrderProjectionTopology.java:84-97)
       .withColumn("eventType", coalesce(aliasExpr, fallbackExpr))
       .withColumn("ts", col("tsStr").cast("timestamp"))
@@ -120,10 +157,12 @@ object OrderUnifyPipeline {
   def recordSource(records: Dataset[SourceRecord]): DataFrame =
     records.toDF()
 
-  /** Full pipeline: source records -> projections. */
+  /** Full pipeline: source records -> projections. `failFast` selects
+    * the malformed-JSON policy (see [[parseAndCanonicalize]]). */
   def projections(records: DataFrame,
-                  bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
-    unify(parseAndCanonicalize(records), bufferMillis)
+                  bufferMillis: Long = OrderUnify.DefaultBufferMillis,
+                  failFast: Boolean = false): Dataset[ProjectionResult] =
+    unify(parseAndCanonicalize(records, failFast), bufferMillis)
 
   /** S5 — Kafka sink: key = orderId, value = payload JSON to
     * `order-projection` (`OrderProjectionTopology.java:64`). Trigger

@@ -132,6 +132,37 @@ class OrderUnifyStreamSpec extends AnyFunSuite {
     assert(out.map(_._1) == Seq("ord-6"))
   }
 
+  test("T5b: strict mode processes valid records but crashes the stream on malformed JSON") {
+    val input = MemoryStream[SourceRecord]
+    val name = nextName()
+    val out = OrderUnifyPipeline.projections(input.toDF(), 1000, failFast = true)
+    val query: StreamingQuery = out.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // valid records flow normally in strict mode
+      input.addData(Seq(
+        rec("ord-9", "created", 0), rec("ord-9", "placed", 1, "order-placed"),
+        rec("ord-9", "cancelled", 2, "order-cancelled")))
+      val d1 = System.currentTimeMillis() + 30000
+      while (spark.table(name).count() < 1 && System.currentTimeMillis() < d1)
+        Thread.sleep(300)
+      assert(spark.table(name).count() == 1)
+      // a malformed record is fatal (reference crash-on-malformed,
+      // serde/JsonDeserializer.java:27-31): the query terminates
+      input.addData(Seq(SourceRecord("k", "not json at all", "order-created", 3)))
+      val d2 = System.currentTimeMillis() + 30000
+      while (query.exception.isEmpty && System.currentTimeMillis() < d2)
+        Thread.sleep(300)
+      assert(query.exception.isDefined,
+        "strict mode must fail the query on malformed JSON")
+      val messages = Iterator.iterate(query.exception.get: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString.toLowerCase).mkString("\n")
+      assert(messages.contains("malformed"))
+    } finally query.stop()
+  }
+
   test("T6: deadline is NOT extended by later events") {
     // created at t0; placed+cancelled arrive after the 1s deadline ->
     // old buffer dropped, fresh buffer incomplete -> nothing
