@@ -15,13 +15,16 @@ object EcosystemStreams {
     * matchValue) matches the pattern. The deployed config filters
     * `logins` for .edu emails into `edu-filtered-domains`
     * (`docker-compose/docker-compose.yml:340-355`). Patterns must stay
-    * in the RE2 ∩ Java dialect (the deployed one is). */
+    * in the RE2 ∩ Java dialect (the deployed one is); user-supplied
+    * patterns are checked by [[Re2Dialect]] so a pattern that works
+    * here is guaranteed to also compile in the reference's RE2 module
+    * and vice versa. */
   val EduPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.edu"
 
   def regexFilter(records: DataFrame, pattern: String,
                   matchValue: Boolean = false): DataFrame = {
     val target = if (matchValue) col("value") else col("key")
-    records.filter(target.rlike(pattern))
+    records.filter(target.rlike(Re2Dialect.validated(pattern)))
   }
 
   /** P6 — multi-topic routing by metadata
