@@ -322,6 +322,76 @@ object PipelineQueries {
       FROM events GROUP BY 1 ORDER BY is_valid
     """.trim))
 
+  /** X3 (general form) — the [[graft.operators.JsonSchema]] validator
+    * compiled from an actual schema DOCUMENT (required fields, typed
+    * properties with patterns, `additionalProperties: false` — the
+    * shape of `docker-compose/transactions-schema.json:1-37`), driven
+    * over five deterministic record variants: valid, missing-required,
+    * extra-property, integer-typed-as-string, pattern-violation. The
+    * oracle revalidates with DuckDB's independent JSON machinery
+    * (json_keys / json_type / regexp), not a translation of the plan. */
+  val qJsonSchemaGeneric: Q = {
+    val schemaDoc = """{
+      "type": "object",
+      "properties": {
+        "email": {"type": "string", "pattern": "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+$"},
+        "index": {"type": "integer"},
+        "price": {"type": "string", "pattern": "^XXX \\d+\\.\\d{6}$"}
+      },
+      "required": ["email", "index", "price"],
+      "additionalProperties": false
+    }"""
+    Q(
+      "q_json_schema_generic",
+      (spark, dir) => {
+        val kind = pmod(col("id"), lit(5)).cast("int")
+        val email = concat(lit("\"email\":\"u"), col("id"), lit("@example.com\""))
+        val idxNum = concat(lit("\"index\":"), col("id"))
+        val idxStr = concat(lit("\"index\":\""), col("id"), lit("\""))
+        val body = concat_ws(",",
+          email,
+          when(kind === 1, lit(null: String))
+            .when(kind === 3, idxStr).otherwise(idxNum),
+          when(kind === 4, lit("\"price\":\"XXX 12.5\""))
+            .otherwise(lit("\"price\":\"XXX 12.500000\"")),
+          when(kind === 2, lit("\"extra\":1")).otherwise(lit(null: String)))
+        spark.range(1000).toDF("id")
+          .select(kind.as("kind"), concat(lit("{"), body, lit("}")).as("j"))
+          .select(col("kind"),
+            graft.operators.JsonSchema.isValid(col("j"), schemaDoc).as("is_valid"))
+          .groupBy(col("kind"), col("is_valid"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("kind"))
+      },
+      Some("""
+      WITH js AS (
+        SELECT CAST(i % 5 AS INTEGER) AS kind,
+               '{' || concat_ws(',',
+                 '"email":"u' || i || '@example.com"',
+                 CASE WHEN i % 5 = 1 THEN NULL
+                      WHEN i % 5 = 3 THEN '"index":"' || i || '"'
+                      ELSE '"index":' || i END,
+                 CASE WHEN i % 5 = 4 THEN '"price":"XXX 12.5"'
+                      ELSE '"price":"XXX 12.500000"' END,
+                 CASE WHEN i % 5 = 2 THEN '"extra":1' END) || '}' AS j
+        FROM range(0, 1000) t(i))
+      SELECT kind,
+             (json_valid(j)
+              AND list_has_all(json_keys(j), ['email', 'index', 'price'])
+              AND len(list_filter(json_keys(j),
+                    k -> k NOT IN ('email', 'index', 'price'))) = 0
+              AND coalesce(json_type(j, '$.email') = 'VARCHAR'
+                    AND regexp_matches(j->>'$.email',
+                          '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+$'), TRUE)
+              AND coalesce(json_type(j, '$.index') IN ('BIGINT', 'UBIGINT'), TRUE)
+              AND coalesce(json_type(j, '$.price') = 'VARCHAR'
+                    AND regexp_matches(j->>'$.price', '^XXX \d+\.\d{6}$'), TRUE)
+             ) AS is_valid,
+             CAST(count(*) AS BIGINT) AS n
+      FROM js GROUP BY kind, is_valid ORDER BY kind
+    """.trim))
+  }
+
   /** X1 — deterministic synthetic generator
     * (`docker-compose/generate-profiles.yaml:1-52`): `spark.range`-derived
     * fake profile rows; the oracle reproduces the same formulas. */
@@ -360,5 +430,6 @@ object PipelineQueries {
     qScanEvents, qJsonExtract, qTsRoundtrip, qCanonicalizeType,
     qFilterNonnull, qRegexFilter, qRouteByType, qUnionAll,
     qDedupFirstWins, qCompleteGroups, qPrioritySort, qProjectionPayload,
-    qIncompleteDropped, qFanoutExplode, qSchemaValidate, qSynthGen)
+    qIncompleteDropped, qFanoutExplode, qSchemaValidate, qJsonSchemaGeneric,
+    qSynthGen)
 }
