@@ -392,6 +392,51 @@ object PipelineQueries {
     """.trim))
   }
 
+  /** `order_details` as VariantType (SURVEY.md §1.2): free-form order
+    * detail JSON — flat fields, a nested object present on only some
+    * rows — is parsed ONCE into a Spark 4 variant, then consumed via
+    * typed `variant_get` paths (`$.price_cents` as long, nested
+    * `$.ship.mode` as string, null when absent). Money rides as integer
+    * cents so both engines aggregate exactly. The oracle re-extracts
+    * with DuckDB's JSON path operators — independent machinery. */
+  val qVariantDetails: Q = Q(
+    "q_variant_details",
+    (spark, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val j = concat(
+        lit("{\"price_cents\":"), cents,
+        lit(",\"priority\":\""), col("o_orderpriority"), lit("\""),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          concat(lit(",\"ship\":{\"mode\":\""), col("o_orderstatus"), lit("\"}")))
+          .otherwise(lit("")),
+        lit("}"))
+      Tables.orders(spark, dir)
+        .withColumn("v", parse_json(j))
+        .select(
+          variant_get(col("v"), "$.priority", "string").as("priority"),
+          variant_get(col("v"), "$.price_cents", "long").as("pc"),
+          variant_get(col("v"), "$.ship.mode", "string").as("ship_mode"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc")).as("total_cents"),
+          count(col("ship_mode")).as("n_ship"))
+        .orderBy(col("priority"))
+    },
+    Some("""
+      WITH js AS (
+        SELECT '{"price_cents":' || CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ||
+               ',"priority":"' || o_orderpriority || '"' ||
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN ',"ship":{"mode":"' || o_orderstatus || '"}'
+                    ELSE '' END || '}' AS j
+        FROM orders)
+      SELECT j->>'$.priority' AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(j->>'$.price_cents' AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(j->>'$.ship.mode') AS BIGINT) AS n_ship
+      FROM js GROUP BY priority ORDER BY priority
+    """.trim))
+
   /** X1 — deterministic synthetic generator
     * (`docker-compose/generate-profiles.yaml:1-52`): `spark.range`-derived
     * fake profile rows; the oracle reproduces the same formulas. */
@@ -431,5 +476,5 @@ object PipelineQueries {
     qFilterNonnull, qRegexFilter, qRouteByType, qUnionAll,
     qDedupFirstWins, qCompleteGroups, qPrioritySort, qProjectionPayload,
     qIncompleteDropped, qFanoutExplode, qSchemaValidate, qJsonSchemaGeneric,
-    qSynthGen)
+    qVariantDetails, qSynthGen)
 }

@@ -124,6 +124,18 @@ object OrderUnifyPipeline {
       .as[OrderEvent]
   }
 
+  /** `order_details` as VariantType (SURVEY.md §1.2): the pipeline
+    * state keeps details as the raw string passthrough (matching the
+    * reference, `OrderEvent.java:17,24`, and keeping the state-store
+    * encoding stable), but downstream consumers get a lossless TYPED
+    * view — `details` as a Spark 4 variant with full shredding/
+    * type-introspection support (`variant_get`, `schema_of_variant`),
+    * strictly richer than string passthrough: field access needs no
+    * re-parse and pushes into the scan. Malformed/absent details
+    * yield a null variant rather than an error. */
+  def detailsAsVariant(events: Dataset[OrderEvent]): DataFrame =
+    events.withColumn("details", try_parse_json(col("orderDetails")))
+
   /** G1-G9 — the stateful unify step: shuffle by orderId (≙ the
     * reference's repartition topic, `OrderProjectionTopology.java:57-59`)
     * then buffer/merge/flush with processing-time timeouts. */
