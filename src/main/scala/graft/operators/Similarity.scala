@@ -63,50 +63,124 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF-style cell assignment: centroids = the first C vectors; every
-    * vector lands in the cell of its nearest centroid (cosine, ties to
-    * the lower centroid id). Returns `(vec_id, cell)`. */
-  def ivfAssign(embeddings: DataFrame, numCentroids: Int): DataFrame = {
-    val centroids = broadcast(
-      embeddings.filter(col("vec_id") < numCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-          norm(col("embedding")).as("cnrm")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+  /** Corpus prepared for IVF work: spread across the cluster with the
+    * norm computed once. */
+  private def prepared(embeddings: DataFrame): DataFrame =
     spread(embeddings)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      .crossJoin(centroids)
-      .select(col("vec_id"), col("cid"),
-        pairCos(col("embedding"), col("cvec"), col("nrm"), col("cnrm")).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+
+  /** Initial IVF centroids: the first C corpus vectors — deterministic
+    * seeding (k-means++ would randomize; determinism is what makes the
+    * cross-engine oracle possible). Cell id = seeding vector's id. */
+  private def initialCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+    corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+
+  /** Nearest-centroid assignment as ONE broadcast join + ONE hash
+    * aggregate: the per-vector argmax is `min(struct(1 - cos, cell))`
+    * (lexicographic struct order = highest cosine, ties to the lower
+    * cell id; `1 - cos ≥ 0` avoids the −0.0 ordering pitfall). Replaces
+    * a per-vector `row_number` window — at corpus scale that formulation
+    * needs a full sort of n×C rows, while this is a map-side-combinable
+    * aggregate. Returns `(vec_id, cell)`. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), struct(
+        (lit(1.0) - pairCos(col("embedding"), col("cvec"),
+          col("nrm"), col("cnrm"))).as("d"),
+        col("cell")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best").getField("cell").as("cell"))
+
+  /** Lloyd (k-means) centroid refinement, engine-portably deterministic:
+    * each iteration reassigns all vectors to their nearest centroid,
+    * then replaces every centroid with its cell's mean vector. The mean
+    * is computed over components quantized to integer millionths
+    * (`floor(v·10⁶ + 0.5)` — exact BIGINT sums are order-independent,
+    * unlike float sums), divided once in double, and cast to float, so
+    * Spark and the DuckDB oracle derive bit-identical centroids.
+    *
+    * Scale shape per iteration: assignment is the broadcast-join
+    * aggregate of [[assignCells]]; the mean is a `posexplode` (n×dim
+    * rows) into a (cell, pos) hash aggregate — map-side combinable,
+    * one shuffle of C×dim partial sums. Empty cells drop out. */
+  def lloydCentroids(embeddings: DataFrame, numCentroids: Int,
+                     iterations: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = initialCentroids(corpus, numCentroids)
+    for (_ <- 0 until iterations) {
+      val members = assignCells(corpus, cents).join(corpus, "vec_id")
+      val quantized = members
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), col("pos"),
+          floor(col("v").cast("double") * lit(1000000d) + lit(0.5)).as("qv"))
+      cents = quantized
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("qv")) / (lit(1000000d) * count(lit(1)))).cast("float").as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+        .select(col("cell"), col("cvec"), norm(col("cvec")).as("cnrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    cents
   }
 
+  /** IVF centroids: first-C seeding, optionally Lloyd-refined. */
+  def ivfCentroids(embeddings: DataFrame, numCentroids: Int,
+                   iterations: Int = 0): DataFrame =
+    if (iterations > 0) lloydCentroids(embeddings, numCentroids, iterations)
+    else initialCentroids(prepared(embeddings), numCentroids)
+
+  /** IVF-style cell assignment: every vector lands in the cell of its
+    * nearest centroid (cosine, ties to the lower cell id). Returns
+    * `(vec_id, cell)`. */
+  def ivfAssign(embeddings: DataFrame, numCentroids: Int,
+                iterations: Int = 0): DataFrame =
+    assignCells(prepared(embeddings),
+      ivfCentroids(embeddings, numCentroids, iterations))
+
   /** Cell occupancy of the IVF partitioning (the index-build step). */
-  def ivfCells(embeddings: DataFrame, numCentroids: Int): DataFrame =
-    ivfAssign(embeddings, numCentroids)
+  def ivfCells(embeddings: DataFrame, numCentroids: Int,
+               iterations: Int = 0): DataFrame =
+    ivfAssign(embeddings, numCentroids, iterations)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
 
-  /** IVF search (single-probe): query vectors look only inside their
-    * own cell — the join on `cell` is what makes ANN sub-linear; the
-    * searched fraction is 1/C instead of the whole corpus. Queries are
-    * vectors with `qMinId <= vec_id < qMaxId`; candidates are all other
-    * vectors sharing the query's cell. */
+  /** IVF search: query vectors look only inside their `probes` nearest
+    * cells — the join on `cell` is what makes ANN sub-linear; the
+    * searched fraction is ~probes/C of the corpus instead of all of it.
+    * Multi-probe (probes > 1) recovers most of the recall single-probe
+    * loses at cell boundaries while staying sub-linear; with the same
+    * centroids its candidate set is a superset of single-probe's, so
+    * recall is monotone in `probes`. Queries are vectors with
+    * `qMinId <= vec_id < qMaxId`; candidates are all other vectors in
+    * probed cells; `iterations` Lloyd-refines the cells first. */
   def ivfSearch(embeddings: DataFrame, numCentroids: Int,
-                qMinId: Long, qMaxId: Long, k: Int): DataFrame = {
-    val assigned = embeddings
-      .join(ivfAssign(embeddings, numCentroids), "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
+                qMinId: Long, qMaxId: Long, k: Int,
+                probes: Int = 1, iterations: Int = 0): DataFrame = {
+    val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = assigned
+    val cents = ivfCentroids(embeddings, numCentroids, iterations)
+    val queries = corpus
       .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
-      .select(col("vec_id").as("qid"), col("cell"),
-        col("embedding").as("qvec"), col("nrm").as("qnrm"))
-    val scored = assigned
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    // top-`probes` cells per query (the query side is tiny: a window
+    // over qid here never touches the corpus)
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cell"), col("qvec"), col("qnrm"),
+        pairCos(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("cell"), col("qvec"), col("qnrm"))
+    val candidates = assignCells(corpus, cents).join(corpus, "vec_id")
       .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
-      .join(broadcast(queries), "cell")
+    val scored = candidates.join(broadcast(probed), "cell")
       .select(col("qid"), col("vec_id"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))

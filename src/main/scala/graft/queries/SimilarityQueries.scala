@@ -71,6 +71,109 @@ object SimilarityQueries {
       ORDER BY va, vb
     """.trim))
 
+  /** Cosine formula over two named DuckDB list expressions (identical
+    * math to [[cosSql]], for the generated oracles). */
+  private def cosOf(a: String, b: String): String =
+    s"""round(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE
+       |                  FOR i IN generate_series(1, len($a))]) /
+       |        (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE
+       |                        FOR i IN generate_series(1, len($a))])) *
+       |         sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE
+       |                        FOR i IN generate_series(1, len($b))]))), 6)""".stripMargin
+
+  /** Generated WITH-clause chain replaying
+    * [[Similarity.lloydCentroids]]'s deterministic Lloyd iterations in
+    * DuckDB: assignment by rounded cosine (ties to the lower cell),
+    * then the cell mean over integer-millionth-quantized components
+    * cast to float — bit-identical centroids on both engines. Ends at
+    * table `cents$iterations(cell, cvec)`. */
+  private def lloydCte(c: Int, iterations: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"cents0 AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $c)"
+    for (i <- 1 to iterations) {
+      parts += s"""
+      asg$i AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents${i - 1} c)
+        WHERE rn = 1),
+      qv$i AS (
+        SELECT a.cell,
+               unnest([{'pos': i, 'qv': CAST(floor(e.embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)}
+                       FOR i IN generate_series(1, len(e.embedding))], recursive := true)
+        FROM embeddings e JOIN asg$i a USING (vec_id)),
+      cents$i AS (
+        SELECT cell, list(CAST(mv AS FLOAT) ORDER BY pos) AS cvec FROM (
+          SELECT cell, pos, sum(qv) / (1000000.0 * count(*)) AS mv
+          FROM qv$i GROUP BY cell, pos)
+        GROUP BY cell)"""
+    }
+    parts.result().mkString(",")
+  }
+
+  /** Lloyd-refined IVF index build (2 iterations over 8 first-C-seeded
+    * cells): verifies the whole deterministic k-means loop — quantized
+    * means, float centroids, reassignment — via the occupancy
+    * histogram. The oracle unrolls the same two iterations in SQL. */
+  val qEmbedIvfRefined: Q = Q(
+    "q_embed_ivf_refined",
+    (spark, dir) => Similarity.ivfCells(Tables.embeddings(spark, dir),
+      numCentroids = 8, iterations = 2),
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1)
+      SELECT cell, count(*) AS n_vectors FROM final_asg
+      GROUP BY cell ORDER BY cell
+    """.trim))
+
+  /** Multi-probe ANN over the refined index: query vectors 8..15 search
+    * their TWO nearest of the 8 Lloyd-refined cells for their top-3 —
+    * the recall-recovery path (candidates ⊇ single-probe ⇒ recall ≥
+    * single-probe, asserted against brute force in IvfRecallSpec). */
+  val qEmbedIvfMultiprobe: Q = Q(
+    "q_embed_ivf_multiprobe",
+    (spark, dir) => Similarity.ivfSearch(Tables.embeddings(spark, dir),
+      numCentroids = 8, qMinId = 8, qMaxId = 16, k = 3,
+      probes = 2, iterations = 2),
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            WHERE vec_id >= 8 AND vec_id < 16),
+      probed AS (
+        SELECT qid, cell FROM (
+          SELECT q.qid, c.cell,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.qvec", "c.cvec")} DESC, c.cell) AS rn
+          FROM q, cents2 c)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT q.qid, e.vec_id, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM q JOIN probed p ON q.qid = p.qid
+        JOIN final_asg af ON af.cell = p.cell
+        JOIN embeddings e ON e.vec_id = af.vec_id
+        WHERE e.vec_id < 8 OR e.vec_id >= 16),
+      r AS (SELECT qid, vec_id, cos,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+            FROM cand)
+      SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+      ORDER BY qid, rnk
+    """.trim))
+
   /** IVF single-probe search: query vectors 8..15 search only their own
     * cell (8 centroid cells from vectors 0..7) for their top-3 — the
     * sub-linear ANN path end-to-end. */
@@ -107,5 +210,6 @@ object SimilarityQueries {
       ORDER BY qid, rnk
     """.trim))
 
-  def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn, qEmbedNeardup)
+  def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
+    qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: multi-probe search over the Lloyd-refined IVF index
+  * must not lose recall versus single-probe (same centroids ⇒ its
+  * candidate set is a superset), and refinement keeps the index
+  * usable. Ground truth is brute-force cosine top-k. */
+class IvfRecallSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val (qMin, qMax, k) = (8L, 16L, 3)
+
+  private def resultSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def recall(found: Map[Long, Set[Long]],
+                     truth: Map[Long, Set[Long]]): Double = {
+    val hits = truth.map { case (q, t) =>
+      (found.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }
+    hits.sum / truth.size
+  }
+
+  test("multi-probe recall >= single-probe recall on the refined index") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    // ground truth: brute force among the same candidate universe
+    val truth = resultSet(
+      Similarity.ivfSearch(emb, numCentroids = 8, qMin, qMax, k,
+        probes = 8, iterations = 2)) // probing ALL cells = exact
+    val single = resultSet(
+      Similarity.ivfSearch(emb, numCentroids = 8, qMin, qMax, k,
+        probes = 1, iterations = 2))
+    val multi = resultSet(
+      Similarity.ivfSearch(emb, numCentroids = 8, qMin, qMax, k,
+        probes = 2, iterations = 2))
+    val (rSingle, rMulti) = (recall(single, truth), recall(multi, truth))
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.0)
+    // supersets per query, by construction
+    single.foreach { case (q, s) =>
+      assert(s.nonEmpty || multi.getOrElse(q, Set.empty).nonEmpty || truth(q).isEmpty)
+    }
+  }
+
+  test("Lloyd refinement preserves the partition invariant (every vector in one cell)") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val assigned = Similarity.ivfAssign(emb, numCentroids = 8, iterations = 2)
+    assert(assigned.count() == n)
+    assert(assigned.select("vec_id").distinct().count() == n)
+  }
+}
