@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair list — the step
+  * that turns pairwise dedup output into dedup GROUPS (each document
+  * labeled with its cluster's minimum doc id, so "keep one per
+  * cluster" is a trivial filter).
+  *
+  * Algorithm: min-label propagation. Every node starts as its own
+  * label; each round, a node takes the minimum of its own and its
+  * neighbors' labels; fixpoint = component minimum. Rounds needed =
+  * graph diameter — near-dup clusters are near-cliques (diameter 1-2),
+  * so a handful of rounds converges; `maxIter` bounds pathological
+  * chains.
+  *
+  * Scale shape: each round is one join of the edge list with the
+  * label table plus one min-aggregate — both shuffle on node id,
+  * map-side combinable, no row blow-up beyond the edge list itself.
+  * The per-round convergence probe (`isEmpty` on changed labels) is
+  * the one intentional driver-side action in the engine: iterative
+  * graph algorithms are synchronous by nature (GraphX's Pregel loop
+  * does exactly this). At extreme diameters the alternating
+  * large-star/small-star algorithm halves rounds; for dedup graphs
+  * plain propagation is the better constant factor.
+  */
+object Clusters {
+
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 10): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(lvl)
+    // localCheckpoint (not persist) each round: an iterative plan that
+    // references its predecessor twice (propagate + convergence probe)
+    // doubles in size per round unless the lineage is truncated.
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+  }
+}

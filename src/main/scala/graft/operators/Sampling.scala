@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines.
+  *
+  * At corpus scale, `rand()`-based sampling is a liability: it is not
+  * reproducible across retries/engines, and it cannot be pushed into
+  * each side of a join consistently. Hashing a stable key into basis
+  * points gives a sample that is (a) reproducible everywhere md5
+  * exists, (b) consistent — the same key is in or out of the sample in
+  * every table and every run, so sampled fact/dim joins stay aligned,
+  * and (c) a pure scalar predicate: no shuffle, no state, codegen'd
+  * into the scan.
+  */
+object Sampling {
+
+  /** Stable hash of a key into basis points [0, 10000): the first
+    * 8 hex chars of md5 as an integer, mod 10⁴. Engine-portable (the
+    * DuckDB oracles recompute it digit-by-digit). */
+  def hashBasisPoints(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000L))
+
+  /** Uniform deterministic sample: keeps ~`fraction` of rows, exactly
+    * the same rows on every run/engine. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashBasisPoints(key) < math.round(fraction * 10000).toInt)
+
+  /** Stratified deterministic sample: per-stratum keep fractions with
+    * a default for unlisted strata — downsample over-represented
+    * classes (the canonical training-mix operation) without a shuffle
+    * or a count pass. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 1.0): DataFrame = {
+    val threshold = fractions.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, f)) => acc.when(stratum === s, lit(math.round(f * 10000).toInt))
+    }.otherwise(lit(math.round(defaultFraction * 10000).toInt))
+    df.filter(hashBasisPoints(key) < threshold)
+  }
+}

@@ -107,9 +107,17 @@ object Similarity {
     * rows) into a (cell, pos) hash aggregate — map-side combinable,
     * one shuffle of C×dim partial sums. Empty cells drop out. */
   def lloydCentroids(embeddings: DataFrame, numCentroids: Int,
-                     iterations: Int): DataFrame = {
-    val corpus = prepared(embeddings)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                     iterations: Int): DataFrame =
+    lloydFromCorpus(
+      prepared(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      numCentroids, iterations)
+
+  /** Lloyd loop over an already-prepared (and ideally persisted)
+    * corpus — lets callers that also consume the corpus share one
+    * cached copy instead of re-reading and re-norming it. */
+  private def lloydFromCorpus(corpus: DataFrame, numCentroids: Int,
+                              iterations: Int): DataFrame = {
     var cents = initialCentroids(corpus, numCentroids)
     for (_ <- 0 until iterations) {
       val members = assignCells(corpus, cents).join(corpus, "vec_id")
@@ -129,19 +137,32 @@ object Similarity {
     cents
   }
 
+  private def centroidsFromCorpus(corpus: DataFrame, numCentroids: Int,
+                                  iterations: Int): DataFrame =
+    if (iterations > 0) lloydFromCorpus(corpus, numCentroids, iterations)
+    else initialCentroids(corpus, numCentroids)
+
   /** IVF centroids: first-C seeding, optionally Lloyd-refined. */
   def ivfCentroids(embeddings: DataFrame, numCentroids: Int,
-                   iterations: Int = 0): DataFrame =
-    if (iterations > 0) lloydCentroids(embeddings, numCentroids, iterations)
-    else initialCentroids(prepared(embeddings), numCentroids)
+                   iterations: Int = 0): DataFrame = {
+    val corpus =
+      if (iterations > 0) prepared(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prepared(embeddings)
+    centroidsFromCorpus(corpus, numCentroids, iterations)
+  }
 
   /** IVF-style cell assignment: every vector lands in the cell of its
     * nearest centroid (cosine, ties to the lower cell id). Returns
     * `(vec_id, cell)`. */
   def ivfAssign(embeddings: DataFrame, numCentroids: Int,
-                iterations: Int = 0): DataFrame =
-    assignCells(prepared(embeddings),
-      ivfCentroids(embeddings, numCentroids, iterations))
+                iterations: Int = 0): DataFrame = {
+    val corpus =
+      if (iterations > 0) prepared(embeddings)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else prepared(embeddings)
+    assignCells(corpus, centroidsFromCorpus(corpus, numCentroids, iterations))
+  }
 
   /** Cell occupancy of the IVF partitioning (the index-build step). */
   def ivfCells(embeddings: DataFrame, numCentroids: Int,
@@ -164,7 +185,7 @@ object Similarity {
                 probes: Int = 1, iterations: Int = 0): DataFrame = {
     val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = ivfCentroids(embeddings, numCentroids, iterations)
+    val cents = centroidsFromCorpus(corpus, numCentroids, iterations)
     val queries = corpus
       .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),

@@ -370,8 +370,75 @@ object AnalyticsQueries {
       ORDER BY event_type
     """.trim))
 
+  /** DuckDB expression for [[graft.operators.Sampling.hashBasisPoints]]:
+    * first 8 md5 hex digits as a big-endian integer, mod 10⁴ — digit by
+    * digit, exactly Spark's `conv(substring(md5(x), 1, 8), 16, 10)`. */
+  private def bpSql(keyExpr: String): String =
+    (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substring(md5(CAST($keyExpr AS VARCHAR)), ${k + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", s") % 10000")
+
+  /** Deterministic stratified sampling: per-class hash-threshold keep
+    * rates (click 5%, view 25%, rest 50%) — reproducible across
+    * runs/engines, consistent per key, zero shuffle (the predicate
+    * codegens into the scan). min/max ids prove the sample is spread
+    * across the key space rather than a prefix. */
+  val qSampleStratified: Q = Q(
+    "q_sample_stratified",
+    (spark, dir) => graft.operators.Sampling.stratifiedHashSample(
+      Tables.events(spark, dir), col("event_id"), col("event_type"),
+      Map("click" -> 0.05, "view" -> 0.25), defaultFraction = 0.5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type")),
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events
+      WHERE ${bpSql("event_id")} <
+            CASE event_type WHEN 'click' THEN 500
+                            WHEN 'view' THEN 2500 ELSE 5000 END
+      GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** As-of (point-in-time) join: every event picks up the most recent
+    * order of the same user at or before the event time. Spark has no
+    * native as-of operator — [[graft.operators.AsofJoin]] interleaves
+    * both sides into one keyed window (one shuffle, no range-join pair
+    * blow-up); the oracle uses DuckDB's NATIVE `ASOF LEFT JOIN`, a
+    * fully independent implementation of the same semantics. The right
+    * side is pre-deduplicated per (key, ts) deterministically. */
+  val qAsofJoin: Q = Q(
+    "q_asof_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsofJoin
+        .asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("_asof").getField("o_orderkey").as("last_order_key"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id, r.o_orderkey AS last_order_key
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      ORDER BY e.event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
-    qSessionWindow, qApproxDistinct, qPivot, qStatsMoments)
+    qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
+    qSampleStratified, qAsofJoin)
 }

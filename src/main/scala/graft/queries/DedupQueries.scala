@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 
 /** Deduplication verify queries over the `documents` table. The DuckDB
   * oracles use *different algorithms* where possible (e.g.
@@ -180,6 +181,46 @@ object DedupQueries {
       """.trim))
   }
 
+  /** Near-dup pairs → dedup GROUPS: connected components over the
+    * capped-Jaccard pair list, each doc labeled with its component's
+    * minimum doc id ("keep one per cluster" = `WHERE doc_id =
+    * cluster`). Spark runs min-label propagation
+    * ([[graft.operators.Clusters]]); the oracle computes the same
+    * fixpoint via a recursive CTE — independent machinery. */
+  val qDedupClusters: Q = Q(
+    "q_dedup_clusters",
+    (spark, dir) => graft.operators.Clusters.connectedComponents(
+      Dedup.jaccardPairs(Tables.documents(spark, dir), 0.5,
+        maxDf = Some(JaccardCap)).select(col("da"), col("db")),
+      "da", "db")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst)
+      SELECT node AS doc_id, min(lbl) AS cluster
+      FROM walk GROUP BY node ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash, qDedupSimhash)
+    qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
+    qDedupSimhash, qDedupClusters)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the training-pipeline operators added in round 2:
+  * deterministic sampling, as-of join, connected components. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("hash sampling is deterministic, consistent, and near the target rate") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.2)
+    val b = Sampling.hashSample(df, col("id"), 0.2)
+    val nA = a.count()
+    assert(nA == b.count())                       // reproducible
+    assert(a.except(b).isEmpty)                   // same rows, not just same count
+    assert(math.abs(nA - 2000) < 200, s"rate off: $nA")
+    // consistency: the 10% sample is a subset of the 20% sample
+    val small = Sampling.hashSample(df, col("id"), 0.1)
+    assert(small.except(a).isEmpty)
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val df = spark.range(6000)
+      .select(col("id"), (pmod(col("id"), lit(2)) === 0).as("even"))
+      .withColumn("cls", when(col("even"), lit("a")).otherwise(lit("b")))
+    val s = Sampling.stratifiedHashSample(df, col("id"), col("cls"),
+      Map("a" -> 0.1), defaultFraction = 0.9)
+    val byCls = s.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls("a") < 600, s"a: ${byCls("a")}")
+    assert(byCls("b") > 2200, s"b: ${byCls("b")}")
+  }
+
+  test("as-of join picks the latest right row at or before the left ts") {
+    val left = Seq(
+      ("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k1", 5L, "e0"),
+      ("k2", 10L, "e3")).toDF("k", "t", "ev")
+    val right = Seq(
+      ("k1", 10L, "r10"), ("k1", 15L, "r15"), ("k3", 1L, "rX"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "k", "t", "t", Seq("v"))
+      .select(col("ev"), col("_asof").getField("v").as("v"))
+      .as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "e0" -> None,        // before any right row
+      "e1" -> Some("r10"), // inclusive match at equal ts
+      "e2" -> Some("r15"), // latest preceding, not first
+      "e3" -> None))       // no right rows for k2
+  }
+
+  test("connected components label every node with its component minimum") {
+    // components: {1,2,3,4} (chain), {7,9}, {5,6}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L))
+      .toDF("da", "db")
+    val got = Clusters.connectedComponents(pairs, "da", "db")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components handle a long chain within maxIter") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val got = Clusters.connectedComponents(pairs, "da", "db", maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 13 && got.values.forall(_ == 0L))
+  }
+}
