@@ -225,4 +225,137 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .orderBy(col("va"), col("vb"))
   }
+
+  /** Rademacher sign (+1/-1) for hyperplane `p`, dimension `d`: parity
+    * of the first hex char of md5("p:d"). md5 is the engine-portable
+    * randomness used across the dedup family — the DuckDB oracle
+    * regenerates the identical hyperplanes in SQL, so the LSH buckets
+    * (not just the verified pairs) are cross-checked. */
+  private def srpSign(p: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    val firstHexChar = f"${digest(0) & 0xff}%02x".charAt(0)
+    if (firstHexChar.toInt % 2 == 0) 1L else -1L
+  }
+
+  /** One signature bit per hyperplane: sign of the projection onto a
+    * Rademacher vector. The projection is computed in fixed-point
+    * (floor(v·1e6+0.5) per component, summed as BIGINT) so the >=0
+    * boundary cannot flip with engine summation order — float sums are
+    * order-sensitive exactly where a sign test is most fragile. */
+  private def srpBits(emb: Column, planes: Int, dim: Int): Seq[Column] =
+    (0 until planes).map { p =>
+      val signs = typedLit(Array.tabulate(dim)(d => srpSign(p, d)))
+      val proj = aggregate(
+        zip_with(emb, signs, (v, s) =>
+          floor(v.cast("double") * lit(1000000d) + lit(0.5)).cast("long") * s),
+        lit(0L), (acc, x) => acc + x)
+      when(proj >= 0, 1L).otherwise(0L)
+    }
+
+  /** Signed-random-projection LSH near-duplicate pairs — the honest
+    * cosine-LSH replacement for label blocking: `planes` hyperplane
+    * bits banded into `planes/bandBits` buckets; two vectors are
+    * candidates iff they collide in at least one band (P[bit match] =
+    * 1 - angle/pi, so near-dup pairs collide with high probability
+    * while random pairs survive a b-bit band only ~2^-b of the time).
+    * Candidates are deduplicated BEFORE scoring so the exact-cosine
+    * verification runs once per pair, not once per shared band. At
+    * corpus scale everything stays linear: signatures are a map-only
+    * pass, the band join is a 2^bandBits × bands-way bucket join, and
+    * verification cost follows the candidate count. */
+  def srpNearDupPairs(embeddings: DataFrame, minCos: Double,
+                      planes: Int = 64, bandBits: Int = 8,
+                      dim: Int = 64): DataFrame = {
+    require(planes % bandBits == 0, "planes must be a multiple of bandBits")
+    val nBands = planes / bandBits
+    val e = spread(embeddings)
+    val bits = srpBits(col("embedding"), planes, dim)
+    val bandCols = (0 until nBands).map { b =>
+      val bval = (0 until bandBits)
+        .map(j => bits(b * bandBits + j) * lit(1L << j))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
+    }
+    val banded = e
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    candidates
+      .join(corpus.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("nrm").as("na")), "va")
+      .join(corpus.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vb")
+      .select(col("va"), col("vb"),
+        pairCos(col("ea"), col("eb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** Symmetric int8 scalar quantization of a float embedding: scale by
+    * 127/max|v| and round half-up, clamped to [-127, 127]. Zero vectors
+    * quantize to zero. 4× smaller than float32 — the memory lever that
+    * decides whether a 100 TB corpus's vectors fit executor RAM — while
+    * every step (floor half-up, integer clamp) is exact and
+    * engine-portable. */
+  def quantizeInt8(emb: Column): Column = {
+    val amax = array_max(transform(emb, v => abs(v.cast("double"))))
+    transform(emb, v =>
+      when(amax === lit(0d), lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(v.cast("double") * lit(127.0) / amax + lit(0.5)).cast("long")))))
+  }
+
+  /** Dot product of two quantized (BIGINT-component) vectors, exact:
+    * each product is <= 127² and the 64-term sum stays far inside the
+    * double-exact integer range. */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")),
+      lit(0d), (acc, x) => acc + x)
+
+  /** Top-k by QUANTIZED cosine for query vectors (vec_id < queryMaxId)
+    * over the rest of the corpus — the approximate counterpart of
+    * [[knnBruteForce]], same broadcast-query / partitioned-corpus plan,
+    * but scoring 8-bit integer dots instead of float dots. */
+  def knnQuantized(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val quantized = spread(embeddings)
+      .select(col("vec_id"), quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), sqrt(intDot(col("q"), col("q"))).as("qnrm"))
+    val queries = broadcast(quantized.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("qnrm").as("qn")))
+    val corpus = quantized.filter(col("vec_id") >= queryMaxId)
+    val scored = corpus.crossJoin(queries)
+      .select(col("qid"), col("vec_id"),
+        round(intDot(col("qq"), col("q")) / (col("qn") * col("qnrm")), 6).as("qcos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Recall@k of int8-quantized search vs the exact float baseline,
+    * per query: |exact top-k ∩ quantized top-k| / k. The quality gauge
+    * that justifies (or vetoes) shipping the 4× memory saving. */
+  def quantizedRecall(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val exact = knnBruteForce(embeddings, queryMaxId, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = knnQuantized(embeddings, queryMaxId, k)
+      .select(col("qid"), col("vec_id"))
+    val overlap = exact.join(approx, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    approx.select(col("qid")).distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall", round(col("n_overlap").cast("double") / k, 6))
+      .orderBy(col("qid"))
+  }
 }

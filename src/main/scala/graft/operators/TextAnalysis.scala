@@ -88,4 +88,30 @@ object TextAnalysis {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** BPE-style pre-tokenizer classes (GPT-2-shaped: a token is an
+    * optionally-space-prefixed maximal run of letters, digits, or other
+    * non-space symbols). The classes are disjoint, so per-class match
+    * counts sum to the combined count. Restricted to the RE2 ∩ Java
+    * common dialect (checked below via the same [[graft.streaming
+    * .Re2Dialect]] guard the P5 filter uses) so the identical pattern
+    * runs under java.util.regex here and RE2 in the DuckDB oracle. */
+  val BpeAlpha: String = " ?[a-zA-Z]+"
+  val BpeNum: String = " ?[0-9]+"
+  val BpeOther: String = " ?[^a-zA-Z0-9\\s]+"
+  val BpeToken: String = s"$BpeAlpha|$BpeNum|$BpeOther"
+  Seq(BpeAlpha, BpeNum, BpeOther, BpeToken).foreach { p =>
+    graft.streaming.Re2Dialect.check(p).foreach(reason =>
+      throw new IllegalStateException(s"BPE pattern '$p' not portable: $reason"))
+  }
+
+  /** Count of BPE-ish pre-tokens matching `pattern`. */
+  def bpeTokenCount(text: Column, pattern: String = BpeToken): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Total codepoints across matches of `pattern` — the per-class
+    * "character mass" (space prefixes included), exact BIGINT. */
+  def bpeCharMass(text: Column, pattern: String): Column =
+    aggregate(regexp_extract_all(text, lit(pattern), lit(0)),
+      lit(0L), (acc, m) => acc + length(m).cast("long"))
 }

@@ -436,9 +436,39 @@ object AnalyticsQueries {
       ORDER BY e.event_id
     """.trim))
 
+  /** Hopping (sliding) time windows: 1-hour windows every 15 minutes,
+    * so each event lands in 4 overlapping windows. The oracle
+    * regenerates window membership arithmetically (starts aligned to
+    * the slide, largest start = floor(t/slide)*slide) — integer-second
+    * epoch math is exact because both window and slide are whole
+    * seconds and a 900-multiple can never fall strictly between
+    * floor(t) and t. */
+  val qWindowSliding: Q = Q(
+    "q_window_sliding",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("wstart"), col("n_events"), col("n_users"))
+      .orderBy(col("wstart")),
+    Some("""
+      WITH e AS (
+        SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec, user_id
+        FROM events),
+      w AS (
+        SELECT unnest(generate_series((sec // 900) * 900 - 2700,
+                                      (sec // 900) * 900, 900)) AS ws,
+               user_id
+        FROM e)
+      SELECT make_timestamp(ws * 1000000) AS wstart,
+             count(*) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM w GROUP BY ws ORDER BY wstart
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
-    qSampleStratified, qAsofJoin)
+    qSampleStratified, qAsofJoin, qWindowSliding)
 }

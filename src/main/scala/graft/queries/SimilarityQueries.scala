@@ -210,6 +210,96 @@ object SimilarityQueries {
       ORDER BY qid, rnk
     """.trim))
 
+  /** Signed-random-projection LSH near-dup pairs: 64 md5-derived
+    * Rademacher hyperplanes → 8 bands × 8 bits → bucket join →
+    * exact-cosine verification at 0.4. The oracle rebuilds the
+    * hyperplanes, the fixed-point projections, the band buckets AND the
+    * verification in SQL, so the whole LSH pipeline (not just the final
+    * filter) is cross-checked. */
+  val qEmbedSrpNeardup: Q = Q(
+    "q_embed_srp_neardup",
+    (spark, dir) => Similarity
+      .srpNearDupPairs(Tables.embeddings(spark, dir), minCos = 0.4),
+    Some(s"""
+      WITH sgn AS (
+        SELECT p, d,
+               CASE WHEN ascii(substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1)) % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM generate_series(0, 63) t1(p), generate_series(0, 63) t2(d)),
+      bits AS (
+        SELECT e.vec_id, p,
+               CASE WHEN sum(CAST(floor(e.embedding[d+1]::DOUBLE * 1000000 + 0.5) AS BIGINT) * s) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM embeddings e, sgn
+        GROUP BY e.vec_id, p),
+      bands AS (
+        SELECT vec_id, p // 8 AS band,
+               CAST(sum(bit * CAST(pow(2, p % 8) AS BIGINT)) AS BIGINT) AS bval
+        FROM bits GROUP BY vec_id, p // 8),
+      cand AS (
+        SELECT DISTINCT bx.vec_id AS va, bz.vec_id AS vb
+        FROM bands bx JOIN bands bz
+          ON bx.band = bz.band AND bx.bval = bz.bval AND bx.vec_id < bz.vec_id)
+      SELECT c.va, c.vb, ${cosOf("x.embedding", "y.embedding")} AS cos
+      FROM cand c
+      JOIN embeddings x ON c.va = x.vec_id
+      JOIN embeddings y ON c.vb = y.vec_id
+      WHERE ${cosOf("x.embedding", "y.embedding")} >= 0.4
+      ORDER BY va, vb
+    """.trim))
+
+  /** Int8 scalar-quantization recall@5 vs the exact float baseline —
+    * the oracle repeats the quantization (floor half-up at scale
+    * 127/max|v|, clamp to ±127), the integer-dot ranking, and the
+    * top-5 set intersection. */
+  val qEmbedQuantized: Q = Q(
+    "q_embed_quantized",
+    (spark, dir) => Similarity
+      .quantizedRecall(Tables.embeddings(spark, dir), queryMaxId = 8, k = 5),
+    Some(s"""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding, v ->
+                 CASE WHEN amax = 0 THEN 0
+                      ELSE greatest(-127, least(127,
+                             CAST(floor(v::DOUBLE * 127.0 / amax + 0.5) AS BIGINT)))
+                 END) AS q
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, v -> abs(v::DOUBLE))) AS amax
+              FROM embeddings)),
+      qn AS (
+        SELECT vec_id, q,
+               sqrt(list_sum([q[i]::DOUBLE * q[i]::DOUBLE
+                              FOR i IN generate_series(1, len(q))])) AS nrm
+        FROM qz),
+      approx AS (
+        SELECT qid, vec_id FROM (
+          SELECT qx.vec_id AS qid, e.vec_id,
+                 row_number() OVER (PARTITION BY qx.vec_id ORDER BY
+                   round(list_sum([qx.q[i]::DOUBLE * e.q[i]::DOUBLE
+                                   FOR i IN generate_series(1, len(qx.q))]) /
+                         (qx.nrm * e.nrm), 6) DESC, e.vec_id) AS rnk
+          FROM qn qx, qn e WHERE qx.vec_id < 8 AND e.vec_id >= 8)
+        WHERE rnk <= 5),
+      exact AS (
+        SELECT qid, vec_id FROM (
+          SELECT qx.vec_id AS qid, e.vec_id,
+                 row_number() OVER (PARTITION BY qx.vec_id ORDER BY
+                   ${cosOf("qx.embedding", "e.embedding")} DESC, e.vec_id) AS rnk
+          FROM embeddings qx, embeddings e WHERE qx.vec_id < 8 AND e.vec_id >= 8)
+        WHERE rnk <= 5),
+      overlap AS (
+        SELECT a.qid, count(*) AS n_overlap
+        FROM approx a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+        GROUP BY a.qid)
+      SELECT q.qid, coalesce(o.n_overlap, 0) AS n_overlap,
+             round(coalesce(o.n_overlap, 0)::DOUBLE / 5, 6) AS recall
+      FROM (SELECT DISTINCT qid FROM approx) q
+      LEFT JOIN overlap o ON q.qid = o.qid
+      ORDER BY q.qid
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
-    qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup)
+    qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
+    qEmbedSrpNeardup, qEmbedQuantized)
 }

@@ -116,6 +116,49 @@ object TextQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** BPE-style pre-tokenization over a punctuation-bearing rendered
+    * line (event_type + JSON props + fixed-point value) — the token
+    * accounting an LLM-training pipeline runs before feeding a real BPE
+    * vocabulary. Counts and per-class character mass per event type;
+    * the double-cast value is rendered as exact cents so the string is
+    * identical across engines. */
+  val qTextBpeTokens: Q = Q(
+    "q_text_bpe_tokens",
+    (spark, dir) => {
+      import TextAnalysis._
+      val line = concat(col("event_type"), lit(" "), col("props"), lit(" v="),
+        floor(col("value") * 100 + 0.5).cast("long").cast("string"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), line.as("line"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(bpeTokenCount(col("line"))).as("n_tok"),
+          sum(bpeTokenCount(col("line"), BpeAlpha)).as("n_alpha"),
+          sum(bpeTokenCount(col("line"), BpeNum)).as("n_num"),
+          sum(bpeTokenCount(col("line"), BpeOther)).as("n_other"),
+          sum(bpeCharMass(col("line"), BpeAlpha)).as("alpha_chars"),
+          sum(bpeCharMass(col("line"), BpeNum)).as("num_chars"),
+          sum(bpeCharMass(col("line"), BpeOther)).as("other_chars"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_type,
+               event_type || ' ' || props || ' v=' ||
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS line
+        FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(len(regexp_extract_all(line, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))) AS BIGINT) AS n_tok,
+             CAST(sum(len(regexp_extract_all(line, ' ?[a-zA-Z]+'))) AS BIGINT) AS n_alpha,
+             CAST(sum(len(regexp_extract_all(line, ' ?[0-9]+'))) AS BIGINT) AS n_num,
+             CAST(sum(len(regexp_extract_all(line, ' ?[^a-zA-Z0-9\s]+'))) AS BIGINT) AS n_other,
+             CAST(sum(list_sum(list_transform(regexp_extract_all(line, ' ?[a-zA-Z]+'), m -> length(m)))) AS BIGINT) AS alpha_chars,
+             CAST(sum(list_sum(list_transform(regexp_extract_all(line, ' ?[0-9]+'), m -> length(m)))) AS BIGINT) AS num_chars,
+             CAST(sum(list_sum(list_transform(regexp_extract_all(line, ' ?[^a-zA-Z0-9\s]+'), m -> length(m)))) AS BIGINT) AS other_chars
+      FROM l GROUP BY event_type ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode)
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
+    qTextBpeTokens)
 }
