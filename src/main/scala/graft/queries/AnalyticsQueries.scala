@@ -466,9 +466,44 @@ object AnalyticsQueries {
       FROM w GROUP BY ws ORDER BY wstart
     """.trim))
 
+  /** Approximate quantiles, same contract shape as [[qApproxDistinct]]:
+    * exact interpolated percentiles (identical linear-interpolation
+    * definition in both engines, rounded to 6 dp) plus booleans
+    * asserting the KLL/GK-style `percentile_approx` sketch lands within
+    * tolerance of exact — the sketch itself differs per engine, the
+    * tolerance contract does not. Tolerance is absolute-ized with a +1
+    * floor so near-zero medians can't blow up the relative error. */
+  val qApproxQuantile: Q = Q(
+    "q_approx_quantile",
+    (spark, dir) => {
+      def withinTol(approx: org.apache.spark.sql.Column,
+                    exact: org.apache.spark.sql.Column) =
+        abs(approx - exact) <= (abs(exact) + lit(1.0)) * lit(0.05)
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"))
+        .select(col("event_type"),
+          round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+          withinTol(col("a50"), col("p50")).as("p50_within_tol"),
+          withinTol(col("a95"), col("p95")).as("p95_within_tol"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS p50,
+             round(quantile_cont(value, 0.95), 6) AS p95,
+             true AS p50_within_tol,
+             true AS p95_within_tol
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
-    qSampleStratified, qAsofJoin, qWindowSliding)
+    qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile)
 }

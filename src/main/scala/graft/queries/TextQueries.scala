@@ -158,7 +158,70 @@ object TextQueries {
       FROM l GROUP BY event_type ORDER BY event_type
     """.trim))
 
+  /** PII-style scrubbing: redact numeric runs to a placeholder before a
+    * corpus ships to training, and account for what was removed — the
+    * redacted-line cardinality per type proves the rewrite actually
+    * canonicalized the payloads. */
+  val qTextRedact: Q = Q(
+    "q_text_redact",
+    (spark, dir) => {
+      val line = concat(col("event_type"), lit(" "), col("props"), lit(" v="),
+        floor(col("value") * 100 + 0.5).cast("long").cast("string"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), line.as("line"))
+        .select(col("event_type"),
+          regexp_replace(col("line"), "[0-9]+", "<NUM>").as("red"),
+          size(regexp_extract_all(col("line"), lit("[0-9]+"), lit(0))).as("n_hits"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("n_hits")).as("total_redactions"),
+          countDistinct(col("red")).as("n_distinct_redacted"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT event_type,
+               event_type || ' ' || props || ' v=' ||
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR) AS line
+        FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT) AS total_redactions,
+             CAST(count(DISTINCT regexp_replace(line, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS n_distinct_redacted
+      FROM l GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** Gopher-style repetition scoring: the most frequent word bigram's
+    * share of all bigrams per document — a high ratio flags the
+    * boilerplate/repetition documents a training pipeline drops. Pure
+    * shuffle-on-doc_id aggregation, linear in corpus size. */
+  val qTextRepetition: Q = Q(
+    "q_text_repetition",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_rep"))
+      .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
+        round(col("max_rep").cast("double") / col("n_bigrams"), 6).as("rep_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(max(cnt) AS BIGINT) AS max_rep,
+             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep_ratio
+      FROM c GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
-    qTextBpeTokens)
+    qTextBpeTokens, qTextRedact, qTextRepetition)
 }
