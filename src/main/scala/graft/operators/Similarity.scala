@@ -308,10 +308,14 @@ object Similarity {
     * engine-portable. */
   def quantizeInt8(emb: Column): Column = {
     val amax = array_max(transform(emb, v => abs(v.cast("double"))))
-    transform(emb, v =>
-      when(amax === lit(0d), lit(0L)).otherwise(
+    // zip against a repeated-amax array instead of referencing amax
+    // inside the lambda: outer expressions in HOF lambdas re-evaluate
+    // per element (see TextAnalysis.shingles), and amax is itself an
+    // O(dim) reduction.
+    zip_with(emb, array_repeat(amax, size(emb)), (v, a) =>
+      when(a === lit(0d), lit(0L)).otherwise(
         greatest(lit(-127L), least(lit(127L),
-          floor(v.cast("double") * lit(127.0) / amax + lit(0.5)).cast("long")))))
+          floor(v.cast("double") * lit(127.0) / a + lit(0.5)).cast("long")))))
   }
 
   /** Dot product of two quantized (BIGINT-component) vectors, exact:

@@ -80,13 +80,22 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " ")))
 
   /** Word n-gram shingles (default 5) — MinHash/Jaccard input. Returns
-    * an empty array for docs shorter than n tokens. */
+    * an empty array for docs shorter than n tokens.
+    *
+    * Built by zipping n shifted slices pairwise instead of a
+    * `transform(sequence, i => slice(toks, i, n))` index loop: an outer
+    * expression referenced inside a HOF lambda is re-evaluated on every
+    * lambda call, so the index-loop form re-ran the regex split once
+    * PER GRAM — O(tokens²) splits per document. The zip form evaluates
+    * the split once per slice (n-1 times per row, a constant). */
   def shingles(text: Column, n: Int = 5): Column = {
     val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val gramCount = size(toks) - (n - 1)
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), gramCount)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), gramCount),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
   }
 
   /** BPE-style pre-tokenizer classes (GPT-2-shaped: a token is an
@@ -104,6 +113,22 @@ object TextAnalysis {
     graft.streaming.Re2Dialect.check(p).foreach(reason =>
       throw new IllegalStateException(s"BPE pattern '$p' not portable: $reason"))
   }
+
+  /** Occurrence count of the most frequent element of an array,
+    * computed entirely in-row: sort, then the longest run of equal
+    * neighbours. Keeps per-document statistics (like repetition
+    * scoring) a map-only pass — a corpus-scale groupBy(doc, gram)
+    * shuffle for a per-doc answer is wasted movement. */
+  def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
 
   /** Count of BPE-ish pre-tokens matching `pattern`. */
   def bpeTokenCount(text: Column, pattern: String = BpeToken): Column =

@@ -192,17 +192,18 @@ object TextQueries {
 
   /** Gopher-style repetition scoring: the most frequent word bigram's
     * share of all bigrams per document — a high ratio flags the
-    * boilerplate/repetition documents a training pipeline drops. Pure
-    * shuffle-on-doc_id aggregation, linear in corpus size. */
+    * boilerplate/repetition documents a training pipeline drops.
+    * Computed entirely in-row ([[TextAnalysis.maxRunCount]] over the
+    * sorted bigram array), so the whole query is a map-only pass plus
+    * the output sort — no corpus-scale shuffle of exploded grams. */
   val qTextRepetition: Q = Q(
     "q_text_repetition",
     (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 2).as("grams"))
+      .filter(size(col("grams")) >= 1)
       .select(col("doc_id"),
-        explode(TextAnalysis.shingles(col("text"), 2)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("max_rep"))
+        size(col("grams")).cast("long").as("n_bigrams"),
+        TextAnalysis.maxRunCount(col("grams")).as("max_rep"))
       .select(col("doc_id"), col("n_bigrams"), col("max_rep"),
         round(col("max_rep").cast("double") / col("n_bigrams"), 6).as("rep_ratio"))
       .orderBy(col("doc_id")),
