@@ -30,17 +30,28 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 10): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // The pair list is typically the output of an expensive dedup
+    // pipeline; persist it BEFORE the symmetrize-union, which would
+    // otherwise evaluate that pipeline twice (exchange reuse across
+    // union branches is not guaranteed).
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist(lvl)
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(lvl)
     // localCheckpoint (not persist) each round: an iterative plan that
-    // references its predecessor twice (propagate + convergence probe)
+    // references its predecessor twice (propagate + next round)
     // doubles in size per round unless the lineage is truncated.
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // Min-label propagation only ever DECREASES labels, so the label
+    // sum is stationary iff no label changed — a one-row aggregate
+    // convergence probe instead of a per-round join + isEmpty.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -51,14 +62,14 @@ object Clusters {
         .groupBy(col("node"))
         .agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 }

@@ -501,9 +501,72 @@ object AnalyticsQueries {
       FROM events GROUP BY event_type ORDER BY event_type
     """.trim))
 
+  /** Skew-salted shuffle join ([[graft.operators.SaltedJoin]]): events
+    * × orders on the user key, 8 salts, merge-join hinted so the
+    * salted exchange actually materializes. Salting must be
+    * result-invisible, so the oracle is the PLAIN join — the physical
+    * skew treatment is verified to change nothing logical. */
+  val qJoinSalted: Q = Q(
+    "q_join_salted",
+    (spark, dir) => graft.operators.SaltedJoin.saltedEquiJoin(
+      Tables.events(spark, dir), col("user_id"), col("event_id"),
+      Tables.orders(spark, dir).hint("merge"), col("o_custkey"), nSalts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_price"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n_pairs,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price
+      FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** Funnel analysis: per-user first-touch timestamps for
+    * view → click → purchase, reduced to stage conversion counts — one
+    * hash aggregate on user_id plus a single-row rollup, no window
+    * pass. Strictly-increasing timestamps define stage progression. */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    (spark, dir) => {
+      val f = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      f.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("v").isNotNull && col("c").isNotNull && col("c") > col("v"),
+          1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("v").isNotNull && col("c").isNotNull && col("c") > col("v")
+          && col("p").isNotNull && col("p") > col("c"), 1L).otherwise(0L))
+          .as("n_full_funnel"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS v,
+               min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS c,
+               min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS p
+        FROM events GROUP BY user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+             CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+             CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                            AND p IS NOT NULL AND p > c
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM f
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
-    qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile)
+    qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile,
+    qJoinSalted, qFunnel)
 }
