@@ -57,26 +57,65 @@ object Dedup {
     * true similarity over the retained shingle sets — the standard
     * near-dup-at-scale tradeoff). `maxDf = None` is exact. */
   def jaccardPairs(documents: DataFrame, threshold: Double, n: Int = 5,
-                   maxDf: Option[Int] = None): DataFrame = {
-    // Shingle set sizes ride along each shingle row (window count), so
-    // the pair aggregation needs no extra joins; the shingled input is
-    // persisted because both sides of the self-join consume it (at
-    // cluster scale this is a checkpoint of the shingle table).
+                   maxDf: Option[Int] = None): DataFrame = maxDf match {
+    case Some(cap) => jaccardPairsCapped(documents, threshold, n, cap)
+    case None => jaccardPairsSelfJoin(documents, threshold, n)
+  }
+
+  /** Uncapped formulation: self-join on shared shingles. Shingle set
+    * sizes ride along each shingle row (window count), so the pair
+    * aggregation needs no extra joins; the shingled input is persisted
+    * because both sides of the self-join consume it (at cluster scale
+    * this is a checkpoint of the shingle table). */
+  private def jaccardPairsSelfJoin(documents: DataFrame, threshold: Double,
+                                   n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
-    val base = maxDf match {
-      case Some(cap) => docShingles(documents, n)
-        .withColumn("df", count(lit(1)).over(wDf))
-        .filter(col("df") <= cap).drop("df")
-      case None => docShingles(documents, n)
-    }
-    val sh = base
+    val sh = docShingles(documents, n)
       .withColumn("sz", count(lit(1)).over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"), min(col("a.sz")).as("sa"), min(col("b.sz")).as("sb"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** df-capped formulation — the at-scale path. Inverting to
+    * shingle → doc-list (one hash aggregate) lets the cap be a cheap
+    * array-size filter, candidate pairs generate IN-ROW from each kept
+    * doc list (bounded at cap²/2 per shingle — that bound is exactly
+    * what the cap buys), and per-doc kept-set sizes join in AFTER the
+    * pair aggregation, when the data is pair-sized, not corpus-sized.
+    * Replaces two corpus-scale sort-window passes of the window
+    * formulation with hash aggregates. */
+  private def jaccardPairsCapped(documents: DataFrame, threshold: Double,
+                                 n: Int, cap: Int): DataFrame = {
+    val byShingle = docShingles(documents, n)
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = byShingle
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    // ordered pairs from each doc list (docs is a row attribute, so the
+    // nested-lambda references re-read a value, not recompute work)
+    val pairRows = byShingle
+      .filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), a =>
+        transform(filter(col("docs"), b => b > a),
+          b => struct(a.as("da"), b.as("db")))))).as("pr"))
+      .select(col("pr.da").as("da"), col("pr.db").as("db"))
+    pairRows
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
       .filter(col("jaccard") >= threshold)

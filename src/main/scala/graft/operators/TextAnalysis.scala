@@ -80,15 +80,19 @@ object TextAnalysis {
       regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " ")))
 
   /** Word n-gram shingles (default 5) — MinHash/Jaccard input. Returns
-    * an empty array for docs shorter than n tokens.
-    *
-    * Built by zipping n shifted slices pairwise instead of a
-    * `transform(sequence, i => slice(toks, i, n))` index loop: an outer
-    * expression referenced inside a HOF lambda is re-evaluated on every
-    * lambda call, so the index-loop form re-ran the regex split once
-    * PER GRAM — O(tokens²) splits per document. The zip form evaluates
-    * the split once per slice (n-1 times per row, a constant). */
-  def shingles(text: Column, n: Int = 5): Column = {
+    * an empty array for docs shorter than n tokens. Native codegen'd
+    * expression ([[graft.functions.WordShingles]]): one split + one
+    * loop per row. */
+  def shingles(text: Column, n: Int = 5): Column =
+    graft.functions.TextExpressions.wordShingles(text, n)
+
+  /** Built-in-only formulation of [[shingles]] (n shifted slices zipped
+    * pairwise — NOT a `transform(sequence, i => slice(toks, ...))`
+    * index loop, which re-evaluates the regex split once per output
+    * gram because outer expressions inside HOF lambdas re-evaluate on
+    * every lambda call). Kept as the differential-test twin of the
+    * native expression. */
+  def shinglesHof(text: Column, n: Int = 5): Column = {
     val toks = tokens(text)
     val gramCount = size(toks) - (n - 1)
     val joined = (1 until n).foldLeft(slice(toks, lit(1), gramCount)) { (acc, k) =>

@@ -35,6 +35,28 @@ object TextPropSpec extends Properties("TextOps") {
     got == math.max(0, n - 4)
   }
 
+  // messier generator for the native-vs-builtin differential: leading /
+  // trailing / repeated whitespace, punctuation, short docs
+  private val messyDoc: Gen[String] = for {
+    nWords <- Gen.choose(0, 12)
+    words <- Gen.listOfN(nWords,
+      Gen.oneOf(word, Gen.const("a!b"), Gen.const("..."), Gen.const("x")))
+    lead <- Gen.oneOf("", " ", "\t ")
+    sep <- Gen.oneOf(" ", "  ", " \t")
+    trail <- Gen.oneOf("", " ")
+  } yield lead + words.mkString(sep) + trail
+
+  property("native WordShingles == built-in HOF formulation (n=2 and n=5)") =
+    forAll(messyDoc) { d =>
+      val rows = Seq(d).toDF("text").select(
+        TextAnalysis.shingles(col("text"), 5).as("nat5"),
+        TextAnalysis.shinglesHof(col("text"), 5).as("hof5"),
+        TextAnalysis.shingles(col("text"), 2).as("nat2"),
+        TextAnalysis.shinglesHof(col("text"), 2).as("hof2"))
+        .as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
+      rows._1 == rows._2 && rows._3 == rows._4
+    }
+
   property("identical docs: jaccard 1.0; est_sim 1.0; simhash hamming 0") =
     forAll(doc) { d =>
       val docs = Seq((1L, d), (2L, d)).toDF("doc_id", "text")
