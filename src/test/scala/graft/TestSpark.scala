@@ -11,6 +11,11 @@ object TestSpark {
     * root is a fresh temp dir per test JVM, deleted on exit. Also
     * removes the round-1 fixed path if a stale copy is present so old
     * sandboxes converge. */
+  /** Exposed for suites that need an explicit per-query checkpoint
+    * location (e.g. restart-recovery tests reusing one checkpoint
+    * across two query incarnations). */
+  def checkpointDir: String = checkpointRoot
+
   private val checkpointRoot: String = {
     val legacy = new java.io.File("/dev/shm/graft-ckpt")
     if (legacy.exists()) deleteRecursively(legacy)
