@@ -14,10 +14,23 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    Seq(
+      (
+        FunctionIdentifier("float_dot"),
+        new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+        (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))),
+      (
+        FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (exprs: Seq[Expression]) => {
+          val n = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_shingles(text, n): n must be a literal int, got $other")
+          }
+          WordShingles(exprs(0), n)
+        }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>

@@ -71,4 +71,14 @@ class EcosystemStreamsSpec extends AnyFunSuite {
       .as[Double].collect().head
     assert(r == 11.0)
   }
+
+  test("word_shingles is registered as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT word_shingles('a b c d', 2) AS s")
+      .as[Seq[String]].collect().head
+    assert(r == Seq("a b", "b c", "c d"))
+    val err = intercept[Exception](
+      spark.sql("SELECT word_shingles('a b', length('xx'))").collect())
+    assert(err.getMessage.contains("literal"))
+  }
 }
