@@ -220,7 +220,107 @@ object DedupQueries {
       FROM walk GROUP BY node ORDER BY doc_id
     """.trim))
 
+  /** End-to-end dedup corpus filter: pairs → clusters → keep one
+    * representative (the cluster-minimum doc) per near-dup group,
+    * reported per source. This is the step that actually shrinks the
+    * training corpus; everything upstream exists to make this filter a
+    * cheap join. */
+  val qDedupKeep: Q = Q(
+    "q_dedup_keep",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val clusters = graft.operators.Clusters.connectedComponents(
+        Dedup.jaccardPairs(docs, 0.5, maxDf = Some(JaccardCap))
+          .select(col("da"), col("db")), "da", "db")
+      docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("source"),
+          (col("cluster").isNull || col("cluster") === col("doc_id")).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN cl.cluster IS NULL OR cl.cluster = d.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN cl.cluster IS NOT NULL AND cl.cluster <> d.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      GROUP BY d.source ORDER BY d.source
+    """.trim))
+
+  /** Eval-set contamination screening: fraction of each training doc's
+    * 5-gram shingles that appear anywhere in the held-out set (source
+    * 'src0' stands in for the eval benchmark). The eval shingle set is
+    * small by nature, so Spark broadcasts it and the training corpus
+    * never shuffles — contamination checks stay scan-shaped at any
+    * corpus size. */
+  val qContamination: Q = Q(
+    "q_contamination",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val evalSh = broadcast(
+        Dedup.docShingles(docs.filter(col("source") === "src0"), 5)
+          .select(col("shingle")).distinct())
+      val trainSh = Dedup.docShingles(docs.filter(col("source") =!= "src0"), 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = trainSh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val contam = trainSh.join(evalSh, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+      totals.join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("n_contam"), lit(0L)).cast("double")
+            / col("n_shingles"), 6).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, string_split_regex(text, '\s+') AS tl FROM documents),
+      sh2 AS (
+        SELECT doc_id, source, unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM toks WHERE len(tl) >= 5),
+      es AS (SELECT DISTINCT shingle FROM sh2 WHERE source = 'src0'),
+      tr AS (SELECT doc_id, shingle FROM sh2 WHERE source <> 'src0')
+      SELECT t.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN es.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             round(CAST(sum(CASE WHEN es.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS contamination
+      FROM tr t LEFT JOIN es ON t.shingle = es.shingle
+      GROUP BY t.doc_id ORDER BY t.doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
-    qDedupSimhash, qDedupClusters)
+    qDedupSimhash, qDedupClusters, qDedupKeep, qContamination)
 }
