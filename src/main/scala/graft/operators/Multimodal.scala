@@ -47,6 +47,54 @@ object Multimodal {
       }
     }
 
+  final case class MediaFeatures(
+      id: Long, f0: Double, f1: Double, f2: Double, f3: Double)
+  implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  final case class FrameMeta(id: Long, frameIdx: Int, frameOffset: Long, frameHash: String)
+  implicit val frameMetaEnc: Encoder[FrameMeta] = Encoders.product[FrameMeta]
+
+  /** STUB feature extractor (a real deployment runs the vision/audio
+    * model here): 4 doubles from the content digest's 16-bit chunks,
+    * normalized to [0,1] — deterministic, so the oracle replays it. */
+  def featureStub(bytes: Array[Byte]): Array[Double] = {
+    val hx = hexMd5(bytes)
+    Array.tabulate(4) { j =>
+      val chunk = java.lang.Integer.parseInt(hx.substring(j * 4, j * 4 + 4), 16)
+      // floor half-up, the engine-portable rounding used everywhere
+      math.floor(chunk / 65535.0 * 1e6 + 0.5) / 1e6
+    }
+  }
+
+  /** Batch feature extraction — same partition-batched seam as
+    * [[decodeBatch]] (model weights load once per partition, not per
+    * row). */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    records.mapPartitions { it =>
+      // per-partition model init would go here
+      it.map { r =>
+        val f = featureStub(r.media)
+        MediaFeatures(r.id, f(0), f(1), f(2), f(3))
+      }
+    }
+
+  /** STUB frame sampler (a real deployment seeks the container's
+    * keyframes): 1-3 frames by byte length, evenly-spaced offsets, a
+    * per-frame content hash. The 1→N explode is the real mechanics —
+    * video rows fan out to frame rows inside the partition, no
+    * shuffle. */
+  def sampleFrames(records: Dataset[MediaRecord]): Dataset[FrameMeta] =
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        val k = 1 + (r.media.length % 3)
+        val stride = r.media.length.toLong / k
+        (0 until k).map { i =>
+          val tag = s":$i".getBytes("UTF-8")
+          FrameMeta(r.id, i, i * stride, hexMd5(r.media ++ tag))
+        }
+      }
+    }
+
   /** Wrap the documents table as a fake media table (text bytes as the
     * opaque blob) — the testdata has no true binary column, so this is
     * the stand-in used by tests and the verify query. */

@@ -222,7 +222,59 @@ object TextQueries {
       FROM c GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  /** Stub-modeled feature extraction over the media column — the
+    * partition-batched "run the vision model" seam; 4 normalized
+    * digest-derived doubles stand in for real features, so the oracle
+    * replays the arithmetic exactly. */
+  val qMultimodalFeatures: Q = Q(
+    "q_multimodal_features",
+    (spark, dir) => Multimodal
+      .extractFeatures(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("id").as("doc_id"), col("f0"), col("f1"), col("f2"), col("f3"))
+      .orderBy(col("doc_id")),
+    Some {
+      def chunk(j: Int): String =
+        (0 until 4).map { k =>
+          s"(strpos('0123456789abcdef', substring(md5(text), ${j * 4 + k + 1}, 1)) - 1)" +
+            s" * ${1 << (4 * (3 - k))}"
+        }.mkString("(", " + ", ")")
+      def f(j: Int): String =
+        s"floor(${chunk(j)} / 65535.0 * 1000000 + 0.5) / 1000000 AS f$j"
+      s"""
+      SELECT doc_id, ${f(0)}, ${f(1)}, ${f(2)}, ${f(3)}
+      FROM documents ORDER BY doc_id
+      """.trim
+    })
+
+  /** Frame sampling: each media row fans out to 1-3 frame rows (byte
+    * length decides) with evenly-spaced offsets and per-frame hashes —
+    * the video-ingestion explode, shuffle-free inside partitions. */
+  val qMultimodalFrames: Q = Q(
+    "q_multimodal_frames",
+    (spark, dir) => Multimodal
+      .sampleFrames(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+        col("frameOffset").as("frame_offset"), col("frameHash").as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS nb,
+               1 + octet_length(encode(text)) % 3 AS k
+        FROM documents),
+      fr AS (
+        SELECT doc_id, text, nb, k,
+               unnest(generate_series(0, k - 1)) AS i
+        FROM base)
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(i * (nb // k) AS BIGINT) AS frame_offset,
+             md5(text || ':' || i) AS frame_hash
+      FROM fr ORDER BY doc_id, frame_idx
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
-    qTextBpeTokens, qTextRedact, qTextRepetition)
+    qTextBpeTokens, qTextRedact, qTextRepetition,
+    qMultimodalFeatures, qMultimodalFrames)
 }
