@@ -200,6 +200,43 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Incremental ingest dedup: candidates only between a NEW batch and
+    * the existing corpus index — the production flow, where per-ingest
+    * cost is O(batch) signature builds plus bucket probes into the
+    * (precomputed, persisted-in-production) index signature table. The
+    * corpus is never re-paired against itself; ingest cost follows the
+    * batch, not the corpus. */
+  def minhashLshPairsAgainst(index: DataFrame, batch: DataFrame,
+                             minEstSim: Double, n: Int = 5): DataFrame = {
+    val iSigs = minhashSignatures(index, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSigs = minhashSignatures(batch, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(sigs: DataFrame): DataFrame = {
+      val bandCols = (0 until MinhashSeeds / BandSize).map { b =>
+        md5(concat_ws("|",
+          (0 until BandSize).map(j => col(s"mh${b * BandSize + j}")): _*))
+      }
+      sigs.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bandhash")))
+    }
+    val cands = bandsOf(bSigs).as("nb").join(bandsOf(iSigs).as("ix"),
+        col("nb.band") === col("ix.band") &&
+          col("nb.bandhash") === col("ix.bandhash"))
+      .select(col("nb.doc_id").as("new_id"), col("ix.doc_id").as("dup_of"))
+      .distinct()
+    val agreeExpr = (0 until MinhashSeeds).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(MinhashSeeds.toDouble)
+    cands
+      .join(bSigs.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(iSigs.as("sb"), col("dup_of") === col("sb.doc_id"))
+      .select(col("new_id"), col("dup_of"), agreeExpr.as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("new_id"), col("dup_of"), round(col("est_sim"), 6).as("est_sim"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   val SimhashBits = 64
   val SimhashBlocks = 4
   val SimhashBlockBits: Int = SimhashBits / SimhashBlocks

@@ -320,7 +320,59 @@ object DedupQueries {
       GROUP BY t.doc_id ORDER BY t.doc_id
     """.trim))
 
+  /** Incremental ingest dedup: a new batch (doc_id % 10 = 0 stands in
+    * for today's crawl) screened against the existing corpus index via
+    * MinHash LSH — candidates only cross batch×index, never
+    * index×index. The oracle builds signatures for everyone and applies
+    * the same batch/index split at candidate time (identical values:
+    * signatures are per-doc). */
+  val qDedupIncremental: Q = {
+    val seedRows = (0 until Dedup.MinhashSeeds).map(i =>
+      s"(${i}, ${Dedup.MixA(i)}, ${Dedup.MixB(i)}, ${i % 4})").mkString(", ")
+    Q(
+      "q_dedup_incremental",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.minhashLshPairsAgainst(
+          index = docs.filter(col("doc_id") % 10 =!= 0),
+          batch = docs.filter(col("doc_id") % 10 === 0),
+          minEstSim = 0.5)
+      },
+      Some(s"""
+      $shinglesCte,
+      hx AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+      ch AS (SELECT doc_id, ${chunkSql(0)} AS c0, ${chunkSql(1)} AS c1,
+                    ${chunkSql(2)} AS c2, ${chunkSql(3)} AS c3 FROM hx),
+      seeds(seed, a, b, cidx) AS (VALUES $seedRows),
+      sigs AS (
+        SELECT doc_id, seed,
+               min(((CASE cidx WHEN 0 THEN c0 WHEN 1 THEN c1
+                               WHEN 2 THEN c2 ELSE c3 END) * a + b)
+                   % ${Dedup.MixP}) AS minhash
+        FROM ch, seeds GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bandhash
+        FROM sigs GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT nb.doc_id AS new_id, ix.doc_id AS dup_of
+        FROM bands nb JOIN bands ix
+          ON nb.band = ix.band AND nb.bandhash = ix.bandhash
+        WHERE nb.doc_id % 10 = 0 AND ix.doc_id % 10 <> 0),
+      agree AS (
+        SELECT new_id, dup_of,
+               sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = new_id
+        JOIN sigs sb ON sb.doc_id = dup_of AND sb.seed = sa.seed
+        GROUP BY new_id, dup_of)
+      SELECT new_id, dup_of, round(est, 6) AS est_sim FROM agree
+      WHERE est >= 0.5 ORDER BY new_id, dup_of
+      """.trim))
+  }
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
-    qDedupSimhash, qDedupClusters, qDedupKeep, qContamination)
+    qDedupSimhash, qDedupClusters, qDedupKeep, qContamination,
+    qDedupIncremental)
 }
