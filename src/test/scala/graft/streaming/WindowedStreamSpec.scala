@@ -48,6 +48,35 @@ class WindowedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge on gap overlap and emit when the watermark passes") {
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user")
+    val agg = events
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string").as("wstart"),
+        col("w.end").cast("string").as("wend"), col("user"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // u1: events at 10:01 and 10:08 — 7 min gap < 10 -> ONE session
+      // u2: events at 10:01 and 10:20 — 19 min gap  -> TWO sessions
+      input.addData(Seq((ts(1), "u1"), (ts(8), "u1"), (ts(1), "u2"), (ts(20), "u2")))
+      q.processAllAvailable()
+      // push the watermark far past every session's end + gap
+      input.addData(Seq((ts(59), "u9")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("wstart"), col("wend"), col("user"), col("n"))
+        .as[(String, String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:01:00", "2024-01-01 10:18:00", "u1", 2L)),
+        s"u1 session not merged: $rows")
+      assert(rows.contains(("2024-01-01 10:01:00", "2024-01-01 10:11:00", "u2", 1L)))
+      assert(rows.contains(("2024-01-01 10:20:00", "2024-01-01 10:30:00", "u2", 1L)))
+    } finally q.stop()
+  }
+
   test("late event beyond the watermark is dropped from its window") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val events = input.toDF().toDF("ts", "event_type", "value")
