@@ -120,7 +120,17 @@ object Similarity {
                               iterations: Int): DataFrame = {
     var cents = initialCentroids(corpus, numCentroids)
     for (_ <- 0 until iterations) {
-      val members = assignCells(corpus, cents).join(corpus, "vec_id")
+      // argmax aggregate carrying the embedding along: every pre-agg row
+      // of a vec_id holds the same embedding, so first() is
+      // deterministic — one shuffle total, no corpus re-join stage.
+      val members = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), struct(
+          (lit(1.0) - pairCos(col("embedding"), col("cvec"),
+            col("nrm"), col("cnrm"))).as("d"),
+          col("cell")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("cand")).getField("cell").as("cell"),
+          first(col("embedding")).as("embedding"))
       val quantized = members
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cell"), col("pos"),
