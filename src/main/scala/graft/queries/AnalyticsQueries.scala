@@ -173,6 +173,26 @@ object AnalyticsQueries {
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """.trim))
 
+  /** CUBE over (status, priority) with grouping_id — all four grouping
+    * combinations in one pass (Spark expands to a single Expand +
+    * aggregate, no per-granularity rescans); `grouping_id` disambiguates
+    * a real NULL group key from a rolled-up one. */
+  val qAggCube: Q = Q(
+    "q_agg_cube",
+    (spark, dir) => Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """.trim))
+
   /** Tumbling event-time window (1 day) — the windowed-aggregation
     * family; window start aligns to the UTC epoch in both engines. */
   val qWindowTime: Q = Q(
@@ -565,7 +585,7 @@ object AnalyticsQueries {
 
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
-    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qWindowTime,
+    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel)
