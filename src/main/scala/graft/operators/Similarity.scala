@@ -355,6 +355,83 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): split each vector into NumSub
+  // subvectors, quantize each against a per-subspace codebook, and
+  // search with asymmetric distance (exact query subvector vs corpus
+  // codewords). The corpus index shrinks to NumSub bytes per vector —
+  // two orders of magnitude below float32 — which is what makes a
+  // 100 TB corpus's ANN index RAM-resident; the ADC lookup table per
+  // query is NumSub × NumCodes entries, broadcastable by construction.
+  // Codebooks seed deterministically (subvectors of the first NumCodes
+  // corpus vectors) so the DuckDB oracle replays the whole pipeline.
+  // ---------------------------------------------------------------
+
+  val PqNumSub = 8
+  val PqSubDim = 8
+  val PqNumCodes = 16
+
+  /** Squared L2 distance in double, fixed sequential order. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0d), (acc, x) => acc + x)
+
+  private def subVectors(vecCol: Column): Column =
+    explode(array((0 until PqNumSub).map(s =>
+      struct(lit(s).as("sub"),
+        slice(vecCol, s * PqSubDim + 1, PqSubDim).as("svec"))): _*))
+
+  /** Per-subspace codebook: codeword `cidx` of subspace `sub` is the
+    * sub-vector of corpus vector `cidx` (deterministic seeding — the
+    * cross-engine contract; production would Lloyd-refine per subspace
+    * exactly as [[lloydCentroids]] does for IVF). */
+  def pqCodebook(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < PqNumCodes)
+      .select(col("vec_id").cast("int").as("cidx"), subVectors(col("embedding")).as("e"))
+      .select(col("e.sub").as("sub"), col("cidx"), col("e.svec").as("cvec"))
+
+  /** Encode the corpus: nearest codeword per (vector, subspace), ties
+    * to the lower codeword index — NumSub small integers per vector. */
+  def pqEncode(corpus: DataFrame, cb: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), subVectors(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("cand")).getField("cidx").as("code"))
+
+  /** ADC top-k: per query, a NumSub×NumCodes lookup table of FIXED-POINT
+    * subspace distances (BIGINT nano-units — integer sums are
+    * order-independent, so ranking can't drift with partitioning), then
+    * one broadcast join against the encoded corpus and a sum per
+    * (query, vector). */
+  def pqSearch(embeddings: DataFrame, queryMaxId: Long, corpusMinId: Long,
+               k: Int): DataFrame = {
+    val cb = pqCodebook(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val enc = pqEncode(spread(embeddings.filter(col("vec_id") >= corpusMinId)), cb)
+    val lut = embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), subVectors(col("embedding")).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.svec").as("qvec"))
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("cidx"),
+        floor(l2sq(col("qvec"), col("cvec")) * lit(1e9) + lit(0.5))
+          .cast("long").as("d_int"))
+    val scored = enc
+      .join(broadcast(lut),
+        enc("sub") === lut("sub") && enc("code") === lut("cidx"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d_int")).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rnk").cast("int").as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Recall@k of int8-quantized search vs the exact float baseline,
     * per query: |exact top-k ∩ quantized top-k| / k. The quality gauge
     * that justifies (or vetoes) shipping the 4× memory saving. */

@@ -299,7 +299,50 @@ object SimilarityQueries {
       ORDER BY q.qid
     """.trim))
 
+  /** Product quantization + asymmetric-distance top-5: 8 subspaces × 16
+    * deterministic codewords, fixed-point ADC sums. The oracle rebuilds
+    * codebooks, encodes the corpus, builds the per-query LUT and ranks —
+    * the complete PQ pipeline cross-checked, not just the output
+    * filter. */
+  val qEmbedPq: Q = Q(
+    "q_embed_pq",
+    (spark, dir) => Similarity.pqSearch(
+      Tables.embeddings(spark, dir), queryMaxId = 8, corpusMinId = 16, k = 5),
+    Some("""
+      WITH subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+      cb AS (
+        SELECT s.sub, CAST(e.vec_id AS INT) AS cidx,
+               [e.embedding[i] FOR i IN generate_series(s.sub * 8 + 1, s.sub * 8 + 8)] AS cvec
+        FROM embeddings e, subs s WHERE e.vec_id < 16),
+      encd AS (
+        SELECT vec_id, sub, cidx AS code FROM (
+          SELECT e.vec_id, c.sub, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                   list_sum([(e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             * (e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             FOR i IN generate_series(1, 8)]), c.cidx) AS rn
+          FROM embeddings e, cb c WHERE e.vec_id >= 16)
+        WHERE rn = 1),
+      lut AS (
+        SELECT q.vec_id AS qid, c.sub, c.cidx,
+               CAST(floor(list_sum([(q.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    * (q.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    FOR i IN generate_series(1, 8)]) * 1000000000 + 0.5)
+                    AS BIGINT) AS d_int
+        FROM embeddings q, cb c WHERE q.vec_id < 8),
+      scored AS (
+        SELECT l.qid, e.vec_id, sum(l.d_int) AS adc
+        FROM encd e JOIN lut l ON e.sub = l.sub AND e.code = l.cidx
+        GROUP BY l.qid, e.vec_id),
+      r AS (
+        SELECT qid, vec_id, CAST(adc AS BIGINT) AS adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, adc, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
-    qEmbedSrpNeardup, qEmbedQuantized)
+    qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq)
 }

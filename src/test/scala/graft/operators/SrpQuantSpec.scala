@@ -49,6 +49,22 @@ class SrpQuantSpec extends AnyFunSuite {
     assert(rec >= 0.6, s"mean recall@5 $rec — int8 quantization lost too much")
   }
 
+  test("PQ/ADC search finds reasonable neighbors and valid codes") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val pq = Similarity.pqSearch(emb, queryMaxId = 8, corpusMinId = 16, k = 5)
+      .collect()
+    assert(pq.length == 8 * 5)
+    assert(pq.forall(_.getAs[Long]("vec_id") >= 16L))
+    // ADC distances non-decreasing within each query's ranking
+    pq.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("adc"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // codes stay within the codebook range
+    val cb = Similarity.pqCodebook(emb)
+    assert(cb.count() == 8L * 16L)
+  }
+
   test("BPE pre-tokenizer class counts partition the combined count") {
     import TextAnalysis._
     val df = spark.createDataFrame(Seq(
