@@ -273,8 +273,35 @@ object TextQueries {
       FROM fr ORDER BY doc_id, frame_idx
     """.trim))
 
+  /** Corpus mixture report: per (source, lang) token mass and its share
+    * of the whole corpus — the data-mixture table a training run is
+    * configured from. One hash aggregate; the share is a window over
+    * the already-tiny grouped table, not the corpus. */
+  val qCorpusMixture: Q = Q(
+    "q_corpus_mixture",
+    (spark, dir) => {
+      val g = Tables.documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      g.select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / sum(col("total_tokens")).over(w), 6)
+          .as("token_share"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source, lang)
+      SELECT source, lang, n_docs, total_tokens,
+             round(total_tokens::DOUBLE / sum(total_tokens) OVER (), 6) AS token_share
+      FROM g ORDER BY source, lang
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
-    qMultimodalFeatures, qMultimodalFrames)
+    qMultimodalFeatures, qMultimodalFrames, qCorpusMixture)
 }
