@@ -33,7 +33,7 @@ object Bench {
     spark.sqlContext.clearCache()
     System.gc()
     // two timed repetitions, keep the per-query minimum (GC noise in a
-    // 38-query single-JVM run is substantial)
+    // single-JVM run of the whole registry is substantial)
     val times = (1 to 2).map { _ =>
       val rep = ordered.map { q =>
         val t0 = System.nanoTime()

@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`):
-  * brute-force cosine top-k as the exact baseline, an IVF-style
-  * centroid partitioning as the scale path, and label-blocked
-  * near-duplicate pairing.
+  * brute-force cosine top-k as the exact baseline; IVF centroid
+  * partitioning (Lloyd-refined, multi-probe) as the recall/latency
+  * scale path; signed-random-projection LSH for near-duplicate
+  * pairing; int8 scalar quantization and product quantization as the
+  * memory scale paths, each with an oracled quality gauge.
   *
   * Scale design: brute-force is O(queries × corpus) — fine for small
   * query sets because the corpus side stays partitioned and the tiny
