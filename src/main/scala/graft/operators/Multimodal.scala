@@ -78,6 +78,29 @@ object Multimodal {
       }
     }
 
+  final case class ResizedMeta(
+      id: Long, width: Int, height: Int, outWidth: Int, outHeight: Int)
+  implicit val resizedMetaEnc: Encoder[ResizedMeta] = Encoders.product[ResizedMeta]
+
+  /** Aspect-preserving fit into a `target`×`target` box — the resize
+    * planning every image pipeline runs before the (stubbed) pixel
+    * work. Pure arithmetic on decoded dimensions; floor keeps the
+    * result inside the box and deterministic across engines. */
+  def resizeFit(w: Int, h: Int, target: Int): (Int, Int) = {
+    val scale = math.min(target.toDouble / w, target.toDouble / h)
+    (math.floor(w * scale).toInt, math.floor(h * scale).toInt)
+  }
+
+  /** Batch resize planning over decoded metadata. */
+  def resizeBatch(records: Dataset[MediaRecord], target: Int): Dataset[ResizedMeta] =
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (w, h) = decodeStub(r.media)
+        val (ow, oh) = resizeFit(w, h, target)
+        ResizedMeta(r.id, w, h, ow, oh)
+      }
+    }
+
   /** STUB frame sampler (a real deployment seeks the container's
     * keyframes): 1-3 frames by byte length, evenly-spaced offsets, a
     * per-frame content hash. The 1→N explode is the real mechanics —

@@ -118,6 +118,35 @@ object TextAnalysis {
       throw new IllegalStateException(s"BPE pattern '$p' not portable: $reason"))
   }
 
+  /** Karp-Rabin rolling-hash parameters (Horner with a mod per step:
+    * intermediates stay ≤ P·B + 2³² — inside BIGINT for both
+    * engines). */
+  val RollB: Long = 1000003L
+  val RollP: Long = 2147483647L
+  val RollK: Int = 4
+
+  /** 32-bit integer per token: first md5 chunk — the same
+    * engine-portable token hashing the dedup family uses. */
+  def tokenInts(text: Column): Column =
+    transform(tokens(text), t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** Rolling k-gram hashes over the token stream (Karp-Rabin /
+    * winnowing style): h(i) = Horner(tint[i..i+k-1]) mod P. Built by
+    * folding k shifted slices with zip_with — the shingle lesson: no
+    * computed expression inside an index-loop lambda. Returns an empty
+    * array for docs shorter than k tokens. */
+  def rollingHashes(text: Column, k: Int = RollK): Column = {
+    val tints = tokenInts(text)
+    val cnt = size(tints) - (k - 1)
+    val first = transform(slice(tints, lit(1), cnt), x => x % lit(RollP))
+    val rolled = (1 until k).foldLeft(first) { (acc, j) =>
+      zip_with(acc, slice(tints, lit(j + 1), cnt),
+        (h, t) => (h * lit(RollB) + t) % lit(RollP))
+    }
+    when(size(tints) >= k, rolled).otherwise(array().cast("array<bigint>"))
+  }
+
   /** Occurrence count of the most frequent element of an array,
     * computed entirely in-row: sort, then the longest run of equal
     * neighbours. Keeps per-document statistics (like repetition

@@ -300,8 +300,70 @@ object TextQueries {
       FROM g ORDER BY source, lang
     """.trim))
 
+  /** Karp-Rabin rolling-hash fingerprinting (winnowing-lite): rolling
+    * 4-gram hashes over the token stream, document fingerprint = the
+    * minimum hash. Map-only; the oracle recomputes every hash from the
+    * same md5 token ints, Horner steps and modulus. */
+  val qTextRollingFp: Q = {
+    val chunk8 = (0 until 8).map { k =>
+      s"(strpos('0123456789abcdef', substring(md5(tok), ${k + 1}, 1)) - 1)" +
+        s" * ${1L << (4 * (7 - k))}"
+    }.mkString("(", " + ", ")")
+    val B = TextAnalysis.RollB
+    val P = TextAnalysis.RollP
+    val horner =
+      s"((((((tt[i] % $P) * $B + tt[i+1]) % $P) * $B + tt[i+2]) % $P) * $B + tt[i+3]) % $P"
+    Q(
+      "q_text_rolling_fp",
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.rollingHashes(col("text")).as("rh"))
+        .filter(size(col("rh")) >= 1)
+        .select(col("doc_id"),
+          size(col("rh")).cast("long").as("n_windows"),
+          array_min(col("rh")).as("fp_min"),
+          size(array_distinct(col("rh"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(text, '\\s+'), tok -> $chunk8) AS tt
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               [$horner FOR i IN generate_series(1, len(tt) - 3)] AS rh
+        FROM t WHERE len(tt) >= 4)
+      SELECT doc_id, CAST(len(rh) AS BIGINT) AS n_windows,
+             CAST(list_min(rh) AS BIGINT) AS fp_min,
+             CAST(len(list_distinct(rh)) AS BIGINT) AS n_distinct
+      FROM r ORDER BY doc_id
+      """.trim))
+  }
+
+  /** Resize planning over decoded media: aspect-preserving fit into a
+    * 224×224 box, floor-deterministic in both engines. */
+  val qMultimodalResize: Q = Q(
+    "q_multimodal_resize",
+    (spark, dir) => Multimodal
+      .resizeBatch(Multimodal.documentsAsMedia(Tables.documents(spark, dir)), 224)
+      .toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        col("outWidth").as("out_width"), col("outHeight").as("out_height"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+               CAST(64 + octet_length(encode(text)) % 384 AS INT) AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+             CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT) AS out_width,
+             CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT) AS out_height
+      FROM d ORDER BY doc_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
-    qMultimodalFeatures, qMultimodalFrames, qCorpusMixture)
+    qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
+    qTextRollingFp, qMultimodalResize)
 }
