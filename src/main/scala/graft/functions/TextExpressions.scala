@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for word n-gram shingling — the hot
@@ -68,8 +68,74 @@ object WordShingles {
   }
 }
 
+/** Native Karp-Rabin rolling k-gram hash over the token stream: one
+  * split, one md5 per token, one Horner pass — the HOF formulation
+  * evaluates the token-int array once per shifted slice (k md5 passes
+  * per row). Token ints are the first 32-bit chunk of md5(token),
+  * Horner takes a modulus per step so intermediates stay in long —
+  * bit-identical to the built-in twin and to the oracle SQL. */
+case class RollingTokenHashes(child: Expression, k: Int, b: Long, p: Long)
+    extends UnaryExpression {
+
+  require(k >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_token_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingTokenHashes.compute(input.asInstanceOf[UTF8String], k, b, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingTokenHashes.compute($c, $k, ${b}L, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingTokenHashes {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  private def tokenInt(tok: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    // first 8 hex chars = big-endian value of the first 4 bytes
+    ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+      ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+  }
+
+  /** Static hot loop shared by eval and generated code. */
+  def compute(text: UTF8String, k: Int, b: Long, p: Long): ArrayData = {
+    val toks = Whitespace.split(text.toString, -1)
+    val count = toks.length - k + 1
+    if (count <= 0) Empty
+    else {
+      val tints = toks.map(tokenInt)
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        var h = tints(i) % p
+        var j = 1
+        while (j < k) {
+          h = (h * b + tints(i + j)) % p
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 object TextExpressions {
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+
+  /** Column API for [[RollingTokenHashes]]. */
+  def rollingTokenHashes(text: Column, k: Int, b: Long, p: Long): Column =
+    ColumnShim.column(RollingTokenHashes(ColumnShim.expression(text), k, b, p))
 }

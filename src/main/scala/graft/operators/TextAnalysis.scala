@@ -132,11 +132,17 @@ object TextAnalysis {
       conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
 
   /** Rolling k-gram hashes over the token stream (Karp-Rabin /
-    * winnowing style): h(i) = Horner(tint[i..i+k-1]) mod P. Built by
-    * folding k shifted slices with zip_with — the shingle lesson: no
-    * computed expression inside an index-loop lambda. Returns an empty
-    * array for docs shorter than k tokens. */
-  def rollingHashes(text: Column, k: Int = RollK): Column = {
+    * winnowing style): h(i) = Horner(tint[i..i+k-1]) mod P. Native
+    * codegen'd expression ([[graft.functions.RollingTokenHashes]]):
+    * one split, one md5 per token, one Horner pass per row. */
+  def rollingHashes(text: Column, k: Int = RollK): Column =
+    graft.functions.TextExpressions.rollingTokenHashes(text, k, RollB, RollP)
+
+  /** Built-in-only formulation of [[rollingHashes]] (k shifted slices
+    * folded with zip_with — the shingle lesson: no computed expression
+    * inside an index-loop lambda). Kept as the differential-test twin
+    * of the native expression. */
+  def rollingHashesHof(text: Column, k: Int = RollK): Column = {
     val tints = tokenInts(text)
     val cnt = size(tints) - (k - 1)
     val first = transform(slice(tints, lit(1), cnt), x => x % lit(RollP))

@@ -57,6 +57,15 @@ object TextPropSpec extends Properties("TextOps") {
       rows._1 == rows._2 && rows._3 == rows._4
     }
 
+  property("native RollingTokenHashes == built-in HOF formulation") =
+    forAll(messyDoc) { d =>
+      val rows = Seq(d).toDF("text").select(
+        TextAnalysis.rollingHashes(col("text")).as("nat"),
+        TextAnalysis.rollingHashesHof(col("text")).as("hof"))
+        .as[(Seq[Long], Seq[Long])].head()
+      rows._1 == rows._2
+    }
+
   property("identical docs: jaccard 1.0; est_sim 1.0; simhash hamming 0") =
     forAll(doc) { d =>
       val docs = Seq((1L, d), (2L, d)).toDF("doc_id", "text")
