@@ -23,14 +23,26 @@ object GraftFunctions {
         FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         (exprs: Seq[Expression]) => {
-          val n = exprs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-                if v != null => v.toString.toInt
-            case other => throw new IllegalArgumentException(
-              s"word_shingles(text, n): n must be a literal int, got $other")
-          }
-          WordShingles(exprs(0), n)
-        }))
+          WordShingles(exprs(0), litInt(exprs(1), "word_shingles(text, n): n"))
+        }),
+      (
+        FunctionIdentifier("rolling_token_hashes"),
+        new ExpressionInfo(classOf[RollingTokenHashes].getName, "rolling_token_hashes"),
+        (exprs: Seq[Expression]) => RollingTokenHashes(
+          exprs(0),
+          litInt(exprs(1), "rolling_token_hashes(text, k, b, p): k"),
+          litLong(exprs(2), "rolling_token_hashes(text, k, b, p): b"),
+          litLong(exprs(3), "rolling_token_hashes(text, k, b, p): p"))))
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+      v.toString.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal int, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int =
+    litLong(e, what).toInt
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, info, builder) =>
