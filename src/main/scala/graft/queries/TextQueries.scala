@@ -361,9 +361,54 @@ object TextQueries {
       FROM d ORDER BY doc_id
     """.trim))
 
+  /** Sequence-length histogram (64-token buckets): the distribution
+    * that decides padding waste vs packing strategy for a training
+    * batch. One hash aggregate on a computed bucket key. */
+  val qSeqlenHistogram: Q = Q(
+    "q_seqlen_histogram",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select((floor(TextAnalysis.tokenCount(col("text")).cast("double") / 64)
+        .cast("long") * 64).as("bucket_start"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      .orderBy(col("bucket_start")),
+    Some("""
+      SELECT (len(string_split_regex(text, '\s+')) // 64) * 64 AS bucket_start,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY 1 ORDER BY bucket_start
+    """.trim))
+
+  /** Concat-and-chunk packing stats per source — exactly the
+    * pretraining packing computation (concatenate the stream, cut every
+    * `chunk` tokens): chunks needed, fill ratio of the padded final
+    * chunk. Pure aggregate arithmetic, no sequential scan needed. */
+  val qPackChunks: Q = Q(
+    "q_pack_chunks",
+    (spark, dir) => Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .select(col("source"), col("total_tokens"),
+        ceil(col("total_tokens").cast("double") / 512).cast("long").as("n_chunks"),
+        round(col("total_tokens").cast("double") /
+          (ceil(col("total_tokens").cast("double") / 512) * 512), 6).as("fill_ratio"))
+      .orderBy(col("source")),
+    Some("""
+      WITH g AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source)
+      SELECT source, total_tokens,
+             CAST(ceil(total_tokens::DOUBLE / 512) AS BIGINT) AS n_chunks,
+             round(total_tokens::DOUBLE /
+                   (ceil(total_tokens::DOUBLE / 512) * 512), 6) AS fill_ratio
+      FROM g ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
-    qTextRollingFp, qMultimodalResize)
+    qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks)
 }
