@@ -583,10 +583,58 @@ object AnalyticsQueries {
       FROM f
     """.trim))
 
+  /** Join-key skew profile: the report read before choosing between a
+    * plain shuffle join, AQE skew handling, or explicit salting
+    * ([[graft.operators.SaltedJoin]]) — top-10 heaviest keys with their
+    * share of all rows. One hash aggregate + a TakeOrdered. */
+  val qSkewProfile: Q = Q(
+    "q_skew_profile",
+    (spark, dir) => {
+      val counts = Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      // total via a window over the already-aggregated (small) table —
+      // no separate scan, no driver-side action
+      val w = Window.partitionBy()
+      counts
+        .select(col("user_id"), col("n_rows"),
+          round(col("n_rows").cast("double") / sum(col("n_rows")).over(w), 6)
+            .as("share"))
+        .orderBy(col("n_rows").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_rows,
+             round(count(*)::DOUBLE / (SELECT count(*) FROM events), 6) AS share
+      FROM events GROUP BY user_id
+      ORDER BY n_rows DESC, user_id LIMIT 10
+    """.trim))
+
+  /** Column-completeness audit over the unified order stream — the data
+    * quality gate a corpus passes before training: per event type, how
+    * many rows carry each envelope field. Single wide aggregate. */
+  val qCompletenessAudit: Q = Q(
+    "q_completeness_audit",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNotNull, 1L).otherwise(0L)).as("n_user_id"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("n_value"),
+        sum(when(col("props").isNotNull, 1L).otherwise(0L)).as("n_props"),
+        countDistinct(col("user_id")).as("n_distinct_users"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(*) AS n_rows,
+             CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user_id,
+             CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+             CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile,
-    qJoinSalted, qFunnel)
+    qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit)
 }
