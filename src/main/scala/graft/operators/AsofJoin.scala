@@ -30,7 +30,26 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String]): DataFrame =
+    interleaved(left, right, leftKey, rightKey, leftTs, rightTs,
+      payloadCols, backward = true)
+
+  /** Forward variant: attach the NEAREST right row with
+    * `rightTs >= leftTs` (next-event-after semantics — "first order
+    * placed on or after this touchpoint"). Same single-window plan,
+    * traversed in descending time order. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String]): DataFrame =
+    interleaved(left, right, leftKey, rightKey, leftTs, rightTs,
+      payloadCols, backward = false)
+
+  private def interleaved(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTs: String, rightTs: String,
+                          payloadCols: Seq[String],
+                          backward: Boolean): DataFrame = {
     val lRowType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val lT = left.select(
@@ -41,8 +60,13 @@ object AsofJoin {
       col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
       lit(null).cast(lRowType).as("_lrow"),
       struct(payloadCols.map(col): _*).as("_payload"))
+    // right rows sort before left rows at equal timestamps in BOTH
+    // directions, so the match is inclusive either way
+    val order =
+      if (backward) Seq(col("_ts").asc, col("_side").asc)
+      else Seq(col("_ts").desc, col("_side").asc)
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lT.unionByName(rT)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))

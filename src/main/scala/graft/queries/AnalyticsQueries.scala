@@ -631,10 +631,39 @@ object AnalyticsQueries {
       FROM events GROUP BY event_type ORDER BY event_type
     """.trim))
 
+  /** Forward as-of join: for every event, the FIRST order placed on or
+    * after it by the same user — the attribution-window mirror of
+    * [[qAsofJoin]]'s feature-store lookback. Oracle: DuckDB's native
+    * ASOF with the `<=` inequality. */
+  val qAsofForward: Q = Q(
+    "q_asof_forward",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsofJoin
+        .asofJoinForward(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("_asof").getField("o_orderkey").as("next_order_key"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id, r.o_orderkey AS next_order_key
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+      ORDER BY e.event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
-    qSampleStratified, qAsofJoin, qWindowSliding, qApproxQuantile,
+    qSampleStratified, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit)
 }
