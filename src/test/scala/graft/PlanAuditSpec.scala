@@ -21,4 +21,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
+
+  test("lambda-free scan-shaped hot paths stay inside whole-stage codegen") {
+    // queries whose cost is per-row expression work: dropping out of
+    // codegen is a silent multi-x regression. Only lambda-free queries
+    // qualify — Spark's higher-order functions (filter/aggregate/
+    // transform with lambdas) are CodegenFallback and legitimately
+    // exclude their stage (which is why the custom native expressions
+    // exist for the true hot paths).
+    val scanShaped = Seq("q_text_fingerprint", "q_canonicalize_type",
+      "q_json_extract", "q_text_redact")
+    val byName = Registry.all.map(q => q.name -> q).toMap
+    scanShaped.foreach { name =>
+      val df = byName(name).run(spark, dir)
+      // execute THIS df's QueryExecution (count() would plan its own,
+      // pruned query); AQE only materializes codegen stages at execution
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("),
+        s"$name has no WholeStageCodegen stage:\n$plan")
+    }
+  }
 }
