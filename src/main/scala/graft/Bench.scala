@@ -45,22 +45,27 @@ object Bench {
       System.gc()
       rep
     }
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = ordered.map(q => q.name -> times.map(_(q.name)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver extracts the JSON line from stdout, which sbt wraps in
-    // [info]/[error] prefixes and interleaves with Spark log noise: make
-    // the result available three ways — a plain file, a line printed
-    // before shutdown, and a bare final line after spark.stop() (the
-    // very last stdout of the run, after all Spark shutdown logging).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_result.json"),
-      json.getBytes("UTF-8"))
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only a tail of captured stdout; the full
+    // per-query line (~2 KB for 79 queries) can start mid-JSON in that
+    // tail, so the LAST line printed must be compact enough to always
+    // fit. Full detail goes to a file + a pre-shutdown print; the final
+    // post-stop() line is total-only (<100 bytes).
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+    val outPath = java.nio.file.Paths.get(
+      args.headOption.getOrElse(
+        sys.props.getOrElse("user.dir", ".") + "/bench_result.json"))
+    java.nio.file.Files.write(outPath, json.getBytes("UTF-8"))
     println(json)
     spark.stop()
-    println(json)
+    println(compact)
   }
 }
