@@ -130,6 +130,73 @@ object RollingTokenHashes {
   }
 }
 
+/** Native 64-bit SimHash over the whitespace token stream: one split,
+  * one md5 per token, 64 signed bit counters and the final sign pack —
+  * all in-row under whole-stage codegen. Replaces the explode +
+  * 64-column bit-sum aggregate formulation, whose ~64 expression nodes
+  * per token row were the engine's dominant allocation hotspot (the
+  * aggregate also forced a shuffle this map-only pass doesn't need).
+  *
+  * Bit semantics are identical to the aggregate twin and the DuckDB
+  * oracle: bit i of a token's contribution is bit `31-(i%32)` of
+  * 32-bit md5 chunk `i/32` (chunks are the big-endian first/second 8
+  * hex chars of the digest); doc bit i is set iff the signed sum over
+  * tokens (+1 for a set bit, -1 for clear) is positive. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Static hot loop shared by eval and generated code. */
+  def compute(text: UTF8String): Long = {
+    val toks = Whitespace.split(text.toString, -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val digest = md.digest(toks(t).getBytes("UTF-8"))
+      var j = 0
+      while (j < 2) {
+        // big-endian 32-bit value of digest bytes [4j, 4j+4) — the
+        // number `conv(substring(hex, 8j+1, 8), 16, 10)` yields
+        val c = ((digest(j * 4) & 0xff) << 24) |
+          ((digest(j * 4 + 1) & 0xff) << 16) |
+          ((digest(j * 4 + 2) & 0xff) << 8) |
+          (digest(j * 4 + 3) & 0xff)
+        var k = 0
+        while (k < 32) {
+          sums(j * 32 + k) += (((c >>> (31 - k)) & 1) << 1) - 1
+          k += 1
+        }
+        j += 1
+      }
+      t += 1
+    }
+    var v = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) v |= 1L << i
+      i += 1
+    }
+    v
+  }
+}
+
 object TextExpressions {
   /** Column API for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
@@ -138,4 +205,8 @@ object TextExpressions {
   /** Column API for [[RollingTokenHashes]]. */
   def rollingTokenHashes(text: Column, k: Int, b: Long, p: Long): Column =
     ColumnShim.column(RollingTokenHashes(ColumnShim.expression(text), k, b, p))
+
+  /** Column API for [[SimHash64]]. */
+  def simhash64(text: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(text)))
 }

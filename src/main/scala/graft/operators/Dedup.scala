@@ -249,11 +249,22 @@ object Dedup {
     * per block instead of 256, so dissimilar-pair collisions drop 256×
     * and candidate generation stops being ~n²/128 at corpus scale.
     *
-    * DataFrame formulation: tokens are exploded and md5 is computed
-    * ONCE per token; the two hex chunks are conv'd once per token and
-    * every per-bit contribution is two integer ops feeding one hash
-    * aggregate (64 long partials per doc). */
-  def simhashDocs(documents: DataFrame): DataFrame = {
+    * Native in-row formulation ([[graft.functions.SimHash64]]): one
+    * split, one md5 per token, signed bit sums and the sign pack in a
+    * single codegen'd pass — a map-only stage with NO shuffle. The
+    * aggregate twin below ([[simhashDocsAgg]]) is the built-in-only
+    * differential check. */
+  def simhashDocs(documents: DataFrame): DataFrame =
+    spread(documents, "doc_id").select(col("doc_id"),
+      graft.functions.TextExpressions.simhash64(col("text")).as("sh"))
+
+  /** Built-in-only formulation of [[simhashDocs]], kept as the
+    * differential-test twin of the native expression: tokens are
+    * exploded and md5 is computed once per token; the two hex chunks
+    * are conv'd once per token and every per-bit contribution is two
+    * integer ops feeding one hash aggregate (64 long partials per
+    * doc). */
+  def simhashDocsAgg(documents: DataFrame): DataFrame = {
     val chunks = (0 until 2).map(j =>
       conv(substring(col("hx"), j * 8 + 1, 8), 16, 10).cast("long").as(s"c$j"))
     val bitSums = (0 until SimhashBits).map { i =>

@@ -57,6 +57,17 @@ object TextPropSpec extends Properties("TextOps") {
       rows._1 == rows._2 && rows._3 == rows._4
     }
 
+  property("native SimHash64 == built-in aggregate formulation") =
+    forAll(Gen.listOfN(3, messyDoc)) { ds =>
+      val docs = ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("doc_id", "text")
+      val nat = Dedup.simhashDocs(docs)
+        .as[(Long, Long)].collect().toMap
+      val agg = Dedup.simhashDocsAgg(docs)
+        .as[(Long, Long)].collect().toMap
+      nat == agg
+    }
+
   property("native RollingTokenHashes == built-in HOF formulation") =
     forAll(messyDoc) { d =>
       val rows = Seq(d).toDF("text").select(
