@@ -15,15 +15,16 @@ import org.apache.spark.sql.functions._
   * so a handful of rounds converges; `maxIter` bounds pathological
   * chains.
   *
-  * Scale shape: each round is one join of the edge list with the
-  * label table plus one min-aggregate — both shuffle on node id,
-  * map-side combinable, no row blow-up beyond the edge list itself.
-  * The per-round convergence probe (`isEmpty` on changed labels) is
-  * the one intentional driver-side action in the engine: iterative
-  * graph algorithms are synchronous by nature (GraphX's Pregel loop
-  * does exactly this). At extreme diameters the alternating
-  * large-star/small-star algorithm halves rounds; for dedup graphs
-  * plain propagation is the better constant factor.
+  * Scale shape: each round is one job — two fused propagation hops
+  * (edge-join + min-aggregate, both shuffling on node id, map-side
+  * combinable, no row blow-up beyond the edge list itself) with the
+  * convergence probe riding the same job as an `observe` metric. The
+  * blocking `Observation.get` is the one intentional driver-side
+  * synchronization in the engine: iterative graph algorithms are
+  * synchronous by nature (GraphX's Pregel loop does exactly this).
+  * At extreme diameters the alternating large-star/small-star
+  * algorithm halves rounds; for dedup graphs plain propagation is
+  * the better constant factor.
   */
 object Clusters {
 
@@ -46,24 +47,33 @@ object Clusters {
       .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    def propagate(l: DataFrame): DataFrame =
+      l.union(edges
+          .join(l.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("lbl")))
+        .groupBy(col("node"))
+        .agg(min(col("lbl")).as("lbl"))
     // Min-label propagation only ever DECREASES labels, so the label
-    // sum is stationary iff no label changed — a one-row aggregate
-    // convergence probe instead of a per-round join + isEmpty.
+    // sum is stationary iff no label changed — a one-row convergence
+    // probe instead of a per-round join + isEmpty. The probe rides the
+    // checkpoint job as an `observe` metric (CollectMetrics), so each
+    // round is ONE job; and each round runs TWO propagation hops per
+    // materialization, halving round count (in local mode fixed
+    // per-job latency dominates these small iterative stages; on a
+    // cluster the fused round halves scheduling overhead the same
+    // way).
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null // empty edge list: nothing to label
     while (iter < maxIter && !converged) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("lbl"))
-      val next = labels.union(viaNeighbor)
-        .groupBy(col("node"))
-        .agg(min(col("lbl")).as("lbl"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val next = propagate(propagate(labels))
+        .observe(obs, sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      val s = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      converged = s == null || s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
