@@ -394,6 +394,52 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cidx"), subVectors(col("embedding")).as("e"))
       .select(col("e.sub").as("sub"), col("cidx"), col("e.svec").as("cvec"))
 
+  /** Per-subspace Lloyd refinement of the PQ codebooks — k-means in
+    * each 8-dim subspace, exactly the determinism contract of
+    * [[lloydCentroids]]: each iteration reassigns every subvector to
+    * its nearest codeword (L2 in fixed-order double, ties to the lower
+    * codeword index), then replaces each codeword with its members'
+    * mean over integer-millionth-quantized components, cast to float —
+    * so the DuckDB oracle replays bit-identical codebooks. Empty
+    * codewords drop out (as in the IVF loop).
+    *
+    * Scale shape per iteration: assignment is one broadcast join (the
+    * codebook is NumSub×NumCodes rows by construction) + one hash
+    * aggregate; means are a posexplode into a (sub, cidx, pos) hash
+    * aggregate — map-side combinable, one shuffle of
+    * NumSub×NumCodes×SubDim partial sums. */
+  def pqCodebookRefined(embeddings: DataFrame, iterations: Int): DataFrame = {
+    val subs = spread(embeddings)
+      .select(col("vec_id"), subVectors(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cb = pqCodebook(embeddings)
+    for (_ <- 0 until iterations) {
+      // argmin aggregate carrying the subvector along (every pre-agg
+      // row of a (vec_id, sub) holds the same svec, so first() is
+      // deterministic) — one shuffle, no corpus re-join.
+      val members = subs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("svec"),
+          struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("cand")).getField("cidx").as("cidx"),
+          first(col("svec")).as("svec"))
+      cb = members
+        .select(col("sub"), col("cidx"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .select(col("sub"), col("cidx"), col("pos"),
+          floor(col("v").cast("double") * lit(1000000d) + lit(0.5)).as("qv"))
+        .groupBy(col("sub"), col("cidx"), col("pos"))
+        .agg((sum(col("qv")) / (lit(1000000d) * count(lit(1)))).cast("float").as("m"))
+        .groupBy(col("sub"), col("cidx"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // subs stays persisted: the per-iteration plans are lazy and all
+    // replay through it when the final codebook first materializes.
+    cb
+  }
+
   /** Encode the corpus: nearest codeword per (vector, subspace), ties
     * to the lower codeword index — NumSub small integers per vector. */
   def pqEncode(corpus: DataFrame, cb: DataFrame): DataFrame =
@@ -411,8 +457,9 @@ object Similarity {
     * one broadcast join against the encoded corpus and a sum per
     * (query, vector). */
   def pqSearch(embeddings: DataFrame, queryMaxId: Long, corpusMinId: Long,
-               k: Int): DataFrame = {
-    val cb = pqCodebook(embeddings)
+               k: Int, iterations: Int = 0): DataFrame = {
+    val cb = (if (iterations > 0) pqCodebookRefined(embeddings, iterations)
+              else pqCodebook(embeddings))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val enc = pqEncode(spread(embeddings.filter(col("vec_id") >= corpusMinId)), cb)
     val lut = embeddings.filter(col("vec_id") < queryMaxId)

@@ -342,7 +342,85 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 5 ORDER BY qid, rnk
     """.trim))
 
+  /** Generated WITH-clause chain replaying
+    * [[Similarity.pqCodebookRefined]]'s per-subspace Lloyd iterations
+    * in DuckDB: assignment by fixed-order double L2 (ties to the lower
+    * codeword index), then the codeword mean over integer-millionth-
+    * quantized components cast to float — bit-identical codebooks on
+    * both engines. Ends at table `cb$iterations(sub, cidx, cvec)`. */
+  private def pqLloydCte(iterations: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += "subs AS (SELECT unnest(generate_series(0, 7)) AS sub)"
+    parts += """cb0 AS (
+        SELECT s.sub, CAST(e.vec_id AS INT) AS cidx,
+               [e.embedding[i] FOR i IN generate_series(s.sub * 8 + 1, s.sub * 8 + 8)] AS cvec
+        FROM embeddings e, subs s WHERE e.vec_id < 16)"""
+    for (i <- 1 to iterations) {
+      parts += s"""
+      pasg$i AS (
+        SELECT vec_id, sub, cidx FROM (
+          SELECT e.vec_id, c.sub, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                   list_sum([(e.embedding[c.sub * 8 + j]::DOUBLE - c.cvec[j]::DOUBLE)
+                             * (e.embedding[c.sub * 8 + j]::DOUBLE - c.cvec[j]::DOUBLE)
+                             FOR j IN generate_series(1, 8)]), c.cidx) AS rn
+          FROM embeddings e, cb${i - 1} c)
+        WHERE rn = 1),
+      cb$i AS (
+        SELECT sub, cidx, list(CAST(mv AS FLOAT) ORDER BY pos) AS cvec FROM (
+          SELECT a.sub, a.cidx, g.pos,
+                 sum(CAST(floor(e.embedding[a.sub * 8 + g.pos]::DOUBLE * 1000000 + 0.5) AS BIGINT))
+                   / (1000000.0 * count(*)) AS mv
+          FROM embeddings e
+          JOIN pasg$i a USING (vec_id)
+          CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS pos) g
+          GROUP BY a.sub, a.cidx, g.pos)
+        GROUP BY sub, cidx)"""
+    }
+    parts.result().mkString(",")
+  }
+
+  /** PQ + ADC over LLOYD-REFINED codebooks (2 per-subspace k-means
+    * iterations) — the production-shape index build. The oracle unrolls
+    * both refinement iterations, re-encodes the corpus and ranks, so
+    * the entire refined pipeline is cross-checked. Refined-vs-seeded
+    * recall is asserted in PqRecallSpec. */
+  val qEmbedPqRefined: Q = Q(
+    "q_embed_pq_refined",
+    (spark, dir) => Similarity.pqSearch(
+      Tables.embeddings(spark, dir), queryMaxId = 8, corpusMinId = 16, k = 5,
+      iterations = 2),
+    Some(s"""
+      WITH ${pqLloydCte(2)},
+      encd AS (
+        SELECT vec_id, sub, cidx AS code FROM (
+          SELECT e.vec_id, c.sub, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                   list_sum([(e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             * (e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             FOR i IN generate_series(1, 8)]), c.cidx) AS rn
+          FROM embeddings e, cb2 c WHERE e.vec_id >= 16)
+        WHERE rn = 1),
+      lut AS (
+        SELECT q.vec_id AS qid, c.sub, c.cidx,
+               CAST(floor(list_sum([(q.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    * (q.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    FOR i IN generate_series(1, 8)]) * 1000000000 + 0.5)
+                    AS BIGINT) AS d_int
+        FROM embeddings q, cb2 c WHERE q.vec_id < 8),
+      scored AS (
+        SELECT l.qid, e.vec_id, sum(l.d_int) AS adc
+        FROM encd e JOIN lut l ON e.sub = l.sub AND e.code = l.cidx
+        GROUP BY l.qid, e.vec_id),
+      r AS (
+        SELECT qid, vec_id, CAST(adc AS BIGINT) AS adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, adc, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY qid, rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
-    qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq)
+    qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined)
 }
