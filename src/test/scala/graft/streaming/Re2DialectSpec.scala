@@ -25,8 +25,14 @@ class Re2DialectSpec extends AnyFunSuite {
       "(?<=x)y",         // lookbehind
       "(?<!x)y",         // negative lookbehind
       "(?>ab)c",         // atomic group
-      "a*+b", "a++", "x?+", "a{2,3}+b") // possessive quantifiers
+      "a*+b", "a++", "x?+", "a{2,3}+b", "a{2}+") // possessive quantifiers
     bad.foreach(p => assert(Re2Dialect.check(p).isDefined, s"should reject: $p"))
+  }
+
+  test("literal brace followed by + is portable, not possessive") {
+    // `}` here closes no {m,n} quantifier — valid in both dialects
+    Seq("a}+", "x}+y").foreach(p =>
+      assert(Re2Dialect.check(p).isEmpty, s"should pass: $p"))
   }
 
   test("RE2-only syntax is rejected via the Java compile check") {
