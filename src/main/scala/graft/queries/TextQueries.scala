@@ -406,9 +406,77 @@ object TextQueries {
       FROM g ORDER BY source
     """.trim))
 
+  /** Per-document TF-IDF top-3 terms (rational idf = N/df — no `ln`:
+    * transcendental functions are not correctly-rounded and may differ
+    * in the last ulp between engines exactly at a ranking boundary;
+    * integer multiply + one double division is bit-portable). */
+  val qTextTfidf: Q = Q(
+    "q_text_tfidf",
+    (spark, dir) => graft.operators.Ranking
+      .tfIdfTopTerms(Tables.documents(spark, dir), k = 3),
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+          FROM documents)
+        GROUP BY doc_id, term),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(CAST(t.tf * s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE), 6) AS score
+        FROM tf t JOIN dft d USING (term) CROSS JOIN stats s),
+      r AS (
+        SELECT doc_id, term, tf, df, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """.trim))
+
+  /** BM25 top-10 docs for a fixed bag-of-terms query. Rational idf
+    * (no log — see q_text_tfidf), constants pre-folded as identical
+    * decimal literals on both sides, per-term scores quantized to
+    * BIGINT nano-units before the per-doc sum so the ranked total is
+    * an exact integer (float-sum order can never flip the ranking). */
+  val qTextBm25: Q = Q(
+    "q_text_bm25",
+    (spark, dir) => graft.operators.Ranking.bm25TopDocs(
+      Tables.documents(spark, dir),
+      Seq("join", "stream", "data"), topN = 10),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf FROM (
+          SELECT doc_id, len(tl) AS dl, unnest(tl) AS term FROM toks)
+        WHERE term IN ('join', 'stream', 'data')
+        GROUP BY doc_id, dl, term),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      stats AS (SELECT count(*) AS n_docs, sum(len(tl)) AS sum_dl FROM toks),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                 ((CAST(s.n_docs - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2) /
+                    (CAST(t.tf AS DOUBLE) + 1.2 *
+                     (0.25 + 0.75 * (CAST(t.dl AS DOUBLE) /
+                       (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))))
+                 * 1000000000 + 0.5) AS BIGINT) AS nano
+        FROM tf t JOIN dft d USING (term) CROSS JOIN stats s),
+      ranked AS (
+        SELECT doc_id, sum(nano) AS bm25_nanos FROM scored GROUP BY doc_id
+        ORDER BY bm25_nanos DESC, doc_id LIMIT 10)
+      SELECT doc_id, bm25_nanos,
+             CAST(row_number() OVER (ORDER BY bm25_nanos DESC, doc_id) AS INT) AS rnk
+      FROM ranked ORDER BY rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
-    qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks)
+    qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
+    qTextTfidf, qTextBm25)
 }
