@@ -274,6 +274,78 @@ object DedupQueries {
       GROUP BY d.source ORDER BY d.source
     """.trim))
 
+  /** Bloom-filter ingest screen at the SHINGLE level: build the
+    * membership sketch from the existing corpus's distinct 5-gram
+    * shingles, probe it with the new batch's shingles (doc_id % 10
+    * split — the same split the incremental minhash query uses), and
+    * report the confusion summary against exact membership. A shingle
+    * probe that comes back "not present" can skip the overlap join
+    * entirely — the cheap pre-screen in front of the exact/near-dup
+    * machinery. `n_false_neg` must be 0 by construction — both engines
+    * deriving that zero checks the bit mechanics end to end; the FP
+    * count is the sketch's measured quality gauge. The oracle rebuilds
+    * the identical sketch (md5-chunk positions, 32-bit words, bit_or)
+    * in SQL. */
+  val qBloomScreen: Q = {
+    val m = graft.operators.Bloom.NumBits
+    val posList = (0 until graft.operators.Bloom.NumHashes)
+      .map(i => s"${chunkSql(i)} % $m").mkString(", ")
+    Q(
+      "q_bloom_screen",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.operators.Bloom
+        val docs = Tables.documents(spark, dir)
+        val corpSh = Dedup.docShingles(docs.filter(col("doc_id") % 10 =!= 0))
+          .select(col("shingle")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val batchSh = Dedup.docShingles(docs.filter(col("doc_id") % 10 === 0))
+          .select(col("shingle")).distinct()
+        val sketch = Bloom.build(corpSh, col("shingle"))
+        val members = corpSh.withColumn("is_member", lit(true))
+        Bloom.probe(batchSh, "shingle", col("shingle"), sketch)
+          .join(members, Seq("shingle"), "left")
+          .agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+            sum(when(col("is_member").isNotNull, 1L).otherwise(0L)).as("n_members"),
+            sum(when(col("maybe") && col("is_member").isNull, 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(!col("maybe") && col("is_member").isNotNull, 1L).otherwise(0L))
+              .as("n_false_neg"))
+      },
+      Some(s"""
+      $shinglesCte,
+      corp AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0),
+      batch AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+      cpos AS (
+        SELECT unnest([$posList]) AS pos
+        FROM (SELECT md5(shingle) AS hx FROM corp)),
+      sketch AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM cpos GROUP BY pos // 32),
+      bpos AS (
+        SELECT shingle, unnest([$posList]) AS pos
+        FROM (SELECT shingle, md5(shingle) AS hx FROM batch)),
+      hits AS (
+        SELECT shingle, count(*) AS n_hits
+        FROM bpos b JOIN sketch s ON b.pos // 32 = s.word
+        WHERE (s.bits & (1::BIGINT << CAST(b.pos % 32 AS INT))) <> 0
+        GROUP BY shingle),
+      probed AS (
+        SELECT b.shingle, coalesce(h.n_hits, 0) = 4 AS maybe,
+               b.shingle IN (SELECT shingle FROM corp) AS is_member
+        FROM batch b LEFT JOIN hits h USING (shingle))
+      SELECT count(*) AS n_probes,
+             CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+             CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             CAST(sum(CASE WHEN NOT maybe AND is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+      FROM probed
+      """.trim))
+  }
+
   /** Eval-set contamination screening: fraction of each training doc's
     * 5-gram shingles that appear anywhere in the held-out set (source
     * 'src0' stands in for the eval benchmark). The eval shingle set is
@@ -374,5 +446,5 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupClusters, qDedupKeep, qContamination,
-    qDedupIncremental)
+    qDedupIncremental, qBloomScreen)
 }
