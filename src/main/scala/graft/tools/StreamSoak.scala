@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{OrderUnifyPipeline, SourceRecord}
+import graft.streaming.{OrderUnifyPipeline, OrderUnifyTws, SourceRecord}
 
 /** Streaming throughput soak: drives N complete order lifecycles
   * (3 events each: created/placed/cancelled, distinct keys) through
@@ -16,7 +16,11 @@ import graft.streaming.{OrderUnifyPipeline, SourceRecord}
   *
   * The reference deployment's implied load is ~3 events/s
   * (BASELINE.md); this records the same pipeline's capacity headroom
-  * at local[32]. Run: `sbt "runMain graft.tools.StreamSoak [lifecycles]"`.
+  * at local[32]. Run:
+  * `sbt "runMain graft.tools.StreamSoak [lifecycles] [fmgws|tws]"` —
+  * the second arg selects the stateful implementation
+  * (flatMapGroupsWithState, the default, or transformWithState with
+  * explicit timers on the RocksDB provider).
   */
 object StreamSoak {
 
@@ -35,24 +39,33 @@ object StreamSoak {
 
   def main(args: Array[String]): Unit = {
     val lifecycles = args.headOption.map(_.toInt).getOrElse(100000)
+    val impl = args.lift(1).getOrElse("fmgws")
+    require(impl == "fmgws" || impl == "tws", s"unknown impl '$impl'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-soak-ckpt").toString
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stream-soak")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.checkpointLocation", ckpt)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (impl == "tws") // OSS transformWithState requires RocksDB
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val bufferMillis = 2000L
     val input = MemoryStream[SourceRecord]
-    val out = OrderUnifyPipeline.projections(input.toDF(), bufferMillis)
+    val out =
+      if (impl == "tws")
+        OrderUnifyTws.unify(
+          OrderUnifyPipeline.parseAndCanonicalize(input.toDF()), bufferMillis)
+      else OrderUnifyPipeline.projections(input.toDF(), bufferMillis)
     val query = out.writeStream
       .format("memory").queryName("soak").outputMode("append")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
@@ -79,7 +92,7 @@ object StreamSoak {
     require(done == lifecycles,
       s"incomplete: $done of $lifecycles projections after ${elapsed}s")
     val json =
-      f"""{"metric":"stream_events_per_sec","value":$eps%.0f,"unit":"events/sec","lifecycles":$lifecycles,"elapsed_sec":$elapsed%.2f}"""
+      f"""{"metric":"stream_events_per_sec","value":$eps%.0f,"unit":"events/sec","impl":"$impl%s","lifecycles":$lifecycles,"elapsed_sec":$elapsed%.2f}"""
     println(json)
     spark.stop()
     println(json)
