@@ -23,13 +23,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Spread a (possibly single-split) input across the cluster before a
-    * compute-heavy per-row stage: input partitioning follows file
-    * splits, which under-parallelizes small-but-expensive tables (the
-    * 0.6 MB documents file arrives as ONE partition). Hash-distributing
-    * on the row key decouples CPU parallelism from input layout; AQE
-    * coalesces again afterwards if the stage output is small. */
+    * compute-heavy per-row stage — see [[Partitioning.spreadBy]]: only
+    * redistributes when planned parallelism is below the cluster's, so
+    * a many-split corpus at scale skips the extra shuffle. */
   private def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+    Partitioning.spreadBy(df, key)
 
   /** Distinct shingles per document: `(doc_id, shingle)`. */
   def docShingles(documents: DataFrame, n: Int = 5): DataFrame =

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    Partitioning.spreadBy(df, "doc_id")
 
   /** `(doc_id, dl, term, tf)` — per-document term frequencies with the
     * document token length carried along. */

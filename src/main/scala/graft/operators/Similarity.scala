@@ -42,9 +42,10 @@ object Similarity {
 
   /** Decouple CPU parallelism from input file splits (the embeddings
     * table is one small file = one partition, but the pair loops it
-    * feeds are the most compute-intense stages in the engine). */
+    * feeds are the most compute-intense stages in the engine) — see
+    * [[Partitioning.spreadBy]] for the at-scale no-op contract. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    Partitioning.spreadBy(df, "vec_id")
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors by (cosine desc, vec_id asc). The query side is
