@@ -72,7 +72,17 @@ object Clusters {
       val next = propagate(propagate(labels))
         .observe(obs, sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
         .localCheckpoint()
-      val s = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      // The metric arrives via the (bounded, droppable) listener bus;
+      // never block on it without a timeout — if the event was shed
+      // under load, fall back to the synchronous one-row probe over
+      // the (already materialized) checkpoint.
+      val s =
+        try scala.concurrent.Await
+          .result(obs.future, scala.concurrent.duration.Duration(10, "s"))
+          .getAs[java.math.BigDecimal]("lsum")
+        catch {
+          case _: java.util.concurrent.TimeoutException => labelSum(next)
+        }
       converged = s == null || s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

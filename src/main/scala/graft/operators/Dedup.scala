@@ -253,8 +253,12 @@ object Dedup {
     * aggregate twin below ([[simhashDocsAgg]]) is the built-in-only
     * differential check. */
   def simhashDocs(documents: DataFrame): DataFrame =
-    spread(documents, "doc_id").select(col("doc_id"),
-      graft.functions.TextExpressions.simhash64(col("text")).as("sh"))
+    // null-text docs drop (not null-hash): the aggregate twin and the
+    // oracle both lose such docs at explode/unnest, and a null key
+    // must not enter the block joins
+    spread(documents, "doc_id").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.simhash64(col("text")).as("sh"))
 
   /** Built-in-only formulation of [[simhashDocs]], kept as the
     * differential-test twin of the native expression: tokens are

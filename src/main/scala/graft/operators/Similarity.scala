@@ -434,10 +434,11 @@ object Similarity {
         .groupBy(col("sub"), col("cidx"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           e => e.getField("m")).as("cvec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    // subs stays persisted: the per-iteration plans are lazy and all
-    // replay through it when the final codebook first materializes.
+    // Intermediate codebooks form a LINEAR chain (each referenced once
+    // by the next iteration) — no persist needed; callers persist the
+    // returned codebook. subs stays persisted: every iteration's plan
+    // replays through it when the final codebook first materializes.
     cb
   }
 

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{OrderUnifyPipeline, OrderUnifyTws, SourceRecord}
@@ -86,11 +87,19 @@ object StreamSoak {
       done = spark.table("soak").count()
     }
     val elapsed = (System.nanoTime() - t0) / 1e9
+    // settle before asserting exactness: catch late duplicate emission
+    // the count-poll loop would miss (the timed figure is already
+    // captured above)
+    Thread.sleep(1000)
+    val finalCount = spark.table("soak").count()
+    val distinctKeys = spark.table("soak")
+      .select(col("orderId")).distinct().count()
     query.stop()
     val events = 3L * lifecycles
     val eps = events / elapsed
-    require(done == lifecycles,
-      s"incomplete: $done of $lifecycles projections after ${elapsed}s")
+    require(finalCount == lifecycles && distinctKeys == lifecycles,
+      s"not exactly-once: $finalCount rows / $distinctKeys keys for " +
+        s"$lifecycles lifecycles after ${elapsed}s")
     val json =
       f"""{"metric":"stream_events_per_sec","value":$eps%.0f,"unit":"events/sec","impl":"$impl%s","lifecycles":$lifecycles,"elapsed_sec":$elapsed%.2f}"""
     println(json)

@@ -76,8 +76,13 @@ class PqRecallSpec extends AnyFunSuite {
     val sseSeeded = quantError(Similarity.pqCodebook(emb))
     val sse1 = quantError(Similarity.pqCodebookRefined(emb, 1))
     val sse2 = quantError(Similarity.pqCodebookRefined(emb, 2))
-    assert(sse1 <= sseSeeded, s"1-iter SSE $sse1 > seeded $sseSeeded")
-    assert(sse2 <= sse1, s"2-iter SSE $sse2 > 1-iter $sse1")
+    // k-means' monotone-decrease proof assumes EXACT means; the
+    // engine-portable means are millionth-quantized and float-cast,
+    // which can shift SSE by up to ~1e-2 at this scale — allow that
+    // slack (real per-iteration improvements here are ~10-75)
+    val eps = 0.01
+    assert(sse1 <= sseSeeded + eps, s"1-iter SSE $sse1 > seeded $sseSeeded")
+    assert(sse2 <= sse1 + eps, s"2-iter SSE $sse2 > 1-iter $sse1")
 
     val truth = exactTruth
     val seeded = resultSet(Similarity.pqSearch(emb, qMax, corpusMin, k))

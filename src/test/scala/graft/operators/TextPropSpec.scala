@@ -68,6 +68,15 @@ object TextPropSpec extends Properties("TextOps") {
       nat == agg
     }
 
+  property("null-text docs drop from simhash in both formulations") =
+    forAll(doc) { d =>
+      val docs = Seq((1L, d), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val nat = Dedup.simhashDocs(docs).as[(Long, Long)].collect().toMap
+      val agg = Dedup.simhashDocsAgg(docs).as[(Long, Long)].collect().toMap
+      nat == agg && nat.keySet == Set(1L)
+    }
+
   property("native RollingTokenHashes == built-in HOF formulation") =
     forAll(messyDoc) { d =>
       val rows = Seq(d).toDF("text").select(
