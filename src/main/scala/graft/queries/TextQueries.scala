@@ -473,10 +473,110 @@ object TextQueries {
       FROM ranked ORDER BY rnk
     """.trim))
 
+  /** End-to-end corpus-prep pipeline — the capstone composition a
+    * training run would actually execute: quality filter (≥0.64) →
+    * canonical-fingerprint dedup (keep the lowest doc_id; drops 0 on
+    * this corpus — a verified zero, like the bloom FN count) →
+    * eval-contamination screen (<0.5 shingle overlap with the held-out
+    * src0 set) → per-source manifest (kept docs, token mass, corpus
+    * share). Every stage is an operator verified standalone elsewhere;
+    * this query verifies they COMPOSE. All joins are hash-agg/semi
+    * shaped; the held-out shingle set broadcasts. */
+  val qCorpusPrep: Q = Q(
+    "q_corpus_prep",
+    (spark, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, dir)
+      val scored = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).as("n_toks"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("quality") >= 0.64)
+      val keeper = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      val deduped = scored.join(keeper,
+          scored("fp") === keeper("fp") && scored("doc_id") === keeper("keep_id"))
+        .select(scored("doc_id"), col("source"), col("text"), col("n_toks"))
+      val evalSh = broadcast(
+        Dedup.docShingles(docs.filter(col("source") === "src0"))
+          .select(col("shingle")).distinct())
+      val docSh = Dedup.docShingles(deduped)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val contam = docSh.join(evalSh, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+      val screened = deduped
+        .join(totals, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_contam"), lit(0L)).cast("double") /
+          coalesce(col("n_sh"), lit(1L)) < 0.5)
+      val agg = screened.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+      val total = agg.agg(sum(col("kept_tokens")).as("total_tokens"))
+      agg.crossJoin(broadcast(total))
+        .select(col("source"), col("n_kept"), col("kept_tokens"),
+          round(col("kept_tokens").cast("double") / col("total_tokens"), 6)
+            .as("corpus_share"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source, text, n_tokens, fp FROM (
+          SELECT doc_id, source, text,
+                 len(toks) AS n_tokens,
+                 round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                       (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                         / len(toks)) * 0.3 +
+                       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4,
+                       6) AS quality,
+                 md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   '\s+', ' ', 'g'))) AS fp
+          FROM (SELECT doc_id, source, text, string_split_regex(text, '\s+') AS toks
+                FROM documents WHERE source <> 'src0'))
+        WHERE quality >= 0.64),
+      keeper AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp),
+      dd AS (
+        SELECT s.doc_id, s.source, s.text, s.n_tokens
+        FROM scored s JOIN keeper k ON s.fp = k.fp AND s.doc_id = k.keep_id),
+      dsh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM dd)
+        WHERE len(tl) >= 5),
+      esh AS (
+        SELECT DISTINCT unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM (SELECT string_split_regex(text, '\s+') AS tl FROM documents
+              WHERE source = 'src0')
+        WHERE len(tl) >= 5),
+      ctm AS (
+        SELECT doc_id, count(*) AS n_sh,
+               sum(CASE WHEN shingle IN (SELECT shingle FROM esh)
+                        THEN 1 ELSE 0 END) AS n_contam
+        FROM dsh GROUP BY doc_id),
+      screened AS (
+        SELECT d.source, d.n_tokens
+        FROM dd d LEFT JOIN ctm c USING (doc_id)
+        WHERE CAST(coalesce(c.n_contam, 0) AS DOUBLE)
+              / coalesce(c.n_sh, 1) < 0.5),
+      agg AS (
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        FROM screened GROUP BY source)
+      SELECT source, n_kept, kept_tokens,
+             round(CAST(kept_tokens AS DOUBLE) /
+                   (SELECT CAST(sum(kept_tokens) AS DOUBLE) FROM agg), 6)
+               AS corpus_share
+      FROM agg ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
-    qTextTfidf, qTextBm25)
+    qTextTfidf, qTextBm25, qCorpusPrep)
 }
