@@ -500,7 +500,12 @@ object TextQueries {
       val evalSh = broadcast(
         Dedup.docShingles(docs.filter(col("source") === "src0"))
           .select(col("shingle")).distinct())
-      val docSh = Dedup.docShingles(deduped)
+      // deduped is a JOIN output — already distributed, and outside
+      // Partitioning.spreadBy's scan-shaped contract (its .rdd probe
+      // would materialize the upstream AQE stages as real jobs at
+      // construction time); shingle it inline instead of docShingles.
+      val docSh = deduped.select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingles(col("text")))).as("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val totals = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val contam = docSh.join(evalSh, Seq("shingle"), "left_semi")
