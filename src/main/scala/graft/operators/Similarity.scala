@@ -386,10 +386,11 @@ object Similarity {
       struct(lit(s).as("sub"),
         slice(vecCol, s * PqSubDim + 1, PqSubDim).as("svec"))): _*))
 
-  /** Per-subspace codebook: codeword `cidx` of subspace `sub` is the
-    * sub-vector of corpus vector `cidx` (deterministic seeding — the
-    * cross-engine contract; production would Lloyd-refine per subspace
-    * exactly as [[lloydCentroids]] does for IVF). */
+  /** Per-subspace SEED codebook: codeword `cidx` of subspace `sub` is
+    * the sub-vector of corpus vector `cidx` (deterministic seeding —
+    * the cross-engine contract). [[pqCodebookRefined]] Lloyd-refines
+    * these per subspace; this unrefined form remains as the seed and
+    * as the cheaper variant when index-build cost dominates. */
   def pqCodebook(embeddings: DataFrame): DataFrame =
     embeddings.filter(col("vec_id") < PqNumCodes)
       .select(col("vec_id").cast("int").as("cidx"), subVectors(col("embedding")).as("e"))
