@@ -40,4 +40,17 @@ object Sampling {
     }.otherwise(lit(math.round(defaultFraction * 10000).toInt))
     df.filter(hashBasisPoints(key) < threshold)
   }
+
+  /** Weighted deterministic sample: each row's keep probability is a
+    * per-row weight expression in [0, 1] (e.g. a quality score — the
+    * quality-weighted mixing step of corpus prep). Acceptance is
+    * `hash(key) bp < floor(weight·10⁴ + 0.5)`: still a pure scalar
+    * predicate (no shuffle, no count pass), reproducible everywhere,
+    * and monotone in the weight — raising a doc's quality can only
+    * move it INTO the sample, never out past another. Weight must be
+    * deterministic per row (the same row samples identically in every
+    * run and engine). */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(hashBasisPoints(key) <
+      floor(weight.cast("double") * lit(10000d) + lit(0.5)).cast("long"))
 }

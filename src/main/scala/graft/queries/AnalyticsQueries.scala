@@ -424,6 +424,37 @@ object AnalyticsQueries {
       GROUP BY event_type ORDER BY event_type
     """.trim))
 
+  /** Quality-weighted deterministic sampling: each document's keep
+    * probability IS its quality score (the quality-weighted mixing
+    * step of corpus prep) — acceptance is a pure scalar predicate on
+    * hash basis points vs floor(quality·10⁴+0.5), zero shuffle,
+    * reproducible across engines because the score itself is
+    * hash-verified identical (q_text_quality). */
+  val qSampleWeighted: Q = Q(
+    "q_sample_weighted",
+    (spark, dir) => graft.operators.Sampling.weightedHashSample(
+      Tables.documents(spark, dir), col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source")),
+    Some(s"""
+      SELECT source, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM (
+        SELECT doc_id, source,
+               round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+                       / len(toks)) * 0.3 +
+                     (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4,
+                     6) AS q
+        FROM (SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+              FROM documents))
+      WHERE ${bpSql("doc_id")} < CAST(floor(q * 10000 + 0.5) AS BIGINT)
+      GROUP BY source ORDER BY source
+    """.trim))
+
   /** As-of (point-in-time) join: every event picks up the most recent
     * order of the same user at or before the event time. Spark has no
     * native as-of operator — [[graft.operators.AsofJoin]] interleaves
@@ -664,6 +695,6 @@ object AnalyticsQueries {
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
-    qSampleStratified, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
+    qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit)
 }

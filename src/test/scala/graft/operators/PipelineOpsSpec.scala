@@ -33,6 +33,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byCls("b") > 2200, s"b: ${byCls("b")}")
   }
 
+  test("weighted sampling: monotone in weight, exact at the extremes") {
+    val df = spark.range(5000).toDF("id")
+    // weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert(Sampling.weightedHashSample(df, col("id"), lit(1.0)).count() == 5000)
+    assert(Sampling.weightedHashSample(df, col("id"), lit(0.0)).count() == 0)
+    // monotone: a row kept at weight w stays kept at any w' >= w
+    val low = Sampling.weightedHashSample(df, col("id"), lit(0.2))
+    val high = Sampling.weightedHashSample(df, col("id"), lit(0.6))
+    assert(low.except(high).isEmpty)
+    val (nLow, nHigh) = (low.count(), high.count())
+    assert(math.abs(nLow - 1000) < 150, s"low rate off: $nLow")
+    assert(math.abs(nHigh - 3000) < 250, s"high rate off: $nHigh")
+  }
+
   test("as-of join picks the latest right row at or before the left ts") {
     val left = Seq(
       ("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k1", 5L, "e0"),
