@@ -22,5 +22,6 @@ object Registry {
       graft.queries.AnalyticsQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
-      graft.queries.SimilarityQueries.all
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.CurationQueries.all
 }

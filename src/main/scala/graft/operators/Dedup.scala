@@ -317,4 +317,31 @@ object Dedup {
       .select(col("da"), col("db"), col("hamming"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Substring-level duplication signal: for each document, the
+    * fraction of its distinct n-gram shingles that also occur in at
+    * least `minDf - 1` OTHER documents — the shingle-granularity form
+    * of "what share of this doc is text duplicated elsewhere in the
+    * corpus" (the signal substring-dedup pipelines trim on; n=10
+    * approximates contiguous duplicated spans much more tightly than
+    * the 5-gram near-dup shingles). Docs shorter than n tokens have no
+    * shingles and are absent.
+    *
+    * Scale shape: the df table is the same inverted-index aggregate
+    * the capped-Jaccard path builds — one shuffle on shingle; the
+    * df-join back to per-doc shingles is linear in total shingle
+    * occurrences (no pair generation anywhere). A skew-hot shingle
+    * only widens one aggregate cell, not a join fan-out. */
+  def duplicatedNgramStats(documents: DataFrame, n: Int = 10,
+                           minDf: Int = 2): DataFrame = {
+    val sh = docShingles(documents, n)
+    val dfTable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfTable, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+      .withColumn("trim_candidate", col("dup_fraction") >= 0.5)
+  }
 }

@@ -53,4 +53,26 @@ object Sampling {
   def weightedHashSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.filter(hashBasisPoints(key) <
       floor(weight.cast("double") * lit(10000d) + lit(0.5)).cast("long"))
+
+  /** Fixed-size per-group sample: exactly `min(k, |group|)` rows per
+    * group, chosen by ranking each group on `md5(key)` — the
+    * deterministic analogue of per-stratum reservoir sampling
+    * (eval-set carving, per-source spot-check pulls). The md5 order is
+    * uniform and independent of storage order, so the k rows are an
+    * unbiased fixed-seed draw, identical on every run and engine.
+    *
+    * Scale shape: one shuffle on the group key plus a per-group sort
+    * (external, spill-safe). The rank never leaves its group, so skew
+    * in group sizes costs sort time, not correctness; for tiny k over
+    * huge groups a two-phase partial top-k would bound the sort — at
+    * training-corpus stratum counts the window form is the simpler
+    * plan and AQE splits oversized partitions. */
+  def fixedKPerGroup(df: DataFrame, key: Column, group: Column,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(md5(key.cast("string")), key.cast("string"))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic count-min sketch — the frequency-estimation
+  * counterpart of [[Bloom]]'s membership sketch. A training-data
+  * pipeline uses it to find heavy hitters (boilerplate n-grams, spam
+  * templates, hot join keys) without materializing the full exact
+  * frequency table: the sketch is `Depth × Width` counters regardless
+  * of key cardinality, so it broadcasts at any corpus size.
+  *
+  * Construction is md5-based and engine-portable (the DuckDB oracle
+  * rebuilds the identical sketch): hash row `i` of a key indexes
+  * counter `chunk_i(md5(key)) mod Width`, where `chunk_i` is the
+  * i-th independent 32-bit big-endian slice of the digest — the same
+  * position recipe [[Bloom]] uses for bits.
+  *
+  * Estimates are biased one way only: `est >= exact` always (each
+  * counter sums the true count plus non-negative collision mass), and
+  * taking the MIN over the `Depth` rows makes large overestimates
+  * exponentially unlikely. That one-sided error is what makes the
+  * sketch safe as a screen — a key the sketch calls rare IS rare.
+  *
+  * Scale shape: the build is one hash aggregate over `(row, col)`
+  * cells — map-side `count` partials, shuffle of at most
+  * `Depth × Width` rows per partition; the finished sketch is at most
+  * `Depth × Width` rows total, broadcastable by construction. Probing
+  * is a broadcast join plus a min aggregate over `Depth` rows per key.
+  */
+object Sketches {
+
+  /** Independent hash rows (md5 has 4 disjoint 32-bit chunks). */
+  val Depth = 4
+
+  /** Counters per row; 4096 × 4 rows ≈ 128 KiB of longs — raise for
+    * bigger key spaces, mechanics unchanged. */
+  val Width = 4096
+
+  /** The per-row counter positions of a key: md5 chunk i mod Width. */
+  def positions(key: Column): Seq[Column] =
+    (0 until Depth).map { i =>
+      conv(substring(md5(key), i * 8 + 1, 8), 16, 10).cast("long") % lit(Width.toLong)
+    }
+
+  /** Build the sketch from a key column (one input row = one
+    * occurrence): `(hr, hc, cnt)`, one row per non-zero counter. */
+  def build(df: DataFrame, key: Column): DataFrame =
+    df.select(posexplode(array(positions(key): _*)).as(Seq("hr", "hc")))
+      .groupBy(col("hr"), col("hc"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate occurrence counts for the keys in `keys`
+    * (distinct rows, one key column named `keyCol`): min over the
+    * Depth row counters. A key never inserted estimates 0. */
+  def estimate(keys: DataFrame, keyCol: String, sketch: DataFrame): DataFrame =
+    keys
+      .select(col(keyCol),
+        posexplode(array(positions(col(keyCol)): _*)).as(Seq("hr", "hc")))
+      .join(broadcast(sketch), Seq("hr", "hc"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Dedup, Sampling, Sketches, TextAnalysis}
+
+/** Corpus-curation verify queries — the frequency/versioning/sampling
+  * operations a training-data pipeline runs AROUND the dedup and
+  * quality families: heavy-hitter sketching, substring-level
+  * duplication trimming, per-stratum fixed-size draws, vocabulary
+  * construction, and snapshot diffing. All oracles rebuild the same
+  * deterministic arithmetic (md5-chunk hashing, integer counts) so the
+  * DuckDB comparison checks the math, not a reimplementation. */
+object CurationQueries {
+
+  /** Count-min sketch vs exact frequencies for every distinct token:
+    * the top-30 heavy hitters with their estimate and overestimate.
+    * `overest >= 0` for every key is the sketch's one-sided-error
+    * theorem — both engines deriving the identical (not just
+    * non-negative) overestimates checks the counter mechanics cell by
+    * cell. */
+  val qSketchCms: Q = {
+    val w = Sketches.Width
+    val posList = (0 until Sketches.Depth)
+      .map(i => s"${DedupQueries.chunkSql(i)} % $w").mkString(", ")
+    val rowList = (0 until Sketches.Depth).mkString("[", ", ", "]")
+    Q(
+      "q_sketch_cms",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+          .filter(length(col("token")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sketch = Sketches.build(toks, col("token"))
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        val est = Sketches.estimate(exact.select("token"), "token", sketch)
+        exact.join(est, "token")
+          .select(col("token"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("overest"))
+          .orderBy(col("n_exact").desc, col("token"))
+          .limit(30)
+      },
+      Some(s"""
+      WITH tk AS (
+        SELECT token FROM (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+        WHERE len(token) > 0),
+      pos AS (
+        SELECT unnest($rowList) AS hr, unnest([$posList]) AS hc
+        FROM (SELECT md5(token) AS hx FROM tk)),
+      sketch AS (
+        SELECT hr, hc, count(*) AS cnt FROM pos GROUP BY hr, hc),
+      exact AS (
+        SELECT token, count(*) AS n_exact FROM tk GROUP BY token),
+      cpos AS (
+        SELECT token, unnest($rowList) AS hr, unnest([$posList]) AS hc
+        FROM (SELECT token, md5(token) AS hx
+              FROM (SELECT DISTINCT token FROM tk))),
+      est AS (
+        SELECT c.token, min(s.cnt) AS cms_est
+        FROM cpos c JOIN sketch s USING (hr, hc)
+        GROUP BY c.token)
+      SELECT x.token, x.n_exact, e.cms_est, e.cms_est - x.n_exact AS overest
+      FROM exact x JOIN est e USING (token)
+      ORDER BY x.n_exact DESC, x.token
+      LIMIT 30
+    """.trim))
+  }
+
+  /** Per-document duplicated-10-gram fraction — the substring-dedup
+    * trim signal (what share of this doc's contiguous 10-token spans
+    * also appear in another doc). Spark builds an inverted
+    * shingle-df index and joins it back; the oracle recomputes df in
+    * SQL over the identical shingle definition. */
+  val qDedupSubstring: Q = Q(
+    "q_dedup_substring",
+    (spark, dir) =>
+      Dedup.duplicatedNgramStats(Tables.documents(spark, dir), n = 10, minDf = 2)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tl[i:i+9], ' ')
+                  FOR i IN generate_series(1, len(tl) - 9)])) AS shingle
+        FROM toks WHERE len(tl) >= 10),
+      dft AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+      SELECT doc_id, n_shingles, n_dup,
+             round(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_fraction,
+             round(CAST(n_dup AS DOUBLE) / n_shingles, 6) >= 0.5 AS trim_candidate
+      FROM (
+        SELECT s.doc_id, count(*) AS n_shingles,
+               CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM sh s JOIN dft d USING (shingle)
+        GROUP BY s.doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  /** Fixed-k deterministic sample per source stratum (k=3 of 25):
+    * exactly three md5-ranked docs per source, identical on every
+    * run/engine — the eval-set / spot-check draw. */
+  val qSamplePerGroup: Q = Q(
+    "q_sample_per_group",
+    (spark, dir) =>
+      Sampling.fixedKPerGroup(Tables.documents(spark, dir),
+          col("doc_id"), col("source"), 3)
+        .select(col("source"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("source"), col("sample_rank")),
+    Some("""
+      SELECT source, sample_rank, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                          CAST(doc_id AS VARCHAR)) AS sample_rank
+        FROM documents)
+      WHERE sample_rank <= 3
+      ORDER BY source, sample_rank
+    """.trim))
+
+  /** Vocabulary head: top-50 tokens by occurrence count with document
+    * frequency and dense frequency rank — the corpus-stats table a
+    * tokenizer build starts from. The global rank is assigned AFTER
+    * the top-k cut, so the only full-width operation is the count
+    * aggregate (one shuffle); the 50-row window is driver-trivial. */
+  val qTextVocab: Q = Q(
+    "q_text_vocab",
+    (spark, dir) => {
+      val tk = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val top = tk.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(50)
+      top.withColumn("vocab_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+        .orderBy(col("vocab_rank"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+          FROM documents)
+        WHERE len(token) > 0),
+      freq AS (
+        SELECT token, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM tk GROUP BY token),
+      top AS (
+        SELECT * FROM freq ORDER BY n_occurrences DESC, token LIMIT 50)
+      SELECT token, n_occurrences, n_docs,
+             row_number() OVER (ORDER BY n_occurrences DESC, token) AS vocab_rank
+      FROM top ORDER BY vocab_rank
+    """.trim))
+
+  /** Corpus snapshot diff: added / removed / changed docs between two
+    * fingerprint manifests (synthesized in-query from the documents
+    * table: the old snapshot lacks doc_id % 11 = 0, the new snapshot
+    * lacks doc_id % 13 = 0 and revises the text of doc_id % 7 = 0).
+    * One full-outer join on the doc key comparing md5 manifests — the
+    * versioning primitive an incremental corpus rebuild diffs with;
+    * at scale both manifests are (key, fp) projections, never the
+    * text, and bucketed storage makes the join shuffle-free. */
+  val qCorpusDiff: Q = Q(
+    "q_corpus_diff",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("old_fp"))
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("new_fp"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_fp").isNull, "added")
+            .when(col("new_fp").isNull, "removed")
+            .when(col("old_fp") =!= col("new_fp"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH old AS (
+        SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 11 <> 0),
+      neu AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)
+                 AS new_fp
+        FROM documents WHERE doc_id % 13 <> 0)
+      SELECT doc_id, status FROM (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.old_fp <> n.new_fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      WHERE status <> 'unchanged'
+      ORDER BY doc_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
+    qTextVocab, qCorpusDiff)
+}

@@ -16,8 +16,9 @@ object DedupQueries {
 
   /** DuckDB expression for 32-bit chunk `j` (0-based) of the hex digest
     * column `hx`: big-endian nibble-weighted sum via strpos — the exact
-    * value Spark computes with `conv(substring(hx, j*8+1, 8), 16, 10)`. */
-  private def chunkSql(j: Int): String =
+    * value Spark computes with `conv(substring(hx, j*8+1, 8), 16, 10)`.
+    * Shared with the sketch oracles in [[CurationQueries]]. */
+  private[queries] def chunkSql(j: Int): String =
     (0 until 8).map { k =>
       s"(strpos('0123456789abcdef', substring(hx, ${j * 8 + k + 1}, 1)) - 1)" +
         s" * ${1L << (4 * (7 - k))}"

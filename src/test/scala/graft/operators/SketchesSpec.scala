@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Count-min sketch, fixed-k sampling, and substring-dup invariants:
+  * CMS never underestimates (the one-sided-error theorem the screening
+  * use depends on) and is exact when keys don't collide; fixedKPerGroup
+  * returns exactly min(k, |group|) rows per group and the same rows on
+  * every evaluation; duplicatedNgramStats scores a verbatim duplicate
+  * pair at fraction 1 and a unique doc at 0. */
+object SketchesSpec extends Properties("Sketches") {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(10)
+
+  private val key: Gen[String] = Gen.choose(1, 10)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+
+  property("cms estimate >= exact count for every inserted key") =
+    forAll(Gen.nonEmptyListOf(key)) { keys =>
+      val df = keys.toDF("k")
+      val sketch = Sketches.build(df, col("k"))
+      val exact = df.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      val est = Sketches.estimate(exact.select("k"), "k", sketch)
+      exact.join(est, "k")
+        .filter(col("cms_est") < col("n_exact")).count() == 0
+    }
+
+  property("cms is exact for an absent key (estimate 0 or collision mass only)") =
+    forAll(Gen.nonEmptyListOf(key)) { keys =>
+      val df = keys.toDF("k")
+      val sketch = Sketches.build(df, col("k"))
+      // A key outside the alphabet of `key` can only pick up collision
+      // mass; its estimate is bounded by the total insert count.
+      val probe = Seq("!absent-key!").toDF("k")
+      val est = Sketches.estimate(probe, "k", sketch)
+        .select(col("cms_est")).as[Long].head()
+      est >= 0 && est <= keys.length
+    }
+
+  property("fixedKPerGroup returns min(k, group size) rows per group, deterministically") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 500L)))) { rows =>
+      val df = rows.distinct.toDF("g", "id")
+      val sizes = df.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val k = 2
+      val sampled = Sampling.fixedKPerGroup(df, col("id"), col("g"), k)
+      val got = sampled.groupBy(col("g")).agg(count(lit(1)).as("m"))
+      val mismatch = sizes.join(got, "g")
+        .filter(col("m") =!= least(col("n"), lit(k.toLong))).count()
+      val first = sampled.select(col("g"), col("id")).collect().toSet
+      val second = Sampling.fixedKPerGroup(df, col("id"), col("g"), k)
+        .select(col("g"), col("id")).collect().toSet
+      mismatch == 0 && first == second
+    }
+
+  property("duplicatedNgramStats: verbatim pair scores 1.0, unique doc scores 0.0") = {
+    val text = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 12).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, unique)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramStats(docs, n = 10, minDf = 2)
+      .select(col("doc_id"), col("dup_fraction"), col("trim_candidate"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    out == Set((1L, 1.0, true), (2L, 1.0, true), (3L, 0.0, false))
+  }
+}
