@@ -23,5 +23,6 @@ object Registry {
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.CurationQueries.all
+      graft.queries.CurationQueries.all ++
+      graft.queries.PlanningQueries.all
 }

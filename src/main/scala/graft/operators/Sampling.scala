@@ -75,4 +75,25 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic train/val/test (or arbitrary) split assignment:
+    * each row's split label is decided by its key's hash basis points
+    * against cumulative upper bounds, e.g.
+    * `Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)`.
+    *
+    * The split is a pure scalar expression of the key — no shuffle, no
+    * global sort, no count pass — and carries the two properties a
+    * training pipeline needs at corpus scale: the same document lands
+    * in the same split in every run, engine, and table it appears in
+    * (so features/labels/metadata never straddle splits), and
+    * re-running over a grown corpus never reassigns an existing key.
+    * The final bound must be 10000 so every row gets a label. */
+  def splitLabel(key: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 10000,
+      "cuts must be cumulative basis-point bounds ending at 10000")
+    val bp = hashBasisPoints(key)
+    cuts.init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (name, hi)) => acc.when(bp < hi, lit(name))
+    }.otherwise(lit(cuts.last._1))
+  }
 }

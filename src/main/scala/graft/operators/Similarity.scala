@@ -239,6 +239,32 @@ object Similarity {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Semantic near-duplicate pairs, IVF-cell-blocked (SemDeDup shape):
+    * vectors are first assigned to their nearest-centroid cell, then
+    * only same-cell pairs are cosine-compared. Unlike
+    * [[blockedNearDupPairs]] the blocking key is LEARNED from the
+    * embedding geometry (no label column needed), which is exactly how
+    * semantic dedup runs over an unlabeled training corpus: cluster
+    * once, compare within clusters — pair count is Σ|cell|²/2 instead
+    * of n²/2, and each cell's pairs co-locate under one join key.
+    * `keep` marks the pair's lower vec_id as the retained exemplar. */
+  def cellBlockedNearDupPairs(embeddings: DataFrame, numCentroids: Int,
+                              minCos: Double): DataFrame = {
+    val e = spread(embeddings).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cells = ivfAssign(embeddings, numCentroids)
+    val withCell = e.join(cells, "vec_id")
+    withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        pairCos(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .withColumn("keep", col("va"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   /** Rademacher sign (+1/-1) for hyperplane `p`, dimension `d`: parity
     * of the first hex char of md5("p:d"). md5 is the engine-portable
     * randomness used across the dedup family — the DuckDB oracle

@@ -393,7 +393,7 @@ object AnalyticsQueries {
   /** DuckDB expression for [[graft.operators.Sampling.hashBasisPoints]]:
     * first 8 md5 hex digits as a big-endian integer, mod 10⁴ — digit by
     * digit, exactly Spark's `conv(substring(md5(x), 1, 8), 16, 10)`. */
-  private def bpSql(keyExpr: String): String =
+  private[queries] def bpSql(keyExpr: String): String =
     (0 until 8).map { k =>
       s"(strpos('0123456789abcdef', substring(md5(CAST($keyExpr AS VARCHAR)), ${k + 1}, 1)) - 1)" +
         s" * ${1L << (4 * (7 - k))}"

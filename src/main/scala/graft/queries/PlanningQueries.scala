@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{RangeJoin, Sampling, TextAnalysis}
+
+/** Training-run planning queries — the operations that turn corpus
+  * statistics into an executable data plan: split assignment, token
+  * budget allocation across sources, per-source quality-threshold
+  * calibration, and interval (range) joins banded into equi-joins.
+  * All arithmetic is integer-exact or rounded at a single final step
+  * so the DuckDB oracles replay it bit-for-bit. */
+object PlanningQueries {
+
+  /** Deterministic train/val/test assignment (98/1/1 by key hash,
+    * [[Sampling.splitLabel]]) rolled up to per source × split doc and
+    * token counts — the split manifest a training job validates before
+    * reading anything. The label is a pure scalar of doc_id: no
+    * shuffle except the final tiny rollup, stable under corpus growth
+    * and across engines/tables. */
+  val qSplitAssign: Q = Q(
+    "q_split_assign",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("source"),
+        Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)).as("split"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy(col("source"), col("split")),
+    Some(s"""
+      SELECT source, split, count(*) AS n_docs,
+             sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)) AS n_tokens
+      FROM (
+        SELECT source, text,
+               CASE WHEN ${AnalyticsQueries.bpSql("doc_id")} < 9800 THEN 'train'
+                    WHEN ${AnalyticsQueries.bpSql("doc_id")} < 9900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY source, split
+      ORDER BY source, split
+    """.trim))
+
+  /** Token-budget mixture plan: given per-source target weights and a
+    * total token budget, compute each source's planned token draw
+    * (capped by what the source actually has) and the sampling rate
+    * that achieves it. Weights here derive arithmetically from the
+    * source id (stand-in for a configured mixture table); allocation
+    * is integer floor-division so both engines agree exactly, and the
+    * rate is one final rounded division. Two aggregates over a
+    * 20-row-out table — the plan costs nothing next to the corpus
+    * scan that feeds it. */
+  val qMixturePlan: Q = {
+    val budget = 50000L
+    Q(
+      "q_mixture_plan",
+      (spark, dir) => {
+        val mass = Tables.documents(spark, dir)
+          .select(col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(sum(col("nt")).as("n_tokens"))
+          .withColumn("weight",
+            (substring(col("source"), 4, 10).cast("long") % 4 + 1))
+        val totalW = mass.agg(sum(col("weight")).as("total_w"))
+        mass.crossJoin(broadcast(totalW))
+          .select(col("source"), col("n_tokens"), col("weight"),
+            least(col("n_tokens"),
+              (lit(budget) * col("weight")).divide(col("total_w"))
+                .cast("long")).as("planned_tokens"))
+          .withColumn("sample_rate",
+            round(col("planned_tokens").cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH mass AS (
+        SELECT source,
+               sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)) AS n_tokens,
+               CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight
+        FROM documents GROUP BY source),
+      tw AS (SELECT sum(weight) AS total_w FROM mass)
+      SELECT source, n_tokens, weight,
+             least(n_tokens, ($budget * weight) // total_w) AS planned_tokens,
+             round(CAST(least(n_tokens, ($budget * weight) // total_w) AS DOUBLE)
+                   / n_tokens, 6) AS sample_rate
+      FROM mass, tw
+      ORDER BY source
+    """.trim))
+  }
+
+  /** Per-source quality-filter calibration: exact interpolated
+    * quartiles of the document quality score, the keep-threshold that
+    * retains the top quarter (p75), and how many docs clear it. The
+    * quality score is rounded to 6dp BEFORE the percentile pass so
+    * both engines interpolate over identical values; `percentile` /
+    * `quantile_cont` share the (n-1)·p linear-interpolation formula.
+    * One shuffle on source for the percentile sort, then a broadcast
+    * of the 20-row threshold table back over the docs. */
+  val qQualityCalibration: Q = Q(
+    "q_quality_calibration",
+    (spark, dir) => {
+      val scored = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val cal = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(quality, 0.25)").as("q25"),
+          expr("percentile(quality, 0.5)").as("q50"),
+          expr("percentile(quality, 0.75)").as("q75"))
+        .select(col("source"), col("n_docs"),
+          round(col("q25"), 6).as("q25"), round(col("q50"), 6).as("q50"),
+          round(col("q75"), 6).as("q75"))
+      scored.join(broadcast(cal), "source")
+        .filter(col("quality") >= col("q75"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"), first(col("q25")).as("q25"),
+          first(col("q50")).as("q50"), first(col("q75")).as("q75"),
+          count(lit(1)).as("n_keep"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+                     (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS quality
+        FROM (
+          SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT doc_id, source,
+                       string_split_regex(text, '\s+') AS toks
+                FROM documents))),
+      cal AS (
+        SELECT source, count(*) AS n_docs,
+               round(quantile_cont(quality, 0.25), 6) AS q25,
+               round(quantile_cont(quality, 0.5), 6) AS q50,
+               round(quantile_cont(quality, 0.75), 6) AS q75
+        FROM scored GROUP BY source)
+      SELECT source, n_docs, q25, q50, q75,
+             (SELECT count(*) FROM scored s
+              WHERE s.source = cal.source AND s.quality >= cal.q75) AS n_keep
+      FROM cal
+      ORDER BY source
+    """.trim))
+
+  /** Interval join banded into an equi-join ([[RangeJoin.bandedJoin]]):
+    * events priced into six variable-width value bands. The naive form
+    * is a non-equi theta join (nested-loop at best); banding explodes
+    * each interval into width-25 units, broadcasts the ~30-row banded
+    * dim, and joins on the unit id the fact side computes in-row — the
+    * fact table never shuffles, and the exact lo <= v < hi predicate
+    * re-applies post-join. The oracle is the plain range join: banding
+    * must be result-invisible. */
+  val qRangeJoinBanded: Q = Q(
+    "q_range_join_banded",
+    (spark, dir) => {
+      val bands = spark.createDataFrame(Seq(
+        ("b0", 0.0, 25.0), ("b1", 25.0, 60.0), ("b2", 60.0, 120.0),
+        ("b3", 120.0, 200.0), ("b4", 200.0, 350.0), ("b5", 350.0, 500.0)))
+        .toDF("band_id", "lo", "hi")
+      RangeJoin.bandedJoin(Tables.events(spark, dir), col("value"),
+          bands, col("lo"), col("hi"), unit = 25.0)
+        .groupBy(col("band_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+        .orderBy(col("band_id"))
+    },
+    Some("""
+      WITH bands(band_id, lo, hi) AS (VALUES
+        ('b0', 0.0, 25.0), ('b1', 25.0, 60.0), ('b2', 60.0, 120.0),
+        ('b3', 120.0, 200.0), ('b4', 200.0, 350.0), ('b5', 350.0, 500.0))
+      SELECT band_id, lo, hi, count(*) AS n_events,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+      FROM bands b JOIN events e ON b.lo <= e.value AND e.value < b.hi
+      GROUP BY band_id, lo, hi
+      ORDER BY band_id
+    """.trim))
+
+  val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qQualityCalibration,
+    qRangeJoinBanded)
+}

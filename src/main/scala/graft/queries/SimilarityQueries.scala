@@ -420,7 +420,39 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 5 ORDER BY qid, rnk
     """.trim))
 
+  /** Semantic dedup, SemDeDup-shaped
+    * ([[Similarity.cellBlockedNearDupPairs]]): cluster the corpus into
+    * 8 IVF cells, then cosine-compare only within a cell — the
+    * blocking key is learned from embedding geometry, no labels. The
+    * oracle replays the full pipeline: nearest-centroid assignment
+    * (ties to the lower cell), same-cell pairs, rounded-cosine
+    * threshold, keep = the pair's lower id. */
+  val qEmbedSemanticDedup: Q = Q(
+    "q_embed_semantic_dedup",
+    (spark, dir) => Similarity.cellBlockedNearDupPairs(
+      Tables.embeddings(spark, dir), numCentroids = 8, minCos = 0.35),
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+          FROM embeddings e, c)
+        WHERE rn = 1)
+      SELECT x.cell, x.va, x.vb, x.cos, x.va AS keep FROM (
+        SELECT aa.cell, a.vec_id AS va, b.vec_id AS vb,
+               ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a
+          JOIN assigned aa ON a.vec_id = aa.vec_id
+          JOIN assigned ab ON aa.cell = ab.cell AND a.vec_id < ab.vec_id
+          JOIN embeddings b ON b.vec_id = ab.vec_id) x
+      WHERE x.cos >= 0.35
+      ORDER BY x.va, x.vb
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
-    qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined)
+    qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
+    qEmbedSemanticDedup)
 }
