@@ -253,7 +253,11 @@ object Similarity {
     val e = spread(embeddings).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val cells = ivfAssign(embeddings, numCentroids)
+    // persist before the self-join: without it each join side re-runs
+    // the centroid-assignment subtree (broadcast score + per-vector
+    // argmin) — at corpus scale that doubles the dominant stage.
     val withCell = e.join(cells, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     withCell.as("a").join(withCell.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cell").as("cell"),
