@@ -691,10 +691,110 @@ object AnalyticsQueries {
       ORDER BY e.event_id
     """.trim))
 
+  /** Event-transition matrix: per-user event streams ordered by time,
+    * reduced to (prev → next) type-pair counts and their global share.
+    * One shuffle on user_id for the lag window (the sort never leaves
+    * the user partition), then a 25-row-out aggregate; the share's
+    * unpartitioned window runs over those 25 rows, not the events. */
+  val qEventTransitions: Q = Q(
+    "q_event_transitions",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs.withColumn("share",
+          round(col("n").cast("double") /
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()), 6))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type)
+      SELECT prev_type, next_type, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+      FROM pairs
+      ORDER BY prev_type, next_type
+    """.trim))
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * first event, distinct-user counts per (cohort week, week offset).
+    * Two hash aggregates on user_id — first-touch, then the cohort
+    * rollup; both engines truncate weeks to Monday so the day
+    * difference is exactly divisible by 7. */
+  val qCohortRetention: Q = Q(
+    "q_cohort_retention",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      cohorts AS (
+        SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, wk) // 7 AS BIGINT) AS week_offset,
+             count(DISTINCT user_id) AS n_users
+      FROM ev JOIN cohorts USING (user_id)
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset
+    """.trim))
+
+  /** Equi-depth histogram: ntile(10) per event type over a TOTAL order
+    * (value, then event_id — ties broken deterministically so both
+    * engines cut identical deciles), reporting each decile's count and
+    * exact cent-rounded bounds. One shuffle on event_type; the
+    * per-type sort is external and spill-safe. */
+  val qEquidepthHist: Q = Q(
+    "q_equidepth_hist",
+    (spark, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(floor(col("value") * 100 + 0.5).cast("long")).as("lo_cents"),
+          max(floor(col("value") * 100 + 0.5).cast("long")).as("hi_cents"))
+        .orderBy(col("event_type"), col("decile"))
+    },
+    Some("""
+      SELECT event_type, decile, count(*) AS n,
+             min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS lo_cents,
+             max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS hi_cents
+      FROM (
+        SELECT event_type, value,
+               CAST(ntile(10) OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS BIGINT) AS decile
+        FROM events)
+      GROUP BY event_type, decile
+      ORDER BY event_type, decile
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
-    qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit)
+    qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,
+    qEventTransitions, qCohortRetention, qEquidepthHist)
 }
