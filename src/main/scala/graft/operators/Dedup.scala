@@ -121,6 +121,48 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Asymmetric containment pairs: containment of A in B is
+    * `|shingles(A) ∩ shingles(B)| / |shingles(A)|` — the signal that
+    * catches SUBSUMPTION (one document wholly quoted inside a larger
+    * one), which symmetric Jaccard dilutes toward zero as the size gap
+    * grows. A pair is emitted when either direction clears the
+    * threshold; both directions ride along so the caller can tell
+    * "A inside B" from "B inside A".
+    *
+    * Same inverted-index shape as the capped Jaccard path: one hash
+    * aggregate to shingle → doc-list, in-row pair generation bounded by
+    * cap²/2 per shingle when `maxDf` is set, and per-doc set sizes join
+    * in after the pair aggregation at pair scale, not corpus scale. */
+  def containmentPairs(documents: DataFrame, threshold: Double, n: Int = 5,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val byShingleAll = docShingles(documents, n)
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+    val byShingle = maxDf.fold(byShingleAll)(cap =>
+        byShingleAll.filter(size(col("docs")) <= cap))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = byShingle
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("sz"))
+    val pairRows = byShingle
+      .filter(size(col("docs")) >= 2)
+      .select(explode(flatten(transform(col("docs"), a =>
+        transform(filter(col("docs"), b => b > a),
+          b => struct(a.as("da"), b.as("db")))))).as("pr"))
+      .select(col("pr.da").as("da"), col("pr.db").as("db"))
+    pairRows
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .withColumn("c_ab", round(col("common").cast("double") / col("sa"), 6))
+      .withColumn("c_ba", round(col("common").cast("double") / col("sb"), 6))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
+      .orderBy(col("da"), col("db"))
+  }
+
   val MinhashSeeds = 16
   val BandSize = 4
 

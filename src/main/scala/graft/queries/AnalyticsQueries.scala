@@ -790,11 +790,55 @@ object AnalyticsQueries {
       ORDER BY event_type, decile
     """.trim))
 
+  /** Robust outlier screen per event type: median, MAD (median absolute
+    * deviation — unlike stddev, a few extreme values cannot inflate the
+    * yardstick that is supposed to catch them), and how many events sit
+    * more than 3 MADs from the median. Median and MAD are both rounded
+    * to 6dp before any comparison so the two engines threshold
+    * identical doubles. Two percentile aggregates with a broadcast of
+    * the 5-row stats table between them — the fact stream never
+    * shuffles, so the screen stays scan-shaped at any event volume. */
+  val qAnomalyMad: Q = Q(
+    "q_anomaly_mad",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", round(abs(col("value") - col("med")), 6))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, round(abs(e.value - m.med), 6) AS adev, m.med
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, count(*) AS n_events,
+             min(d.med) AS med, min(m.mad) AS mad,
+             CAST(sum(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,
-    qEventTransitions, qCohortRetention, qEquidepthHist)
+    qEventTransitions, qCohortRetention, qEquidepthHist, qAnomalyMad)
 }

@@ -182,6 +182,36 @@ object DedupQueries {
       """.trim))
   }
 
+  /** Asymmetric containment pairs at >= 0.6 in either direction —
+    * subsumption detection (a short doc quoted inside a longer one
+    * scores containment ~1.0 while its Jaccard shrinks with the size
+    * gap, so the symmetric queries above never see it). Spark uses the
+    * inverted shingle→doc-list index; the oracle brute-forces
+    * list_intersect over all pairs — same math, independent plan. Both
+    * engines threshold on the 6dp-ROUNDED ratios. */
+  val qDedupContainment: Q = Q(
+    "q_dedup_containment",
+    (spark, dir) => Dedup.containmentPairs(Tables.documents(spark, dir), 0.6),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tl[i:i+4], ' ')
+                              FOR i IN generate_series(1, len(tl) - 4)]) AS sl
+        FROM toks WHERE len(tl) >= 5)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(a.sl), 6) AS c_ab,
+             round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(b.sl), 6) AS c_ba
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.sl, b.sl)) > 0
+        AND greatest(
+              round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(a.sl), 6),
+              round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(b.sl), 6)) >= 0.6
+      ORDER BY da, db
+    """.trim))
+
   /** Near-dup pairs → dedup GROUPS: connected components over the
     * capped-Jaccard pair list, each doc labeled with its component's
     * minimum doc id ("keep one per cluster" = `WHERE doc_id =
@@ -446,6 +476,6 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
-    qDedupSimhash, qDedupClusters, qDedupKeep, qContamination,
-    qDedupIncremental, qBloomScreen)
+    qDedupSimhash, qDedupContainment, qDedupClusters, qDedupKeep,
+    qContamination, qDedupIncremental, qBloomScreen)
 }

@@ -179,6 +179,131 @@ object PlanningQueries {
       ORDER BY band_id
     """.trim))
 
+  /** Token-balanced output sharding: within each source, stripe
+    * documents across 8 shards in descending token order with
+    * SERPENTINE direction (stripe 0 fills shards 0→7, stripe 1 fills
+    * 7→0, …), then report each shard's doc count, token mass, and load
+    * ratio vs the ideal 1/8 share. Plain round-robin hands shard 0 the
+    * largest doc of EVERY stripe — a systematic skew; alternating the
+    * direction pairs each stripe's big end with the next stripe's small
+    * end, so consecutive stripes cancel. Hash sharding balances only in
+    * expectation; this is the plan a writer uses to emit same-sized
+    * training shards. The ranking window partitions by source (not a
+    * global sort), so the stage parallelizes across sources and the
+    * only small aggregate is the 8-row rollup. */
+  val qShardPlan: Q = {
+    val numShards = 8
+    Q(
+      "q_shard_plan",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sized = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        val rk = (row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("nt").desc, col("doc_id"))) - 1).cast("long")
+        val striped = sized
+          .withColumn("stripe", floor(rk / numShards).cast("long"))
+          .withColumn("pos", rk % numShards)
+          .withColumn("shard",
+            when(col("stripe") % 2 === 0, col("pos"))
+              .otherwise(lit(numShards - 1) - col("pos")))
+        val perShard = striped.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val total = perShard.agg(sum(col("n_tokens")).as("total_nt"))
+        perShard.crossJoin(broadcast(total))
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") * numShards /
+              col("total_nt"), 6).as("load_ratio"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+      WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+        FROM documents),
+      ranked AS (
+        SELECT nt, row_number() OVER (PARTITION BY source
+                     ORDER BY nt DESC, doc_id) - 1 AS rk
+        FROM sized),
+      striped AS (
+        SELECT nt, CASE WHEN (rk // $numShards) % 2 = 0
+                        THEN rk % $numShards
+                        ELSE ${numShards - 1} - rk % $numShards END AS shard
+        FROM ranked),
+      per AS (
+        SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens
+        FROM striped GROUP BY shard),
+      t AS (SELECT sum(n_tokens) AS total_nt FROM per)
+      SELECT shard, n_docs, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) * $numShards / total_nt, 6) AS load_ratio
+      FROM per, t ORDER BY shard
+    """.trim))
+  }
+
+  /** Curriculum plan: global quality quartiles cut the corpus into four
+    * phases (0 = lowest quality, fed first; 3 = highest, fed last), and
+    * the output is the phase × source token-mass table a curriculum
+    * run schedules from. Quality is rounded to 6dp BEFORE the
+    * percentile pass and the cuts are rounded too, so phase assignment
+    * compares identical doubles in both engines; the mean quality per
+    * cell goes through exact integer micro-units so no float-sum order
+    * can drift. One percentile aggregate, a broadcast of the 1-row cut
+    * table, and a hash rollup — scan-shaped at any corpus size. */
+  val qCurriculum: Q = Q(
+    "q_curriculum",
+    (spark, dir) => {
+      val scored = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      val cuts = scored.agg(
+        round(expr("percentile(q, 0.25)"), 6).as("c1"),
+        round(expr("percentile(q, 0.5)"), 6).as("c2"),
+        round(expr("percentile(q, 0.75)"), 6).as("c3"))
+      scored.crossJoin(broadcast(cuts))
+        .withColumn("phase",
+          when(col("q") <= col("c1"), 0)
+            .when(col("q") <= col("c2"), 1)
+            .when(col("q") <= col("c3"), 2)
+            .otherwise(3))
+        .groupBy(col("phase"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          sum(floor(col("q") * 1000000 + 0.5).cast("long")).as("q_micro"))
+        .select(col("phase"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("q_micro").cast("double") / col("n_docs") / 1000000, 6)
+            .as("avg_quality"))
+        .orderBy(col("phase"), col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, source,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+                     (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS q,
+               CAST(n_tokens AS BIGINT) AS nt
+        FROM (
+          SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT doc_id, source,
+                       string_split_regex(text, '\s+') AS toks
+                FROM documents))),
+      cuts AS (
+        SELECT round(quantile_cont(q, 0.25), 6) AS c1,
+               round(quantile_cont(q, 0.5), 6) AS c2,
+               round(quantile_cont(q, 0.75), 6) AS c3
+        FROM scored)
+      SELECT CASE WHEN q <= c1 THEN 0 WHEN q <= c2 THEN 1
+                  WHEN q <= c3 THEN 2 ELSE 3 END AS phase,
+             source, count(*) AS n_docs, sum(nt) AS n_tokens,
+             round(CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1000000, 6) AS avg_quality
+      FROM scored, cuts
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qQualityCalibration,
-    qRangeJoinBanded)
+    qRangeJoinBanded, qShardPlan, qCurriculum)
 }

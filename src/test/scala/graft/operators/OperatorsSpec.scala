@@ -53,6 +53,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("containmentPairs catches subsumption that Jaccard misses") {
+    // doc 1 (10 tokens) appears verbatim inside doc 2 (30 tokens):
+    // containment of 1 in 2 is exactly 1.0, while Jaccard is
+    // 6/26 ≈ 0.23 (6 shared shingles, 26 in the union) — below any
+    // useful near-dup threshold.
+    val inner = (1 to 10).map(i => s"w$i").mkString(" ")
+    val outer = ((1 to 10).map(i => s"w$i") ++
+      (1 to 20).map(i => s"z$i")).mkString(" ")
+    val docs = Seq(
+      (1L, inner), (2L, outer),
+      (3L, (1 to 10).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, 0.9)
+      .select("da", "db", "c_ab", "c_ba")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0, 0.230769))) // round(6/26, 6)
+    assert(Dedup.jaccardPairs(docs, 0.5).count() == 0)
+  }
+
   test("simhash of identical docs matches; near-identical within hamming 3") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -56,6 +56,50 @@ class PlanningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard plan: serpentine striping balances token mass") {
+    val rows = graft.queries.PlanningQueries.qShardPlan
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("load_ratio"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    assert(rows.map(_._2).sum == 500L) // every doc lands in exactly one shard
+    // at 25 docs/source the per-source stripe remainder leaves a few
+    // percent of noise (it decays as docs/shard grows); the mechanism
+    // guarantee worth pinning is "no systematic big-end shard": every
+    // shard within ±10% of ideal, vs +28% for plain round-robin here
+    assert(rows.map(_._4).max <= 1.1 && rows.map(_._4).min >= 0.9,
+      s"imbalanced shards: ${rows.map(_._4).toSeq}")
+  }
+
+  test("curriculum phases partition the corpus with monotone quality") {
+    val rows = graft.queries.PlanningQueries.qCurriculum
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("phase"), col("n_docs"), col("avg_quality"))
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._2).sum == 500L)
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2, 3))
+    // per-phase mean quality (docs-weighted across sources) rises with phase
+    val byPhase = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.map(r => r._3 * r._2).sum / rs.map(_._2).sum
+    }.toMap
+    assert((0 to 2).forall(p => byPhase(p) < byPhase(p + 1)), byPhase.toString)
+  }
+
+  test("MAD outlier screen: yardstick immune to the outliers it flags") {
+    val rows = graft.queries.AnalyticsQueries.qAnomalyMad
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("n_events"), col("med"), col("mad"),
+        col("n_outliers"))
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (et, n, med, mad, out) =>
+      assert(mad > 0 && med > 0, s"$et degenerate stats")
+      // right-skewed exponential-ish values: outliers exist but are a
+      // small minority (median-based stats would break if this failed)
+      assert(out > 0 && out < n / 4, s"$et: $out of $n flagged")
+    }
+  }
+
   test("cellBlockedNearDupPairs only pairs within a learned cell") {
     // two tight clusters far apart: cross-cluster pairs must not appear
     val vecs = Seq(
