@@ -205,6 +205,55 @@ object CurationQueries {
       ORDER BY doc_id
     """.trim))
 
+  /** Out-of-vocabulary rate per source against the corpus's own top-25
+    * token vocabulary — the tokenizer-planning gauge: a source whose
+    * token mass falls outside the learned vocab head will fragment
+    * into long byte-level sequences at training time. The vocabulary
+    * is top-k and therefore tiny by construction: Spark builds it with
+    * one token-count aggregate and BROADCASTS it back over the
+    * exploded corpus, so the second pass is scan-shaped — the corpus
+    * never shuffles for the join at any scale. Tie-break at the k
+    * boundary is (count desc, token), deterministic in both engines. */
+  val qTextOov: Q = Q(
+    "q_text_oov",
+    (spark, dir) => {
+      val tk = Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val vocab = tk.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)
+        .select(col("token"), lit(true).as("in_vocab"))
+      tk.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT source, token FROM (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS token
+          FROM documents)
+        WHERE len(token) > 0),
+      top AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS n FROM tk GROUP BY token
+          ORDER BY n DESC, token LIMIT 25)),
+      j AS (
+        SELECT tk.source, top.token IS NOT NULL AS in_vocab
+        FROM tk LEFT JOIN top USING (token))
+      SELECT source, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+                   / count(*), 6) AS oov_rate
+      FROM j GROUP BY source ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
-    qTextVocab, qCorpusDiff)
+    qTextVocab, qCorpusDiff, qTextOov)
 }

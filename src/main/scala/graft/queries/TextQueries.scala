@@ -578,10 +578,83 @@ object TextQueries {
       FROM agg ORDER BY source
     """.trim))
 
+  /** Gopher-style quality gates, each reported separately per source
+    * so the filter's selectivity is auditable rule by rule before
+    * anything is dropped: token-count window, mean-word-length window,
+    * stopword presence, and top-bigram repetition share. Thresholds
+    * are fixture-scaled (production Gopher uses 50..100k tokens,
+    * word length 3..10, rep share 0.2); the MECHANICS are the
+    * deliverable — every rule is a pure in-row expression (the
+    * repetition share uses the in-row sort/run-count, not a
+    * corpus-scale (doc, gram) shuffle), so the whole gate table is one
+    * scan plus a 20-row aggregate. Ratios are rounded to 6dp before
+    * thresholding so both engines gate identical doubles. */
+  val qTextGates: Q = Q(
+    "q_text_gates",
+    (spark, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val charMass = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      val mwl = round(charMass.cast("double") / nt, 6)
+      val grams = TextAnalysis.shingles(col("text"), 2)
+      val rep = when(size(grams) >= 1,
+        round(TextAnalysis.maxRunCount(grams).cast("double") / size(grams), 6))
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          nt.between(30, 80).as("pl"),
+          mwl.between(3.0, 4.5).as("pw"),
+          (array_contains(toks, "the") || array_contains(toks, "a")).as("ps"),
+          coalesce(rep <= 0.05, lit(false)).as("pr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pl"), 1L).otherwise(0L)).as("n_pass_len"),
+          sum(when(col("pw"), 1L).otherwise(0L)).as("n_pass_wordlen"),
+          sum(when(col("ps"), 1L).otherwise(0L)).as("n_pass_stopword"),
+          sum(when(col("pr"), 1L).otherwise(0L)).as("n_pass_repetition"),
+          sum(when(col("pl") && col("pw") && col("ps") && col("pr"), 1L)
+            .otherwise(0L)).as("n_pass_all"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, source, len(toks) AS nt,
+               round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / len(toks), 6) AS mwl,
+               (list_contains(toks, 'the') OR list_contains(toks, 'a')) AS ps
+        FROM t),
+      g AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+        FROM t WHERE len(toks) >= 2),
+      r AS (
+        SELECT doc_id, round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        GROUP BY doc_id),
+      j AS (
+        SELECT b.source,
+               b.nt BETWEEN 30 AND 80 AS pl,
+               b.mwl BETWEEN 3.0 AND 4.5 AS pw,
+               b.ps,
+               coalesce(r.rep <= 0.05, false) AS pr
+        FROM base b LEFT JOIN r USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+             CAST(sum(CASE WHEN pw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+             CAST(sum(CASE WHEN ps THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopword,
+             CAST(sum(CASE WHEN pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+             CAST(sum(CASE WHEN pl AND pw AND ps AND pr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+      FROM j GROUP BY source ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
-    qTextTfidf, qTextBm25, qCorpusPrep)
+    qTextTfidf, qTextBm25, qCorpusPrep, qTextGates)
 }

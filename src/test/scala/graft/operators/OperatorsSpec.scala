@@ -72,6 +72,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docs, 0.5).count() == 0)
   }
 
+  test("quality gates: every rule is exercised in both directions") {
+    val rows = graft.queries.TextQueries.qTextGates
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("n_docs"), col("n_pass_len"), col("n_pass_wordlen"),
+        col("n_pass_stopword"), col("n_pass_repetition"), col("n_pass_all"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val total = rows.map(_._1).sum
+    def sumCol(f: ((Long, Long, Long, Long, Long, Long)) => Long) = rows.map(f).sum
+    // a gate that passes or fails EVERYTHING is dead weight — each must
+    // discriminate somewhere in the corpus
+    Seq[((Long, Long, Long, Long, Long, Long)) => Long](
+      _._2, _._3, _._4, _._5).foreach { f =>
+      assert(sumCol(f) > 0 && sumCol(f) < total, s"degenerate gate: ${sumCol(f)}/$total")
+    }
+    // all-gates pass is the intersection: never exceeds any single gate
+    assert(sumCol(_._6) <= Seq(sumCol(_._2), sumCol(_._3), sumCol(_._4), sumCol(_._5)).min)
+  }
+
+  test("OOV rate: top-25 vocab leaves a real but minority tail") {
+    val rows = graft.queries.CurationQueries.qTextOov
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (nt, oov, rate) =>
+      assert(oov > 0 && oov < nt / 2, s"$oov of $nt OOV")
+      assert(rate > 0.0 && rate < 0.5)
+    }
+  }
+
   test("simhash of identical docs matches; near-identical within hamming 3") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

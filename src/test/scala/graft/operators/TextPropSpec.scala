@@ -101,4 +101,21 @@ object TextPropSpec extends Properties("TextOps") {
       .select(TextAnalysis.qualityScore(col("text"))).as[Double].collect().head
     q >= 0.0 && q <= 1.0
   }
+
+  // containment dominates jaccard: J = common/union <= common/|side|
+  // for both sides, so any pair's jaccard never exceeds min(c_ab, c_ba)
+  property("jaccard <= min containment on every pair") =
+    forAll(doc, doc) { (d1, d2) =>
+      val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val cont = Dedup.containmentPairs(docs, 0.0)
+        .select("c_ab", "c_ba").as[(Double, Double)].collect()
+      val jac = Dedup.jaccardPairs(docs, 0.0)
+        .select("jaccard").as[Double].collect()
+      (cont.isEmpty && jac.isEmpty) || {
+        val (ab, ba) = cont.head
+        // 6dp rounding on each side leaves at most 1e-6 of slack
+        jac.head <= math.min(ab, ba) + 1e-6 &&
+          ab >= 0.0 && ab <= 1.0 && ba >= 0.0 && ba <= 1.0
+      }
+    }
 }
