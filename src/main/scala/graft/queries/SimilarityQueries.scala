@@ -451,8 +451,50 @@ object SimilarityQueries {
       ORDER BY x.va, x.vb
     """.trim))
 
+  /** Embedding-table health gate — the checks an ANN pipeline runs
+    * BEFORE spending an index build: per label, vector count,
+    * dimension min/max (a mixed-dim table corrupts every dot product
+    * downstream), zero-norm count (un-normalizable vectors), and the
+    * norm envelope (lo/hi/mean ≈ 1 for a unit-normalized corpus).
+    * One scan, one small aggregate, no shuffle of the vectors
+    * themselves. The mean norm goes through exact integer micro-units
+    * (like the curriculum means) so no float-sum order can drift;
+    * min/max are order-free on 6dp-rounded values. */
+  val qEmbedHealth: Q = Q(
+    "q_embed_health",
+    (spark, dir) => {
+      val normSq = aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))
+      Tables.embeddings(spark, dir)
+        .select(col("label"), size(col("embedding")).cast("long").as("dim"),
+          sqrt(normSq).as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("dim")).as("dim_lo"), max(col("dim")).as("dim_hi"),
+          sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_zero"),
+          min(round(col("norm"), 6)).as("norm_lo"),
+          max(round(col("norm"), 6)).as("norm_hi"),
+          round(sum(floor(col("norm") * 1000000 + 0.5).cast("long"))
+            .cast("double") / count(lit(1)) / 1000000, 6).as("avg_norm"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+               sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                              FOR i IN generate_series(1, len(embedding))])) AS norm
+        FROM embeddings)
+      SELECT label, count(*) AS n_vectors,
+             min(dim) AS dim_lo, max(dim) AS dim_hi,
+             CAST(sum(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             min(round(norm, 6)) AS norm_lo, max(round(norm, 6)) AS norm_hi,
+             round(CAST(sum(CAST(floor(norm * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1000000, 6) AS avg_norm
+      FROM n GROUP BY label ORDER BY label
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
-    qEmbedSemanticDedup)
+    qEmbedSemanticDedup, qEmbedHealth)
 }

@@ -135,6 +135,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(10L, 11L))
   }
 
+  test("embedding health gate: unit-norm corpus reads clean") {
+    val rows = graft.queries.SimilarityQueries.qEmbedHealth
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("dim_lo"), col("dim_hi"), col("n_zero"), col("norm_lo"),
+        col("norm_hi"), col("avg_norm"))
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lo, hi, zero, nlo, nhi, avg) =>
+      assert(lo == 64L && hi == 64L, "mixed dimensions")
+      assert(zero == 0L, "zero-norm vectors present")
+      // unit-normalized fixture: the whole envelope hugs 1.0
+      assert(nlo > 0.999 && nhi < 1.001 && math.abs(avg - 1.0) < 1e-3)
+    }
+  }
+
   test("multimodal decodeBatch: stub metadata + content hash") {
     val docs = Seq((7L, "hello")).toDF("doc_id", "text")
     val meta = Multimodal.decodeBatch(Multimodal.documentsAsMedia(docs)).collect().head
