@@ -82,20 +82,33 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
-  /** df-capped formulation — the at-scale path. Inverting to
-    * shingle → doc-list (one hash aggregate) lets the cap be a cheap
-    * array-size filter, candidate pairs generate IN-ROW from each kept
-    * doc list (bounded at cap²/2 per shingle — that bound is exactly
-    * what the cap buys), and per-doc kept-set sizes join in AFTER the
-    * pair aggregation, when the data is pair-sized, not corpus-sized.
-    * Replaces two corpus-scale sort-window passes of the window
-    * formulation with hash aggregates. */
+  /** df-capped formulation — the at-scale path, built on
+    * [[invertedPairCounts]]: replaces two corpus-scale sort-window
+    * passes of the self-join formulation with hash aggregates. */
   private def jaccardPairsCapped(documents: DataFrame, threshold: Double,
-                                 n: Int, cap: Int): DataFrame = {
-    val byShingle = docShingles(documents, n)
+                                 n: Int, cap: Int): DataFrame =
+    invertedPairCounts(documents, n, Some(cap))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+
+  /** Shared inverted-index pair machinery for the set-overlap family:
+    * one hash aggregate to shingle → doc-list (optionally df-capped —
+    * the cap becomes an array-size filter), candidate pairs generated
+    * IN-ROW from each kept doc list (bounded at cap²/2 per shingle),
+    * and per-doc kept-set sizes joined in AFTER the pair aggregation,
+    * when the data is pair-sized, not corpus-sized. Returns
+    * `(da, db, common, sa, sb)`; Jaccard and containment differ only
+    * in how they combine those counts. */
+  private def invertedPairCounts(documents: DataFrame, n: Int,
+                                 maxDf: Option[Int]): DataFrame = {
+    val byShingleAll = docShingles(documents, n)
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= cap)
+    val byShingle = maxDf.fold(byShingleAll)(cap =>
+        byShingleAll.filter(size(col("docs")) <= cap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = byShingle
       .select(explode(col("docs")).as("doc_id"))
@@ -114,11 +127,6 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
       .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
       .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
-      .withColumn("jaccard",
-        round(col("common").cast("double") / (col("sa") + col("sb") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
 
   /** Asymmetric containment pairs: containment of A in B is
@@ -127,41 +135,17 @@ object Dedup {
     * one), which symmetric Jaccard dilutes toward zero as the size gap
     * grows. A pair is emitted when either direction clears the
     * threshold; both directions ride along so the caller can tell
-    * "A inside B" from "B inside A".
-    *
-    * Same inverted-index shape as the capped Jaccard path: one hash
-    * aggregate to shingle → doc-list, in-row pair generation bounded by
-    * cap²/2 per shingle when `maxDf` is set, and per-doc set sizes join
-    * in after the pair aggregation at pair scale, not corpus scale. */
+    * "A inside B" from "B inside A". Scale shape: the shared
+    * [[invertedPairCounts]] index — identical posture to the capped
+    * Jaccard path. */
   def containmentPairs(documents: DataFrame, threshold: Double, n: Int = 5,
-                       maxDf: Option[Int] = None): DataFrame = {
-    val byShingleAll = docShingles(documents, n)
-      .groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-    val byShingle = maxDf.fold(byShingleAll)(cap =>
-        byShingleAll.filter(size(col("docs")) <= cap))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = byShingle
-      .select(explode(col("docs")).as("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("sz"))
-    val pairRows = byShingle
-      .filter(size(col("docs")) >= 2)
-      .select(explode(flatten(transform(col("docs"), a =>
-        transform(filter(col("docs"), b => b > a),
-          b => struct(a.as("da"), b.as("db")))))).as("pr"))
-      .select(col("pr.da").as("da"), col("pr.db").as("db"))
-    pairRows
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("common"))
-      .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+                       maxDf: Option[Int] = None): DataFrame =
+    invertedPairCounts(documents, n, maxDf)
       .withColumn("c_ab", round(col("common").cast("double") / col("sa"), 6))
       .withColumn("c_ba", round(col("common").cast("double") / col("sb"), 6))
       .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
       .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
       .orderBy(col("da"), col("db"))
-  }
 
   val MinhashSeeds = 16
   val BandSize = 4

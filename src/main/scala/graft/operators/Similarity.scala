@@ -531,4 +531,16 @@ object Similarity {
       .withColumn("recall", round(col("n_overlap").cast("double") / k, 6))
       .orderBy(col("qid"))
   }
+
+  /** Per-vector health row: `(label, dim, norm)` with empty or null
+    * embeddings coalescing to `dim = 0, norm = 0.0` — degenerate rows
+    * must land in the zero-norm count, never vanish into a NULL
+    * aggregate. Feeds the `q_embed_health` pre-index DQ gate. */
+  def vectorHealth(embeddings: DataFrame): DataFrame = {
+    val normSq = aggregate(col("embedding"), lit(0.0d),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    embeddings.select(col("label"),
+      coalesce(size(col("embedding")), lit(0)).cast("long").as("dim"),
+      coalesce(sqrt(normSq), lit(0.0d)).as("norm"))
+  }
 }

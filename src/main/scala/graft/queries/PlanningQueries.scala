@@ -244,18 +244,19 @@ object PlanningQueries {
   /** Curriculum plan: global quality quartiles cut the corpus into four
     * phases (0 = lowest quality, fed first; 3 = highest, fed last), and
     * the output is the phase × source token-mass table a curriculum
-    * run schedules from. Quality is rounded to 6dp BEFORE the
-    * percentile pass and the cuts are rounded too, so phase assignment
+    * run schedules from. The quality score is 6dp-rounded by the
+    * helper itself and the cuts are rounded too, so phase assignment
     * compares identical doubles in both engines; the mean quality per
-    * cell goes through exact integer micro-units so no float-sum order
-    * can drift. One percentile aggregate, a broadcast of the 1-row cut
-    * table, and a hash rollup — scan-shaped at any corpus size. */
+    * cell goes through [[graft.operators.Exact.microMean]] so no
+    * float-sum order can drift. One percentile aggregate, a broadcast
+    * of the 1-row cut table, and a hash rollup — scan-shaped at any
+    * corpus size. */
   val qCurriculum: Q = Q(
     "q_curriculum",
     (spark, dir) => {
       val scored = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
-          round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
       val cuts = scored.agg(
         round(expr("percentile(q, 0.25)"), 6).as("c1"),
@@ -269,9 +270,7 @@ object PlanningQueries {
             .otherwise(3))
         .groupBy(col("phase"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
-          sum(floor(col("q") * 1000000 + 0.5).cast("long")).as("q_micro"))
-        .select(col("phase"), col("source"), col("n_docs"), col("n_tokens"),
-          round(col("q_micro").cast("double") / col("n_docs") / 1000000, 6)
+          graft.operators.Exact.microMean(col("q"), count(lit(1)))
             .as("avg_quality"))
         .orderBy(col("phase"), col("source"))
     },

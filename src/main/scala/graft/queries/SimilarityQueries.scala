@@ -457,32 +457,31 @@ object SimilarityQueries {
     * downstream), zero-norm count (un-normalizable vectors), and the
     * norm envelope (lo/hi/mean ≈ 1 for a unit-normalized corpus).
     * One scan, one small aggregate, no shuffle of the vectors
-    * themselves. The mean norm goes through exact integer micro-units
-    * (like the curriculum means) so no float-sum order can drift;
-    * min/max are order-free on 6dp-rounded values. */
+    * themselves. The mean norm goes through
+    * [[graft.operators.Exact.microMean]] so no float-sum order can
+    * drift; min/max are order-free on 6dp-rounded values. Empty (or
+    * null) embeddings coalesce to norm 0.0 in BOTH engines — they land
+    * in `n_zero`, which is exactly the malformed class this gate
+    * exists to count, never silently excluded by a NULL aggregate. */
   val qEmbedHealth: Q = Q(
     "q_embed_health",
     (spark, dir) => {
-      val normSq = aggregate(col("embedding"), lit(0.0d),
-        (a, x) => a + x.cast("double") * x.cast("double"))
-      Tables.embeddings(spark, dir)
-        .select(col("label"), size(col("embedding")).cast("long").as("dim"),
-          sqrt(normSq).as("norm"))
+      Similarity.vectorHealth(Tables.embeddings(spark, dir))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vectors"),
           min(col("dim")).as("dim_lo"), max(col("dim")).as("dim_hi"),
           sum(when(col("norm") < 1e-6, 1L).otherwise(0L)).as("n_zero"),
           min(round(col("norm"), 6)).as("norm_lo"),
           max(round(col("norm"), 6)).as("norm_hi"),
-          round(sum(floor(col("norm") * 1000000 + 0.5).cast("long"))
-            .cast("double") / count(lit(1)) / 1000000, 6).as("avg_norm"))
+          graft.operators.Exact.microMean(col("norm"), count(lit(1)))
+            .as("avg_norm"))
         .orderBy(col("label"))
     },
     Some("""
       WITH n AS (
-        SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
-               sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-                              FOR i IN generate_series(1, len(embedding))])) AS norm
+        SELECT label, CAST(coalesce(len(embedding), 0) AS BIGINT) AS dim,
+               sqrt(coalesce(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                              FOR i IN generate_series(1, len(embedding))]), 0.0)) AS norm
         FROM embeddings)
       SELECT label, count(*) AS n_vectors,
              min(dim) AS dim_lo, max(dim) AS dim_hi,

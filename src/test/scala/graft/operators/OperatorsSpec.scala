@@ -135,6 +135,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(10L, 11L))
   }
 
+  test("vectorHealth: empty and null embeddings count as zero-norm, not NULL") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array.empty[Float], 0),
+      (3L, null.asInstanceOf[Array[Float]], 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.vectorHealth(vecs)
+      .select(col("dim"), col("norm")).as[(Long, Double)].collect().toSet
+    // the degenerate rows surface as (0, 0.0) — countable by the gate —
+    // instead of vanishing from min/max/avg as NULLs
+    assert(rows == Set((2L, 5.0), (0L, 0.0)))
+  }
+
   test("embedding health gate: unit-norm corpus reads clean") {
     val rows = graft.queries.SimilarityQueries.qEmbedHealth
       .run(spark, "/root/testdata/sf0.001")
