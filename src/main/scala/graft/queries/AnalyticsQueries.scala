@@ -834,11 +834,54 @@ object AnalyticsQueries {
       GROUP BY d.event_type ORDER BY d.event_type
     """.trim))
 
+  /** Inter-event gap percentiles per user stream — the calibration
+    * table a session-gap parameter is chosen FROM (q_session_window's
+    * 30-minute gap is an input someone must justify; this query is the
+    * justification). Gaps are exact BIGINT microseconds (`unix_micros`
+    * / `epoch_us` — casting the timestamp to double would round away
+    * sub-second precision), the lag window partitions by user (scales
+    * with the key space, no global sort), and the final percentile
+    * rollup sees one narrow integer column. */
+  val qGapPercentiles: Q = Q(
+    "q_gap_percentiles",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(gap, 0.9)"), 6).as("p90_us"),
+          round(expr("percentile(gap, 0.99)"), 6).as("p99_us"),
+          max(col("gap")).as("max_us"),
+          sum(when(col("gap") > 1800L * 1000000, 1L).otherwise(0L))
+            .as("n_over_30m"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events QUALIFY gap IS NOT NULL)
+      SELECT count(*) AS n_gaps,
+             round(quantile_cont(gap, 0.5), 6) AS p50_us,
+             round(quantile_cont(gap, 0.9), 6) AS p90_us,
+             round(quantile_cont(gap, 0.99), 6) AS p99_us,
+             max(gap) AS max_us,
+             CAST(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_30m
+      FROM g
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,
-    qEventTransitions, qCohortRetention, qEquidepthHist, qAnomalyMad)
+    qEventTransitions, qCohortRetention, qEquidepthHist, qAnomalyMad,
+    qGapPercentiles)
 }

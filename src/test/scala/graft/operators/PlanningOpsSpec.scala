@@ -100,6 +100,19 @@ class PlanningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gap percentiles: monotone quantiles, exact microsecond gaps") {
+    val row = graft.queries.AnalyticsQueries.qGapPercentiles
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("n_gaps"), col("p50_us"), col("p90_us"), col("p99_us"),
+        col("max_us"), col("n_over_30m"))
+      .as[(Long, Double, Double, Double, Long, Long)].collect().head
+    val (n, p50, p90, p99, mx, over) = row
+    assert(n > 0 && over <= n)
+    assert(p50 <= p90 && p90 <= p99 && p99 <= mx.toDouble,
+      s"non-monotone quantiles: $row")
+    assert(p50 > 0, "timestamps collide at microsecond precision")
+  }
+
   test("cellBlockedNearDupPairs only pairs within a learned cell") {
     // two tight clusters far apart: cross-cluster pairs must not appear
     val vecs = Seq(
