@@ -147,6 +147,34 @@ object Dedup {
       .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
       .orderBy(col("da"), col("db"))
 
+  /** Subsumption trim: the corpus filter containment pairs exist FOR.
+    * Unlike near-dup dedup (keep one arbitrary representative, e.g. the
+    * min id), the correct victim under containment is directional: the
+    * MORE-CONTAINED side is the redundant one — its text lives on
+    * inside the survivor. Ties (mutual containment) fall back to
+    * dropping the larger doc_id, so the rule stays deterministic.
+    * Returns the per-source kept/dropped manifest. */
+  def subsumptionTrim(documents: DataFrame, threshold: Double, n: Int = 5,
+                      maxDf: Option[Int] = None): DataFrame = {
+    val victims = containmentPairs(documents, threshold, n, maxDf)
+      .select(
+        when(col("c_ab") > col("c_ba"), col("da"))
+          .when(col("c_ba") > col("c_ab"), col("db"))
+          .otherwise(greatest(col("da"), col("db"))).as("doc_id"))
+      .distinct()
+    val kept = documents.join(victims, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    // start from the totals side: a source whose docs are ALL subsumed
+    // must still report n_kept = 0, not vanish
+    documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_subsumed"))
+      .orderBy(col("source"))
+  }
+
   val MinhashSeeds = 16
   val BandSize = 4
 

@@ -212,6 +212,43 @@ object DedupQueries {
       ORDER BY da, db
     """.trim))
 
+  /** Subsumption trim at containment >= 0.6: the corpus filter the
+    * containment pairs exist for. The victim is DIRECTIONAL — the
+    * more-contained side is dropped (its text lives on inside the
+    * survivor), with mutual containment falling back to dropping the
+    * larger doc_id. Contrast `q_dedup_keep`, whose near-dup groups
+    * have no direction and keep an arbitrary (min-id) representative. */
+  val qDedupSubsume: Q = Q(
+    "q_dedup_subsume",
+    (spark, dir) => Dedup.subsumptionTrim(Tables.documents(spark, dir), 0.6),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      shl AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(tl[i:i+4], ' ')
+                              FOR i IN generate_series(1, len(tl) - 4)]) AS sl
+        FROM toks WHERE len(tl) >= 5),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(a.sl), 6) AS c_ab,
+               round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(b.sl), 6) AS c_ba
+        FROM shl a, shl b
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.sl, b.sl)) > 0),
+      victims AS (
+        SELECT DISTINCT CASE WHEN c_ab > c_ba THEN da
+                             WHEN c_ba > c_ab THEN db
+                             ELSE greatest(da, db) END AS doc_id
+        FROM pairs WHERE greatest(c_ab, c_ba) >= 0.6)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subsumed
+      FROM documents d LEFT JOIN victims v ON d.doc_id = v.doc_id
+      GROUP BY d.source ORDER BY d.source
+    """.trim))
+
   /** Near-dup pairs → dedup GROUPS: connected components over the
     * capped-Jaccard pair list, each doc labeled with its component's
     * minimum doc id ("keep one per cluster" = `WHERE doc_id =
@@ -476,6 +513,6 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
-    qDedupSimhash, qDedupContainment, qDedupClusters, qDedupKeep,
-    qContamination, qDedupIncremental, qBloomScreen)
+    qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
+    qDedupKeep, qContamination, qDedupIncremental, qBloomScreen)
 }

@@ -72,6 +72,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docs, 0.5).count() == 0)
   }
 
+  test("subsumptionTrim drops the contained doc, not the min id") {
+    // doc 2 (the SMALLER id) is the larger, containing doc: a min-id
+    // keep rule would wrongly keep the fragment 5 and drop 2
+    val inner = (1 to 10).map(i => s"w$i").mkString(" ")
+    val outer = ((1 to 10).map(i => s"w$i") ++
+      (1 to 20).map(i => s"z$i")).mkString(" ")
+    val docs = Seq(
+      (5L, inner, "s0"), (2L, outer, "s0"),
+      (9L, (1 to 10).map(i => s"q$i").mkString(" "), "s1")
+    ).toDF("doc_id", "text", "source")
+    val rows = Dedup.subsumptionTrim(docs, 0.9)
+      .select("source", "n_docs", "n_kept", "n_subsumed")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("s0", 2L, 1L, 1L), ("s1", 1L, 1L, 0L)))
+    // and the survivor is the container (doc 2), not the fragment
+    val victims = Dedup.containmentPairs(docs, 0.9)
+      .select("da", "db", "c_ab", "c_ba")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(victims._3 < victims._4) // da=2 (container) less contained than db=5
+  }
+
   test("quality gates: every rule is exercised in both directions") {
     val rows = graft.queries.TextQueries.qTextGates
       .run(spark, "/root/testdata/sf0.001")
