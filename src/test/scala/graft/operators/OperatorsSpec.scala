@@ -72,6 +72,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(docs, 0.5).count() == 0)
   }
 
+  test("df-cap above the corpus max df is a no-op for both overlap metrics") {
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, ((1 to 9).map(i => s"w$i") ++ Seq("x", "y", "z")).mkString(" ")),
+      (3L, (1 to 12).map(i => s"p$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // max shingle df here is 2; a cap of 100 must change nothing
+    val jExact = Dedup.jaccardPairs(docs, 0.1).collect().toSeq
+    val jCapped = Dedup.jaccardPairs(docs, 0.1, maxDf = Some(100)).collect().toSeq
+    assert(jExact == jCapped && jExact.nonEmpty)
+    val cExact = Dedup.containmentPairs(docs, 0.1).collect().toSeq
+    val cCapped = Dedup.containmentPairs(docs, 0.1, maxDf = Some(100)).collect().toSeq
+    assert(cExact == cCapped && cExact.nonEmpty)
+  }
+
   test("subsumptionTrim drops the contained doc, not the min id") {
     // doc 2 (the SMALLER id) is the larger, containing doc: a min-id
     // keep rule would wrongly keep the fragment 5 and drop 2
