@@ -104,11 +104,26 @@ object Dedup {
     * in how they combine those counts. */
   private def invertedPairCounts(documents: DataFrame, n: Int,
                                  maxDf: Option[Int]): DataFrame = {
-    val byShingleAll = docShingles(documents, n)
+    val sh = docShingles(documents, n)
+    val kept = maxDf match {
+      case Some(cap) =>
+        // df-filter BEFORE list collection: the kept doc list is
+        // bounded by construction (≤ cap entries per aggregation
+        // buffer). Filtering AFTER collect_list — the round-3 shape —
+        // bounds the pair fan-out but still materializes a stop-phrase
+        // shingle's full doc list inside one aggregation buffer, which
+        // is exactly the row that blows up at corpus scale.
+        val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val okShingles = shP.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("shingle"))
+        shP.join(okShingles, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val byShingle = kept
       .groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
-    val byShingle = maxDf.fold(byShingleAll)(cap =>
-        byShingleAll.filter(size(col("docs")) <= cap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = byShingle
       .select(explode(col("docs")).as("doc_id"))

@@ -537,8 +537,11 @@ object Similarity {
     * must land in the zero-norm count, never vanish into a NULL
     * aggregate. Feeds the `q_embed_health` pre-index DQ gate. */
   def vectorHealth(embeddings: DataFrame): DataFrame = {
+    // per-element coalesce: a NULL component contributes 0, matching
+    // DuckDB list_sum's null-skipping — without it one NULL element
+    // nulls the whole fold and the row silently lands in n_zero
     val normSq = aggregate(col("embedding"), lit(0.0d),
-      (a, x) => a + x.cast("double") * x.cast("double"))
+      (a, x) => a + coalesce(x.cast("double") * x.cast("double"), lit(0.0d)))
     embeddings.select(col("label"),
       coalesce(size(col("embedding")), lit(0)).cast("long").as("dim"),
       coalesce(sqrt(normSq), lit(0.0d)).as("norm"))

@@ -623,12 +623,15 @@ object AnalyticsQueries {
     (spark, dir) => {
       val counts = Tables.events(spark, dir)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
-      // total via a window over the already-aggregated (small) table —
-      // no separate scan, no driver-side action
-      val w = Window.partitionBy()
-      counts
+      // total via a 1-row aggregate broadcast back over the counts: an
+      // unpartitioned window here would funnel every distinct key's
+      // count row through ONE partition before the top-10 cut — the
+      // aggregate re-reads nothing (same shuffled counts feed both
+      // sides) and keeps the profile scan-shaped at any key count
+      val total = counts.agg(sum(col("n_rows")).as("total_rows"))
+      counts.crossJoin(broadcast(total))
         .select(col("user_id"), col("n_rows"),
-          round(col("n_rows").cast("double") / sum(col("n_rows")).over(w), 6)
+          round(col("n_rows").cast("double") / col("total_rows"), 6)
             .as("share"))
         .orderBy(col("n_rows").desc, col("user_id"))
         .limit(10)

@@ -182,24 +182,41 @@ object DedupQueries {
       """.trim))
   }
 
+  /** The df-cap for the containment family: the production-scale bound
+    * on the inverted index's per-shingle doc list (cap²/2 bounds the
+    * in-row pair fan-out; with the cap the collect_list buffer is also
+    * bounded by construction). 1000 is a no-op on the synthetic fixture
+    * (max df ≈ 3) — [[JaccardCap]] already exercises a BITING cap on
+    * the same machinery — but the oracle mirrors the filter so the two
+    * engines stay in lockstep at any scale factor. */
+  val ContainmentCap = 1000
+
   /** Asymmetric containment pairs at >= 0.6 in either direction —
     * subsumption detection (a short doc quoted inside a longer one
     * scores containment ~1.0 while its Jaccard shrinks with the size
     * gap, so the symmetric queries above never see it). Spark uses the
     * inverted shingle→doc-list index; the oracle brute-forces
     * list_intersect over all pairs — same math, independent plan. Both
-    * engines threshold on the 6dp-ROUNDED ratios. */
+    * engines threshold on the 6dp-ROUNDED ratios and apply the same
+    * [[ContainmentCap]] df-cap. */
   val qDedupContainment: Q = Q(
     "q_dedup_containment",
-    (spark, dir) => Dedup.containmentPairs(Tables.documents(spark, dir), 0.6),
-    Some("""
+    (spark, dir) => Dedup.containmentPairs(Tables.documents(spark, dir), 0.6,
+      maxDf = Some(ContainmentCap)),
+    Some(s"""
       WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+        SELECT doc_id, string_split_regex(text, '\\s+') AS tl FROM documents),
+      shf AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM toks WHERE len(tl) >= 5),
+      dft AS (SELECT shingle, count(*) AS df FROM shf GROUP BY shingle),
       sh AS (
-        SELECT doc_id,
-               list_distinct([array_to_string(tl[i:i+4], ' ')
-                              FOR i IN generate_series(1, len(tl) - 4)]) AS sl
-        FROM toks WHERE len(tl) >= 5)
+        SELECT doc_id, list(shf.shingle ORDER BY shf.shingle) AS sl
+        FROM shf JOIN dft ON shf.shingle = dft.shingle
+        WHERE dft.df <= $ContainmentCap
+        GROUP BY doc_id)
       SELECT a.doc_id AS da, b.doc_id AS db,
              round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(a.sl), 6) AS c_ab,
              round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(b.sl), 6) AS c_ba
@@ -220,15 +237,22 @@ object DedupQueries {
     * have no direction and keep an arbitrary (min-id) representative. */
   val qDedupSubsume: Q = Q(
     "q_dedup_subsume",
-    (spark, dir) => Dedup.subsumptionTrim(Tables.documents(spark, dir), 0.6),
-    Some("""
+    (spark, dir) => Dedup.subsumptionTrim(Tables.documents(spark, dir), 0.6,
+      maxDf = Some(ContainmentCap)),
+    Some(s"""
       WITH toks AS (
-        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
-      shl AS (
-        SELECT doc_id,
-               list_distinct([array_to_string(tl[i:i+4], ' ')
-                              FOR i IN generate_series(1, len(tl) - 4)]) AS sl
+        SELECT doc_id, string_split_regex(text, '\\s+') AS tl FROM documents),
+      shf AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
         FROM toks WHERE len(tl) >= 5),
+      dft AS (SELECT shingle, count(*) AS df FROM shf GROUP BY shingle),
+      shl AS (
+        SELECT doc_id, list(shf.shingle ORDER BY shf.shingle) AS sl
+        FROM shf JOIN dft ON shf.shingle = dft.shingle
+        WHERE dft.df <= $ContainmentCap
+        GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db,
                round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) / len(a.sl), 6) AS c_ab,

@@ -296,7 +296,7 @@ object PipelineQueries {
       .withColumn("role", when(col("idx") === 0, lit("login")).otherwise(lit("txn")))
       .orderBy(col("event_id"), col("idx")),
     Some("""
-      SELECT event_id, idx,
+      SELECT event_id, CAST(idx AS BIGINT) AS idx,
              CASE WHEN idx = 0 THEN 'login' ELSE 'txn' END AS role
       FROM events JOIN (VALUES (0), (1), (2)) t(idx) ON idx <= event_id % 3
       ORDER BY event_id, idx

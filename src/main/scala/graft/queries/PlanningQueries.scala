@@ -30,7 +30,7 @@ object PlanningQueries {
       .orderBy(col("source"), col("split")),
     Some(s"""
       SELECT source, split, count(*) AS n_docs,
-             sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)) AS n_tokens
+             CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
       FROM (
         SELECT source, text,
                CASE WHEN ${AnalyticsQueries.bpSql("doc_id")} < 9800 THEN 'train'
@@ -76,12 +76,13 @@ object PlanningQueries {
       Some(s"""
       WITH mass AS (
         SELECT source,
-               sum(CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)) AS n_tokens,
+               CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens,
                CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight
         FROM documents GROUP BY source),
-      tw AS (SELECT sum(weight) AS total_w FROM mass)
+      tw AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM mass)
       SELECT source, n_tokens, weight,
-             least(n_tokens, ($budget * weight) // total_w) AS planned_tokens,
+             CAST(least(n_tokens, ($budget * weight) // total_w) AS BIGINT)
+               AS planned_tokens,
              round(CAST(least(n_tokens, ($budget * weight) // total_w) AS DOUBLE)
                    / n_tokens, 6) AS sample_rate
       FROM mass, tw
@@ -169,11 +170,13 @@ object PlanningQueries {
         .orderBy(col("band_id"))
     },
     Some("""
-      WITH bands(band_id, lo, hi) AS (VALUES
-        ('b0', 0.0, 25.0), ('b1', 25.0, 60.0), ('b2', 60.0, 120.0),
-        ('b3', 120.0, 200.0), ('b4', 200.0, 350.0), ('b5', 350.0, 500.0))
+      WITH bands(band_id, lo, hi) AS (
+        SELECT band_id, CAST(lo AS DOUBLE), CAST(hi AS DOUBLE) FROM (VALUES
+          ('b0', 0.0, 25.0), ('b1', 25.0, 60.0), ('b2', 60.0, 120.0),
+          ('b3', 120.0, 200.0), ('b4', 200.0, 350.0), ('b5', 350.0, 500.0))
+          v(band_id, lo, hi))
       SELECT band_id, lo, hi, count(*) AS n_events,
-             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+             CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
       FROM bands b JOIN events e ON b.lo <= e.value AND e.value < b.hi
       GROUP BY band_id, lo, hi
       ORDER BY band_id
@@ -232,7 +235,7 @@ object PlanningQueries {
                         ELSE ${numShards - 1} - rk % $numShards END AS shard
         FROM ranked),
       per AS (
-        SELECT shard, count(*) AS n_docs, sum(nt) AS n_tokens
+        SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM striped GROUP BY shard),
       t AS (SELECT sum(n_tokens) AS total_nt FROM per)
       SELECT shard, n_docs, n_tokens,
@@ -296,7 +299,7 @@ object PlanningQueries {
         FROM scored)
       SELECT CASE WHEN q <= c1 THEN 0 WHEN q <= c2 THEN 1
                   WHEN q <= c3 THEN 2 ELSE 3 END AS phase,
-             source, count(*) AS n_docs, sum(nt) AS n_tokens,
+             source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
              round(CAST(sum(CAST(floor(q * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
                    / count(*) / 1000000, 6) AS avg_quality
       FROM scored, cuts

@@ -48,9 +48,9 @@ object TextQueries {
                    (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS quality
       FROM (
         SELECT doc_id,
-               len(toks) AS n_tokens,
-               len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
-               len(list_distinct(toks)) AS n_unique,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS INTEGER) AS n_stopwords,
+               CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
                list_sum(list_transform(toks, x -> length(x))) AS tok_chars
         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
       ORDER BY doc_id
@@ -75,9 +75,9 @@ object TextQueries {
                   ELSE 'olap' END AS predicted
       FROM (
         SELECT doc_id,
-               len(list_filter(toks, x -> x IN ('join','query','table','scan','agg'))) AS s_olap,
-               len(list_filter(toks, x -> x IN ('stream','batch','window','merge'))) AS s_stream,
-               len(list_filter(toks, x -> x IN ('row','column','data','key'))) AS s_storage
+               CAST(len(list_filter(toks, x -> x IN ('join','query','table','scan','agg'))) AS INTEGER) AS s_olap,
+               CAST(len(list_filter(toks, x -> x IN ('stream','batch','window','merge'))) AS INTEGER) AS s_stream,
+               CAST(len(list_filter(toks, x -> x IN ('row','column','data','key'))) AS INTEGER) AS s_storage
         FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents))
       ORDER BY doc_id
     """.trim))
@@ -466,7 +466,8 @@ object TextQueries {
                  * 1000000000 + 0.5) AS BIGINT) AS nano
         FROM tf t JOIN dft d USING (term) CROSS JOIN stats s),
       ranked AS (
-        SELECT doc_id, sum(nano) AS bm25_nanos FROM scored GROUP BY doc_id
+        SELECT doc_id, CAST(sum(nano) AS BIGINT) AS bm25_nanos
+        FROM scored GROUP BY doc_id
         ORDER BY bm25_nanos DESC, doc_id LIMIT 10)
       SELECT doc_id, bm25_nanos,
              CAST(row_number() OVER (ORDER BY bm25_nanos DESC, doc_id) AS INT) AS rnk

@@ -9,6 +9,7 @@ import json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') \
@@ -40,6 +41,25 @@ def norm(v):
     return v
 
 
+def canon_type(t):
+    """Canonical arrow-type tag. Loose on representation variants
+    (string vs large_string, list vs large_list, timestamp units) but
+    STRICT on numeric types: DuckDB's HUGEINT arrives as
+    decimal128(38,0) and a DECIMAL literal as decimal128(p,s), which
+    must NOT equal Spark's int64/double — the driver hashes typed
+    values, so a widened oracle type flips the hash even when every
+    value matches (the round-3 failure class)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)  # int32, int64, double, decimal128(38, 0), bool, binary, ...
+
+
 def main():
     args = sys.argv[2:] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else sys.argv[1:]
     skip = "--skip-verify" in args
@@ -67,18 +87,32 @@ def main():
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
-        dcols = sorted(duck.columns)
+        duck_tbl = duck.arrow()
+        dcols = sorted(duck_tbl.column_names)
         scols = sorted(spark_tbl.column_names)
         if dcols != scols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             n_fail += 1
             continue
+        # typed comparison first: the driver hashes TYPED values, so a
+        # HUGEINT/DECIMAL-widened oracle column fails there even when
+        # every value matches. Catch that locally.
+        tmism = [
+            (c, canon_type(spark_tbl.schema.field(c).type),
+             canon_type(duck_tbl.schema.field(c).type))
+            for c in scols
+            if canon_type(spark_tbl.schema.field(c).type)
+            != canon_type(duck_tbl.schema.field(c).type)]
+        if tmism:
+            c, st, dt = tmism[0]
+            print(f"FAIL {name}: {len(tmism)} column type mismatches; "
+                  f"first: {c} spark={st} duck={dt}")
+            n_fail += 1
+            continue
         # sort columns by name, compare values row-by-row (driver does
         # column-name sort + hash; we diff directly for debuggability)
         srows = list(zip(*[spark_tbl.column(c).to_pylist() for c in scols]))
-        drecs = duck.fetchall()
-        didx = [duck.columns.index(c) for c in dcols]
-        drows = [tuple(r[i] for i in didx) for r in drecs]
+        drows = list(zip(*[duck_tbl.column(c).to_pylist() for c in dcols]))
         srows = [tuple(norm(v) for v in r) for r in srows]
         drows = [tuple(norm(v) for v in r) for r in drows]
         if len(srows) != len(drows):
