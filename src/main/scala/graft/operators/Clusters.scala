@@ -36,9 +36,12 @@ object Clusters {
     // otherwise evaluate that pipeline twice (exchange reuse across
     // union branches is not guaranteed).
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist(lvl)
+    // Duplicate edges are harmless under a min-aggregate — symmetrize
+    // WITHOUT a distinct: that shuffle's only effect here would be to
+    // shrink the (already near-dup-sparse) edge list a propagation
+    // round re-aggregates anyway.
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(lvl)
     // localCheckpoint (not persist) each round: an iterative plan that
     // references its predecessor twice (propagate + next round)
@@ -47,6 +50,20 @@ object Clusters {
       .distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    // The label table is EDGE-derived: only docs in some near-dup pair
+    // carry a label, so it is orders of magnitude smaller than the
+    // corpus at any scale — but each round's checkpoint would still
+    // materialize it across the full session shuffle-partition count,
+    // paying ~3 stages × that many tasks of scheduling overhead per
+    // round. Size the rounds from the MEASURED label count instead
+    // (the count job reads the already-materialized checkpoint):
+    // ~512k labels per partition, capped at cluster parallelism.
+    // coalesce is narrow, and through coalesce-backpropagation it also
+    // shrinks each round's aggregate to the same width.
+    val nLabels = labels.count()
+    val parts = math.max(1L, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism.toLong,
+      nLabels / 524288L + 1L)).toInt
     def propagate(l: DataFrame): DataFrame =
       l.union(edges
           .join(l.withColumnRenamed("node", "dst"), "dst")
@@ -70,6 +87,7 @@ object Clusters {
     while (iter < maxIter && !converged) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = propagate(propagate(labels))
+        .coalesce(parts)
         .observe(obs, sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
         .localCheckpoint()
       // The metric arrives via the (bounded, droppable) listener bus;

@@ -107,18 +107,22 @@ object Dedup {
     val sh = docShingles(documents, n)
     val kept = maxDf match {
       case Some(cap) =>
-        // df-filter BEFORE list collection: the kept doc list is
-        // bounded by construction (≤ cap entries per aggregation
-        // buffer). Filtering AFTER collect_list — the round-3 shape —
-        // bounds the pair fan-out but still materializes a stop-phrase
-        // shingle's full doc list inside one aggregation buffer, which
-        // is exactly the row that blows up at corpus scale.
-        val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val okShingles = shP.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df"))
+        // df-filter BEFORE list collection, as a window count over the
+        // shingle partitioning: the kept doc list is then bounded by
+        // construction (≤ cap entries per aggregation buffer), where
+        // filtering AFTER collect_list — the round-3 shape — bounds the
+        // pair fan-out but still materializes a stop-phrase shingle's
+        // full doc list inside one non-spillable aggregation buffer.
+        // The window formulation costs one sort but ZERO extra
+        // exchanges: WindowExec preserves hashpartitioning(shingle), so
+        // the groupBy below needs no re-shuffle (a df-table semi-join
+        // would exchange the full shingle table a second time), and a
+        // hot shingle's group lives in WindowExec's spillable sorter,
+        // not an in-memory list.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+        sh.withColumn("df", count(lit(1)).over(w))
           .filter(col("df") <= cap)
-          .select(col("shingle"))
-        shP.join(okShingles, Seq("shingle"), "left_semi")
+          .drop("df")
       case None => sh
     }
     val byShingle = kept
