@@ -24,5 +24,6 @@ object Registry {
       graft.queries.DedupQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.CurationQueries.all ++
-      graft.queries.PlanningQueries.all
+      graft.queries.PlanningQueries.all ++
+      graft.queries.LayoutQueries.all
 }

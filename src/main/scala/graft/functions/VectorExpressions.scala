@@ -40,13 +40,22 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: several FloatDotProduct instances
+      // can land in ONE generated projection (cosine = three dots),
+      // and a shared `i`/`n`/`acc` would collide — janino rejects the
+      // class and the whole projection silently drops to the
+      // interpreter, exactly the hot path this expression exists to
+      // keep compiled.
+      val n = ctx.freshName("fdpN")
+      val acc = ctx.freshName("fdpAcc")
+      val i = ctx.freshName("fdpI")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

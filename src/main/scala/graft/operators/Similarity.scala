@@ -532,6 +532,63 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Recall@k of MATRYOSHKA-truncated search (first `subDim`
+    * components only) against the full-dimension exact baseline, per
+    * query — the gauge for the "store a prefix of the embedding"
+    * memory lever (dim/subDim × smaller index), exactly parallel to
+    * [[quantizedRecall]]'s gauge for int8. Truncation is a `slice`,
+    * so the corpus-side plan is identical to [[knnBruteForce]]. */
+  def matryoshkaRecall(embeddings: DataFrame, queryMaxId: Long, k: Int,
+                       subDim: Int): DataFrame = {
+    val exact = knnBruteForce(embeddings, queryMaxId, k)
+      .select(col("qid"), col("vec_id"))
+    val truncated = knnBruteForce(
+      embeddings.withColumn("embedding", slice(col("embedding"), 1, subDim)),
+      queryMaxId, k)
+      .select(col("qid"), col("vec_id"))
+    val overlap = exact.join(truncated, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    exact.select(col("qid")).distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall", round(col("n_overlap").cast("double") / k, 6))
+      .orderBy(col("qid"))
+  }
+
+  /** Per-label centroid drift against the global corpus centroid:
+    * each label's mean vector (components quantized to integer
+    * millionths exactly as [[lloydCentroids]] — order-independent
+    * BIGINT sums, one double division, cast to float) cosine-compared
+    * to the all-corpus mean. The mixture-monitoring diagnostic for
+    * embedding corpora: a label whose centroid drifts from the global
+    * center dominates its region of the space. One posexplode
+    * aggregate (n×dim rows, map-side combinable) computes BOTH
+    * centroids; everything downstream is label-count sized. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    val quantized = spread(embeddings)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * lit(1000000d) + lit(0.5)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def meanVec(grouped: DataFrame, keys: Seq[Column]): DataFrame = {
+      val byPos = grouped
+        .groupBy(keys :+ col("pos"): _*)
+        .agg((sum(col("qv")) / (lit(1000000d) * count(lit(1)))).cast("float").as("m"))
+      (if (keys.isEmpty) byPos.groupBy() else byPos.groupBy(keys: _*))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("vec"))
+    }
+    val perLabel = meanVec(quantized, Seq(col("label")))
+      .withColumnRenamed("vec", "cvec")
+    val global = meanVec(quantized, Seq.empty).withColumnRenamed("vec", "gvec")
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+    perLabel.join(counts, "label")
+      .crossJoin(broadcast(global))
+      .select(col("label"), col("n_vectors"),
+        cosine(col("cvec"), col("gvec")).as("drift_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Per-vector health row: `(label, dim, norm)` with empty or null
     * embeddings coalescing to `dim = 0, norm = 0.0` — degenerate rows
     * must land in the zero-norm count, never vanish into a NULL

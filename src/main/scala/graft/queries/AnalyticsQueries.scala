@@ -879,8 +879,57 @@ object AnalyticsQueries {
       FROM g
     """.trim))
 
+  /** Snowflake 6-table join (the TPC-H Q5 shape): region → nation →
+    * customer → orders → lineitem → supplier, with the "local
+    * supplier" condition (customer and supplier share a nation) and
+    * revenue per nation in exact cents. Plan shape at scale: region
+    * and nation BROADCAST (a few rows), the three fact-side joins
+    * shuffle on their natural keys with AQE free to reorder, and the
+    * per-row money term is floored to integer cents BEFORE the sum so
+    * no float accumulation order can drift. */
+  val qJoinSnowflake: Q = Q(
+    "q_join_snowflake",
+    (spark, dir) => {
+      val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(spark, dir)
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100
+            + 0.5).cast("long").as("rev_cents"))
+      val supp = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lineitems"), sum(col("rev_cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_lineitems,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue_cents DESC, n_name
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

@@ -111,13 +111,15 @@ object DedupQueries {
     * (4 bands of 4): candidates share >= 1 band; estimated similarity =
     * agreeing slots / 16, kept at >= 0.5. The oracle recomputes the
     * identical mixes from the [[Dedup.MixA]]/[[Dedup.MixB]] constants. */
-  val qDedupMinhash: Q = {
+  /** Shared oracle CTE chain replaying the whole MinHash+LSH pipeline
+    * (one md5 per shingle, 16 affine chunk mixes, 4 band buckets,
+    * slot-agreement estimate) — ends at `agree(da, db, est)`. Used by
+    * both the pair query and the LSH-calibration gauge so the two
+    * cannot drift. */
+  private def minhashAgreeCtes: String = {
     val seedRows = (0 until Dedup.MinhashSeeds).map(i =>
       s"(${i}, ${Dedup.MixA(i)}, ${Dedup.MixB(i)}, ${i % 4})").mkString(", ")
-    Q(
-      "q_dedup_minhash",
-      (spark, dir) => Dedup.minhashLshPairs(Tables.documents(spark, dir), 0.5),
-      Some(s"""
+    s"""
       $shinglesCte,
       hx AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
       ch AS (SELECT doc_id, ${chunkSql(0)} AS c0, ${chunkSql(1)} AS c1,
@@ -143,11 +145,75 @@ object DedupQueries {
         FROM cand
         JOIN sigs sa ON sa.doc_id = da
         JOIN sigs sb ON sb.doc_id = db AND sb.seed = sa.seed
-        GROUP BY da, db)
+        GROUP BY da, db)"""
+  }
+
+  val qDedupMinhash: Q = Q(
+    "q_dedup_minhash",
+    (spark, dir) => Dedup.minhashLshPairs(Tables.documents(spark, dir), 0.5),
+    Some(s"""
+      $minhashAgreeCtes
       SELECT da, db, round(est, 6) AS est_sim FROM agree
       WHERE est >= 0.5 ORDER BY da, db
       """.trim))
-  }
+
+  /** LSH calibration gauge: over the MinHash candidate pairs at
+    * est ≥ 0.5, compare the slot-agreement ESTIMATE to the exact
+    * shingle-set Jaccard — pair count, both means, and the mean
+    * absolute error, all through integer micro-units so no float-sum
+    * order can drift. This is the measurement that justifies (or
+    * re-tunes) the band/slot configuration before trusting LSH at
+    * corpus scale; production computes the exact side only for the
+    * candidate subset, exactly as here (the inner pair list IS the
+    * candidate list; a zero-overlap candidate scores jaccard 0). */
+  val qLshCalibration: Q = Q(
+    "q_lsh_calibration",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val est = Dedup.minhashLshPairs(docs, 0.5)
+      // exact Jaccard for every overlapping pair; LEFT join + coalesce
+      // keeps a (vanishingly rare) zero-overlap LSH candidate at j=0
+      // rather than silently dropping it from the error sum
+      val exact = Dedup.jaccardPairs(docs, 0.0)
+        .withColumnRenamed("jaccard", "j")
+      def micro(c: org.apache.spark.sql.Column) =
+        floor(c * 1000000d + 0.5).cast("long")
+      est.join(exact, Seq("da", "db"), "left")
+        .select(col("da"), col("db"), col("est_sim"),
+          coalesce(col("j"), lit(0.0d)).as("j"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(micro(col("est_sim"))).as("est_micro"),
+          sum(micro(col("j"))).as("true_micro"),
+          sum(abs(micro(col("est_sim")) - micro(col("j")))).as("err_micro"))
+        .select(col("n_pairs"),
+          round(col("est_micro").cast("double") / col("n_pairs") / 1e6, 6)
+            .as("mean_est"),
+          round(col("true_micro").cast("double") / col("n_pairs") / 1e6, 6)
+            .as("mean_true"),
+          round(col("err_micro").cast("double") / col("n_pairs") / 1e6, 6)
+            .as("mean_abs_err"))
+    },
+    Some(s"""
+      $minhashAgreeCtes,
+      est AS (SELECT da, db, round(est, 6) AS est_sim FROM agree WHERE est >= 0.5),
+      shl AS (SELECT doc_id, list(DISTINCT shingle) AS sl FROM sh GROUP BY doc_id),
+      scored AS (
+        SELECT e.da, e.db,
+               CAST(floor(e.est_sim * 1000000 + 0.5) AS BIGINT) AS em,
+               CAST(floor(coalesce(
+                 round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+                       (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6),
+                 0.0) * 1000000 + 0.5) AS BIGINT) AS jm
+        FROM est e
+        LEFT JOIN shl a ON a.doc_id = e.da
+        LEFT JOIN shl b ON b.doc_id = e.db)
+      SELECT count(*) AS n_pairs,
+             round(CAST(sum(em) AS DOUBLE) / count(*) / 1e6, 6) AS mean_est,
+             round(CAST(sum(jm) AS DOUBLE) / count(*) / 1e6, 6) AS mean_true,
+             round(CAST(sum(abs(em - jm)) AS DOUBLE) / count(*) / 1e6, 6) AS mean_abs_err
+      FROM scored
+      """.trim))
 
   /** 64-bit portable SimHash pairs within hamming distance 3. Spark
     * uses 16-bit pigeonhole block joins; the oracle brute-forces all
@@ -538,5 +604,6 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
-    qDedupKeep, qContamination, qDedupIncremental, qBloomScreen)
+    qDedupKeep, qContamination, qDedupIncremental, qBloomScreen,
+    qLshCalibration)
 }

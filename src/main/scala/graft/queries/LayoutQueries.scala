@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.Layout
+
+/** Data-layout / CDC-compaction / privacy-gate verify queries — the
+  * table-maintenance surface of a training-data lakehouse: changelog
+  * compaction (latest-wins upsert), SCD-2 periodization, small-file
+  * compaction planning, Z-order layout cells, and the k-anonymity
+  * audit. The `events` stream table stands in for the changelog; the
+  * `documents` table for the file ledger. */
+object LayoutQueries {
+
+  /** Latest-wins snapshot of the event changelog per user — CDC
+    * upsert compaction as one map-side-combinable lexicographic-max
+    * aggregate (no per-key history sort). The oracle takes the same
+    * row via a row_number window — independent machinery, same
+    * determinism contract (ties impossible: event_id is unique). */
+  val qUpsertLatest: Q = Q(
+    "q_upsert_latest",
+    (spark, dir) => Layout.latestSnapshot(
+        Tables.events(spark, dir),
+        key = col("user_id"), ts = col("ts"), tiebreak = col("event_id"),
+        payload = Seq(col("event_type"), col("value")))
+      .select(col("key").as("user_id"), col("ts"),
+        col("__p0").as("event_type"), col("__p1").as("value"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+        SELECT user_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id
+    """.trim))
+
+  /** SCD-2 periodization: every event becomes a validity interval
+    * `[valid_from, valid_to)` per user, `valid_to` = the user's next
+    * event (null while current) — the dimension-table shape that lets
+    * an as-of lookup become a plain BETWEEN join. One shuffle on the
+    * key; sort only within each key's history. */
+  val qScd2Intervals: Q = Q(
+    "q_scd2_intervals",
+    (spark, dir) => Layout.scd2Intervals(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+        key = col("user_id"), ts = col("ts"), tiebreak = col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+    Some("""
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+             (lead(ts) OVER w IS NULL) AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id
+    """.trim))
+
+  /** Small-file compaction plan per source: exact integer byte totals
+    * (n_chars as the byte ledger), files needed at a 64 KiB target
+    * (ceiling DIV — double division stops being exact past 2^53
+    * bytes), and the mean fill. The plan every lakehouse maintenance
+    * job derives before rewriting a partition. */
+  val qCompactionPlan: Q = {
+    val target = 65536L
+    Q(
+      "q_compaction_plan",
+      (spark, dir) => Layout.compactionPlan(
+          Tables.documents(spark, dir),
+          partitionCol = col("source"), bytesCol = col("n_chars"),
+          targetBytes = target)
+        .orderBy(col("partition")),
+      Some(s"""
+      SELECT source AS partition, count(*) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+             (CAST(sum(n_chars) AS BIGINT) + ${target - 1}) // $target AS n_files,
+             CAST(sum(n_chars) AS BIGINT)
+               // ((CAST(sum(n_chars) AS BIGINT) + ${target - 1}) // $target)
+               AS avg_file_bytes,
+             round(CAST(sum(n_chars) AS DOUBLE) /
+                   (((CAST(sum(n_chars) AS BIGINT) + ${target - 1}) // $target)
+                    * $target), 6) AS fill_ratio
+      FROM documents GROUP BY source ORDER BY partition
+    """.trim))
+  }
+
+  /** Z-order (Morton) layout cells over (user_id, value-band): the
+    * 2-D interleaved key that clusters a table for range pruning on
+    * both columns at once, rolled up to 256 cells with each cell's
+    * dimension envelopes — the report that shows what a min/max-zone
+    * file skip would achieve under this layout. Pure bit arithmetic;
+    * the oracle regenerates the identical interleave. */
+  val qZorderCells: Q = {
+    val bits = 8
+    val interleaveSql = (0 until bits).map { i =>
+      s"(((ua >> $i) & 1) * ${1L << (2 * i)} + ((vb >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    Q(
+      "q_zorder_cells",
+      (spark, dir) => {
+        val ua = least(col("user_id"), lit(255L))
+        val vb = least(floor(col("value") / 2).cast("long"), lit(255L))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("value"),
+            Layout.zorderCell(ua, vb, bits).as("z"))
+          .groupBy((col("z") / 256).cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+      WITH keyed AS (
+        SELECT user_id, value, $interleaveSql AS z FROM (
+          SELECT user_id, value,
+                 least(user_id, 255) AS ua,
+                 least(CAST(floor(value / 2) AS BIGINT), 255) AS vb
+          FROM events))
+      SELECT z // 256 AS cell, count(*) AS n_events,
+             min(user_id) AS u_lo, max(user_id) AS u_hi,
+             min(value) AS v_lo, max(value) AS v_hi
+      FROM keyed GROUP BY z // 256 ORDER BY cell
+    """.trim))
+  }
+
+  /** k-anonymity audit (k=10) over the (event_type, value-band)
+    * quasi-identifier tuple: group count, under-k group count, and the
+    * share of rows sitting in risky groups — the privacy gate run
+    * before releasing attribute combinations into a training corpus.
+    * Two hash aggregates, scan-shaped at any size. */
+  val qPrivacyKanon: Q = Q(
+    "q_privacy_kanon",
+    (spark, dir) => Layout.kAnonymity(
+      Tables.events(spark, dir),
+      quasi = Seq(col("event_type"),
+        floor(col("value") / 50).cast("long").as("vband")),
+      k = 10),
+    Some("""
+      WITH g AS (
+        SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS vband,
+               count(*) AS n
+        FROM events GROUP BY event_type, vband)
+      SELECT count(*) AS n_groups,
+             CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+             round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE)
+                   / sum(n), 6) AS risk_share
+      FROM g
+    """.trim))
+
+  val all: Seq[Q] = Seq(qUpsertLatest, qScd2Intervals, qCompactionPlan,
+    qZorderCells, qPrivacyKanon)
+}

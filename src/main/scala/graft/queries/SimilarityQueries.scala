@@ -492,8 +492,126 @@ object SimilarityQueries {
       FROM n GROUP BY label ORDER BY label
     """.trim))
 
+  /** Matryoshka recall@5: top-5 by the FIRST-16-component prefix of
+    * each embedding vs the full-64-dim exact top-5 — the stored-prefix
+    * memory lever's quality gauge (4× smaller index when the prefix
+    * suffices). Oracle replays both searches with list slices. */
+  val qEmbedMatryoshka: Q = {
+    val sub = 16
+    Q(
+      "q_embed_matryoshka",
+      (spark, dir) => Similarity.matryoshkaRecall(
+        Tables.embeddings(spark, dir), queryMaxId = 8, k = 5, subDim = sub),
+      Some(s"""
+      WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+      ex AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.embedding", "e.embedding")} DESC, e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.vec_id >= 8)
+        WHERE rn <= 5),
+      tr AS (
+        SELECT qid, vec_id FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf(s"(q.embedding[1:$sub])", s"(e.embedding[1:$sub])")} DESC,
+                            e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.vec_id >= 8)
+        WHERE rn <= 5)
+      SELECT q.qid,
+             CAST(coalesce((SELECT count(*) FROM ex JOIN tr
+                            ON ex.qid = tr.qid AND ex.vec_id = tr.vec_id
+                            WHERE ex.qid = q.qid), 0) AS BIGINT) AS n_overlap,
+             round(coalesce((SELECT count(*) FROM ex JOIN tr
+                             ON ex.qid = tr.qid AND ex.vec_id = tr.vec_id
+                             WHERE ex.qid = q.qid), 0) / 5.0, 6) AS recall
+      FROM q ORDER BY qid
+    """.trim))
+  }
+
+  /** Per-label centroid drift vs the global corpus centroid — the
+    * embedding-mixture monitor: each label's quantized-integer mean
+    * vector (the [[Similarity.lloydCentroids]] determinism contract)
+    * cosine-compared to the all-corpus mean. The oracle replays the
+    * same quantized means and cosine in SQL. */
+  val qEmbedCentroidDrift: Q = Q(
+    "q_embed_centroid_drift",
+    (spark, dir) => Similarity.centroidDrift(Tables.embeddings(spark, dir)),
+    Some(s"""
+      WITH qv AS (
+        SELECT label,
+               unnest([{'pos': i, 'qv': CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)}
+                       FOR i IN generate_series(1, len(embedding))], recursive := true)
+        FROM embeddings),
+      lc AS (
+        SELECT label, list(CAST(mv AS FLOAT) ORDER BY pos) AS cvec FROM (
+          SELECT label, pos, sum(qv) / (1000000.0 * count(*)) AS mv
+          FROM qv GROUP BY label, pos)
+        GROUP BY label),
+      gc AS (
+        SELECT list(CAST(mv AS FLOAT) ORDER BY pos) AS gvec FROM (
+          SELECT pos, sum(qv) / (1000000.0 * count(*)) AS mv
+          FROM qv GROUP BY pos)),
+      n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+      SELECT l.label, n.n_vectors,
+             ${cosOf("l.cvec", "gc.gvec")} AS drift_cos
+      FROM lc l JOIN n ON n.label = l.label, gc
+      ORDER BY l.label
+    """.trim))
+
+  /** Semantic-dedup threshold sweep: same-cell near-dup pair counts
+    * and distinct dropped-doc counts at five cosine cutoffs — the
+    * dedup-rate curve a pipeline reads before committing to a
+    * threshold (each +0.05 trades recall of true dups against false
+    * merges). ONE cell-blocked pair pass scores every pair; the sweep
+    * is a broadcast join against the 5-row threshold dim — the pair
+    * machinery never re-runs per threshold. */
+  val qEmbedThresholdSweep: Q = {
+    val cuts = Seq(0.35, 0.40, 0.45, 0.50, 0.55)
+    Q(
+      "q_embed_threshold_sweep",
+      (spark, dir) => {
+        val pairs = Similarity.cellBlockedNearDupPairs(
+          Tables.embeddings(spark, dir), numCentroids = 8, minCos = 0.35)
+        val ts = spark.createDataFrame(cuts.map(Tuple1(_))).toDF("threshold")
+        // left from the threshold dim: a cutoff that drops nothing
+        // still plots as an explicit zero on the curve
+        ts.join(pairs, col("cos") >= col("threshold"), "left")
+          .groupBy(col("threshold"))
+          .agg(count(col("va")).as("n_pairs"),
+            countDistinct(col("vb")).as("n_docs_dropped"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+                 WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+          FROM embeddings e, c)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM embeddings a
+          JOIN assigned aa ON a.vec_id = aa.vec_id
+          JOIN assigned ab ON aa.cell = ab.cell AND a.vec_id < ab.vec_id
+          JOIN embeddings b ON b.vec_id = ab.vec_id
+        WHERE ${cosOf("a.embedding", "b.embedding")} >= 0.35),
+      ts(threshold) AS (SELECT CAST(t AS DOUBLE) FROM (VALUES ${cuts.map(c => s"($c)").mkString(", ")}) v(t))
+      SELECT threshold, count(va) AS n_pairs,
+             CAST(count(DISTINCT vb) AS BIGINT) AS n_docs_dropped
+      FROM ts LEFT JOIN pairs ON cos >= threshold
+      GROUP BY threshold ORDER BY threshold
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
-    qEmbedSemanticDedup, qEmbedHealth)
+    qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
+    qEmbedCentroidDrift, qEmbedThresholdSweep)
 }

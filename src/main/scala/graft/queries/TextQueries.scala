@@ -652,10 +652,111 @@ object TextQueries {
       FROM j GROUP BY source ORDER BY source
     """.trim))
 
+  /** Bigram language-model statistics: the 20 most frequent bigrams
+    * with their conditional probability p(w2 | w1) as a RATIONAL
+    * (count(w1 w2), count(w1 ·), one rounded division) — the corpus
+    * statistic repetition/perplexity-style quality filters build on,
+    * kept log-free for cross-engine bit parity. Non-distinct bigrams
+    * via the native [[graft.operators.TextAnalysis.shingles]] pass;
+    * two hash aggregates (bigram, then first-token mass) and a top-20
+    * cut. */
+  val qTextBigrams: Q = Q(
+    "q_text_bigrams",
+    (spark, dir) => {
+      val grams = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .select(col("bigram"), substring_index(col("bigram"), " ", 1).as("w1"))
+      val byBigram = grams.groupBy(col("bigram"), col("w1"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val byW1 = byBigram.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
+      byBigram.join(byW1, "w1")
+        .select(col("bigram"), col("n_bigram"), col("n_w1"),
+          round(col("n_bigram").cast("double") / col("n_w1"), 6).as("p_cond"))
+        .orderBy(col("n_bigram").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT string_split_regex(text, '\s+') AS tl FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(tl[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(tl) - 1)]) AS bigram
+        FROM toks WHERE len(tl) >= 2),
+      bg AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+               count(*) AS n_bigram
+        FROM grams GROUP BY bigram),
+      w1m AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1 FROM bg GROUP BY w1)
+      SELECT bigram, n_bigram, n_w1,
+             round(CAST(n_bigram AS DOUBLE) / n_w1, 6) AS p_cond
+      FROM bg JOIN w1m USING (w1)
+      ORDER BY n_bigram DESC, bigram LIMIT 20
+    """.trim))
+
+  /** Concat-and-chunk packing map (the GPT-pretraining layout: concat
+    * a source's docs in doc_id order, cut every 512 tokens): per
+    * source, the chunk count, how many docs straddle a chunk boundary
+    * (each straddle is a truncation-or-attention-mask decision), and
+    * the tail waste. One window cumsum per source — the packing plan
+    * derives from pure integer prefix sums, no per-chunk pass. */
+  val qChunkBoundaries: Q = {
+    val chunk = 512L
+    Q(
+      "q_chunk_boundaries",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+          .filter(col("nt") > 0)
+          .withColumn("cum", sum(col("nt")).over(w))
+          .withColumn("start_chunk", expr(s"(cum - nt) DIV $chunk"))
+          .withColumn("end_chunk", expr(s"(cum - 1) DIV $chunk"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("cum")).as("total_tokens"),
+            sum(when(col("start_chunk") =!= col("end_chunk"), 1L).otherwise(0L))
+              .as("n_straddling"),
+            (max(col("end_chunk")) + 1).as("n_chunks"))
+          .withColumn("tail_waste",
+            col("n_chunks") * chunk - col("total_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+        FROM documents),
+      cums AS (
+        SELECT source, nt,
+               sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sized WHERE nt > 0),
+      marked AS (
+        SELECT source, cum,
+               (cum - nt) // $chunk AS start_chunk,
+               (cum - 1) // $chunk AS end_chunk
+        FROM cums),
+      agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(max(cum) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN start_chunk <> end_chunk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_straddling,
+               CAST(max(end_chunk) + 1 AS BIGINT) AS n_chunks
+        FROM marked GROUP BY source)
+      SELECT source, n_docs, total_tokens, n_straddling, n_chunks,
+             n_chunks * $chunk - total_tokens AS tail_waste
+      FROM agg ORDER BY source
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
-    qTextTfidf, qTextBm25, qCorpusPrep, qTextGates)
+    qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
+    qChunkBoundaries)
 }
