@@ -697,8 +697,10 @@ object AnalyticsQueries {
   /** Event-transition matrix: per-user event streams ordered by time,
     * reduced to (prev → next) type-pair counts and their global share.
     * One shuffle on user_id for the lag window (the sort never leaves
-    * the user partition), then a 25-row-out aggregate; the share's
-    * unpartitioned window runs over those 25 rows, not the events. */
+    * the user partition), then a |types|²-row aggregate; the share
+    * total is a 1-row aggregate broadcast back — the same pattern as
+    * `q_skew_profile`, so no global window exists anywhere in the
+    * plan (even a bounded one costs a SinglePartition exchange). */
   val qEventTransitions: Q = Q(
     "q_event_transitions",
     (spark, dir) => {
@@ -710,10 +712,10 @@ object AnalyticsQueries {
         .filter(col("prev_type").isNotNull)
         .groupBy(col("prev_type"), col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
-      pairs.withColumn("share",
-          round(col("n").cast("double") /
-            sum(col("n")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()), 6))
+      val total = pairs.agg(sum(col("n")).as("total_n"))
+      pairs.crossJoin(broadcast(total))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("total_n"), 6).as("share"))
         .orderBy(col("prev_type"), col("next_type"))
     },
     Some("""

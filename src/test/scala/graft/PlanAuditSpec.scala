@@ -22,6 +22,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("no registry query funnels unbounded input through a global window") {
+    // An unpartitioned window requires `Exchange SinglePartition`
+    // directly under the Window node — the round-3 q_skew_profile bug
+    // class (every distinct key's row through ONE partition before a
+    // cut). Allowlisted: windows whose input is bounded by
+    // construction (q_corpus_mixture ranks source×lang cells,
+    // q_text_bm25 ranks a ≤10-row top-k).
+    val allowed = Set("q_corpus_mixture", "q_text_bm25")
+    val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
+      val lines = q.run(spark, dir).queryExecution.executedPlan
+        .toString.linesIterator.toVector
+      val feeding = lines.indices.exists { i =>
+        lines(i).contains("Exchange SinglePartition") &&
+          lines.slice(math.max(0, i - 3), i).exists(_.contains("Window"))
+      }
+      if (feeding) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window in: ${offenders.mkString(", ")}")
+  }
+
+  test("q_upsert_latest compacts via aggregate, not a per-key sort window") {
+    val plan = Registry.all.find(_.name == "q_upsert_latest").get
+      .run(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate-based compaction:\n$plan")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("row_number"),
+      s"latest-wins snapshot must not sort per-key history:\n$plan")
+  }
+
+  test("q_join_snowflake broadcasts the dimension side") {
+    val df = Registry.all.find(_.name == "q_join_snowflake").get.run(spark, dir)
+    df.collect() // let AQE finalize join strategies
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins:\n$plan")
+  }
+
   test("lambda-free scan-shaped hot paths stay inside whole-stage codegen") {
     // queries whose cost is per-row expression work: dropping out of
     // codegen is a silent multi-x regression. Only lambda-free queries
