@@ -101,4 +101,28 @@ object Layout {
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"))
       .withColumn("risk_share",
         round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
+
+  /** l-diversity audit — k-anonymity's sharper sibling: a
+    * quasi-identifier group is risky not when it is SMALL but when its
+    * SENSITIVE attribute is uniform (all k members share one value, so
+    * membership alone discloses it). Reports, per the audit row: group
+    * count, groups with fewer than `l` distinct sensitive values, the
+    * worst (minimum) diversity seen, and the share of rows in
+    * under-diverse groups. Same two-aggregate scan shape as
+    * [[kAnonymity]]; `countDistinct(sensitive)` inside a group is the
+    * only extra cost. */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 l: Int): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("n_distinct"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_distinct") < l, 1L).otherwise(0L))
+          .as("n_underdiverse_groups"),
+        min(col("n_distinct")).as("min_diversity"),
+        sum(col("n")).as("n_rows"),
+        sum(when(col("n_distinct") < l, col("n")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .withColumn("risk_share",
+        round(col("n_rows_at_risk").cast("double") / col("n_rows"), 6))
 }

@@ -555,6 +555,77 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Hard-negative mining for contrastive training pairs: for each
+    * query vector, the k nearest corpus vectors with a DIFFERENT
+    * label — close in embedding space but semantically distinct, the
+    * negatives that actually teach a contrastive model (random
+    * negatives are trivially far). Same broadcast-query /
+    * partitioned-corpus plan as [[knnBruteForce]] with the
+    * label-mismatch predicate fused into the scoring join; production
+    * swaps the exact scan for the IVF path, mining within probed
+    * cells. */
+  def hardNegatives(embeddings: DataFrame, queryMaxId: Long, k: Int): DataFrame = {
+    val queries = broadcast(
+      embeddings.filter(col("vec_id") < queryMaxId)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
+    val corpus = spread(embeddings.filter(col("vec_id") >= queryMaxId))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val scored = corpus.crossJoin(queries)
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("label"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Recall@k curve of IVF single-probe search against the exact
+    * baseline, for k = 1..maxK in ONE pass over both result sets: the
+    * rank tables join once, and each k counts the pairs inside both
+    * top-k prefixes — the curve that justifies a probe/centroid
+    * configuration (recall@1 can look fine while recall@5 collapses,
+    * and vice versa). */
+  def ivfRecallCurve(embeddings: DataFrame, numCentroids: Int,
+                     qMinId: Long, qMaxId: Long, maxK: Int): DataFrame = {
+    val nQueries = qMaxId - qMinId
+    // exact baseline over EXACTLY ivfSearch's candidate set (vectors
+    // outside the query id range — including the sub-qMinId centroid
+    // seeds, which knnBruteForce's query/corpus split would exclude)
+    val all = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = broadcast(all
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm")))
+    val corpus = all.filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = corpus.crossJoin(queries)
+      .select(col("qid"), col("vec_id"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
+      .withColumn("rex", row_number().over(wq))
+      .filter(col("rex") <= maxK)
+      .select(col("qid"), col("vec_id"), col("rex"))
+    val approx = ivfSearch(embeddings, numCentroids, qMinId, qMaxId, maxK)
+      .select(col("qid"), col("vec_id"), col("rnk").as("rap"))
+    val ks = embeddings.sparkSession.range(1, maxK + 1)
+      .select(col("id").cast("int").as("k"))
+    // left from the k dim: a k whose prefixes never intersect still
+    // plots as an explicit zero on the curve
+    ks.join(exact.join(approx, Seq("qid", "vec_id")),
+        col("rex") <= col("k") && col("rap") <= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(count(col("qid")).as("n_overlap"))
+      .select(col("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / (col("k") * nQueries), 6)
+          .as("recall"))
+      .orderBy(col("k"))
+  }
+
   /** Per-label centroid drift against the global corpus centroid:
     * each label's mean vector (components quantized to integer
     * millionths exactly as [[lloydCentroids]] — order-independent

@@ -152,6 +152,34 @@ object LayoutQueries {
       FROM g
     """.trim))
 
+  /** l-diversity audit (l=3) with `user_id` as the sensitive
+    * attribute inside the same (event_type, value-band) groups as the
+    * k-anonymity gate: a group is risky when its members nearly all
+    * belong to one user — size alone (k-anonymity) misses that. */
+  val qPrivacyLdiversity: Q = Q(
+    "q_privacy_ldiversity",
+    (spark, dir) => Layout.lDiversity(
+      Tables.events(spark, dir),
+      quasi = Seq(col("event_type"),
+        floor(col("value") / 50).cast("long").as("vband")),
+      sensitive = col("user_id"), l = 3),
+    Some("""
+      WITH g AS (
+        SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS vband,
+               count(*) AS n, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type, vband)
+      SELECT count(*) AS n_groups,
+             CAST(sum(CASE WHEN n_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_underdiverse_groups,
+             min(n_distinct) AS min_diversity,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n_distinct < 3 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+             round(CAST(sum(CASE WHEN n_distinct < 3 THEN n ELSE 0 END) AS DOUBLE)
+                   / sum(n), 6) AS risk_share
+      FROM g
+    """.trim))
+
   val all: Seq[Q] = Seq(qUpsertLatest, qScd2Intervals, qCompactionPlan,
-    qZorderCells, qPrivacyKanon)
+    qZorderCells, qPrivacyKanon, qPrivacyLdiversity)
 }

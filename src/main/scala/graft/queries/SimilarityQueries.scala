@@ -609,9 +609,86 @@ object SimilarityQueries {
     """.trim))
   }
 
+  /** Hard-negative mining for contrastive pairs: each query vector's
+    * top-3 nearest corpus vectors with a DIFFERENT label — close in
+    * space, semantically distinct, the negatives that actually teach
+    * a contrastive model. */
+  val qEmbedHardneg: Q = Q(
+    "q_embed_hardneg",
+    (spark, dir) => Similarity.hardNegatives(
+      Tables.embeddings(spark, dir), queryMaxId = 8, k = 3),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT q.qid, e.vec_id, e.label,
+               ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id >= 8 AND e.label <> q.qlabel),
+      r AS (SELECT qid, vec_id, label, cos,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored)
+      SELECT qid, vec_id, label, cos, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    """.trim))
+
+  /** IVF recall@k curve (k = 1..5, single probe, 8 first-C cells):
+    * both rank tables join once and every k counts the pairs inside
+    * both top-k prefixes — the curve a probe/centroid configuration
+    * is justified from. */
+  val qEmbedRecallCurve: Q = Q(
+    "q_embed_recall_curve",
+    (spark, dir) => Similarity.ivfRecallCurve(
+      Tables.embeddings(spark, dir), numCentroids = 8,
+      qMinId = 8, qMaxId = 16, maxK = 5),
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cid, embedding AS a FROM embeddings WHERE vec_id < 8),
+      scoredc AS (
+        SELECT e.vec_id, cid, ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, c),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+          FROM scoredc)
+        WHERE rn = 1),
+      q AS (
+        SELECT e.vec_id AS qid, a2.cell, e.embedding AS qvec
+        FROM embeddings e JOIN assigned a2 USING (vec_id)
+        WHERE e.vec_id >= 8 AND e.vec_id < 16),
+      rap AS (
+        SELECT qid, vec_id, rnk AS rap FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.qvec", "e.embedding")} DESC, e.vec_id) AS rnk
+          FROM embeddings e
+          JOIN assigned a3 ON e.vec_id = a3.vec_id
+          JOIN q ON a3.cell = q.cell
+          WHERE e.vec_id < 8 OR e.vec_id >= 16)
+        WHERE rnk <= 5),
+      rex AS (
+        SELECT qid, vec_id, rnk AS rex FROM (
+          SELECT q.qid, e.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.qvec", "e.embedding")} DESC, e.vec_id) AS rnk
+          FROM embeddings e, q
+          WHERE e.vec_id < 8 OR e.vec_id >= 16)
+        WHERE rnk <= 5),
+      matched AS (
+        SELECT rex.qid, rex.vec_id, rex.rex, rap.rap
+        FROM rex JOIN rap ON rex.qid = rap.qid AND rex.vec_id = rap.vec_id),
+      ks AS (SELECT CAST(unnest(generate_series(1, 5)) AS INT) AS k)
+      SELECT k, count(qid) AS n_overlap,
+             round(CAST(count(qid) AS DOUBLE) / (k * 8.0), 6) AS recall
+      FROM ks LEFT JOIN matched ON rex <= k AND rap <= k
+      GROUP BY k ORDER BY k
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
-    qEmbedCentroidDrift, qEmbedThresholdSweep)
+    qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
+    qEmbedRecallCurve)
 }

@@ -88,6 +88,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(audit == ((3L, 2L, 16L, 4L, 0.25)))
   }
 
+  test("lDiversity flags uniform-sensitive groups regardless of size") {
+    // group (a,1): 12 rows but only 1 distinct sensitive value — the
+    // case k-anonymity (k=10) calls safe and l-diversity must flag
+    val rows = (Seq.fill(12)(("a", 1L, 7L)) ++
+      Seq((("b"), 1L, 1L), ("b", 1L, 2L), ("b", 1L, 3L))).toDF("q1", "q2", "s")
+    val audit = Layout.lDiversity(rows, Seq(col("q1"), col("q2")), col("s"), l = 3)
+      .select(col("n_groups"), col("n_underdiverse_groups"),
+        col("min_diversity"), col("n_rows_at_risk"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(audit == ((2L, 1L, 1L, 12L)))
+  }
+
+  test("hardNegatives never returns the query's own label") {
+    val emb = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(emb, queryMaxId = 6, k = 4)
+      .select(col("qid"), col("label")).as[(Long, Int)].collect()
+    assert(negs.nonEmpty)
+    negs.foreach { case (qid, lbl) => assert(lbl != (qid % 3).toInt) }
+  }
+
+  test("ivfRecallCurve is monotone-defined and hits 1.0 when cells are exact") {
+    // one centroid == single cell -> IVF searches the whole corpus ->
+    // recall@k = 1.0 for every k
+    val emb = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.cos(i * 0.9 + d * 0.7).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val curve = Similarity.ivfRecallCurve(emb, numCentroids = 1,
+        qMinId = 4, qMaxId = 8, maxK = 3)
+      .select(col("k"), col("recall")).as[(Int, Double)].collect().toMap
+    assert(curve.keySet == Set(1, 2, 3) && curve.values.forall(_ == 1.0))
+  }
+
   test("matryoshkaRecall is 1.0 when the prefix carries all the signal") {
     // vectors whose tail is constant: prefix search == full search
     val emb = (0L until 20L).map { i =>
