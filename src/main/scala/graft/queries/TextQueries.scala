@@ -495,9 +495,14 @@ object TextQueries {
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .filter(col("quality") >= 0.64)
       val keeper = scored.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      // persisted: BOTH the shingle explode and the final screen join
+      // consume deduped, and each use would otherwise re-run the
+      // score-and-dedup join subtree (regex-heavy quality scoring of
+      // the whole corpus, twice)
       val deduped = scored.join(keeper,
           scored("fp") === keeper("fp") && scored("doc_id") === keeper("keep_id"))
         .select(scored("doc_id"), col("source"), col("text"), col("n_toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalSh = broadcast(
         Dedup.docShingles(docs.filter(col("source") === "src0"))
           .select(col("shingle")).distinct())
