@@ -930,8 +930,46 @@ object AnalyticsQueries {
       ORDER BY revenue_cents DESC, n_name
     """.trim))
 
+  /** Per-event lag features — the feature-engineering table an ML
+    * training job joins against the label stream: previous value,
+    * delta, and the trailing-3 mean per user in event-time order.
+    * Money-style values quantize to integer cents before the frame
+    * sum so no float accumulation order can drift between engines.
+    * One shuffle on user_id; every frame stays inside its user
+    * partition. */
+  val qLagFeatures: Q = Q(
+    "q_lag_features",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("delta_cents", col("cents") - col("prev_cents"))
+        .withColumn("trail3_mean_cents",
+          floor(sum(col("cents")).over(w3) / count(lit(1)).over(w3))
+            .cast("long"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, cents,
+             lag(cents) OVER w AS prev_cents,
+             cents - lag(cents) OVER w AS delta_cents,
+             CAST(floor(CAST(sum(cents) OVER w3 AS DOUBLE)
+                        / count(*) OVER w3) AS BIGINT) AS trail3_mean_cents
+      FROM (SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

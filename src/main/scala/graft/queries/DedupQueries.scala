@@ -601,9 +601,99 @@ object DedupQueries {
       """.trim))
   }
 
+  /** LSH band-configuration sweep over ONE signature build: the 16
+    * minhash slots banded three ways — 2 bands × 8 slots (strict:
+    * few, high-precision candidates), 4 × 4 (the production setting),
+    * 8 × 2 (loose: high recall, more verification work) — with each
+    * configuration's candidate-pair count and how many survive the
+    * est ≥ 0.5 verification. This is the table the band/slot
+    * parameters are TUNED from (P[candidate] = 1-(1-J^r)^b moves
+    * sharply with r), and the signature build — the corpus-scale
+    * cost — runs once for all three. */
+  val qLshBandSweep: Q = {
+    val configs = Seq(2, 4, 8) // bands; slots per band = 16/bands
+    Q(
+      "q_lsh_band_sweep",
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val sigs = Dedup.minhashSignatures(Tables.documents(spark, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val agreeExpr = (0 until Dedup.MinhashSeeds).map(i =>
+          when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / lit(Dedup.MinhashSeeds.toDouble)
+        val perConfig = configs.map { nBands =>
+          val r = Dedup.MinhashSeeds / nBands
+          val bandCols = (0 until nBands).map { b =>
+            md5(concat_ws("|",
+              (0 until r).map(j => col(s"mh${b * r + j}")): _*))
+          }
+          val bands = sigs.select(col("doc_id"),
+            posexplode(array(bandCols: _*)).as(Seq("band", "bandhash")))
+          val cands = bands.as("a").join(bands.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bandhash") === col("b.bandhash") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+            .distinct()
+          cands
+            .join(sigs.as("sa"), col("da") === col("sa.doc_id"))
+            .join(sigs.as("sb"), col("db") === col("sb.doc_id"))
+            .select(agreeExpr.as("est"))
+            .agg(count(lit(1)).as("n_candidates"),
+              sum(when(col("est") >= 0.5, 1L).otherwise(0L)).as("n_est_pairs"))
+            .select(lit(nBands).as("n_bands"), lit(r).as("slots_per_band"),
+              col("n_candidates"), col("n_est_pairs"))
+        }
+        perConfig.reduce(_ unionAll _).orderBy(col("n_bands"))
+      },
+      Some {
+        val seedRows = (0 until Dedup.MinhashSeeds).map(i =>
+          s"(${i}, ${Dedup.MixA(i)}, ${Dedup.MixB(i)}, ${i % 4})").mkString(", ")
+        val perConfig = configs.map { nBands =>
+          val r = Dedup.MinhashSeeds / nBands
+          s"""
+          SELECT $nBands AS n_bands, $r AS slots_per_band,
+                 count(*) AS n_candidates,
+                 CAST(sum(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_est_pairs
+          FROM (
+            SELECT da, db,
+                   sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est
+            FROM (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM (SELECT doc_id, seed // $r AS band,
+                           md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bandhash
+                    FROM sigs GROUP BY doc_id, seed // $r) a
+              JOIN (SELECT doc_id, seed // $r AS band,
+                           md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY seed)) AS bandhash
+                    FROM sigs GROUP BY doc_id, seed // $r) b
+                ON a.band = b.band AND a.bandhash = b.bandhash
+                   AND a.doc_id < b.doc_id) cand
+            JOIN sigs sa ON sa.doc_id = cand.da
+            JOIN sigs sb ON sb.doc_id = cand.db AND sb.seed = sa.seed
+            GROUP BY da, db)"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+      $shinglesCte,
+      hx AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+      ch AS (SELECT doc_id, ${chunkSql(0)} AS c0, ${chunkSql(1)} AS c1,
+                    ${chunkSql(2)} AS c2, ${chunkSql(3)} AS c3 FROM hx),
+      seeds(seed, a, b, cidx) AS (VALUES $seedRows),
+      sigs AS (
+        SELECT doc_id, seed,
+               min(((CASE cidx WHEN 0 THEN c0 WHEN 1 THEN c1
+                               WHEN 2 THEN c2 ELSE c3 END) * a + b)
+                   % ${Dedup.MixP}) AS minhash
+        FROM ch, seeds GROUP BY doc_id, seed)
+      SELECT * FROM ($perConfig)
+      ORDER BY n_bands
+      """.trim
+      })
+  }
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qContamination, qDedupIncremental, qBloomScreen,
-    qLshCalibration)
+    qLshCalibration, qLshBandSweep)
 }
