@@ -45,22 +45,37 @@ object Clusters {
       .persist(lvl)
     // localCheckpoint (not persist) each round: an iterative plan that
     // references its predecessor twice (propagate + next round)
-    // doubles in size per round unless the lineage is truncated.
+    // doubles in size per round unless the lineage is truncated. The
+    // label count and the initial label sum both ride the
+    // materialization as ONE observe metric — no separate count or
+    // probe job before the loop starts.
+    val obsInit = org.apache.spark.sql.Observation("cc_init")
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("lbl", col("node"))
+      .observe(obsInit, count(lit(1)).as("n"),
+        sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
+    val (nLabels, initSum) =
+      try {
+        val row = scala.concurrent.Await
+          .result(obsInit.future, scala.concurrent.duration.Duration(10, "s"))
+        (row.getAs[Long]("n"), row.getAs[java.math.BigDecimal]("lsum"))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          (labels.count(), labelSum(labels))
+      }
     // The label table is EDGE-derived: only docs in some near-dup pair
     // carry a label, so it is orders of magnitude smaller than the
     // corpus at any scale — but each round's checkpoint would still
     // materialize it across the full session shuffle-partition count,
     // paying ~3 stages × that many tasks of scheduling overhead per
-    // round. Size the rounds from the MEASURED label count instead
-    // (the count job reads the already-materialized checkpoint):
+    // round. Size the rounds from the MEASURED label count instead:
     // ~512k labels per partition, capped at cluster parallelism.
     // coalesce is narrow, and through coalesce-backpropagation it also
     // shrinks each round's aggregate to the same width.
-    val nLabels = labels.count()
     val parts = math.max(1L, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism.toLong,
       nLabels / 524288L + 1L)).toInt
@@ -79,9 +94,7 @@ object Clusters {
     // per-job latency dominates these small iterative stages; on a
     // cluster the fused round halves scheduling overhead the same
     // way).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl")).cast("decimal(38,0)")).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = initSum
     var iter = 0
     var converged = prevSum == null // empty edge list: nothing to label
     while (iter < maxIter && !converged) {
