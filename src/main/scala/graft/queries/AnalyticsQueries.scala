@@ -968,8 +968,199 @@ object AnalyticsQueries {
       ORDER BY user_id, ts, event_id
     """.trim))
 
+  /** OHLC-style downsampling: per user × hour bucket, the open/close
+    * values (first/last event by (ts, event_id)) and the high/low —
+    * the time-series compaction every metrics store runs. Open and
+    * close are LEXICOGRAPHIC MIN/MAX-STRUCT aggregates, not window
+    * sorts: the shuffle carries one partial per (user, bucket) per
+    * input partition regardless of bucket depth — the same
+    * map-side-compaction argument as `q_upsert_latest`. */
+  val qDownsampleOhlc: Q = Q(
+    "q_downsample_ohlc",
+    (spark, dir) => Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ts"), col("event_id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(struct(col("ts"), col("event_id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"))
+      .orderBy(col("user_id"), col("bucket")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               ts, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT user_id, bucket, cents,
+               row_number() OVER w AS rn_a,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, bucket ORDER BY ts, event_id))
+      SELECT user_id, bucket, count(*) AS n_events,
+             CAST(sum(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+             CAST(sum(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+             max(cents) AS high_cents, min(cents) AS low_cents
+      FROM r GROUP BY user_id, bucket
+      ORDER BY user_id, bucket
+    """.trim))
+
+  /** Gap-rule sessionization: a per-EVENT session index (new session
+    * when >30 min since the user's previous event) via lag + a
+    * running sum of session-start flags — the assignment table funnel
+    * and attribution joins consume (q_session_window aggregates the
+    * sessions; this labels the events). Both windows stay inside the
+    * user partition. */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // microsecond-exact gap test: casting each timestamp to whole
+        // seconds first would floor BEFORE the subtraction and disagree
+        // with any fractional-second oracle arithmetic at the boundary
+        .withColumn("is_start",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L)
+            .cast("long"))
+        .withColumn("session_idx",
+          sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_idx"), col("is_start").cast("boolean").as("is_start"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_id, user_id, ts,
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx,
+             CAST(is_start AS BOOLEAN) AS is_start
+      FROM flagged
+      ORDER BY user_id, ts, event_id
+    """.trim))
+
+  /** Market-basket pair mining: parts co-occurring in an order, with
+    * support and exact integer-micro lift. The basket self-join is
+    * co-partitioned on the order key (both sides shuffle once on
+    * `l_orderkey`), so per-order pair fan-out is bounded by
+    * basket_size²/2 — TPC-H baskets are ≤7 distinct parts, and a
+    * general corpus would cap basket size the same way the dedup path
+    * caps shingle df. Item frequencies join back on the part key;
+    * the corpus-wide order count rides a broadcast 1-row table. Lift
+    * is computed in pure BIGINT (micro-units, half-up DIV) — no
+    * double division to drift between engines. */
+  val qMarketBasket: Q = Q(
+    "q_market_basket",
+    (spark, dir) => {
+      val basket = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+      val nOrders = basket.agg(countDistinct(col("okey")).as("n_orders"))
+      val freq = basket.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      basket.select(col("okey"), col("l_partkey").as("pa"))
+        .join(basket.select(col("okey"), col("l_partkey").as("pb")), Seq("okey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .join(freq.select(col("l_partkey").as("pa"), col("f").as("fa")), Seq("pa"))
+        .join(freq.select(col("l_partkey").as("pb"), col("f").as("fb")), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_micros",
+          expr("(support * n_orders * 1000000L + (fa * fb) DIV 2) DIV (fa * fb)"))
+        .select(col("pa"), col("pb"), col("support"), col("fa"), col("fb"),
+          col("lift_micros"))
+        .orderBy(col("support").desc, col("pa"), col("pb"))
+        .limit(100)
+    },
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem),
+      n AS (SELECT count(DISTINCT okey) AS n_orders FROM b),
+      fr AS (SELECT l_partkey, count(*) AS f FROM b GROUP BY 1),
+      p AS (
+        SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS support
+        FROM b a JOIN b c ON a.okey = c.okey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pa, pb, support,
+             CAST(fa.f AS BIGINT) AS fa, CAST(fb.f AS BIGINT) AS fb,
+             (support * n_orders * 1000000 + (fa.f * fb.f) // 2)
+               // (fa.f * fb.f) AS lift_micros
+      FROM p
+      JOIN fr fa ON p.pa = fa.l_partkey
+      JOIN fr fb ON p.pb = fb.l_partkey
+      CROSS JOIN n
+      ORDER BY support DESC, pa, pb
+      LIMIT 100
+    """.trim))
+
+  /** Month-over-month revenue: per-month exact-cents totals plus the
+    * previous month's total and the signed delta — WITHOUT a window.
+    * The adjacent-month lookup is an equi-join of the monthly
+    * aggregate against itself shifted by one month, so the plan
+    * shuffles on the month key instead of funneling every month's row
+    * through one partition (the `lag() OVER (ORDER BY month)` shape
+    * the registry's plan guard forbids). Growth in basis points rides
+    * the same half-up integer DIV as the basket lift. */
+  val qMomGrowth: Q = Q(
+    "q_mom_growth",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .select(date_trunc("month", col("o_orderdate")).as("month"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy(col("month"))
+        .agg(sum(col("cents")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+      monthly
+        .join(monthly.select(add_months(col("month"), 1).cast("timestamp").as("month"),
+            col("revenue_cents").as("prev_cents")),
+          Seq("month"), "left")
+        .withColumn("delta_cents", col("revenue_cents") - col("prev_cents"))
+        // abs-then-resign: Spark DIV truncates toward zero while
+        // DuckDB // floors, so the quotient must never see a negative
+        // numerator (positive inputs make trunc == floor)
+        .withColumn("growth_bps",
+          expr("CASE WHEN delta_cents >= 0 THEN 1L ELSE -1L END " +
+            "* ((abs(delta_cents) * 10000L + prev_cents DIV 2) DIV prev_cents)"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS TIMESTAMP) AS month,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT cur.month, cur.revenue_cents, cur.n_orders,
+             prev.revenue_cents AS prev_cents,
+             cur.revenue_cents - prev.revenue_cents AS delta_cents,
+             CAST((CASE WHEN cur.revenue_cents - prev.revenue_cents >= 0
+                        THEN 1 ELSE -1 END)
+                  * ((abs(cur.revenue_cents - prev.revenue_cents) * 10000
+                      + prev.revenue_cents // 2)
+                     // prev.revenue_cents) AS BIGINT) AS growth_bps
+      FROM m cur
+      LEFT JOIN m prev ON cur.month = CAST(prev.month + INTERVAL 1 MONTH AS TIMESTAMP)
+      ORDER BY cur.month
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

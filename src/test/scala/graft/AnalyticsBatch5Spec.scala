@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-4 batch-5 analytics queries
+  * (sessionize, OHLC downsample, market basket, MoM growth) on
+  * sf0.001 — the oracle parity harness re-checks full values at
+  * sf0.01; these assert the internal invariants a hash can't name. */
+class AnalyticsBatch5Spec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = Registry.all.find(_.name == name).get
+
+  test("q_sessionize: per-user session indices are dense and gap-consistent") {
+    import spark.implicits._
+    val rows = q("q_sessionize").run(spark, dir)
+      .select(col("user_id"), col("ts"), col("session_idx"), col("is_start"))
+      .as[(Long, java.sql.Timestamp, Long, Boolean)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._3))
+      // first event of every user starts session 1
+      assert(sorted.head._4 && sorted.head._3 == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = b._2.getTime - a._2.getTime
+          if (b._4) {
+            // a start increments the index and must follow a >30min gap
+            // (ms-floored view of the µs-exact test, hence >=)
+            assert(b._3 == a._3 + 1 && gapMs >= 30L * 60 * 1000)
+          } else {
+            assert(b._3 == a._3 && gapMs <= 30L * 60 * 1000 + 1)
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  test("q_downsample_ohlc: open/close bracketed by low/high, counts total") {
+    import spark.implicits._
+    val rows = q("q_downsample_ohlc").run(spark, dir)
+      .select(col("n_events"), col("open_cents"), col("close_cents"),
+        col("high_cents"), col("low_cents"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, o, c, hi, lo) =>
+      assert(n >= 1 && lo <= hi)
+      assert(o >= lo && o <= hi && c >= lo && c <= hi)
+    }
+    val total = rows.map(_._1).sum
+    val events = Tables.events(spark, dir).count()
+    assert(total == events)
+  }
+
+  test("q_market_basket: ordered pairs, support bounds, exact lift arithmetic") {
+    import spark.implicits._
+    val rows = q("q_market_basket").run(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nOrders = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey")).distinct().count()
+    // result columns: pa, pb, support, fa, fb, lift_micros
+    rows.foreach { case (pa, pb, sup, fa, fb, lift) =>
+      assert(pa < pb && sup >= 2 && fa >= sup && fb >= sup)
+      val denom = fa * fb
+      assert(lift == (sup * nOrders * 1000000L + denom / 2) / denom)
+    }
+  }
+
+  test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
+    import spark.implicits._
+    val rows = q("q_mom_growth").run(spark, dir)
+      .select(col("month"), col("revenue_cents"), col("prev_cents"),
+        col("delta_cents"), col("growth_bps"))
+      .as[(java.sql.Timestamp, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1.getTime)
+    assert(rows.length > 12)
+    val byMonth = rows.map(r => r._1 -> r._2).toMap
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    rows.foreach { case (m, rev, prev, delta, bps) =>
+      prev.foreach { p =>
+        assert(delta.contains(rev - p))
+        assert(bps.exists(b => (b >= 0) == (rev - p >= 0)))
+        // prev really is the immediately preceding calendar month
+        cal.setTimeInMillis(m.getTime); cal.add(java.util.Calendar.MONTH, -1)
+        val pm = new java.sql.Timestamp(cal.getTimeInMillis)
+        assert(byMonth.get(pm).contains(p), s"month $m prev $pm")
+      }
+    }
+  }
+}
