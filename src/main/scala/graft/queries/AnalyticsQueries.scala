@@ -1109,6 +1109,112 @@ object AnalyticsQueries {
       LIMIT 100
     """.trim))
 
+  /** Rolling 7-day active users (WAU) per day plus DAU and the
+    * DAU/WAU stickiness ratio in integer basis points. The rolling
+    * distinct is computed WITHOUT a range join or window: each
+    * (day, user) row fans out to the ≤7 target days it is visible
+    * from (explode of a constant offset array), an equi-join against
+    * the observed-day dim clips the calendar edge, and one distinct
+    * aggregate per target day does the rest. Fan-out is a constant
+    * ×7 on the per-day DISTINCT user table (already compacted), which
+    * beats a per-day range scan at any scale; at 100 TB the distinct
+    * aggregate swaps for the HLL sketch the same plan shape carries. */
+  val qRollingWau: Q = Q(
+    "q_rolling_wau",
+    (spark, dir) => {
+      val du = Tables.events(spark, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      val wau = du
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+          col("day"))
+        .select(col("user_id"),
+          (col("day") + expr("make_interval(0, 0, 0, off, 0, 0, 0)"))
+            .as("day"))
+        .join(days, Seq("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+        .join(wau, Seq("day"))
+        .withColumn("stickiness_bps", expr("dau * 10000L DIV wau"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH du AS (
+        SELECT DISTINCT
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM du),
+      wau AS (
+        SELECT d.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days d
+        JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day),
+      dau AS (
+        SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM du GROUP BY day)
+      SELECT dau.day, dau.dau, wau.wau,
+             dau.dau * 10000 // wau.wau AS stickiness_bps
+      FROM dau JOIN wau ON dau.day = wau.day
+      ORDER BY dau.day
+    """.trim))
+
+  /** Audience overlap for every event-type pair by sketch algebra:
+    * |A∩B| = |A| + |B| − |A∪B|, with the union cardinality computed in
+    * ONE pass — each event is tagged to the (T−1) pairs its type
+    * belongs to via a broadcast pair dim (T is a small constant), then
+    * one distinct-aggregate per pair. HLL estimates ride the same
+    * aggregate; at 100 TB the exact `countDistinct` (kept here as the
+    * oracle anchor) drops out and the mergeable sketches are the whole
+    * job — no user-level pair self-join anywhere. Tolerance booleans
+    * absorb the compounded three-sketch error. */
+  val qAudienceOverlap: Q = Q(
+    "q_audience_overlap",
+    (spark, dir) => {
+      val u = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val perType = u.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), 0.01).as("a"))
+      val types = perType.select(col("event_type"), col("n"), col("a"))
+      val pairs = types.select(col("event_type").as("type_a"),
+          col("n").as("n_a"), col("a").as("a_a"))
+        .crossJoin(broadcast(types.select(col("event_type").as("type_b"),
+          col("n").as("n_b"), col("a").as("a_b"))))
+        .filter(col("type_a") < col("type_b"))
+      val unions = u
+        .join(broadcast(pairs.select(col("type_a"), col("type_b"))),
+          col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(countDistinct(col("user_id")).as("n_union"),
+          approx_count_distinct(col("user_id"), 0.01).as("a_union"))
+      unions.join(broadcast(pairs), Seq("type_a", "type_b"))
+        .withColumn("n_overlap", col("n_a") + col("n_b") - col("n_union"))
+        .withColumn("within_tol",
+          abs((col("a_a") + col("a_b") - col("a_union")) - col("n_overlap"))
+            .cast("double") <= greatest(col("n_overlap") * lit(0.1), lit(10.0)))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_union"), col("n_overlap"), col("within_tol"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+      c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM c a JOIN c b ON a.event_type < b.event_type),
+      un AS (SELECT type_a, type_b,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_union
+             FROM p JOIN u ON u.event_type = type_a OR u.event_type = type_b
+             GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, p.n_a, p.n_b, un.n_union,
+             p.n_a + p.n_b - un.n_union AS n_overlap,
+             true AS within_tol
+      FROM p JOIN un ON p.type_a = un.type_a AND p.type_b = un.type_b
+      ORDER BY p.type_a, p.type_b
+    """.trim))
+
   /** Month-over-month revenue: per-month exact-cents totals plus the
     * previous month's total and the signed delta — WITHOUT a window.
     * The adjacent-month lookup is an equi-join of the monthly
@@ -1160,7 +1266,7 @@ object AnalyticsQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

@@ -180,6 +180,68 @@ object LayoutQueries {
       FROM g
     """.trim))
 
+  /** Zone-map pruning proof over the Z-order cells: for a fixed
+    * predicate box (user_id ∈ [4,8] × value ∈ [10,50]), report per
+    * cell whether its min/max envelope lets a scanner SKIP the cell,
+    * alongside the ground-truth matching-row count — the output makes
+    * the data-skipping invariant visible (pruned ⇒ n_matching = 0) and
+    * the skip ratio measurable. One aggregate pass computes envelopes
+    * AND truth counts together; a table format's zone maps would hand
+    * the engine the same decision without touching cell contents,
+    * which is the entire economics of Z-ordering at 100 TB. */
+  val qZoneSkip: Q = {
+    val bits = 8
+    // box chosen to exist at every SF (user ids are dense from 0)
+    val (uLo, uHi, vLo, vHi) = (4L, 8L, 10.0, 50.0)
+    val interleaveSql = (0 until bits).map { i =>
+      s"(((ua >> $i) & 1) * ${1L << (2 * i)} + ((vb >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+    Q(
+      "q_zone_skip",
+      (spark, dir) => {
+        val ua = least(col("user_id"), lit(255L))
+        val vb = least(floor(col("value") / 2).cast("long"), lit(255L))
+        val pred = col("user_id").between(uLo, uHi) &&
+          col("value").between(vLo, vHi)
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("value"),
+            Layout.zorderCell(ua, vb, bits).as("z"),
+            pred.cast("long").as("m"))
+          .groupBy((col("z") / 256).cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+            min(col("value")).as("v_lo"), max(col("value")).as("v_hi"),
+            sum(col("m")).as("n_matching"))
+          .withColumn("pruned",
+            col("u_hi") < uLo || col("u_lo") > uHi ||
+              col("v_hi") < vLo || col("v_lo") > vHi)
+          .select(col("cell"), col("n_rows"), col("pruned"), col("n_matching"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""
+      WITH keyed AS (
+        SELECT user_id, value, $interleaveSql AS z,
+               CASE WHEN user_id BETWEEN $uLo AND $uHi
+                     AND value BETWEEN $vLo AND $vHi THEN 1 ELSE 0 END AS m
+        FROM (
+          SELECT user_id, value,
+                 least(user_id, 255) AS ua,
+                 least(CAST(floor(value / 2) AS BIGINT), 255) AS vb
+          FROM events)),
+      cells AS (
+        SELECT z // 256 AS cell, count(*) AS n_rows,
+               min(user_id) AS u_lo, max(user_id) AS u_hi,
+               min(value) AS v_lo, max(value) AS v_hi,
+               CAST(sum(m) AS BIGINT) AS n_matching
+        FROM keyed GROUP BY z // 256)
+      SELECT cell, n_rows,
+             (u_hi < $uLo OR u_lo > $uHi OR v_hi < $vLo OR v_lo > $vHi)
+               AS pruned,
+             n_matching
+      FROM cells ORDER BY cell
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qUpsertLatest, qScd2Intervals, qCompactionPlan,
-    qZorderCells, qPrivacyKanon, qPrivacyLdiversity)
+    qZorderCells, qPrivacyKanon, qPrivacyLdiversity, qZoneSkip)
 }

@@ -757,8 +757,42 @@ object TextQueries {
     """.trim))
   }
 
+  /** Hashing-trick feature buckets (the classic fixed-width
+    * bag-of-words embedding): every token maps to
+    * `md5-chunk mod 64`, and the query reports per-bucket occupancy —
+    * occurrence mass and distinct-term collision load. The feature
+    * space is a CONSTANT width regardless of vocabulary size (2²⁰ in
+    * production; 64 here keeps the oracle small), which is the whole
+    * point at 100 TB: the explode feeds one hash aggregate with
+    * map-side partials, no vocabulary table, no join, no OOV path.
+    * The md5-chunk hash is the engine-portable idiom shared with the
+    * sampling/sketch families (DuckDB replays it nibble-by-nibble). */
+  val qFeatureHash: Q = Q(
+    "q_feature_hash",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("token"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(64L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("token")).as("n_terms"))
+      .orderBy(col("bucket")),
+    Some(s"""
+      WITH tk AS (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+      h AS (
+        SELECT token, md5(token) AS hx FROM tk WHERE token <> ''),
+      b AS (
+        SELECT token, ${DedupQueries.chunkSql(0)} % 64 AS bucket FROM h)
+      SELECT bucket, count(*) AS n_occurrences,
+             CAST(count(DISTINCT token) AS BIGINT) AS n_terms
+      FROM b GROUP BY bucket ORDER BY bucket
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode,
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,

@@ -68,6 +68,62 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     }
   }
 
+  test("q_feature_hash: buckets in range, occurrence mass equals token count") {
+    import spark.implicits._
+    val rows = q("q_feature_hash").run(spark, dir)
+      .select(col("bucket"), col("n_occurrences"), col("n_terms"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (b, occ, t) =>
+      b >= 0 && b < 64 && t >= 1 && occ >= t
+    })
+    val totalTokens = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(rows.map(_._2).sum == totalTokens)
+  }
+
+  test("q_audience_overlap: inclusion-exclusion bounds hold on every pair") {
+    import spark.implicits._
+    val rows = q("q_audience_overlap").run(spark, dir)
+      .select(col("n_a"), col("n_b"), col("n_union"), col("n_overlap"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (na, nb, nu, nov) =>
+      assert(nov == na + nb - nu)
+      assert(nov >= 0 && nov <= math.min(na, nb))
+      assert(nu >= math.max(na, nb) && nu <= na + nb)
+    }
+  }
+
+  test("q_zone_skip: pruned cells never contain a matching row; some prune") {
+    import spark.implicits._
+    val rows = q("q_zone_skip").run(spark, dir)
+      .select(col("pruned"), col("n_matching"), col("n_rows"))
+      .as[(Boolean, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the data-skipping soundness invariant
+    assert(rows.filter(_._1).forall(_._2 == 0L))
+    // and the layout actually earns its keep on this predicate
+    assert(rows.exists(_._1) && rows.exists(r => !r._1 && r._2 > 0))
+  }
+
+  test("q_rolling_wau: WAU dominates DAU and any single-day audience") {
+    import spark.implicits._
+    val rows = q("q_rolling_wau").run(spark, dir)
+      .select(col("day"), col("dau"), col("wau"), col("stickiness_bps"))
+      .as[(java.sql.Timestamp, Long, Long, Long)].collect().sortBy(_._1.getTime)
+    assert(rows.length > 7)
+    val dauByDay = rows.map(r => r._1.getTime -> r._2).toMap
+    rows.foreach { case (d, dau, wau, bps) =>
+      assert(dau >= 1 && wau >= dau)
+      assert(bps == dau * 10000L / wau)
+      // WAU can't exceed the sum of the window's DAUs
+      val windowSum = (0 to 6).flatMap(k =>
+        dauByDay.get(d.getTime - k * 86400000L)).sum
+      assert(wau <= windowSum)
+    }
+  }
+
   test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
     import spark.implicits._
     val rows = q("q_mom_growth").run(spark, dir)
