@@ -1109,6 +1109,97 @@ object AnalyticsQueries {
       LIMIT 100
     """.trim))
 
+  /** Incremental-aggregation merge proof: the events table is split at
+    * a date cutoff into a "base" half and a "delta" half, each is
+    * reduced to per-type PARTIALS (count / exact-cents sum / min / max
+    * — all mergeable), and the query returns the MERGE of the two
+    * partial sets. The oracle aggregates the whole table directly, so
+    * parity certifies merge associativity — the contract that lets a
+    * 100 TB pipeline aggregate only the new partition and fold it into
+    * stored partials instead of recomputing history. (Distinct counts
+    * are deliberately absent: they don't merge exactly — that's what
+    * the HLL sketches in `q_audience_overlap` are for.) */
+  val qDeltaAgg: Q = Q(
+    "q_delta_agg",
+    (spark, dir) => {
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      def partials(half: org.apache.spark.sql.DataFrame) = half
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      partials(ev.filter(col("ts") < cutoff))
+        .unionAll(partials(ev.filter(col("ts") >= cutoff)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"), sum(col("s")).as("sum_cents"),
+          min(col("lo")).as("ts_min"), max(col("hi")).as("ts_max"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             min(CAST(ts AS TIMESTAMP)) AS ts_min,
+             max(CAST(ts AS TIMESTAMP)) AS ts_max
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** Catalog statistics collection (the ANALYZE TABLE shape): one scan
+    * computes null counts, exact NDV, and HLL NDV for every column of
+    * `events`, then `stack` unpivots the single stats row into one row
+    * per column. The exact NDV anchors the oracle; at 100 TB a catalog
+    * keeps only the sketch column — same plan, cheaper aggregate. The
+    * multi-column distinct expands the scan a constant ×5, still one
+    * shuffle of partials. */
+  val qColumnStats: Q = Q(
+    "q_column_stats",
+    (spark, dir) => {
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"),
+            approx_count_distinct(col(c), 0.01).as(s"andv_$c"))
+        }
+      val stacked = cols.map { c =>
+        s"'$c', null_$c, ndv_$c, " +
+          s"CAST(abs(andv_$c - ndv_$c) AS DOUBLE) <= ndv_$c * 0.05d"
+      }.mkString(", ")
+      Tables.events(spark, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows",
+          s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, ndv, ndv_within_tol)")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("ndv"), col("ndv_within_tol"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS ndv_event_id,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user_id,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_event_type,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+               CAST(count(DISTINCT value) AS BIGINT) AS ndv_value,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+               CAST(count(DISTINCT props) AS BIGINT) AS ndv_props
+        FROM events)
+      SELECT u.column_name, s.n_rows, u.n_nulls, u.ndv,
+             true AS ndv_within_tol
+      FROM s, (
+        SELECT 'event_id' AS column_name, null_event_id AS n_nulls, ndv_event_id AS ndv FROM s
+        UNION ALL SELECT 'user_id', null_user_id, ndv_user_id FROM s
+        UNION ALL SELECT 'event_type', null_event_type, ndv_event_type FROM s
+        UNION ALL SELECT 'value', null_value, ndv_value FROM s
+        UNION ALL SELECT 'props', null_props, ndv_props FROM s) u
+      ORDER BY u.column_name
+    """.trim))
+
   /** Rolling 7-day active users (WAU) per day plus DAU and the
     * DAU/WAU stickiness ratio in integer basis points. The rolling
     * distinct is computed WITHOUT a range join or window: each
@@ -1266,7 +1357,7 @@ object AnalyticsQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

@@ -124,6 +124,36 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     }
   }
 
+  test("q_delta_agg: merged partials equal the direct full aggregate") {
+    import spark.implicits._
+    val merged = q("q_delta_agg").run(spark, dir)
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    val direct = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)), sum(floor(col("value") * 100 + 0.5).cast("long")),
+        min(col("ts")), max(col("ts")))
+      .as[(String, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().sortBy(_._1)
+    assert(merged.nonEmpty && merged.sameElements(direct))
+  }
+
+  test("q_column_stats: one row per column, NDV bounded by non-null rows") {
+    import spark.implicits._
+    val rows = q("q_column_stats").run(spark, dir)
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("ndv"))
+      .as[(String, Long, Long, Long)].collect()
+    val total = Tables.events(spark, dir).count()
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("event_id", "event_type", "props", "user_id", "value"))
+    rows.foreach { case (_, n, nulls, ndv) =>
+      assert(n == total && nulls >= 0 && ndv >= 1 && ndv <= n - nulls)
+    }
+    // event_id is the row key: all-distinct, never null
+    val id = rows.find(_._1 == "event_id").get
+    assert(id._3 == 0 && id._4 == total)
+  }
+
   test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
     import spark.implicits._
     val rows = q("q_mom_growth").run(spark, dir)
