@@ -1109,6 +1109,58 @@ object AnalyticsQueries {
       LIMIT 100
     """.trim))
 
+  /** Day-over-day composition drift: per-day event-type shares in
+    * integer basis points on a DENSE day×type grid (missing cells are
+    * 0 bps — a type vanishing IS drift), with each day's maximum
+    * absolute share shift vs the previous day. This is the data-mix
+    * monitor a training pipeline alerts on before a bad ingest batch
+    * poisons a corpus. The type dim is a broadcast constant; the
+    * previous-day lookup is the adjacent-key equi-join (same pattern
+    * as `q_mom_growth`), so nothing funnels through one partition no
+    * matter how long the history grows. */
+  val qMixDrift: Q = Q(
+    "q_mix_drift",
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      val d = e.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val t = e.select(col("event_type")).distinct()
+      val c = e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("nt"))
+      val shares = d.crossJoin(broadcast(t))
+        .join(c, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          expr("coalesce(nt, 0L) * 10000L DIV n").as("bps"))
+      val prev = shares.select(
+        (col("day") + expr("INTERVAL 1 DAY")).as("day"),
+        col("event_type"), col("bps").as("prev_bps"))
+      shares.join(prev, Seq("day", "event_type"))
+        .groupBy(col("day"))
+        .agg(max(abs(col("bps") - col("prev_bps"))).as("max_drift_bps"),
+          sum(col("bps")).as("total_bps"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+               event_type
+        FROM events),
+      d AS (SELECT day, count(*) AS n FROM e GROUP BY day),
+      t AS (SELECT DISTINCT event_type FROM e),
+      c AS (SELECT day, event_type, count(*) AS nt FROM e GROUP BY day, event_type),
+      shares AS (
+        SELECT d.day, t.event_type,
+               coalesce(c.nt, 0) * 10000 // d.n AS bps
+        FROM d CROSS JOIN t
+        LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type)
+      SELECT cur.day,
+             CAST(max(abs(cur.bps - prev.bps)) AS BIGINT) AS max_drift_bps,
+             CAST(sum(cur.bps) AS BIGINT) AS total_bps
+      FROM shares cur
+      JOIN shares prev ON cur.day = prev.day + INTERVAL 1 DAY
+                      AND cur.event_type = prev.event_type
+      GROUP BY cur.day ORDER BY cur.day
+    """.trim))
+
   /** Incremental-aggregation merge proof: the events table is split at
     * a date cutoff into a "base" half and a "delta" half, each is
     * reduced to per-type PARTIALS (count / exact-cents sum / min / max
@@ -1357,7 +1409,7 @@ object AnalyticsQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

@@ -691,9 +691,82 @@ object DedupQueries {
       })
   }
 
+  /** Dedup report: the cluster-size histogram (how many near-dup
+    * families of each size, how many docs they hold), with singleton
+    * docs — never paired, absent from the CC labeling — restored as
+    * the size-1 row via an anti-join. This is the table a curation
+    * run publishes to justify its removal rate; fully declarative
+    * (the singleton row is a DataFrame aggregate, not a driver
+    * count), so the whole report is one job on top of the label
+    * table. */
+  val qDedupClusterSizes: Q = Q(
+    "q_dedup_cluster_sizes",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val labels = graft.operators.Clusters.connectedComponents(
+        Dedup.jaccardPairs(docs, 0.5, maxDf = Some(JaccardCap))
+          .select(col("da"), col("db")), "da", "db")
+      val hist = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      val singletons = docs.join(labels, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("cluster_size"), col("n_clusters"),
+          col("n_clusters").as("n_docs"))
+      singletons.unionAll(hist)
+        .groupBy(col("cluster_size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"),
+          sum(col("n_docs")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node),
+      fam AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster),
+      hist AS (
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+        FROM fam GROUP BY cluster_size),
+      singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d WHERE NOT EXISTS
+          (SELECT 1 FROM cl WHERE cl.doc_id = d.doc_id))
+      SELECT cluster_size,
+             CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs
+      FROM (SELECT * FROM singles UNION ALL SELECT * FROM hist)
+      GROUP BY cluster_size ORDER BY cluster_size
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qContamination, qDedupIncremental, qBloomScreen,
-    qLshCalibration, qLshBandSweep)
+    qLshCalibration, qLshBandSweep, qDedupClusterSizes)
 }

@@ -154,6 +154,35 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     assert(id._3 == 0 && id._4 == total)
   }
 
+  test("q_mix_drift: shares nearly sum to 10000 bps, drift non-negative") {
+    import spark.implicits._
+    val rows = q("q_mix_drift").run(spark, dir)
+      .select(col("day"), col("max_drift_bps"), col("total_bps"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val nDays = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(rows.length == nDays - 1) // first day has no predecessor
+    val nTypes = Tables.events(spark, dir)
+      .select(col("event_type")).distinct().count()
+    rows.foreach { case (_, drift, total) =>
+      assert(drift >= 0 && drift <= 10000)
+      // per-type truncation loses < 1 bp each
+      assert(total > 10000 - nTypes && total <= 10000)
+    }
+  }
+
+  test("q_dedup_cluster_sizes: doc mass conserved, histogram arithmetic") {
+    import spark.implicits._
+    val rows = q("q_dedup_cluster_sizes").run(spark, dir)
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (size, nc, nd) =>
+      assert(size >= 1 && nc >= 1 && nd == size * nc)
+    }
+    assert(rows.map(_._3).sum == Tables.documents(spark, dir).count())
+  }
+
   test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
     import spark.implicits._
     val rows = q("q_mom_growth").run(spark, dir)
