@@ -1109,6 +1109,86 @@ object AnalyticsQueries {
       LIMIT 100
     """.trim))
 
+  /** TPC-H Q17 shape — correlated scalar subquery decorrelated into a
+    * join: revenue locked up in small-quantity orders of each part
+    * (lineitems with quantity below 20% of that part's own average).
+    * Spark's optimizer would rewrite the correlated form the same
+    * way; declaring the decorrelated join keeps the plan explicit:
+    * one aggregate builds the per-part threshold table, the fact side
+    * joins it on the part key and never moves twice. Threshold in
+    * exact milli-quantity units (20% of avg = sum*200 DIV n*1000
+    * halves cleanly) — no float compare at the boundary. */
+  val qSmallQtyRevenue: Q = Q(
+    "q_small_qty_revenue",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          money(col("l_extendedprice")).as("price_4dp"))
+      // per-part avg quantity in exact milli-units: sum*1000 DIV n,
+      // then 20% of it = *200 DIV n — single integer expression
+      val thresh = li.groupBy(col("l_partkey"))
+        .agg(expr("sum(CAST(l_quantity AS BIGINT)) * 200 DIV count(1)")
+          .as("qty_cut_milli"))
+      li.join(thresh, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("bigint") * 1000 < col("qty_cut_milli"))
+        .agg((sum(col("price_4dp")) / lit(10000.0)).as("small_qty_revenue"),
+          count(lit(1)).as("n_lineitems"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) * 200
+                 // count(*) AS qty_cut_milli
+        FROM lineitem GROUP BY l_partkey)
+      SELECT CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) / 10000.0 AS small_qty_revenue,
+             count(*) AS n_lineitems
+      FROM lineitem JOIN t USING (l_partkey)
+      WHERE CAST(l_quantity AS BIGINT) * 1000 < qty_cut_milli
+    """.trim))
+
+  /** Conversion-latency distribution: per user, first `view` and
+    * first `purchase` reduce in ONE map-side-compacted aggregate
+    * (min-of-conditional — no per-user event sort), latency lives in
+    * exact integer microseconds, and the exact interpolated
+    * percentiles are taken over those integers (one double division
+    * at the very end, fixed order, rounded — the same cross-engine
+    * float discipline as `q_approx_quantile`). The funnel-latency
+    * yardstick product analytics runs daily; at any scale the only
+    * shuffle is the per-user partial rows. */
+  val qConversionLatency: Q = Q(
+    "q_conversion_latency",
+    (spark, dir) => Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_buy"))
+      .select(col("first_view"), col("first_buy"),
+        when(col("first_buy") > col("first_view"),
+          unix_micros(col("first_buy")) - unix_micros(col("first_view")))
+          .as("lat_us"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("lat_us")).as("n_converted"),
+        round(expr("percentile(lat_us, 0.5)") / lit(1000000.0), 6).as("p50_s"),
+        round(expr("percentile(lat_us, 0.9)") / lit(1000000.0), 6).as("p90_s")),
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ts AS TIMESTAMP) END) AS first_buy
+        FROM events GROUP BY user_id),
+      l AS (
+        SELECT CASE WHEN first_buy > first_view
+                    THEN epoch_us(first_buy) - epoch_us(first_view) END AS lat_us
+        FROM f)
+      SELECT count(*) AS n_users,
+             count(lat_us) AS n_converted,
+             round(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_s,
+             round(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_s
+      FROM l
+    """.trim))
+
   /** Day-over-day composition drift: per-day event-type shares in
     * integer basis points on a DENSE day×type grid (missing cells are
     * 0 bps — a type vanishing IS drift), with each day's maximum
@@ -1409,7 +1489,7 @@ object AnalyticsQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

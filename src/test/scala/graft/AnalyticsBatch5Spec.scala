@@ -183,6 +183,34 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     assert(rows.map(_._3).sum == Tables.documents(spark, dir).count())
   }
 
+  test("q_small_qty_revenue: matches the naive correlated formulation") {
+    import spark.implicits._
+    val (rev, n) = q("q_small_qty_revenue").run(spark, dir)
+      .as[(Double, Long)].collect().head
+    // naive recompute: per-part avg via a window, float 20% threshold
+    // with integral quantities (milli-unit compare == 0.2*avg compare)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avg = li.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(_._2).sum / rs.length
+    }
+    val small = li.filter { case (k, q2, _) => q2 < 0.2 * avg(k) }
+    assert(n == small.length)
+    val cents = small.map { case (_, _, p) => math.floor(p * 10000 + 0.5).toLong }.sum
+    assert(math.abs(rev - cents / 10000.0) < 1e-9)
+  }
+
+  test("q_conversion_latency: counts consistent, percentiles ordered") {
+    import spark.implicits._
+    val (nUsers, nConv, p50, p90) = q("q_conversion_latency").run(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().head
+    val totalUsers = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(nUsers == totalUsers && nConv <= nUsers)
+    assert(p50 >= 0 && p90 >= p50)
+  }
+
   test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
     import spark.implicits._
     val rows = q("q_mom_growth").run(spark, dir)
