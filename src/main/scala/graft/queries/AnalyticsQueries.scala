@@ -1069,8 +1069,13 @@ object AnalyticsQueries {
   val qMarketBasket: Q = Q(
     "q_market_basket",
     (spark, dir) => {
+      // four consumers (both self-join sides, item freq, order count):
+      // persist so the distinct basket is computed from ONE scan — at
+      // corpus scale this is the materialized basket table, not 4×
+      // re-reads of the fact
       val basket = Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nOrders = basket.agg(countDistinct(col("okey")).as("n_orders"))
       val freq = basket.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
       basket.select(col("okey"), col("l_partkey").as("pa"))
@@ -1201,8 +1206,11 @@ object AnalyticsQueries {
   val qMixDrift: Q = Q(
     "q_mix_drift",
     (spark, dir) => {
+      // three consumers (day totals, type dim, day-type counts): persist
+      // the two-column projection so the fact scans once
       val e = Tables.events(spark, dir)
         .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val d = e.groupBy(col("day")).agg(count(lit(1)).as("n"))
       val t = e.select(col("event_type")).distinct()
       val c = e.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("nt"))
@@ -1345,9 +1353,11 @@ object AnalyticsQueries {
   val qRollingWau: Q = Q(
     "q_rolling_wau",
     (spark, dir) => {
+      // three consumers (day dim, WAU fan-out, DAU): one scan, persisted
       val du = Tables.events(spark, dir)
         .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val days = du.select(col("day")).distinct()
       val wau = du
         .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
@@ -1396,8 +1406,11 @@ object AnalyticsQueries {
   val qAudienceOverlap: Q = Q(
     "q_audience_overlap",
     (spark, dir) => {
+      // two consumers (per-type stats, pair-tagged unions): persist the
+      // compacted membership table so the fact scans once
       val u = Tables.events(spark, dir)
         .select(col("event_type"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perType = u.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), 0.01).as("a"))
       val types = perType.select(col("event_type"), col("n"), col("a"))
