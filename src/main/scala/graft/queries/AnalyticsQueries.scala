@@ -1152,6 +1152,48 @@ object AnalyticsQueries {
       WHERE CAST(l_quantity AS BIGINT) * 1000 < qty_cut_milli
     """.trim))
 
+  /** TPC-H Q2 shape — argmin-per-group WITHOUT a window sort: for
+    * each part, the cheapest lineitem offer (min extendedprice,
+    * supplier key as deterministic tiebreak) falls out of ONE
+    * min-of-struct hash aggregate with map-side partials — the
+    * row_number()-over-partition formulation would sort every
+    * group's history; the aggregate ships one partial per part per
+    * input partition. Supplier details then join the part-sized
+    * result (broadcast dim), never the fact. */
+  val qArgminJoin: Q = Q(
+    "q_argmin_join",
+    (spark, dir) => {
+      val best = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          struct(money(col("l_extendedprice")).as("price_4dp"),
+            col("l_suppkey")).as("offer"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("offer")).as("best"))
+        .select(col("l_partkey"),
+          (col("best.price_4dp") / lit(10000.0)).as("best_price"),
+          col("best.l_suppkey").as("s_suppkey"))
+      best.join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+        .select(col("l_partkey"), col("best_price"), col("s_suppkey"),
+          col("s_name"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_partkey,
+               CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p4,
+               l_suppkey,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT),
+                                           l_suppkey) AS rn
+        FROM lineitem)
+      SELECT l_partkey, p4 / 10000.0 AS best_price, l_suppkey AS s_suppkey,
+             s_name
+      FROM ranked JOIN supplier ON ranked.l_suppkey = supplier.s_suppkey
+      WHERE rn = 1
+      ORDER BY l_partkey
+    """.trim))
+
   /** Conversion-latency distribution: per user, first `view` and
     * first `purchase` reduce in ONE map-side-compacted aggregate
     * (min-of-conditional — no per-user event sort), latency lives in
@@ -1502,7 +1544,7 @@ object AnalyticsQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,

@@ -211,6 +211,23 @@ class AnalyticsBatch5Spec extends AnyFunSuite {
     assert(p50 >= 0 && p90 >= p50)
   }
 
+  test("q_argmin_join: one row per part, genuinely the minimum offer") {
+    import spark.implicits._
+    val rows = q("q_argmin_join").run(spark, dir)
+      .select(col("l_partkey"), col("best_price"), col("s_suppkey"))
+      .as[(Long, Double, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val minByPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(min(floor(col("l_extendedprice") * 10000 + 0.5).cast("long")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (pk, price, _) =>
+      assert(math.abs(price - minByPart(pk) / 10000.0) < 1e-9)
+    }
+    assert(rows.length == minByPart.size)
+  }
+
   test("q_mom_growth: delta ties to adjacent months, growth sign matches") {
     import spark.implicits._
     val rows = q("q_mom_growth").run(spark, dir)
