@@ -1328,33 +1328,32 @@ object AnalyticsQueries {
       FROM events GROUP BY event_type ORDER BY event_type
     """.trim))
 
-  /** Catalog statistics collection (the ANALYZE TABLE shape): one scan
-    * computes null counts, exact NDV, and HLL NDV for every column of
-    * `events`, then `stack` unpivots the single stats row into one row
-    * per column. The exact NDV anchors the oracle; at 100 TB a catalog
-    * keeps only the sketch column — same plan, cheaper aggregate. The
-    * multi-column distinct expands the scan a constant ×5, still one
-    * shuffle of partials. */
+  /** Catalog statistics collection (the ANALYZE TABLE shape): one
+    * pruned single-column scan per column computes null count, exact
+    * NDV, and HLL NDV; the per-column stat rows union into the stats
+    * table. Column-parallel is the plan real engines run: a columnar
+    * source reads each column independently, and each branch's
+    * distinct aggregate shuffles only that column's values. (The
+    * tempting one-pass multi-distinct aggregate is an anti-pattern:
+    * Spark's Expand rewrite multiplies EVERY row by columns+1 with
+    * the widest column — here a JSON string — riding every copy; it
+    * benched 31.8 s vs 2 s for this formulation at sf0.1.) The exact
+    * NDV anchors the oracle; at 100 TB a catalog keeps the sketch. */
   val qColumnStats: Q = Q(
     "q_column_stats",
     (spark, dir) => {
       val cols = Seq("event_id", "user_id", "event_type", "value", "props")
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap { c =>
-          Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
-            countDistinct(col(c)).as(s"ndv_$c"),
-            approx_count_distinct(col(c), 0.01).as(s"andv_$c"))
-        }
-      val stacked = cols.map { c =>
-        s"'$c', null_$c, ndv_$c, " +
-          s"CAST(abs(andv_$c - ndv_$c) AS DOUBLE) <= ndv_$c * 0.05d"
-      }.mkString(", ")
-      Tables.events(spark, dir)
-        .agg(aggs.head, aggs.tail: _*)
-        .selectExpr("n_rows",
-          s"stack(${cols.length}, $stacked) AS (column_name, n_nulls, ndv, ndv_within_tol)")
-        .select(col("column_name"), col("n_rows"), col("n_nulls"),
-          col("ndv"), col("ndv_within_tol"))
+      cols.map { c =>
+        Tables.events(spark, dir).select(col(c).as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").isNull.cast("long")).as("n_nulls"),
+            countDistinct(col("v")).as("ndv"),
+            approx_count_distinct(col("v"), 0.01).as("andv"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"),
+            (abs(col("andv") - col("ndv")).cast("double")
+              <= col("ndv") * lit(0.05)).as("ndv_within_tol"))
+      }.reduce(_ unionAll _)
         .orderBy(col("column_name"))
     },
     Some("""
