@@ -25,5 +25,6 @@ object Registry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.PlanningQueries.all ++
-      graft.queries.LayoutQueries.all
+      graft.queries.LayoutQueries.all ++
+      graft.queries.GraphQueries.all
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.{Q, Tables}
+
+/** Graph analytics over the part co-occurrence graph (parts appearing
+  * in the same order basket, support >= 2 — the same edge definition
+  * `q_market_basket` mines, here treated as a graph and analyzed with
+  * degree / triangle / PageRank / component queries).
+  *
+  * Scale posture: the edge list is bounded by the support threshold —
+  * baskets are small (TPC-H orders hold ≤7 distinct parts), so raw
+  * pair generation is Σ|basket|²/2 ≈ 8× the fact rows, and the
+  * support filter collapses that to the dense core. Every algorithm
+  * below works on the EDGE LIST (never an adjacency matrix), shuffles
+  * only on node ids, and keeps iteration counts fixed and small.
+  * All arithmetic is integer (counts, nano-scaled ranks) so the
+  * DuckDB oracle replays bit-exactly.
+  */
+object GraphQueries {
+
+  /** Shared edge builder: distinct (order, part) baskets, self-joined
+    * within the order, support >= 2. Co-partitioned on the order key —
+    * one shuffle builds all pairs. Returns undirected edges with
+    * pa < pb. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val basket = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    basket.select(col("okey"), col("l_partkey").as("pa"))
+      .join(basket.select(col("okey"), col("l_partkey").as("pb")), Seq("okey"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("pa"), col("pb"))
+  }
+
+  private val edgesCte: String = """
+      b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey FROM lineitem),
+      e AS (
+        SELECT a.l_partkey AS pa, bb.l_partkey AS pb
+        FROM b a JOIN b bb USING (okey)
+        WHERE a.l_partkey < bb.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+  """.trim
+
+  /** Degree distribution: per-node degree over the symmetrized edge
+    * list, then the histogram (degree -> node count). Two integer
+    * aggregates, both map-side combinable; the histogram is at most
+    * max-degree rows. The canonical first look at any large graph. */
+  val qGraphDegree: Q = Q(
+    "q_graph_degree",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val sym = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+      sym.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      deg AS (
+        SELECT node, count(*) AS degree FROM (
+          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node)
+      SELECT degree, count(*) AS n_nodes FROM deg
+      GROUP BY degree ORDER BY degree
+    """.trim))
+
+  /** Triangle counting via degree-ordered edge orientation (the
+    * node-iterator++ algorithm): orient every edge from the
+    * lower-(degree, id) endpoint to the higher, join oriented edges on
+    * the shared middle vertex to enumerate wedges, and keep wedges
+    * whose closing edge exists (semi-join against the oriented edge
+    * list). Orientation bounds every vertex's out-degree by O(sqrt(E)),
+    * so the wedge join — the only superlinear step — generates
+    * Σ outdeg² candidates instead of Σ deg², the standard trick that
+    * makes triangle counting feasible on power-law graphs. Output is
+    * the corpus triangle count plus the support histogram of how many
+    * triangles each participating node touches. */
+  val qGraphTriangles: Q = Q(
+    "q_graph_triangles",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // orient: src = endpoint with smaller (deg, id); ties impossible
+      // on id, so orientation is total and deterministic
+      val withDeg = e
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
+      val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pb")).otherwise(col("pa")).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // wedges around the low-degree pivot; close with the (min,max)
+      // form of the third edge (e is stored pa<pb)
+      val wedges = oriented.select(col("src"), col("dst").as("u"))
+        .join(oriented.select(col("src"), col("dst").as("v")), Seq("src"))
+        .filter(col("u") < col("v"))
+      val tris = wedges
+        .join(e.select(col("pa").as("u"), col("pb").as("v")), Seq("u", "v"))
+        .select(col("src").as("a"), col("u").as("b"), col("v").as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-node participation -> histogram; plus the global count as
+      // the degenerate histogram row (n_tri_per_node = -1 marker would
+      // be ugly; report per-node support histogram and total separately
+      // via a union with a labeled row)
+      val perNode = tris.select(col("a").as("node"))
+        .unionAll(tris.select(col("b").as("node")))
+        .unionAll(tris.select(col("c").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      perNode.groupBy(col("n_tri")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_tri"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node),
+      o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst
+        FROM e JOIN deg da ON e.pa = da.node JOIN deg db ON e.pb = db.node),
+      tri AS (
+        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        JOIN e ON e.pa = w1.dst AND e.pb = w2.dst),
+      pn AS (
+        SELECT node, count(*) AS n_tri FROM (
+          SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+      SELECT n_tri, count(*) AS n_nodes FROM pn
+      GROUP BY n_tri ORDER BY n_tri
+    """.trim))
+
+  /** PageRank, fixed 3 iterations, damping 0.85, integer nano
+    * arithmetic so the fixpoint replays exactly in the oracle:
+    * pr' = floor(0.15e9) + 0.85 * Σ floor(pr/deg) computed as
+    * (850 * Σ contrib) / 1000 in BIGINT. Dangling mass is not an
+    * issue on a symmetrized graph (every node has deg >= 1).
+    *
+    * Scale: each iteration is one edge-join + one aggregate shuffling
+    * on node id — the Pregel step. The iteration count is FIXED (rank
+    * queries want a budget, not a fixpoint), so the plan is 3 unrolled
+    * joins, no driver sync at all — unlike connected components there
+    * is no convergence probe to await. Top-50 hubs by rank. */
+  val qGraphPagerank: Q = Q(
+    "q_graph_pagerank",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val adj = sym.join(deg, Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var pr: DataFrame = deg.select(col("src").as("node"),
+        lit(1000000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        pr = adj.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("pr") / col("deg")).cast("long").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("s"))
+          .select(col("node"),
+            (lit(150000000L) + (lit(850L) * col("s")) / lit(1000L))
+              .cast("long").as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("node")).limit(50)
+        .select(col("node"), col("pr").as("pr_nanos"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      sym AS (SELECT pa AS src, pb AS dst FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      adj AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+      p0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+      p1 AS (SELECT adj.dst AS node,
+                    CAST(150000000 + (850 * sum(CAST(p0.pr // adj.deg AS BIGINT)))
+                         // 1000 AS BIGINT) AS pr
+             FROM adj JOIN p0 ON p0.node = adj.src GROUP BY adj.dst),
+      p2 AS (SELECT adj.dst AS node,
+                    CAST(150000000 + (850 * sum(CAST(p1.pr // adj.deg AS BIGINT)))
+                         // 1000 AS BIGINT) AS pr
+             FROM adj JOIN p1 ON p1.node = adj.src GROUP BY adj.dst),
+      p3 AS (SELECT adj.dst AS node,
+                    CAST(150000000 + (850 * sum(CAST(p2.pr // adj.deg AS BIGINT)))
+                         // 1000 AS BIGINT) AS pr
+             FROM adj JOIN p2 ON p2.node = adj.src GROUP BY adj.dst)
+      SELECT node, pr AS pr_nanos FROM p3
+      ORDER BY pr DESC, node LIMIT 50
+    """.trim))
+
+  /** Connected components of the co-occurrence graph — reuses the
+    * engine's min-label-propagation operator (the one built for dedup
+    * clustering) on a completely different graph, reporting the
+    * component-size histogram. Proves the CC operator is a generic
+    * graph primitive, not a dedup special case. */
+  val qGraphComponents: Q = Q(
+    "q_graph_components",
+    (spark, dir) => {
+      val labels = graft.operators.Clusters.connectedComponents(
+        edges(spark, dir), "pa", "pb")
+      labels.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("csize"))
+    },
+    Some(s"""
+      WITH RECURSIVE $edgesCte,
+      sym AS (SELECT pa AS src, pb AS dst FROM e
+              UNION SELECT pb, pa FROM e),
+      walk(node, lbl) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, w.lbl FROM sym s JOIN walk w ON w.node = s.dst),
+      comp AS (SELECT node, min(lbl) AS lbl FROM walk GROUP BY node),
+      sizes AS (SELECT lbl, count(*) AS csize FROM comp GROUP BY lbl)
+      SELECT csize, count(*) AS n_components FROM sizes
+      GROUP BY csize ORDER BY csize
+    """.trim))
+
+  def all: Seq[Q] = Seq(qGraphDegree, qGraphTriangles, qGraphPagerank,
+    qGraphComponents)
+}

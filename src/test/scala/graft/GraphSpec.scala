@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the graph family on sf0.001 — oracle parity
+  * re-checks full values at sf0.01; these assert the structural
+  * invariants a hash can't name (handshake sum, triangle closure,
+  * rank-mass conservation bounds, component-size accounting). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = Registry.all.find(_.name == name).get
+
+  test("q_graph_degree: handshake lemma — sum(degree*n_nodes) is even") {
+    import spark.implicits._
+    val rows = q("q_graph_degree").run(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val degSum = rows.map { case (d, n) => d * n }.sum
+    assert(degSum % 2 == 0, "sum of degrees must be twice the edge count")
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("q_graph_triangles: histogram masses are positive, supports >= 1") {
+    import spark.implicits._
+    val rows = q("q_graph_triangles").run(spark, dir)
+      .as[(Long, Long)].collect()
+    // a node in the histogram participates in >= 1 triangle
+    rows.foreach { case (nTri, nNodes) =>
+      assert(nTri >= 1 && nNodes >= 1)
+    }
+  }
+
+  test("q_graph_pagerank: ranks bounded below by the teleport floor") {
+    import spark.implicits._
+    val rows = q("q_graph_pagerank").run(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // every rank >= 0.15e9 (teleport term); sorted desc then by node
+    rows.foreach { case (_, pr) => assert(pr >= 150000000L) }
+    val prs = rows.map(_._2)
+    assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_graph_components: component sizes >= 2 and nodes accounted") {
+    import spark.implicits._
+    val hist = q("q_graph_components").run(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(hist.nonEmpty)
+    // every component in an edge-derived graph has >= 2 nodes
+    hist.foreach { case (csize, n) => assert(csize >= 2 && n >= 1) }
+    // total labeled nodes == nodes in the degree query's histogram
+    val totalCc = hist.map { case (c, n) => c * n }.sum
+    val totalDeg = q("q_graph_degree").run(spark, dir)
+      .agg(sum(col("n_nodes"))).head().getLong(0)
+    assert(totalCc == totalDeg)
+  }
+}
