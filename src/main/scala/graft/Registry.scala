@@ -26,5 +26,6 @@ object Registry {
       graft.queries.CurationQueries.all ++
       graft.queries.PlanningQueries.all ++
       graft.queries.LayoutQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++
+      graft.queries.SequenceQueries.all
 }

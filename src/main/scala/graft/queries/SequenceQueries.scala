@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Per-entity sequence operators over the events stream: calendar
+  * spine gap-fill (the feature-store forward-fill), gaps-and-islands
+  * streak detection, and rank-based decile feature binning.
+  *
+  * Scale posture: every window below is PARTITIONED by user — the
+  * shuffle is one hash exchange on user_id and each partition's sort
+  * is bounded by that user's history (30 days here; bounded retention
+  * in production). No global windows. The date spine is generated
+  * per-user with `sequence()` — fan-out is (active span in days), not
+  * (corpus days × users). All arithmetic is integer (epoch days,
+  * cents) so the DuckDB oracle replays exactly.
+  */
+object SequenceQueries {
+
+  /** Calendar gap-fill with forward fill — the feature-store shape:
+    * every user gets one row per calendar day between their first and
+    * last activity, carrying the last observed daily-close value
+    * forward across silent days. `sequence()` generates each user's
+    * own spine (no cross join against a global calendar), and the fill
+    * is `last(ignoreNulls)` over the per-user ordered window. */
+  val qGapFill: Q = Q(
+    "q_gap_fill",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"),
+          col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      // daily close = value of the day's last event ((ts, event_id) is
+      // a total order; max_by on the packed struct is deterministic)
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("cents"), struct(col("ts"), col("event_id"))).as("close_cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("close_cents"), ignoreNulls = true).over(w).as("filled_cents"),
+          col("close_cents").isNotNull.as("is_observed"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(floor(date_part('epoch', ts) / 86400) AS BIGINT) AS day,
+               ts, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      ranked AS (
+        SELECT user_id, day, cents,
+               row_number() OVER (PARTITION BY user_id, day
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev),
+      counts AS (
+        SELECT user_id, day, count(*) AS n_events FROM ev GROUP BY user_id, day),
+      daily AS (
+        SELECT c.user_id, c.day, c.n_events, r.cents AS close_cents
+        FROM counts c JOIN ranked r
+          ON c.user_id = r.user_id AND c.day = r.day AND r.rn = 1),
+      spine AS (
+        SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        FROM daily GROUP BY user_id)
+      SELECT s.user_id, s.day,
+             coalesce(d.n_events, 0) AS n_events,
+             last_value(d.close_cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+             d.close_cents IS NOT NULL AS is_observed
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      ORDER BY s.user_id, s.day
+    """.trim))
+
+  /** Gaps-and-islands: longest consecutive-day activity streak per
+    * user. Island id = day - dense_rank(day): constant within a run of
+    * consecutive days, distinct across gaps — the classic rewrite that
+    * turns streak detection into a plain groupBy. Ties broken toward
+    * the EARLIEST streak via min_by on the packed (negated length,
+    * start) struct. */
+  val qStreaks: Q = Q(
+    "q_streaks",
+    (spark, dir) => {
+      val days = Tables.events(spark, dir)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("island", col("day") - dense_rank().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      islands.groupBy(col("user_id"))
+        .agg(max(col("len")).as("best_streak"),
+          min_by(col("start_day"), struct((-col("len")).as("nl"), col("start_day")))
+            .as("best_start_day"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(date_part('epoch', ts) / 86400) AS BIGINT) AS day
+        FROM events),
+      isl AS (
+        SELECT user_id,
+               day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island,
+               day
+        FROM days),
+      runs AS (
+        SELECT user_id, island, count(*) AS len, min(day) AS start_day
+        FROM isl GROUP BY user_id, island),
+      best AS (
+        SELECT user_id, len, start_day,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY len DESC, start_day) AS rn
+        FROM runs),
+      agg AS (
+        SELECT user_id, max(len) AS best_streak, count(*) AS n_streaks
+        FROM runs GROUP BY user_id)
+      SELECT a.user_id, a.best_streak, b.start_day AS best_start_day,
+             a.n_streaks
+      FROM agg a JOIN best b ON a.user_id = b.user_id AND b.rn = 1
+      ORDER BY a.user_id
+    """.trim))
+
+  /** Rank-based decile binning of per-user spend WITHIN each event
+    * type — the feature transform that turns a skewed continuous
+    * feature into a uniform categorical one, cohorted so the window
+    * stays PARTITIONED (one hash exchange on event_type, per-type
+    * external sort — never a single-partition funnel). Total order
+    * (spend_cents, user_id) makes ntile deterministic in both
+    * engines. The per-decile summary (bounds + population) IS the bin
+    * lookup table a serving layer would broadcast. */
+  val qNtileFeatures: Q = Q(
+    "q_ntile_features",
+    (spark, dir) => {
+      val spend = Tables.events(spark, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("spend_cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("spend_cents"), col("user_id"))
+      spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("spend_cents")).as("lo_cents"),
+          max(col("spend_cents")).as("hi_cents"))
+        .orderBy(col("event_type"), col("decile"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM events GROUP BY event_type, user_id),
+      d AS (
+        SELECT event_type, user_id, spend_cents,
+               CAST(ntile(10) OVER (PARTITION BY event_type
+                 ORDER BY spend_cents, user_id) AS BIGINT) AS decile
+        FROM spend)
+      SELECT event_type, decile, count(*) AS n_users,
+             min(spend_cents) AS lo_cents, max(spend_cents) AS hi_cents
+      FROM d GROUP BY event_type, decile ORDER BY event_type, decile
+    """.trim))
+
+  def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures)
+}
