@@ -27,5 +27,6 @@ object Registry {
       graft.queries.PlanningQueries.all ++
       graft.queries.LayoutQueries.all ++
       graft.queries.GraphQueries.all ++
-      graft.queries.SequenceQueries.all
+      graft.queries.SequenceQueries.all ++
+      graft.queries.RelationalQueries.all
 }
