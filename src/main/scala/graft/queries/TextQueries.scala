@@ -791,11 +791,90 @@ object TextQueries {
       FROM b GROUP BY bucket ORDER BY bucket
     """.trim))
 
+  /** Per-document language-model quality score — the CCNet-style
+    * filter that ranks documents by how well a corpus-trained bigram
+    * model predicts them. The model is the same self-consistent
+    * bigram/head-count table `q_text_bigrams` builds; each document's
+    * score is the integer-floored average conditional probability of
+    * its bigrams in nano-units (every division floored BEFORE the
+    * per-doc sum, so both engines accumulate identical BIGINTs —
+    * log-free perplexity for cross-engine bit parity). Reported per
+    * source with the below-corpus-mean count: exactly the cut a
+    * mixture planner drops low-LM-fit sources by.
+    *
+    * Scale: two hash aggregates build the model (bigram vocab-sized,
+    * not corpus-sized), one broadcast-able join scores the stream of
+    * doc bigrams, per-doc and per-source rollups are map-side
+    * combinable. The corpus mean joins back as a broadcast 1-row
+    * table, not a window. */
+  val qTextLmScore: Q = Q(
+    "q_text_lm_score",
+    (spark, dir) => {
+      val grams = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .select(col("doc_id"), col("source"), col("bigram"),
+          substring_index(col("bigram"), " ", 1).as("w1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byBigram = grams.groupBy(col("bigram"), col("w1"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val byW1 = byBigram.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
+      val model = byBigram.join(byW1, "w1")
+        .select(col("bigram"),
+          expr("n_bigram * 1000000000L DIV n_w1").as("p_nanos"))
+      val perDoc = grams.join(model, "bigram")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_nanos")).as("p_sum"))
+        .select(col("doc_id"), col("source"),
+          expr("p_sum DIV n_bigrams").as("lm_nanos"))
+      val corpusMean = perDoc.agg(
+        expr("sum(lm_nanos) DIV count(1)").as("mean_nanos"))
+      perDoc.crossJoin(broadcast(corpusMean))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(lm_nanos) DIV count(1)").as("avg_nanos"),
+          min(col("lm_nanos")).as("min_nanos"),
+          max(col("lm_nanos")).as("max_nanos"),
+          sum((col("lm_nanos") < col("mean_nanos")).cast("long")).as("n_below_mean"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, source, string_split_regex(text, '\s+') AS tl
+        FROM documents),
+      grams AS (
+        SELECT doc_id, source,
+               unnest([array_to_string(tl[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(tl) - 1)]) AS bigram
+        FROM toks WHERE len(tl) >= 2),
+      bg AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+               count(*) AS n_bigram
+        FROM grams GROUP BY bigram),
+      w1m AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1 FROM bg GROUP BY w1),
+      model AS (
+        SELECT bigram, n_bigram * 1000000000 // n_w1 AS p_nanos
+        FROM bg JOIN w1m USING (w1)),
+      per_doc AS (
+        SELECT doc_id, source,
+               CAST(sum(p_nanos) // count(*) AS BIGINT) AS lm_nanos
+        FROM grams JOIN model USING (bigram)
+        GROUP BY doc_id, source),
+      m AS (SELECT CAST(sum(lm_nanos) // count(*) AS BIGINT) AS mean_nanos
+            FROM per_doc)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(lm_nanos) // count(*) AS BIGINT) AS avg_nanos,
+             min(lm_nanos) AS min_nanos, max(lm_nanos) AS max_nanos,
+             CAST(sum(CASE WHEN lm_nanos < mean_nanos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_below_mean
+      FROM per_doc, m GROUP BY source ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
-    qChunkBoundaries)
+    qChunkBoundaries, qTextLmScore)
 }
