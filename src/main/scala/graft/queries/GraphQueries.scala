@@ -20,17 +20,24 @@ import graft.{Q, Tables}
   */
 object GraphQueries {
 
-  /** Shared edge builder: distinct (order, part) baskets, self-joined
-    * within the order, support >= 2. Co-partitioned on the order key —
-    * one shuffle builds all pairs. Returns undirected edges with
-    * pa < pb. */
+  /** Shared edge builder: one shuffle collects each order's distinct
+    * part set, pairs are generated IN-ROW from the sorted set (baskets
+    * hold ≤ ~17 parts, so the fan-out is bounded by |basket|²/2 per
+    * row — no self-join, no second scan), then one aggregate applies
+    * the support >= 2 threshold. Two shuffles total versus the
+    * self-join formulation's three plus a persist; at fact scale the
+    * collect_set aggregate is map-side combinable and the pair stream
+    * never materializes the basket table twice. Returns undirected
+    * edges with pa < pb. */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
-    val basket = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    basket.select(col("okey"), col("l_partkey").as("pa"))
-      .join(basket.select(col("okey"), col("l_partkey").as("pb")), Seq("okey"))
-      .filter(col("pa") < col("pb"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts,
+          |  (x, i) -> transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+      .select(col("pr.pa"), col("pr.pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("pa"), col("pb"))

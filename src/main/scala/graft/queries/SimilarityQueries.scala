@@ -685,10 +685,161 @@ object SimilarityQueries {
       GROUP BY k ORDER BY k
     """.trim))
 
+  /** Retrieval-quality evaluation: mean reciprocal rank (MRR) and
+    * hit@10 of label-match retrieval, per label. A 32-query panel
+    * (vec_id < 32) is broadcast against the corpus; each query's
+    * corpus ranking (rounded cosine desc, vec_id) yields the rank of
+    * the FIRST same-label neighbor, and reciprocal ranks aggregate in
+    * floored nano-units so the oracle replays the metric exactly.
+    *
+    * Scale: the panel is the broadcast side (offline eval always runs
+    * on a sampled query set); the corpus never shuffles — scoring is
+    * scan-shaped, and the per-query ranking window is partitioned by
+    * qid. Label-match eval needs no human relevance labels, which is
+    * why it's the standard embedding regression gauge. */
+  val qEvalMrr: Q = Q(
+    "q_eval_mrr",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = broadcast(emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec")))
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val scored = corpus.crossJoin(queries)
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val firstHit = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("label") === col("qlabel"))
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(min(col("rnk")).cast("long").as("r"))
+      firstHit.groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(1000000000L DIV r) DIV count(1)").as("mrr_nanos"),
+          sum((col("r") <= 10).cast("long")).as("n_hit_at_10"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS a
+        FROM embeddings WHERE vec_id < 32),
+      scored AS (
+        SELECT qid, qlabel, e.vec_id, e.label,
+               ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, q WHERE e.vec_id >= 32),
+      ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored),
+      fh AS (
+        SELECT qid, qlabel, CAST(min(rnk) AS BIGINT) AS r
+        FROM ranked WHERE label = qlabel GROUP BY qid, qlabel)
+      SELECT qlabel AS label, count(*) AS n_queries,
+             CAST(sum(1000000000 // r) // count(*) AS BIGINT) AS mrr_nanos,
+             CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit_at_10
+      FROM fh GROUP BY qlabel ORDER BY label
+    """.trim))
+
+  /** Maximal marginal relevance (MMR) — the diversity-aware top-k
+    * selection RAG retrieval stacks run after ANN: greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected (λ=0.7, integer micro-units scaled ×10 so the
+    * score is the exact BIGINT 7·rel − 3·maxsel). Four unrolled
+    * selection steps over a top-12 candidate pool.
+    *
+    * Scale: the candidate pool is the bounded ANN pre-cut (MMR is
+    * always a rerank of top-N, never of the corpus), so the pairwise
+    * sim table is N² tiny rows and each greedy step is a
+    * TakeOrderedAndProject over the pool — the iterative joins touch
+    * pool-sized data only; the corpus contributes one scan-shaped
+    * scoring pass. */
+  val qEmbedMmr: Q = Q(
+    "q_embed_mmr",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val qv = broadcast(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")))
+      val cands = emb.filter(col("vec_id") >= 8).crossJoin(qv)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(12)
+        .select(col("vec_id"), col("embedding"),
+          expr("CAST(round(cos * 1000000) AS BIGINT)").as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sims = cands.as("x").join(cands.as("y"),
+          col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+          round(Similarity.cosine(col("x.embedding"), col("y.embedding"))
+            * 1000000).cast("long").as("sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var rem = cands.select(col("vec_id"), col("rel"), lit(0L).as("maxsel"))
+      var picks: org.apache.spark.sql.DataFrame = null
+      for (step <- 1 to 4) {
+        val pick = rem
+          .withColumn("mmr", lit(7L) * col("rel") - lit(3L) * col("maxsel"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .select(lit(step.toLong).as("step"), col("vec_id"), col("rel"),
+            col("maxsel"), col("mmr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        picks = if (picks == null) pick else picks.unionAll(pick)
+        val pickedSims = sims
+          .join(broadcast(pick.select(col("vec_id").as("pv"))),
+            col("vb") === col("pv"))
+          .select(col("va").as("vec_id"), col("sim"))
+        rem = rem
+          .join(broadcast(pick.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+          .join(pickedSims, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("rel"),
+            greatest(col("maxsel"), coalesce(col("sim"), lit(0L))).as("maxsel"))
+      }
+      picks.orderBy(col("step"))
+    },
+    { // 4 unrolled greedy steps as a generated CTE chain
+      def simExpr(a: String, b: String): String =
+        s"CAST(round(${cosOf(a, b)} * 1000000) AS BIGINT)"
+      val steps = (1 to 4).map { i =>
+        val prev = s"r$i"
+        s"""s$i AS (
+           |  SELECT CAST($i AS BIGINT) AS step, vec_id, rel, maxsel,
+           |         7 * rel - 3 * maxsel AS mmr
+           |  FROM $prev ORDER BY mmr DESC, vec_id LIMIT 1),
+           |r${i + 1} AS (
+           |  SELECT r.vec_id, r.rel,
+           |         greatest(r.maxsel, coalesce(ps.sim, 0)) AS maxsel
+           |  FROM $prev r
+           |  LEFT JOIN (SELECT va, sim FROM p JOIN s$i ON p.vb = s$i.vec_id) ps
+           |    ON r.vec_id = ps.va
+           |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s$i))""".stripMargin
+      }.mkString(",\n")
+      Some(s"""
+        WITH q AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+        sc AS (
+          SELECT e.vec_id, e.embedding,
+                 ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+          FROM embeddings e, q WHERE e.vec_id >= 8),
+        c AS (
+          SELECT vec_id, embedding, CAST(round(cos * 1000000) AS BIGINT) AS rel
+          FROM sc ORDER BY cos DESC, vec_id LIMIT 12),
+        p AS (
+          SELECT x.vec_id AS va, y.vec_id AS vb,
+                 ${simExpr("x.embedding", "y.embedding")} AS sim
+          FROM c x, c y WHERE x.vec_id <> y.vec_id),
+        r1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsel FROM c),
+        $steps
+        SELECT step, vec_id, rel, maxsel, mmr
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+        ORDER BY step
+      """.trim)
+    })
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
-    qEmbedRecallCurve)
+    qEmbedRecallCurve, qEvalMrr, qEmbedMmr)
 }
