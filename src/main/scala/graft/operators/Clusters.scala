@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Diagnostic only (read by tools/CcProbe and specs): rounds run and
+    * convergence status of the LAST connectedComponents call on this
+    * driver. Not part of the operator contract. */
+  @volatile var lastRounds: Int = 0
+  @volatile var lastConverged: Boolean = true
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 10): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -49,10 +55,17 @@ object Clusters {
     // label count and the initial label sum both ride the
     // materialization as ONE observe metric — no separate count or
     // probe job before the loop starts.
+    // Init rides a FREE propagation hop: the node list needs a shuffle
+    // on node id anyway (distinct), and a groupBy on the same key can
+    // carry min(neighbor) through the identical exchange — so labels
+    // start at min(self, neighbors), one full hop ahead. Near-clique
+    // dedup graphs are already at fixpoint after this fold, so the
+    // loop's first round is the stationary confirmation and the whole
+    // CC costs two materializations instead of three.
     val obsInit = org.apache.spark.sql.Observation("cc_init")
-    var labels = edges.select(col("src").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
+    var labels = edges
+      .groupBy(col("src").as("node"))
+      .agg(least(col("node"), min(col("dst"))).as("lbl"))
       .observe(obsInit, count(lit(1)).as("n"),
         sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
       .localCheckpoint()
@@ -98,27 +111,41 @@ object Clusters {
     var iter = 0
     var converged = prevSum == null // empty edge list: nothing to label
     while (iter < maxIter && !converged) {
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = propagate(propagate(labels))
+      // TWO observes ride the one materialization — after hop 1 and
+      // after hop 2. Labels only ever decrease, so sum(hop1) ==
+      // sum(hop2) means hop 2 changed nothing, i.e. hop 1's output was
+      // already a fixpoint: convergence is detected INSIDE the round
+      // that reaches it, never needing a separate confirmation round
+      // (the round-vs-round check alone pays one extra materialization
+      // whenever the fixpoint lands on the first of the two fused
+      // hops).
+      val obsH1 = org.apache.spark.sql.Observation(s"cc_h1_$iter")
+      val obsH2 = org.apache.spark.sql.Observation(s"cc_h2_$iter")
+      val next = propagate(
+          propagate(labels)
+            .observe(obsH1, sum(col("lbl")).cast("decimal(38,0)").as("lsum")))
         .coalesce(parts)
-        .observe(obs, sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
+        .observe(obsH2, sum(col("lbl")).cast("decimal(38,0)").as("lsum"))
         .localCheckpoint()
-      // The metric arrives via the (bounded, droppable) listener bus;
-      // never block on it without a timeout — if the event was shed
-      // under load, fall back to the synchronous one-row probe over
-      // the (already materialized) checkpoint.
-      val s =
-        try scala.concurrent.Await
-          .result(obs.future, scala.concurrent.duration.Duration(10, "s"))
-          .getAs[java.math.BigDecimal]("lsum")
-        catch {
-          case _: java.util.concurrent.TimeoutException => labelSum(next)
-        }
-      converged = s == null || s.compareTo(prevSum) == 0
+      // The metrics arrive via the (bounded, droppable) listener bus;
+      // never block without a timeout — if the event was shed under
+      // load, fall back to the synchronous one-row probe over the
+      // (already materialized) checkpoint.
+      def metric(o: org.apache.spark.sql.Observation): Option[java.math.BigDecimal] =
+        try Some(scala.concurrent.Await
+          .result(o.future, scala.concurrent.duration.Duration(10, "s"))
+          .getAs[java.math.BigDecimal]("lsum"))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      val s1 = metric(obsH1)
+      val s = metric(obsH2).getOrElse(labelSum(next))
+      converged = s == null || s.compareTo(prevSum) == 0 ||
+        s1.exists(h1 => h1 != null && s.compareTo(h1) == 0)
       prevSum = s
       labels = next
       iter += 1
     }
+    lastRounds = iter
+    lastConverged = converged
     edges.unpersist()
     p.unpersist()
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
