@@ -134,5 +134,287 @@ object RelationalQueries {
       ORDER BY n_dominated_parts DESC, suppkey LIMIT 100
     """.trim))
 
-  def all: Seq[Q] = Seq(qCustOrderHistogram, qPromoShare, qExcessStock)
+  /** TPC-H Q7 shape: bilateral shipping volume between two nations by
+    * ship year. The nation filter lands on BOTH dimension sides before
+    * any fact join — supplier shrinks to a broadcast, customer shrinks
+    * ~12.5× before its shuffle join with orders — and the fact×fact
+    * lineitem⋈orders join is the one unavoidable sort-merge. Revenue
+    * in exact integer cents. */
+  val qVolumeShipping: Q = Q(
+    "q_volume_shipping",
+    (spark, dir) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val nat = Tables.nation(spark, dir)
+        .filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = broadcast(Tables.supplier(spark, dir)
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = Tables.customer(spark, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(spark, dir)
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("rev_cents"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_cents,
+             count(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        AND cn.n_name IN ('NATION_1', 'NATION_2')
+        AND sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """.trim))
+
+  /** TPC-H Q8 shape: one supplier-nation's market share, per year, of
+    * revenue delivered to customers in one region. Conditional
+    * aggregation over the joined fact — the share numerator is a
+    * CASE'd partial of the same pass, never a second scan. Share in
+    * exact integer micro-units. */
+  val qMarketShare: Q = Q(
+    "q_market_share",
+    (spark, dir) => {
+      val natReg = broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+      val cust = Tables.customer(spark, dir)
+        .join(natReg, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = broadcast(Tables.supplier(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      Tables.lineitem(spark, dir)
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_2",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * 100 + 0.5).cast("long")).otherwise(lit(0L))).as("nation_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long")).as("total_cents"))
+        .select(col("l_year"), col("nation_cents"), col("total_cents"),
+          expr("nation_cents * 1000000L DIV total_cents").as("share_micros"))
+        .orderBy(col("l_year"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year, sn.n_name AS supp_nation,
+               CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA')),
+      a AS (
+        SELECT l_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents ELSE 0 END)
+                    AS BIGINT) AS nation_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM f GROUP BY l_year)
+      SELECT l_year, nation_cents, total_cents,
+             nation_cents * 1000000 // total_cents AS share_micros
+      FROM a ORDER BY l_year
+    """.trim))
+
+  /** TPC-H Q15 shape: the top supplier(s) by revenue in one quarter —
+    * an argmax over an aggregate, ties kept. The max is a one-row
+    * broadcast joined back against the per-supplier aggregate (never a
+    * global sort), and exact integer cents make the equality join
+    * safe. */
+  val qTopSupplier: Q = Q(
+    "q_top_supplier",
+    (spark, dir) => {
+      val rev = Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("rev_cents"))
+      val top = broadcast(rev.agg(max(col("rev_cents")).as("max_cents")))
+      rev.crossJoin(top)
+        .filter(col("rev_cents") === col("max_cents"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+          Seq("l_suppkey"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name"), col("rev_cents"))
+        .orderBy(col("suppkey"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                    + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT l_suppkey AS suppkey, s_name, rev_cents
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+      ORDER BY suppkey
+    """.trim))
+
+  /** TPC-H Q18 shape: large-volume orders (total quantity > 200) with
+    * their customer. The quantity rollup happens BEFORE any dimension
+    * join — the fact aggregates to per-order partials first, and only
+    * the ~0.6% of orders over threshold ever touch the join — then
+    * orders and customer attach by key. */
+  val qLargeOrders: Q = Q(
+    "q_large_orders",
+    (spark, dir) => {
+      val big = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      big.join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey").as("custkey"),
+          col("l_orderkey").as("orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+          col("total_qty"))
+        .orderBy(col("price_cents").desc, col("orderkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH big AS (
+        SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+      SELECT c_name, o_custkey AS custkey, l_orderkey AS orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY price_cents DESC, orderkey LIMIT 100
+    """.trim))
+
+  /** TPC-H Q21 shape: suppliers who were the SOLE late shipper in
+    * multi-supplier orders (late = shipped >365 days after the order
+    * date). The exists/not-exists pair collapses into one
+    * per-(order, supplier) aggregate plus one per-order rollup — the
+    * fact is scanned once, and the "some other supplier, none of them
+    * late" correlated subqueries become two integer columns
+    * (n_supp > 1, n_late = 1) instead of two more fact scans. */
+  val qLateSoleSupplier: Q = Q(
+    "q_late_sole_supplier",
+    (spark, dir) => {
+      val perOrderSupp = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((datediff(col("l_shipdate"), col("o_orderdate")) > 365)
+          .cast("int")).as("late"))
+      val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      perOrderSupp
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+          Seq("l_suppkey"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
+        .limit(100)
+    },
+    Some("""
+      WITH pos AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365
+                   THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, l_suppkey),
+      po AS (
+        SELECT l_orderkey, count(*) AS n_supp,
+               CAST(sum(late) AS BIGINT) AS n_late
+        FROM pos GROUP BY l_orderkey)
+      SELECT l_suppkey AS suppkey, s_name, count(*) AS numwait
+      FROM pos JOIN po USING (l_orderkey)
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE late = 1 AND n_supp > 1 AND n_late = 1
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, suppkey LIMIT 100
+    """.trim))
+
+  /** TPC-H Q22 shape: dormant high-balance customers — account balance
+    * above the global positive-balance average, no order since
+    * 2000-01-01 — counted per market segment. The global average is a
+    * one-row broadcast (scalar subquery → crossJoin), the dormancy test
+    * an anti join against the date-filtered order keys; the customer
+    * table is scanned once. */
+  val qDormantRich: Q = Q(
+    "q_dormant_rich",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+      val avgPos = broadcast(cust.filter(col("bal_cents") > 0)
+        .agg(expr("sum(bal_cents) DIV count(1)").as("avg_cents")))
+      val recent = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      cust.crossJoin(avgPos)
+        .filter(col("bal_cents") > col("avg_cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("total_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        FROM customer),
+      avg_pos AS (
+        SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS avg_cents
+        FROM cust WHERE bal_cents > 0)
+      SELECT c_mktsegment, count(*) AS n_custs,
+             CAST(sum(bal_cents) AS BIGINT) AS total_cents
+      FROM cust, avg_pos
+      WHERE bal_cents > avg_cents
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.trim))
+
+  def all: Seq[Q] = Seq(qCustOrderHistogram, qPromoShare, qExcessStock,
+    qVolumeShipping, qMarketShare, qTopSupplier, qLargeOrders,
+    qLateSoleSupplier, qDormantRich)
 }

@@ -51,4 +51,99 @@ class RelationalShapeSpec extends AnyFunSuite {
     }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     res.foreach { case (sk, n) => assert(dominated(sk) == n) }
   }
+
+  test("q_volume_shipping: only the two configured nations, both directions distinct") {
+    import spark.implicits._
+    // sf0.001 is too sparse for the nation-pair intersection; sf0.01
+    // (the correctness-gate SF) is the smallest with nonempty output.
+    val rows = q("q_volume_shipping").run(spark, "/root/testdata/sf0.01")
+      .select(col("supp_nation"), col("cust_nation"), col("rev_cents"))
+      .as[(String, String, Long)].collect()
+    assert(rows.nonEmpty)
+    val nations = Set("NATION_1", "NATION_2")
+    rows.foreach { case (s, c, rev) =>
+      assert(nations(s) && nations(c) && s != c)
+      assert(rev > 0)
+    }
+  }
+
+  test("q_market_share: nation_cents <= total_cents and micro-share exact") {
+    import spark.implicits._
+    val rows = q("q_market_share").run(spark, dir)
+      .select(col("nation_cents"), col("total_cents"), col("share_micros"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, t, s) =>
+      assert(n >= 0 && n <= t)
+      assert(s == n * 1000000L / t)
+    }
+  }
+
+  test("q_top_supplier: reported revenue is the per-supplier maximum") {
+    import spark.implicits._
+    val res = q("q_top_supplier").run(spark, dir)
+      .select(col("rev_cents")).as[Long].collect()
+    assert(res.nonEmpty)
+    assert(res.distinct.length == 1, "ties all report the same max revenue")
+    val all = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100 + 0.5).cast("long")).as("rc"))
+      .agg(max(col("rc"))).as[Long].head()
+    assert(res.head == all)
+  }
+
+  test("q_large_orders: every order exceeds the 200-unit threshold") {
+    import spark.implicits._
+    val rows = q("q_large_orders").run(spark, dir)
+      .select(col("orderkey"), col("total_qty")).as[(Long, Long)].collect()
+    rows.foreach { case (_, qty) => assert(qty > 200) }
+    // recompute one order imperatively
+    rows.headOption.foreach { case (ok, qty) =>
+      val expect = Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") === ok)
+        .agg(sum(col("l_quantity").cast("long"))).as[Long].head()
+      assert(expect == qty)
+    }
+  }
+
+  test("q_late_sole_supplier: reported suppliers were sole late shippers") {
+    import spark.implicits._
+    val res = q("q_late_sole_supplier").run(spark, dir)
+      .select(col("suppkey"), col("numwait")).as[(Long, Long)].collect()
+    assert(res.nonEmpty)
+    // imperative recompute on the small SF
+    val pos = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((datediff(col("l_shipdate"), col("o_orderdate")) > 365)
+        .cast("int")).as("late"))
+      .as[(Long, Long, Int)].collect()
+    val byOrder = pos.groupBy(_._1)
+    val expect = pos.filter { case (ok, _, late) =>
+      val grp = byOrder(ok)
+      late == 1 && grp.length > 1 && grp.map(_._3).sum == 1
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    res.foreach { case (sk, n) => assert(expect(sk) == n) }
+  }
+
+  test("q_dormant_rich: every counted customer is above average and dormant") {
+    import spark.implicits._
+    val total = q("q_dormant_rich").run(spark, dir)
+      .agg(sum(col("n_custs"))).as[Long].head()
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bc"))
+      .as[(Long, Long)].collect()
+    val pos = cust.map(_._2).filter(_ > 0)
+    val avg = pos.sum / pos.length
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey")).distinct().as[Long].collect().toSet
+    val expect = cust.count { case (ck, bc) => bc > avg && !recent(ck) }
+    assert(total == expect)
+  }
 }
