@@ -15,17 +15,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and convert below. Truncating
-    // ns -> us floor-division matches DuckDB's own ns -> us truncation,
-    // so oracle comparisons stay exact.
+    // events.parquet has shipped with two physical `ts` encodings across
+    // testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    // reader rejects — read nanos as long and floor-divide to micros,
+    // matching DuckDB's own ns -> us truncation) and plain TIMESTAMP(US)
+    // without UTC adjustment (which Spark reads as TIMESTAMP_NTZ — cast
+    // to session-TZ timestamp; the session TZ is pinned UTC so the cast
+    // is value-preserving). Branch on the landed type so both work.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "events")
