@@ -414,7 +414,323 @@ object RelationalQueries {
       GROUP BY c_mktsegment ORDER BY c_mktsegment
     """.trim))
 
+  /** TPC-H Q3 shape: shipping-priority report — the top-10 highest
+    * revenue orders in one market segment that were ordered before the
+    * cutoff but still have lines shipping after it. Both dimension
+    * filters (segment on customer, date on orders) land before the
+    * fact join, so the lineitem date filter is the only full-fact
+    * predicate; the top-10 is a bounded TakeOrdered, never a global
+    * sort. */
+  val qShipPriority: Q = Q(
+    "q_ship_priority",
+    (spark, dir) => {
+      val cutoff = "1998-06-01"
+      val cust = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit(cutoff))
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit(cutoff))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("rev_cents"))
+        .select(col("l_orderkey").as("orderkey"), col("rev_cents"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("rev_cents").desc, col("orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey AS orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_cents,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY rev_cents DESC, orderkey LIMIT 10
+    """.trim))
+
+  /** TPC-H Q4 shape: order-priority checking — orders placed in one
+    * quarter with at least one line shipped more than 90 days after
+    * the order date, counted per priority. The EXISTS is a left-semi
+    * join with the lateness predicate as the join condition; the
+    * date filter prunes orders before the join so the semi probe side
+    * is one quarter, not the whole table. */
+  val qPriorityWait: Q = Q(
+    "q_priority_wait",
+    (spark, dir) => {
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-04-01"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      ord.join(Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            datediff(col("l_shipdate"), col("o_orderdate")) > 90, "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND date_diff('day', o_orderdate, l_shipdate) > 90)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
+
+  /** TPC-H Q5 shape: local-supplier volume — revenue per nation from
+    * orders where the customer and the supplier share the nation, one
+    * region, one order-year. The nation⨝region shrink broadcasts into
+    * both dimension legs; the customer-nation = supplier-nation
+    * equality rides the join keys (c_nationkey carried through the
+    * orders join meets s_nationkey at the lineitem join) — no
+    * post-join filter re-scan. */
+  val qLocalVolume: Q = Q(
+    "q_local_volume",
+    (spark, dir) => {
+      val natReg = broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cust = Tables.customer(spark, dir)
+        .join(natReg, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      val supp = broadcast(Tables.supplier(spark, dir)
+        .join(natReg, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name")))
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("cents"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("cents")).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY rev_cents DESC, n_name
+    """.trim))
+
+  /** TPC-H Q6 shape: forecast-revenue change — a pure scan-aggregate
+    * with three pushable range predicates and no join at all. The
+    * whole query should compile to one WholeStageCodegen span over the
+    * parquet scan with every filter in PushedFilters; at 100 TB this
+    * is the query that proves scan bandwidth isn't wasted. */
+  val qForecastRevenue: Q = Q(
+    "q_forecast_revenue",
+    (spark, dir) => Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100 + 0.5)
+          .cast("long")).as("forecast_cents"),
+        count(lit(1)).as("n_lines")),
+    Some("""
+      SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS forecast_cents,
+             count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.04 AND 0.06
+        AND l_quantity < 24
+    """.trim))
+
+  /** TPC-H Q10 shape: returned-item reporting — the 20 customers who
+    * lost the most revenue to returns in one quarter, with their
+    * nation. The returnflag filter prunes the fact to a third before
+    * the orders join; nation attaches by broadcast after the
+    * aggregate, so only 20-ish rows ever see the dim join. */
+  val qReturnedItems: Q = Q(
+    "q_returned_items",
+    (spark, dir) => {
+      val ord = Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val perCust = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100 + 0.5).cast("long")).as("lost_cents"))
+      perCust.join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("custkey"), col("c_name"),
+          col("n_name"), col("lost_cents"))
+        .orderBy(col("lost_cents").desc, col("custkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH pc AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                    + 0.5) AS BIGINT)) AS BIGINT) AS lost_cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1997-10-01'
+        GROUP BY o_custkey)
+      SELECT o_custkey AS custkey, c_name, n_name, lost_cents
+      FROM pc
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY lost_cents DESC, custkey LIMIT 20
+    """.trim))
+
+  /** TPC-H Q12 shape (adapted: lateness bucket stands in for the
+    * absent shipmode column): per shipping-lateness bucket, how many
+    * lines belong to high-priority (1-URGENT / 2-HIGH) vs lower
+    * priority orders, over one ship-year. One fact⨝orders join, the
+    * CASE'd counts are partials of the same aggregate pass. */
+  val qLatenessPriority: Q = Q(
+    "q_lateness_priority",
+    (spark, dir) => {
+      val ord = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "LATE")
+            .otherwise("ONTIME").as("bucket"),
+          col("o_orderpriority"))
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_prio_lines"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_prio_lines"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                  THEN 'LATE' ELSE 'ONTIME' END AS bucket,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_prio_lines,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS low_prio_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY bucket ORDER BY bucket
+    """.trim))
+
+  /** TPC-H Q16 shape: parts/supplier relationship — how many distinct
+    * suppliers shipped parts of each (brand, size-band), excluding one
+    * brand. The supplier set comes from the fact's distinct
+    * (partkey, suppkey) pairs (the dataset has no partsupp table);
+    * that dedup IS the first aggregate, and the count-distinct rides
+    * the already-distinct pairs so the second aggregate is a plain
+    * count. */
+  val qSupplierBreadth: Q = Q(
+    "q_supplier_breadth",
+    (spark, dir) => {
+      val pairs = Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      pairs.join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1")
+          .select(col("p_partkey"), col("p_brand"),
+            (floor(col("p_size") / 10) * 10).cast("long").as("size_band"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("size_band"))
+        .limit(50)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_band,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM pairs JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+      GROUP BY p_brand, size_band
+      ORDER BY supplier_cnt DESC, p_brand, size_band LIMIT 50
+    """.trim))
+
+  /** TPC-H Q19 shape: discounted revenue under OR'd predicate triples
+    * — three (brand, size-range, quantity-range) alternatives that
+    * must evaluate as one disjunction AFTER the part join. The part
+    * side pre-filters to the union of brands (a pushable superset
+    * predicate) and broadcasts; the disjunction runs codegen'd over
+    * the joined rows, never as three separate scans. */
+  val qBrandRevenue: Q = Q(
+    "q_brand_revenue",
+    (spark, dir) => {
+      val pt = broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("cents"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_cents,
+             count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 30)
+    """.trim))
+
   def all: Seq[Q] = Seq(qCustOrderHistogram, qPromoShare, qExcessStock,
     qVolumeShipping, qMarketShare, qTopSupplier, qLargeOrders,
-    qLateSoleSupplier, qDormantRich)
+    qLateSoleSupplier, qDormantRich,
+    qShipPriority, qPriorityWait, qLocalVolume, qForecastRevenue,
+    qReturnedItems, qLatenessPriority, qSupplierBreadth, qBrandRevenue)
 }

@@ -146,4 +146,112 @@ class RelationalShapeSpec extends AnyFunSuite {
     val expect = cust.count { case (ck, bc) => bc > avg && !recent(ck) }
     assert(total == expect)
   }
+
+  test("q_ship_priority: bounded top-10, dates straddle the cutoff") {
+    import spark.implicits._
+    val rows = q("q_ship_priority").run(spark, dir)
+      .select(col("orderkey"), col("rev_cents")).as[(Long, Long)].collect()
+    assert(rows.length <= 10)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)),
+      "revenue must be descending")
+    assert(rows.map(_._2).forall(_ > 0))
+  }
+
+  test("q_priority_wait: matches a naive per-order late-exists recompute") {
+    import spark.implicits._
+    val res = q("q_priority_wait").run(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val late = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01") &&
+        datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .select(col("o_orderpriority"), col("o_orderkey")).distinct()
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+      .as[(String, Long)].collect().toMap
+    assert(res == late)
+  }
+
+  test("q_local_volume: only EUROPE nations, positive revenue") {
+    import spark.implicits._
+    val rows = q("q_local_volume").run(spark, dir)
+      .as[(String, Long)].collect()
+    val eur = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).as[String].collect().toSet
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c) => assert(eur(n)); assert(c > 0) }
+  }
+
+  test("q_forecast_revenue: exact against a collected recompute") {
+    import spark.implicits._
+    val (cents, n) = q("q_forecast_revenue").run(spark, dir)
+      .as[(Long, Long)].head()
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("string"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .as[(String, Double, Double, Double)].collect()
+    val sel = rows.filter { case (d, disc, qty, _) =>
+      d >= "1997-01-01" && d < "1998-01-01" &&
+        disc >= 0.04 && disc <= 0.06 && qty < 24 }
+    assert(n == sel.length)
+    assert(cents == sel.map { case (_, disc, _, ep) =>
+      math.floor(ep * disc * 100 + 0.5).toLong }.sum)
+  }
+
+  test("q_returned_items: descending, only R-flag revenue counted") {
+    import spark.implicits._
+    val rows = q("q_returned_items").run(spark, dir)
+      .select(col("custkey"), col("lost_cents")).as[(Long, Long)].collect()
+    assert(rows.length <= 20)
+    assert(rows.map(_._2).sameElements(rows.map(_._2).sortBy(-_)))
+    assert(rows.forall(_._2 > 0))
+  }
+
+  test("q_lateness_priority: line accounting ties to the year's join") {
+    import spark.implicits._
+    val res = q("q_lateness_priority").run(spark, dir)
+      .select(col("high_prio_lines") + col("low_prio_lines")).as[Long].collect()
+    val totalLines = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(res.sum == totalLines, "every joined line lands in exactly one bucket")
+  }
+
+  test("q_supplier_breadth: counts bounded by total suppliers, brand excluded") {
+    import spark.implicits._
+    val rows = q("q_supplier_breadth").run(spark, dir)
+      .select(col("p_brand"), col("supplier_cnt")).as[(String, Long)].collect()
+    val nSupp = Tables.supplier(spark, dir).count()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, c) =>
+      assert(b != "Brand#1")
+      assert(c >= 1 && c <= nSupp)
+    }
+  }
+
+  test("q_brand_revenue: exact against a collected recompute") {
+    import spark.implicits._
+    val (cents, n) = q("q_brand_revenue").run(spark, dir)
+      .as[(Long, Long)].head()
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .as[(Long, String, Int)].collect()
+      .map(p => p._1 -> (p._2, p._3)).toMap
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount")).as[(Long, Double, Double, Double)].collect()
+    val sel = rows.filter { case (pk, qty, _, _) =>
+      parts.get(pk).exists { case (b, sz) =>
+        (b == "Brand#12" && sz >= 1 && sz <= 15 && qty >= 1 && qty <= 11) ||
+        (b == "Brand#23" && sz >= 1 && sz <= 25 && qty >= 10 && qty <= 20) ||
+        (b == "Brand#34" && sz >= 1 && sz <= 35 && qty >= 20 && qty <= 30) } }
+    assert(n == sel.length)
+    assert(cents == sel.map { case (_, _, ep, disc) =>
+      math.floor(ep * (1.0 - disc) * 100 + 0.5).toLong }.sum)
+  }
 }
