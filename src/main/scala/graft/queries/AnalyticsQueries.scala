@@ -1542,7 +1542,184 @@ object AnalyticsQueries {
       ORDER BY cur.month
     """.trim))
 
+  /** RFM segmentation: each customer scored 1-4 on Recency (days since
+    * last order), Frequency (order count) and Monetary (lifetime spend)
+    * against the population quartiles, then the 64-cell segment census.
+    * The quartile CUTS come from one exact-percentile aggregate over
+    * the per-customer rollup — a one-row broadcast — and every customer
+    * scores by three comparisons against it (score = 1 + Σ v>q). No
+    * ntile, no global window: at 100 TB the alternative (ntile over all
+    * customers) funnels the rollup through one partition; threshold
+    * scoring is map-side and embarrassingly parallel, at the price that
+    * tied metric values share a score (the defensible semantics
+    * anyway). Interpolated quartiles on exact integer inputs evaluate
+    * the same IEEE arithmetic in both engines. */
+  val qRfmSegments: Q = Q(
+    "q_rfm_segments",
+    (spark, dir) => {
+      val per = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("spend_cents"))
+        .withColumn("recency_days",
+          datediff(lit("2001-09-01"), col("last_order")).cast("long"))
+      val cuts = broadcast(per.agg(
+        expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(spend_cents, array(0.25, 0.5, 0.75))").as("mq")))
+      per.crossJoin(cuts)
+        .select(col("spend_cents"),
+          // recency: FEWER days since last order = better = higher score
+          (lit(1) + (col("recency_days") < col("rq")(2)).cast("int")
+            + (col("recency_days") < col("rq")(1)).cast("int")
+            + (col("recency_days") < col("rq")(0)).cast("int")).as("r_score"),
+          (lit(1) + (col("frequency") > col("fq")(0)).cast("int")
+            + (col("frequency") > col("fq")(1)).cast("int")
+            + (col("frequency") > col("fq")(2)).cast("int")).as("f_score"),
+          (lit(1) + (col("spend_cents") > col("mq")(0)).cast("int")
+            + (col("spend_cents") > col("mq")(1)).cast("int")
+            + (col("spend_cents") > col("mq")(2)).cast("int")).as("m_score"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("spend_cents")).as("seg_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, count(*) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spend_cents,
+               CAST(date_diff('day', max(o_orderdate),
+                    TIMESTAMP '2001-09-01') AS BIGINT) AS recency_days
+        FROM orders GROUP BY o_custkey),
+      cuts AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+               quantile_cont(spend_cents, [0.25, 0.5, 0.75]) AS mq
+        FROM per),
+      scored AS (
+        SELECT spend_cents,
+               1 + CAST(recency_days < rq[3] AS INT)
+                 + CAST(recency_days < rq[2] AS INT)
+                 + CAST(recency_days < rq[1] AS INT) AS r_score,
+               1 + CAST(frequency > fq[1] AS INT)
+                 + CAST(frequency > fq[2] AS INT)
+                 + CAST(frequency > fq[3] AS INT) AS f_score,
+               1 + CAST(spend_cents > mq[1] AS INT)
+                 + CAST(spend_cents > mq[2] AS INT)
+                 + CAST(spend_cents > mq[3] AS INT) AS m_score
+        FROM per, cuts)
+      SELECT r_score, f_score, m_score, count(*) AS n_custs,
+             CAST(sum(spend_cents) AS BIGINT) AS seg_cents
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """.trim))
+
+  /** A/B experiment readout: users split by id parity, per event type
+    * the two arms' counts, means and a Welch t statistic. All moments
+    * come from exact integer partials (cent sums and squared-cent
+    * sums — one pass, map-side combinable); the divisions and the one
+    * sqrt run on doubles DERIVED from those exact integers, so both
+    * engines execute the identical IEEE expression tree and the
+    * rounded t-statistic is bit-stable. Sample variance (n-1). */
+  val qAbtestStats: Q = Q(
+    "q_abtest_stats",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("arm_a"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      ev.groupBy(col("event_type"))
+        .agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sum_a"),
+          sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sum_b"),
+          sum(when(col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
+          sum(when(!col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("sum_a").cast("double") / col("n_a"), 6).as("mean_a"),
+          round(col("sum_b").cast("double") / col("n_b"), 6).as("mean_b"),
+          round((col("sum_a").cast("double") / col("n_a")
+              - col("sum_b").cast("double") / col("n_b")) /
+            sqrt(
+              ((col("ss_a").cast("double")
+                - col("sum_a").cast("double") * col("sum_a") / col("n_a"))
+                / (col("n_a") - 1) / col("n_a")) +
+              ((col("ss_b").cast("double")
+                - col("sum_b").cast("double") * col("sum_b") / col("n_b"))
+                / (col("n_b") - 1) / col("n_b"))), 6).as("welch_t"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, user_id % 2 = 0 AS arm_a,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      g AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm_a THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
+               CAST(sum(CASE WHEN NOT arm_a THEN cents ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(sum(CASE WHEN arm_a THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
+               CAST(sum(CASE WHEN NOT arm_a THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+        FROM ev GROUP BY event_type)
+      SELECT event_type, n_a, n_b,
+             round(CAST(sum_a AS DOUBLE) / n_a, 6) AS mean_a,
+             round(CAST(sum_b AS DOUBLE) / n_b, 6) AS mean_b,
+             round((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b) /
+               sqrt(
+                 ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+                   / (n_a - 1) / n_a) +
+                 ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+                   / (n_b - 1) / n_b)), 6) AS welch_t
+      FROM g ORDER BY event_type
+    """.trim))
+
+  /** Time-weighted average: each event's value held until the user's
+    * next event, the mean weighted by holding duration — the correct
+    * average for irregularly-sampled state (a price, a setting, a
+    * sensor). One lead() per user partition, then one aggregate;
+    * weights are exact second counts, values exact cents, so the
+    * weighted sum is pure integer arithmetic and the final ratio one
+    * integer division. Users with a single event have no held
+    * interval and drop out — exactly the rows lead() nulls. */
+  val qTimeWeightedAvg: Q = Q(
+    "q_time_weighted_avg",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("dur_ms",
+          expr("(unix_micros(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)) DIV 1000"))
+        .filter(col("dur_ms").isNotNull && col("dur_ms") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur_ms")).as("held_ms"),
+          sum(col("cents") * col("dur_ms")).as("wsum"))
+        .select(col("user_id"), col("n_intervals"), col("held_ms"),
+          expr("wsum DIV held_ms").as("twa_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id)) - epoch_us(ts)) // 1000 AS dur_ms
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(dur_ms) AS BIGINT) AS held_ms,
+             CAST(sum(cents * dur_ms) AS BIGINT) // CAST(sum(dur_ms) AS BIGINT)
+               AS twa_cents
+      FROM iv WHERE dur_ms IS NOT NULL AND dur_ms > 0
+      GROUP BY user_id ORDER BY user_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
+    qRfmSegments, qAbtestStats, qTimeWeightedAvg,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,

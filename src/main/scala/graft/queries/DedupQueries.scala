@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.Dedup
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length, levenshtein, substring}
 
 /** Deduplication verify queries over the `documents` table. The DuckDB
   * oracles use *different algorithms* where possible (e.g.
@@ -764,9 +764,48 @@ object DedupQueries {
       GROUP BY cluster_size ORDER BY cluster_size
     """.trim))
 
+  /** Edit-distance near-dup: Levenshtein ≤ 3 on the 40-char document
+    * head, blocked by (lang, head-length band) so the quadratic pair
+    * generation runs inside small buckets, never corpus×corpus — the
+    * standard blocking for fuzzy string matching (titles, names,
+    * addresses). Codegen'd levenshtein on bounded 40-char keys keeps
+    * the per-pair cost constant; pairs whose length difference spans a
+    * band boundary are sacrificed to the blocking (documented recall
+    * trade, same as any banded LSH). */
+  val qDedupEditdist: Q = Q(
+    "q_dedup_editdist",
+    (spark, dir) => {
+      val heads = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+        .withColumn("band", (length(col("head")) / 4).cast("long"))
+      heads.as("a")
+        .join(heads.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(levenshtein(col("a.head"), col("b.head")) <= 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.lang").as("lang"),
+          levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+        .limit(200)
+    },
+    Some("""
+      WITH heads AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS head,
+               CAST(floor(length(substring(text, 1, 40)) / 4) AS BIGINT) AS band
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+             CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+      FROM heads a JOIN heads b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.head, b.head) <= 3
+      ORDER BY id_a, id_b LIMIT 200
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qContamination, qDedupIncremental, qBloomScreen,
-    qLshCalibration, qLshBandSweep, qDedupClusterSizes)
+    qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupEditdist)
 }

@@ -236,6 +236,122 @@ object GraphQueries {
       GROUP BY csize ORDER BY csize
     """.trim))
 
+  /** Neighbor-set Jaccard similarity (structural node similarity): for
+    * node pairs sharing at least 2 common neighbors,
+    * |N(a)∩N(b)| / |N(a)∪N(b)| in exact integer micro-units. The
+    * intersection comes from wedge counting (self-join on the shared
+    * neighbor — fan-out bounded by Σdeg² of the support-thresholded
+    * core, the standard blocking for this operator), the union from
+    * the two degrees by inclusion-exclusion — no set materialization
+    * per pair. Top-50. */
+  val qGraphJaccard: Q = Q(
+    "q_graph_jaccard",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val sym = e.select(col("pa").as("node"), col("pb").as("nbr"))
+        .unionAll(e.select(col("pb").as("node"), col("pa").as("nbr")))
+      val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val common = sym.as("a")
+        .join(sym.as("b"),
+          col("a.nbr") === col("b.nbr") && col("a.node") < col("b.node"))
+        .groupBy(col("a.node").as("na"), col("b.node").as("nb"))
+        .agg(count(lit(1)).as("common_nbrs"))
+        .filter(col("common_nbrs") >= 2)
+      common
+        .join(deg.select(col("node").as("na"), col("d").as("da")), Seq("na"))
+        .join(deg.select(col("node").as("nb"), col("d").as("db")), Seq("nb"))
+        .select(col("na"), col("nb"), col("common_nbrs"),
+          expr("common_nbrs * 1000000L DIV (da + db - common_nbrs)")
+            .as("jac_micros"))
+        .orderBy(col("jac_micros").desc, col("na"), col("nb"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH $edgesCte,
+      sym AS (SELECT pa AS node, pb AS nbr FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+      com AS (
+        SELECT a.node AS na, b.node AS nb, count(*) AS common_nbrs
+        FROM sym a JOIN sym b ON a.nbr = b.nbr AND a.node < b.node
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT na, nb, common_nbrs,
+             common_nbrs * 1000000 // (da.d + db.d - common_nbrs) AS jac_micros
+      FROM com
+      JOIN deg da ON com.na = da.node
+      JOIN deg db ON com.nb = db.node
+      ORDER BY jac_micros DESC, na, nb LIMIT 50
+    """.trim))
+
+  /** Iterative k-core peeling (k=3, three rounds): repeatedly delete
+    * nodes of degree < k and re-measure — the standard dense-subgraph
+    * extractor. Three FIXED rounds (not run-to-fixpoint: a bounded,
+    * plannable DAG — the at-scale posture for iterative graph jobs is
+    * a fixed round budget with a convergence probe, as the connected-
+    * components query does); reports the shrinking (n_nodes, n_edges)
+    * trajectory per round. Each round is one aggregate + one semi-join
+    * pair on the current edge set. */
+  val qGraphKcore: Q = Q(
+    "q_graph_kcore",
+    (spark, dir) => {
+      val spark2 = spark; import spark2.implicits._
+      val k = 3
+      var cur = edges(spark, dir).persist()
+      val rows = (1 to 3).map { round =>
+        val sym = cur.select(col("pa").as("node"))
+          .unionAll(cur.select(col("pb").as("node")))
+        val keep = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("node"))
+        val nxt = cur
+          .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+          .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+          .select(col("pa"), col("pb")).persist()
+        val nEdges = nxt.count()
+        val nNodes = nxt.select(col("pa").as("n"))
+          .unionAll(nxt.select(col("pb").as("n"))).distinct().count()
+        cur.unpersist()
+        cur = nxt
+        (round.toLong, nNodes, nEdges)
+      }
+      cur.unpersist()
+      rows.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      d1 AS (SELECT node FROM (
+               SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+             GROUP BY node HAVING count(*) >= 3),
+      e1 AS (SELECT pa, pb FROM e
+             WHERE pa IN (SELECT node FROM d1) AND pb IN (SELECT node FROM d1)),
+      d2 AS (SELECT node FROM (
+               SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1)
+             GROUP BY node HAVING count(*) >= 3),
+      e2 AS (SELECT pa, pb FROM e1
+             WHERE pa IN (SELECT node FROM d2) AND pb IN (SELECT node FROM d2)),
+      d3 AS (SELECT node FROM (
+               SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)
+             GROUP BY node HAVING count(*) >= 3),
+      e3 AS (SELECT pa, pb FROM e2
+             WHERE pa IN (SELECT node FROM d3) AND pb IN (SELECT node FROM d3))
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT count(DISTINCT node) FROM (
+                  SELECT pa AS node FROM e1 UNION ALL SELECT pb FROM e1))
+                 AS n_nodes,
+               (SELECT count(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT 2,
+               (SELECT count(DISTINCT node) FROM (
+                  SELECT pa AS node FROM e2 UNION ALL SELECT pb FROM e2)),
+               (SELECT count(*) FROM e2)
+        UNION ALL
+        SELECT 3,
+               (SELECT count(DISTINCT node) FROM (
+                  SELECT pa AS node FROM e3 UNION ALL SELECT pb FROM e3)),
+               (SELECT count(*) FROM e3))
+      ORDER BY round
+    """.trim))
+
   def all: Seq[Q] = Seq(qGraphDegree, qGraphTriangles, qGraphPagerank,
-    qGraphComponents)
+    qGraphComponents, qGraphJaccard, qGraphKcore)
 }

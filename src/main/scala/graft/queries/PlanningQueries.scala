@@ -306,6 +306,64 @@ object PlanningQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** Data-constrained epoch plan: when the desired token allocation
+    * exceeds a source's unique supply, how many epochs (repeats) does
+    * each source run, capped at 4 — the public data-constrained-
+    * scaling result that value decays fast past ~4 epochs. Budget is
+    * 8× the corpus (forcing some sources over the cap), desired
+    * allocation follows the mixture weights, and the readout is
+    * (epochs, effective tokens, utilization) per source — exactly the
+    * table that says where the next crawl should spend. Integer
+    * arithmetic throughout; the two corpus totals are one-row
+    * broadcasts. */
+  val qEpochPlan: Q = Q(
+    "q_epoch_plan",
+    (spark, dir) => {
+      val mass = Tables.documents(spark, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("n_tokens"))
+        .withColumn("weight",
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1))
+      val totals = broadcast(mass.agg(
+        sum(col("weight")).as("total_w"),
+        sum(col("n_tokens")).as("total_nt")))
+      mass.crossJoin(totals)
+        .select(col("source"), col("n_tokens"), col("weight"),
+          expr("8L * total_nt * weight DIV total_w").as("desired_tokens"))
+        .select(col("source"), col("n_tokens"), col("weight"),
+          col("desired_tokens"),
+          least(expr("(desired_tokens + n_tokens - 1) DIV n_tokens"), lit(4L))
+            .as("epochs"),
+          least(col("desired_tokens"), col("n_tokens") * 4)
+            .as("effective_tokens"))
+        .withColumn("utilization_micros",
+          expr("effective_tokens * 1000000L DIV desired_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH mass AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS weight
+        FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_nt FROM mass),
+      d AS (
+        SELECT source, n_tokens, weight,
+               CAST(8 * total_nt * weight // total_w AS BIGINT) AS desired_tokens
+        FROM mass, t)
+      SELECT source, n_tokens, weight, desired_tokens,
+             CAST(least((desired_tokens + n_tokens - 1) // n_tokens, 4)
+                  AS BIGINT) AS epochs,
+             CAST(least(desired_tokens, n_tokens * 4) AS BIGINT)
+               AS effective_tokens,
+             CAST(least(desired_tokens, n_tokens * 4) * 1000000
+                  // desired_tokens AS BIGINT) AS utilization_micros
+      FROM d ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qQualityCalibration,
-    qRangeJoinBanded, qShardPlan, qCurriculum)
+    qRangeJoinBanded, qShardPlan, qCurriculum, qEpochPlan)
 }

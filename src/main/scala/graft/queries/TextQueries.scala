@@ -870,11 +870,117 @@ object TextQueries {
       FROM per_doc, m GROUP BY source ORDER BY source
     """.trim))
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs, ln(p(ab) / (p(a)·p(b))) over bigram/unigram corpus
+    * frequencies — the classic phrase detector (a high-PMI bigram is a
+    * unit, not a chance adjacency). All frequencies are exact integer
+    * counts; the two corpus totals are one-row broadcasts; the log and
+    * division run on doubles derived from those exact integers, so both
+    * engines evaluate the identical IEEE tree. min-count 5 kills the
+    * noise floor, top-50 by PMI. Three hash aggregates + one
+    * vocab-sized join — nothing touches the corpus twice. */
+  val qTextPmi: Q = Q(
+    "q_text_pmi",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val uni = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val uniTotal = broadcast(uni.agg(sum(col("c_tok")).as("n_uni")))
+      val bg = docs
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .select(col("bigram"), col("c_ab"),
+          substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+      val bgTotal = broadcast(docs
+        .select((TextAnalysis.tokenCount(col("text")) - 1).cast("long").as("nb"))
+        .filter(col("nb") > 0).agg(sum(col("nb")).as("n_bg")))
+      bg.join(uni.select(col("tok").as("w1"), col("c_tok").as("c_a")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c_tok").as("c_b")), Seq("w2"))
+        .crossJoin(uniTotal).crossJoin(bgTotal)
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          round(log(
+            (col("c_ab").cast("double") / col("n_bg")) /
+              ((col("c_a").cast("double") / col("n_uni"))
+                * (col("c_b").cast("double") / col("n_uni")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT string_split_regex(text, '\s+') AS tl FROM documents),
+      uni AS (
+        SELECT unnest(tl) AS tok FROM toks),
+      uc AS (SELECT tok, count(*) AS c_tok FROM uni GROUP BY tok),
+      ut AS (SELECT CAST(sum(c_tok) AS BIGINT) AS n_uni FROM uc),
+      grams AS (
+        SELECT unnest([array_to_string(tl[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(tl) - 1)]) AS bigram
+        FROM toks WHERE len(tl) >= 2),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM grams),
+      bc AS (
+        SELECT bigram, count(*) AS c_ab,
+               string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[-1] AS w2
+        FROM grams GROUP BY bigram HAVING count(*) >= 5)
+      SELECT bigram, c_ab, a.c_tok AS c_a, b.c_tok AS c_b,
+             round(ln((CAST(c_ab AS DOUBLE) / n_bg) /
+               ((CAST(a.c_tok AS DOUBLE) / n_uni)
+                * (CAST(b.c_tok AS DOUBLE) / n_uni))), 6) AS pmi
+      FROM bc
+      JOIN uc a ON bc.w1 = a.tok
+      JOIN uc b ON bc.w2 = b.tok
+      CROSS JOIN ut CROSS JOIN bt
+      ORDER BY pmi DESC, bigram LIMIT 50
+    """.trim))
+
+  /** Tokenizer fertility audit: per language, how many BPE-ish tokens
+    * the regex pre-tokenizer emits per whitespace word and how many
+    * characters ride in each — the table that tells you which
+    * languages your tokenizer taxes (CJK text fragments into many
+    * more subword units per word than English). Pure in-row counting
+    * expressions + one hash aggregate; ratios as exact integer
+    * micro-units. */
+  val qTokenizerFertility: Q = Q(
+    "q_tokenizer_fertility",
+    (spark, dir) => {
+      import TextAnalysis._
+      Tables.documents(spark, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(bpeTokenCount(col("text"))).as("bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          col("n_chars"),
+          expr("bpe_tokens * 1000000L DIV ws_tokens").as("fertility_micros"),
+          expr("n_chars * 1000000L DIV bpe_tokens").as("chars_per_bpe_micros"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars,
+             CAST(sum(len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))) AS BIGINT) * 1000000
+               // CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS fertility_micros,
+             CAST(sum(length(text)) AS BIGINT) * 1000000
+               // CAST(sum(len(regexp_extract_all(text,
+                    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))) AS BIGINT)
+               AS chars_per_bpe_micros
+      FROM documents GROUP BY lang ORDER BY lang
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
-    qChunkBoundaries, qTextLmScore)
+    qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility)
 }

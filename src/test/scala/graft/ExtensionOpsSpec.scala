@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-4 extension batch: RFM segmentation,
+  * A/B stats, time-weighted averages, PMI, tokenizer fertility, graph
+  * node similarity / k-core, edit-distance dedup and the epoch plan. */
+class ExtensionOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = Registry.all.find(_.name == name).get
+
+  test("q_rfm_segments: census partitions customers, scores in 1..4") {
+    import spark.implicits._
+    val rows = q("q_rfm_segments").run(spark, dir)
+      .select(col("r_score"), col("f_score"), col("m_score"), col("n_custs"))
+      .as[(Int, Int, Int, Long)].collect()
+    val nCust = Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._4).sum == nCust, "every ordering customer is scored once")
+    rows.foreach { case (r, f, m, _) =>
+      assert(r >= 1 && r <= 4); assert(f >= 1 && f <= 4); assert(m >= 1 && m <= 4)
+    }
+  }
+
+  test("q_abtest_stats: arms partition events, t finite") {
+    import spark.implicits._
+    val rows = q("q_abtest_stats").run(spark, dir)
+      .select(col("event_type"), col("n_a") + col("n_b"), col("welch_t"))
+      .as[(String, Long, Double)].collect()
+    val perType = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (t, n, wt) =>
+      assert(n == perType(t), s"arm counts must tie out for $t")
+      assert(!wt.isNaN && !wt.isInfinite)
+    }
+  }
+
+  test("q_time_weighted_avg: TWA bounded by the user's value range") {
+    import spark.implicits._
+    val twa = q("q_time_weighted_avg").run(spark, dir)
+      .select(col("user_id"), col("twa_cents")).as[(Long, Long)].collect().toMap
+    val bounds = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(floor(col("value") * 100 + 0.5).cast("long")).as("lo"),
+        max(floor(col("value") * 100 + 0.5).cast("long")).as("hi"))
+      .as[(Long, Long, Long)].collect()
+    bounds.filter(b => twa.contains(b._1)).foreach { case (u, lo, hi) =>
+      assert(twa(u) >= lo - 1 && twa(u) <= hi,
+        s"user $u twa ${twa(u)} outside [$lo, $hi]")
+    }
+  }
+
+  test("q_text_pmi: min count respected, PMI arithmetic replays") {
+    import spark.implicits._
+    val rows = q("q_text_pmi").run(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cab, ca, cb, _) =>
+      assert(cab >= 5); assert(ca >= cab); assert(cb >= cab)
+    }
+    // replay the PMI formula for the top row from its own counts
+    val docs = Tables.documents(spark, dir).select(col("text")).as[String].collect()
+    val nUni = docs.map(_.split("\\s+").length.toLong).sum
+    val nBg = docs.map(t => math.max(0L, t.split("\\s+").length.toLong - 1)).sum
+    val (_, cab, ca, cb, pmi) = rows.head
+    val expect = math.log((cab.toDouble / nBg) /
+      ((ca.toDouble / nUni) * (cb.toDouble / nUni)))
+    assert(math.abs(pmi - expect) < 1e-5)
+  }
+
+  test("q_tokenizer_fertility: per-lang accounting positive and consistent") {
+    import spark.implicits._
+    val rows = q("q_tokenizer_fertility").run(spark, dir)
+      .select(col("lang"), col("ws_tokens"), col("bpe_tokens"),
+        col("fertility_micros")).as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, ws, bpe, fm) =>
+      assert(ws > 0 && bpe > 0)
+      assert(fm == bpe * 1000000L / ws)
+    }
+  }
+
+  test("q_graph_jaccard: similarity bounded, ordered pairs") {
+    import spark.implicits._
+    val rows = q("q_graph_jaccard").run(spark, dir)
+      .select(col("na"), col("nb"), col("common_nbrs"), col("jac_micros"))
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (a, b, c, j) =>
+      assert(a < b); assert(c >= 2); assert(j >= 0 && j <= 1000000L)
+    }
+  }
+
+  test("q_graph_kcore: trajectory shrinks monotonically") {
+    import spark.implicits._
+    val rows = q("q_graph_kcore").run(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    rows.sliding(2).foreach { case Array((_, n1, e1), (_, n2, e2)) =>
+      assert(n2 <= n1, "node count must not grow while peeling")
+      assert(e2 <= e1, "edge count must not grow while peeling")
+    }
+    // every surviving round-3 edge endpoint had degree >= 3 in round 2
+  }
+
+  test("q_dedup_editdist: pairs respect block and threshold") {
+    import spark.implicits._
+    val rows = q("q_dedup_editdist").run(spark, dir)
+      .as[(Long, Long, String, Long)].collect()
+    rows.foreach { case (a, b, _, d) =>
+      assert(a < b); assert(d >= 0 && d <= 3)
+    }
+    // replay one pair's distance imperatively
+    if (rows.nonEmpty) {
+      val (a, b, _, d) = rows.head
+      val heads = Tables.documents(spark, dir)
+        .filter(col("doc_id").isin(a, b))
+        .select(col("doc_id"), substring(col("text"), 1, 40))
+        .as[(Long, String)].collect().toMap
+      def lev(s: String, t: String): Int = {
+        val dp = Array.tabulate(s.length + 1)(i => Array.tabulate(t.length + 1)(j =>
+          if (i == 0) j else if (j == 0) i else 0))
+        for (i <- 1 to s.length; j <- 1 to t.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        dp(s.length)(t.length)
+      }
+      assert(lev(heads(a), heads(b)).toLong == d)
+    }
+  }
+
+  test("q_epoch_plan: caps and utilization arithmetic hold") {
+    import spark.implicits._
+    val rows = q("q_epoch_plan").run(spark, dir)
+      .select(col("n_tokens"), col("desired_tokens"), col("epochs"),
+        col("effective_tokens"), col("utilization_micros"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nt, want, ep, eff, util) =>
+      assert(ep >= 1 && ep <= 4)
+      assert(eff == math.min(want, nt * 4))
+      assert(util == eff * 1000000L / want)
+      assert(util <= 1000000L)
+    }
+  }
+}
