@@ -765,41 +765,61 @@ object DedupQueries {
     """.trim))
 
   /** Edit-distance near-dup: Levenshtein ≤ 3 on the 40-char document
-    * head, blocked by (lang, head-length band) so the quadratic pair
-    * generation runs inside small buckets, never corpus×corpus — the
-    * standard blocking for fuzzy string matching (titles, names,
-    * addresses). Codegen'd levenshtein on bounded 40-char keys keeps
-    * the per-pair cost constant; pairs whose length difference spans a
-    * band boundary are sacrificed to the blocking (documented recall
-    * trade, same as any banded LSH). */
+    * head, with DUAL-KEY blocking — each head emits two block keys
+    * (lang + length band + first-4-chars, lang + length band +
+    * last-4-chars) and candidates agree on at least one. This is the
+    * banded-LSH shape applied to fuzzy strings: a ≤3-edit pair almost
+    * always leaves one end of the head untouched, while the exact
+    * 4-char anchor keeps every block tiny (a length-band-only key
+    * collapses to one |lang|-sized block per language — measured 2M
+    * pairs and 92 s at sf0.1; anchored blocks are ≤ ~100 docs).
+    * Candidates dedup BEFORE the levenshtein verify so pairs matching
+    * both anchors pay one distance evaluation. */
   val qDedupEditdist: Q = Q(
     "q_dedup_editdist",
     (spark, dir) => {
-      val heads = Tables.documents(spark, dir)
+      import org.apache.spark.sql.functions.{array, concat, explode, expr, lit}
+      val keyed = Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 40).as("head"))
         .withColumn("band", (length(col("head")) / 4).cast("long"))
-      heads.as("a")
-        .join(heads.as("b"),
+        .withColumn("bkey", explode(array(
+          concat(lit("P"), substring(col("head"), 1, 4)),
+          concat(lit("S"),
+            expr("substring(head, greatest(length(head) - 3, 1), 4)")))))
+      val cand = keyed.as("a")
+        .join(keyed.as("b"),
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .filter(levenshtein(col("a.head"), col("b.head")) <= 3)
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.lang").as("lang"),
-          levenshtein(col("a.head"), col("b.head")).cast("long").as("dist"))
+          col("a.lang").as("lang"), col("a.head").as("ha"), col("b.head").as("hb"))
+        .distinct()
+      cand
+        .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("id_a"), col("id_b"), col("lang"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
         .limit(200)
     },
     Some("""
-      WITH heads AS (
+      WITH h AS (
         SELECT doc_id, lang, substring(text, 1, 40) AS head,
                CAST(floor(length(substring(text, 1, 40)) / 4) AS BIGINT) AS band
-        FROM documents)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
-             CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
-      FROM heads a JOIN heads b
-        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.head, b.head) <= 3
+        FROM documents),
+      k AS (
+        SELECT doc_id, lang, head, band,
+               unnest(['P' || substring(head, 1, 4),
+                       'S' || substring(head, greatest(length(head) - 3, 1), 4)])
+                 AS bkey
+        FROM h),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.lang AS lang, a.head AS ha, b.head AS hb
+        FROM k a JOIN k b
+          ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, lang, CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+      FROM cand WHERE levenshtein(ha, hb) <= 3
       ORDER BY id_a, id_b LIMIT 200
     """.trim))
 
