@@ -795,8 +795,11 @@ object DedupQueries {
           col("a.lang").as("lang"), col("a.head").as("ha"), col("b.head").as("hb"))
         .distinct()
       cand
-        .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
-        .filter(col("dist") <= 3)
+        // thresholded levenshtein: banded O(len·k) evaluation that
+        // bails to -1 past the threshold — most candidates are NOT
+        // near-dups, so the common case pays the cheap path
+        .withColumn("dist", expr("levenshtein(ha, hb, 3)").cast("long"))
+        .filter(col("dist") >= 0 && col("dist") <= 3)
         .select(col("id_a"), col("id_b"), col("lang"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
         .limit(200)
