@@ -254,6 +254,74 @@ object CurationQueries {
       FROM j GROUP BY source ORDER BY source
     """.trim))
 
+  /** Corpus concentration: Gini coefficient of token mass across
+    * sources plus the top-1 share — the one-row report that says
+    * whether the mixture is dominated by a single crawl. Uses the
+    * PAIRWISE Gini formulation Σᵢⱼ|xᵢ-xⱼ| / (2·n·Σx) over the tiny
+    * per-source rollup (a broadcast nested-loop of |sources|² rows) —
+    * no rank window, no global sort, exact integer arithmetic. */
+  val qCorpusGini: Q = Q(
+    "q_corpus_gini",
+    (spark, dir) => {
+      val m = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("nt"))
+      val t = m.agg(count(lit(1)).as("n_sources"),
+        sum(col("nt")).as("total_tokens"), max(col("nt")).as("mx"))
+      val pairSum = m.select(col("nt").as("na"))
+        .crossJoin(broadcast(m.select(col("nt").as("nb"))))
+        .agg(sum(abs(col("na") - col("nb"))).as("sa"))
+      t.crossJoin(broadcast(pairSum))
+        .select(col("n_sources"), col("total_tokens"),
+          expr("sa * 1000000L DIV (2 * n_sources * total_tokens)")
+            .as("gini_micros"),
+          expr("mx * 1000000L DIV total_tokens").as("top1_share_micros"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS nt
+        FROM documents GROUP BY source),
+      t AS (SELECT count(*) AS n_sources, CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   CAST(max(nt) AS BIGINT) AS mx FROM m),
+      p AS (SELECT CAST(sum(abs(a.nt - b.nt)) AS BIGINT) AS sa FROM m a, m b)
+      SELECT n_sources, total_tokens,
+             sa * 1000000 // (2 * n_sources * total_tokens) AS gini_micros,
+             mx * 1000000 // total_tokens AS top1_share_micros
+      FROM t, p
+    """.trim))
+
+  /** Boilerplate span mining: the 30 most document-frequent 10-gram
+    * spans — headers, footers, license blurbs — with occurrence and
+    * document counts. THE complement to per-doc substring dedup
+    * (`q_dedup_substring` scores documents; this EXTRACTS the spans a
+    * cleaning pass would strip). One shingle explode + one aggregate;
+    * df and occurrence count ride the same pass. */
+  val qBoilerplateSpans: Q = Q(
+    "q_boilerplate_spans",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.shingles(col("text"), 10)).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span"))
+      .limit(30),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      spans AS (
+        SELECT doc_id,
+               unnest([array_to_string(tl[i:i+9], ' ')
+                       FOR i IN generate_series(1, len(tl) - 9)]) AS span
+        FROM toks WHERE len(tl) >= 10)
+      SELECT span, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 30
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
-    qTextVocab, qCorpusDiff, qTextOov)
+    qTextVocab, qCorpusDiff, qTextOov, qCorpusGini, qBoilerplateSpans)
 }

@@ -242,6 +242,53 @@ object LayoutQueries {
     """.trim))
   }
 
+  /** Differentially-private count release (ε = 0.5, sensitivity 1 →
+    * Laplace scale 2): per (source, lang) cell, the true count plus
+    * Laplace noise drawn DETERMINISTICALLY — the md5 of the cell key
+    * maps to a uniform in (0,1) through the same basis-point machinery
+    * the samplers use, then through the Laplace inverse CDF. Real DP
+    * deployments draw fresh randomness; the deterministic draw keeps
+    * the release reproducible across engines/runs (and oracle-
+    * checkable) while exercising the exact release arithmetic. All
+    * noise math is double arithmetic derived from exact integers, so
+    * both engines evaluate the identical IEEE expression tree. */
+  val qPrivacyDpCounts: Q = Q(
+    "q_privacy_dpcounts",
+    (spark, dir) => {
+      val bp = graft.operators.Sampling
+        .hashBasisPoints(concat(col("source"), lit(":"), col("lang")))
+      Tables.documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u",
+          (bp.cast("double") + 0.5) / 10000.0)
+        .withColumn("noise",
+          round(-signum(col("u") - 0.5)
+            * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)) * 2.0, 6))
+        .select(col("source"), col("lang"), col("true_n"),
+          col("noise"), round(col("true_n") + col("noise"), 6).as("noisy_n"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT source, lang, count(*) AS true_n
+        FROM documents GROUP BY source, lang),
+      u AS (
+        SELECT source, lang, true_n,
+               (CAST(${AnalyticsQueries.bpSql("source || ':' || lang")}
+                     AS DOUBLE) + 0.5) / 10000.0 AS u
+        FROM g),
+      n AS (
+        SELECT source, lang, true_n,
+               round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) * 2.0, 6)
+                 AS noise
+        FROM u)
+      SELECT source, lang, true_n, noise,
+             round(true_n + noise, 6) AS noisy_n
+      FROM n ORDER BY source, lang
+    """.trim))
+
   val all: Seq[Q] = Seq(qUpsertLatest, qScd2Intervals, qCompactionPlan,
-    qZorderCells, qPrivacyKanon, qPrivacyLdiversity, qZoneSkip)
+    qZorderCells, qPrivacyKanon, qPrivacyLdiversity, qZoneSkip,
+    qPrivacyDpCounts)
 }

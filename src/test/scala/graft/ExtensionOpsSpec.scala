@@ -131,6 +131,40 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_gini: bounds and top-share consistency") {
+    import spark.implicits._
+    val (n, total, gini, top1) = q("q_corpus_gini").run(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(n > 0 && total > 0)
+    assert(gini >= 0 && gini < 1000000L)
+    assert(top1 >= 1000000L / n, "top-1 share must be at least the uniform share")
+    assert(top1 <= 1000000L)
+  }
+
+  test("q_boilerplate_spans: spans are 10-grams present in >= 2 docs") {
+    import spark.implicits._
+    val rows = q("q_boilerplate_spans").run(spark, dir)
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (span, occ, docs) =>
+      assert(span.split(" ").length == 10)
+      assert(docs >= 2)
+      assert(occ >= docs, "occurrences dominate doc frequency")
+    }
+  }
+
+  test("q_privacy_dpcounts: noise arithmetic replays, release consistent") {
+    import spark.implicits._
+    val rows = q("q_privacy_dpcounts").run(spark, dir)
+      .select(col("true_n"), col("noise"), col("noisy_n"))
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tn, noise, noisy) =>
+      assert(math.abs(noisy - math.rint((tn + noise) * 1e6) / 1e6) < 1e-9)
+      // Laplace(2) noise: |noise| = 2*ln(1/(2*min(u,1-u))) <= 2*ln(10000)
+      assert(math.abs(noise) <= 2.0 * math.log(10000.0) + 1e-9)
+    }
+  }
+
   test("q_epoch_plan: caps and utilization arithmetic hold") {
     import spark.implicits._
     val rows = q("q_epoch_plan").run(spark, dir)
