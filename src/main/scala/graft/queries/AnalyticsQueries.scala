@@ -1718,8 +1718,39 @@ object AnalyticsQueries {
       GROUP BY user_id ORDER BY user_id
     """.trim))
 
+  /** Distributional window ranks: percent_rank and cume_dist of each
+    * event's value INSIDE the user partition — the per-entity relative
+    * standing feature (is this purchase big *for this user*?). Both
+    * rank functions ride one partitioned sort; ties break identically
+    * in both engines because the rank depends only on the cents order
+    * statistic, never on row order. */
+  val qWindowRanks: Q = Q(
+    "q_window_ranks",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT))
+      ORDER BY user_id, event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qRfmSegments, qAbtestStats, qTimeWeightedAvg,
+    qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
     qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,

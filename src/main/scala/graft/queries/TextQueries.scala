@@ -976,11 +976,57 @@ object TextQueries {
       FROM documents GROUP BY lang ORDER BY lang
     """.trim))
 
+  /** Per-source token entropy: Shannon entropy of the token
+    * distribution, H = ln(N) - Σc·ln(c)/N — the lexical-diversity
+    * gauge (low entropy = templated/boilerplate source). The c·ln(c)
+    * terms are FLOORED TO INTEGER NANOS before the per-source sum
+    * (double addition is order-dependent across partitions; integer
+    * addition is exact and commutative — same pinning discipline as
+    * the LM score), so both engines aggregate identical BIGINTs and
+    * only the final one-row arithmetic runs in doubles. */
+  val qSourceEntropy: Q = Q(
+    "q_source_entropy",
+    (spark, dir) => {
+      val counts = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+            * 1e9).cast("long")).as("clogc_nanos"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(log(col("n_tokens").cast("double"))
+            - col("clogc_nanos").cast("double") / 1e9
+              / col("n_tokens").cast("double"), 6).as("entropy_nats"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents),
+      counts AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      agg AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS vocab,
+               CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                    * 1e9) AS BIGINT)) AS BIGINT) AS clogc_nanos
+        FROM counts GROUP BY source)
+      SELECT source, n_tokens, vocab,
+             round(ln(CAST(n_tokens AS DOUBLE))
+                   - CAST(clogc_nanos AS DOUBLE) / 1e9
+                     / CAST(n_tokens AS DOUBLE), 6) AS entropy_nats
+      FROM agg ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
-    qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility)
+    qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility,
+    qSourceEntropy)
 }

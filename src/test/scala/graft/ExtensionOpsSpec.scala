@@ -165,6 +165,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_entropy: bounded by ln(vocab), positive mass") {
+    import spark.implicits._
+    val rows = q("q_source_entropy").run(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, v, h) =>
+      assert(n >= v && v > 0)
+      assert(h >= -1e-6, "entropy cannot be negative")
+      assert(h <= math.log(v.toDouble) + 1e-6,
+        "entropy is maximized by the uniform distribution")
+    }
+  }
+
+  test("q_window_ranks: pr in [0,1], cd in (0,1], monotone with cents") {
+    import spark.implicits._
+    val rows = q("q_window_ranks").run(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    rows.foreach { case (_, _, _, pr, cd) =>
+      assert(pr >= 0.0 && pr <= 1.0); assert(cd > 0.0 && cd <= 1.0)
+    }
+    rows.groupBy(_._1).values.foreach { grp =>
+      val byCents = grp.sortBy(_._3)
+      byCents.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4 + 1e-9); assert(a._5 <= b._5 + 1e-9)
+        case _ => ()
+      }
+    }
+  }
+
   test("q_epoch_plan: caps and utilization arithmetic hold") {
     import spark.implicits._
     val rows = q("q_epoch_plan").run(spark, dir)
