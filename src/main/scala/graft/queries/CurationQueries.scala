@@ -322,6 +322,69 @@ object CurationQueries {
       ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 30
     """.trim))
 
+  /** Zipf fit: least-squares slope of ln(frequency) vs ln(rank) over
+    * the top-100 vocabulary — natural text sits near −1; templated or
+    * synthetic text drifts off. The only full-width op is the count
+    * aggregate; the top-100 cut is a bounded TakeOrdered, the rank a
+    * window over those 100 rows (bounded by construction —
+    * allowlisted), and every regression sum is FLOORED TO INTEGER
+    * NANOS before aggregation so the fit is exact-commutative, same
+    * discipline as the entropy and LM scores. */
+  val qZipfFit: Q = Q(
+    "q_zipf_fit",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(100)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        .select(
+          floor(log(col("rank").cast("double")) * 1e9).cast("long").as("x"),
+          floor(log(col("c").cast("double")) * 1e9).cast("long").as("y"))
+        .select(col("x"), col("y"),
+          floor(col("x").cast("double") * col("y") / 1e9).cast("long").as("xy"),
+          floor(col("x").cast("double") * col("x") / 1e9).cast("long").as("xx"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
+          sum(col("xx")).as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy") / 1e9)
+            / (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / 1e9), 6)
+            .as("zipf_slope"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        GROUP BY tok ORDER BY c DESC, tok LIMIT 100),
+      ranked AS (
+        SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                 AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        FROM counts),
+      terms AS (
+        SELECT x, y,
+               CAST(floor(CAST(x AS DOUBLE) * y / 1e9) AS BIGINT) AS xy,
+               CAST(floor(CAST(x AS DOUBLE) * x / 1e9) AS BIGINT) AS xx
+        FROM ranked),
+      s AS (
+        SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy, CAST(sum(xy) AS BIGINT) AS sxy,
+               CAST(sum(xx) AS BIGINT) AS sxx
+        FROM terms)
+      SELECT n,
+             round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / 1e9)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / 1e9),
+                   6) AS zipf_slope
+      FROM s
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
-    qTextVocab, qCorpusDiff, qTextOov, qCorpusGini, qBoilerplateSpans)
+    qTextVocab, qCorpusDiff, qTextOov, qCorpusGini, qBoilerplateSpans,
+    qZipfFit)
 }

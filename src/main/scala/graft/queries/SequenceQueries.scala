@@ -171,5 +171,57 @@ object SequenceQueries {
       FROM d GROUP BY event_type, decile ORDER BY event_type, decile
     """.trim))
 
-  def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures)
+  /** Daily order backlog: per order day, how many orders opened, how
+    * many orders became fully shipped (their LAST lineitem ship date),
+    * and the running count still open — the operational burn-down.
+    * Per-order close dates come from one fact aggregate; the daily
+    * grid is a full-outer of two day-level rollups; the running
+    * balance is a cumulative window over the DAY table, which is
+    * bounded by the calendar (≤ a few thousand rows at any corpus
+    * scale — the one shape where a global window is the right plan;
+    * allowlisted in the plan audit alongside the other
+    * bounded-by-construction windows). */
+  val qDailyBacklog: Q = Q(
+    "q_daily_backlog",
+    (spark, dir) => {
+      val opened = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_opened"))
+      val closed = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("close_day"))
+        .groupBy(col("close_day").as("day"))
+        .agg(count(lit(1)).as("n_closed"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.join(closed, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+          coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+        .withColumn("open_backlog",
+          sum(col("n_opened") - col("n_closed")).over(w))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH opened AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_opened
+        FROM orders GROUP BY 1),
+      closes AS (
+        SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+        FROM lineitem GROUP BY l_orderkey),
+      closed AS (
+        SELECT close_day AS day, count(*) AS n_closed FROM closes GROUP BY 1),
+      grid AS (
+        SELECT coalesce(opened.day, closed.day) AS day,
+               coalesce(n_opened, 0) AS n_opened,
+               coalesce(n_closed, 0) AS n_closed
+        FROM opened FULL OUTER JOIN closed ON opened.day = closed.day)
+      SELECT day, n_opened, n_closed,
+             CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS open_backlog
+      FROM grid ORDER BY day
+    """.trim))
+
+  def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog)
 }

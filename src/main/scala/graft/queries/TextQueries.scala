@@ -1021,6 +1021,49 @@ object TextQueries {
       FROM agg ORDER BY source
     """.trim))
 
+  /** Flesch-style readability per source: words, sentence breaks and
+    * vowel-group syllable proxies counted as exact integers in one
+    * pass (regexp_count codegens into the scan), the classic
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) score computed once per
+    * source from those sums. A diagnostics gauge — the vowel-group
+    * proxy is only meaningful for alphabetic scripts, which is itself
+    * the signal (CJK sources pin near the ceiling and a mixture
+    * planner weights them separately). */
+  val qTextReadability: Q = Q(
+    "q_text_readability",
+    (spark, dir) => Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_words"),
+        sum(greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+          .cast("long")).as("n_sentences"),
+        sum(expr("regexp_count(lower(text), '[aeiouy]+')").cast("long"))
+          .as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6)
+          .as("flesch"))
+      .orderBy(col("source")),
+    Some("""
+      WITH g AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS n_words,
+               CAST(sum(greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                 AS BIGINT) AS n_sentences,
+               CAST(sum(len(regexp_extract_all(lower(text), '[aeiouy]+')))
+                 AS BIGINT) AS n_syllables
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_words, n_sentences, n_syllables,
+             round(206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+               AS flesch
+      FROM g ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
@@ -1028,5 +1071,5 @@ object TextQueries {
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
     qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility,
-    qSourceEntropy)
+    qSourceEntropy, qTextReadability)
 }

@@ -195,6 +195,40 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_daily_backlog: balance ties to totals and never goes negative-final") {
+    import spark.implicits._
+    val rows = q("q_daily_backlog").run(spark, dir)
+      .select(col("n_opened"), col("n_closed"), col("open_backlog"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val last = rows.last._3
+    assert(last == rows.map(_._1).sum - rows.map(_._2).sum,
+      "final backlog equals opened minus closed")
+    // running balance replays exactly
+    var acc = 0L
+    rows.foreach { case (o, c, b) => acc += o - c; assert(b == acc) }
+  }
+
+  test("q_text_readability: accounting positive, score replays") {
+    import spark.implicits._
+    val rows = q("q_text_readability").run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nd, w, s, syl, f) =>
+      assert(nd > 0 && w > 0 && s >= nd, "each doc has at least one sentence")
+      val expect = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)
+      assert(math.abs(f - math.rint(expect * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("q_zipf_fit: slope negative (frequency decays with rank)") {
+    import spark.implicits._
+    val (n, slope) = q("q_zipf_fit").run(spark, dir)
+      .as[(Long, Double)].head()
+    assert(n > 1 && n <= 100, "top-k bounded (the sf0.001 vocab is tiny)")
+    assert(slope < 0.0, s"rank-frequency slope must be negative, got $slope")
+  }
+
   test("q_epoch_plan: caps and utilization arithmetic hold") {
     import spark.implicits._
     val rows = q("q_epoch_plan").run(spark, dir)
