@@ -728,9 +728,104 @@ object RelationalQueries {
              AND l_quantity BETWEEN 20 AND 30)
     """.trim))
 
+  /** Whale concentration: per market segment, the revenue share of the
+    * top decile of customers — how much of the book the whales carry.
+    * Per-customer revenue is one rollup; the P90 cut per segment is an
+    * exact interpolated percentile over that rollup, broadcast back as
+    * a 5-row table; the conditional share is one more aggregate. No
+    * ntile, no per-segment sort of the customer table. */
+  val qWhaleShare: Q = Q(
+    "q_whale_share",
+    (spark, dir) => {
+      val perCust = Tables.orders(spark, dir)
+        .join(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("rev_cents"))
+      val cuts = broadcast(perCust.groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(rev_cents, 0.9)").as("p90")))
+      perCust.join(cuts, Seq("c_mktsegment"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("rev_cents")).as("total_cents"),
+          sum(when(col("rev_cents").cast("double") > col("p90"),
+            col("rev_cents")).otherwise(0L)).as("whale_cents"),
+          sum(when(col("rev_cents").cast("double") > col("p90"), 1L)
+            .otherwise(0L)).as("n_whales"))
+        .select(col("c_mktsegment"), col("n_custs"), col("n_whales"),
+          col("total_cents"), col("whale_cents"),
+          expr("whale_cents * 1000000L DIV total_cents").as("whale_share_micros"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH pc AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey),
+      cuts AS (
+        SELECT c_mktsegment, quantile_cont(rev_cents, 0.9) AS p90
+        FROM pc GROUP BY c_mktsegment)
+      SELECT c_mktsegment, count(*) AS n_custs,
+             CAST(sum(CASE WHEN CAST(rev_cents AS DOUBLE) > p90
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_whales,
+             CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+             CAST(sum(CASE WHEN CAST(rev_cents AS DOUBLE) > p90
+                  THEN rev_cents ELSE 0 END) AS BIGINT) AS whale_cents,
+             CAST(sum(CASE WHEN CAST(rev_cents AS DOUBLE) > p90
+                  THEN rev_cents ELSE 0 END) AS BIGINT) * 1000000
+               // CAST(sum(rev_cents) AS BIGINT) AS whale_share_micros
+      FROM pc JOIN cuts USING (c_mktsegment)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """.trim))
+
+  /** Order cycle time: order date → last line shipped, summarized per
+    * priority class (count, exact interpolated P50/P90, exact integer
+    * mean in micro-days). The per-order close date is one fact
+    * aggregate joined to orders; durations are exact integer days so
+    * every statistic derives from exact inputs. The operational SLA
+    * readout. */
+  val qCycleTime: Q = Q(
+    "q_cycle_time",
+    (spark, dir) => {
+      val close = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("close_date"))
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .join(close, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("close_date"), col("o_orderdate")).cast("long")
+            .as("days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("percentile(days, 0.5)").as("p50_days"),
+          expr("percentile(days, 0.9)").as("p90_days"),
+          expr("sum(days) * 1000000L DIV count(1)").as("mean_micro_days"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      WITH close AS (
+        SELECT l_orderkey, max(l_shipdate) AS close_date
+        FROM lineitem GROUP BY l_orderkey),
+      d AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', o_orderdate, close_date) AS BIGINT) AS days
+        FROM orders JOIN close ON o_orderkey = l_orderkey)
+      SELECT o_orderpriority, count(*) AS n_orders,
+             quantile_cont(days, 0.5) AS p50_days,
+             quantile_cont(days, 0.9) AS p90_days,
+             CAST(sum(days) AS BIGINT) * 1000000 // count(*) AS mean_micro_days
+      FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.trim))
+
   def all: Seq[Q] = Seq(qCustOrderHistogram, qPromoShare, qExcessStock,
     qVolumeShipping, qMarketShare, qTopSupplier, qLargeOrders,
     qLateSoleSupplier, qDormantRich,
     qShipPriority, qPriorityWait, qLocalVolume, qForecastRevenue,
-    qReturnedItems, qLatenessPriority, qSupplierBreadth, qBrandRevenue)
+    qReturnedItems, qLatenessPriority, qSupplierBreadth, qBrandRevenue,
+    qWhaleShare, qCycleTime)
 }

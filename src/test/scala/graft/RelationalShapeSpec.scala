@@ -234,6 +234,36 @@ class RelationalShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_whale_share: whales are a minority holding an outsized share") {
+    import spark.implicits._
+    val rows = q("q_whale_share").run(spark, dir)
+      .select(col("n_custs"), col("n_whales"), col("total_cents"),
+        col("whale_cents"), col("whale_share_micros"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, w, tot, wc, share) =>
+      assert(w < n, "the top decile is a strict minority")
+      assert(w >= 1)
+      assert(wc <= tot)
+      assert(share == wc * 1000000L / tot)
+      assert(share * 10 > 1000000L,
+        "top decile must hold more than a uniform 10% share")
+    }
+  }
+
+  test("q_cycle_time: percentiles ordered, mean within range") {
+    import spark.implicits._
+    val rows = q("q_cycle_time").run(spark, dir)
+      .select(col("n_orders"), col("p50_days"), col("p90_days"),
+        col("mean_micro_days")).as[(Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, p50, p90, mean) =>
+      assert(n > 0)
+      assert(p50 <= p90)
+      assert(mean >= 0)
+    }
+  }
+
   test("q_brand_revenue: exact against a collected recompute") {
     import spark.implicits._
     val (cents, n) = q("q_brand_revenue").run(spark, dir)
