@@ -173,6 +173,34 @@ object AnalyticsQueries {
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """.trim))
 
+  /** GROUPING SETS — the general form rollup/cube specialize: exactly
+    * the (source), (lang) and () granularities in ONE Expand +
+    * aggregate pass, no per-granularity rescan and none of cube's
+    * unwanted (source, lang) cells. Exercises the SQL entry point
+    * (`spark.sql` over a temp view) — the one public API surface the
+    * DataFrame-built queries don't touch. */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    (spark, dir) => {
+      Tables.documents(spark, dir).createOrReplaceTempView("documents_gs")
+      spark.sql("""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+      FROM documents
+      GROUP BY GROUPING SETS ((source), (lang), ())
+      ORDER BY gid, source NULLS FIRST, lang NULLS FIRST
+    """.trim))
+
   /** CUBE over (status, priority) with grouping_id — all four grouping
     * combinations in one pass (Spark expands to a single Expand +
     * aggregate, no per-granularity rescans); `grouping_id` disambiguates
@@ -1752,7 +1780,7 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(
     qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
-    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qWindowTime,
+    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qGroupingSets, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,

@@ -229,6 +229,19 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(slope < 0.0, s"rank-frequency slope must be negative, got $slope")
   }
 
+  test("q_grouping_sets: three granularities, each conserving the corpus") {
+    import spark.implicits._
+    val rows = q("q_grouping_sets").run(spark, dir)
+      .select(col("gid"), col("n_docs")).as[(Long, Long)].collect()
+    val total = Tables.documents(spark, dir).count()
+    val byGid = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byGid.keySet == Set(1L, 2L, 3L),
+      "exactly the (source), (lang) and () granularities")
+    assert(byGid(1L) == total, "per-source cells partition the corpus")
+    assert(byGid(2L) == total, "per-lang cells partition the corpus")
+    assert(byGid(3L) == total, "the grand total row")
+  }
+
   test("q_epoch_plan: caps and utilization arithmetic hold") {
     import spark.implicits._
     val rows = q("q_epoch_plan").run(spark, dir)
