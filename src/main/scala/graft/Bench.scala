@@ -46,11 +46,19 @@ object Bench {
     // (measured: q_embed_ivf_refined 7.9 s in the polluted session vs
     // 1.7 s hermetic). Each query is timed against the engine, not
     // against the registry's accumulated state.
+    // A query that throws must surface in the JSON, not be silently
+    // timed as near-zero: a regression that breaks a query would
+    // otherwise *improve* the bench total.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val times = (1 to 2).map { _ =>
       val rep = ordered.map { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            failures(q.name) =
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache()
         q.name -> dt
@@ -60,19 +68,24 @@ object Bench {
     }
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
     val results = ordered.map(q => q.name -> times.map(_(q.name)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val errJson = failures.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":${failures.size},"failed":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only a tail of captured stdout; the full
     // per-query line (~2 KB for 79 queries) can start mid-JSON in that
     // tail, so the LAST line printed must be compact enough to always
     // fit. Full detail goes to a file + a pre-shutdown print; the final
     // post-stop() line is total-only (<100 bytes).
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":${failures.size},"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       args.headOption.getOrElse(
         sys.props.getOrElse("user.dir", ".") + "/bench_result.json"))
