@@ -19,9 +19,7 @@ Global / excludeLintKeys += showSuccess
 // Forked runMain output normally flows through sbt's logger, which
 // prefixes every line with "[info] " and defeats the driver's
 // last-line JSON parse. Route the forked process straight to stdout.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

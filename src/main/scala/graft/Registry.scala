@@ -6,7 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * semantics are SQL-expressible) an equivalent DuckDB oracle SQL over
   * the same parquet tables. The driver hash-compares the two at
   * sf0.01 (`CORRECTNESS_r{N}.json`). Queries without an oracle get a
-  * weaker rows-only check. */
+  * weaker rows-only check.
+  *
+  * Cache contract: queries may `persist()` intermediates that several
+  * branches of their own plan consume; they do NOT unpersist (the
+  * returned DataFrame is lazy — the persisted blocks are only
+  * populated when the caller executes it). Every harness that runs
+  * registry queries (Bench, Verify, QueryProbe) MUST call
+  * `spark.sqlContext.clearCache()` after consuming each query's
+  * result, or a long session accumulates every query's leftover
+  * blocks. */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,

@@ -1097,20 +1097,15 @@ object AnalyticsQueries {
   val qMarketBasket: Q = Q(
     "q_market_basket",
     (spark, dir) => {
-      // four consumers (both self-join sides, item freq, order count):
-      // persist so the distinct basket is computed from ONE scan — at
-      // corpus scale this is the materialized basket table, not 4×
-      // re-reads of the fact
-      val basket = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("okey"), col("l_partkey")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nOrders = basket.agg(countDistinct(col("okey")).as("n_orders"))
-      val freq = basket.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
-      basket.select(col("okey"), col("l_partkey").as("pa"))
-        .join(basket.select(col("okey"), col("l_partkey").as("pb")), Seq("okey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
+      // Everything here — the support-thresholded pair list AND its
+      // marginals (item frequency, order count) — is the co-occurrence
+      // layout artifact the graph family materializes
+      // (operators/EdgeArtifact.scala), so the query is a pure
+      // artifact consumer: two small scans, two joins, one broadcast.
+      val nOrders = graft.operators.EdgeArtifact.meta(spark, dir)
+      val freq = graft.operators.EdgeArtifact.nodeFreq(spark, dir)
+      graft.operators.EdgeArtifact.edges(spark, dir)
+        .select(col("pa"), col("pb"), col("support"))
         .join(freq.select(col("l_partkey").as("pa"), col("f").as("fa")), Seq("pa"))
         .join(freq.select(col("l_partkey").as("pb"), col("f").as("fb")), Seq("pb"))
         .crossJoin(broadcast(nOrders))
