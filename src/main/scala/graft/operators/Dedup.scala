@@ -407,9 +407,15 @@ object Dedup {
     * only widens one aggregate cell, not a join fan-out. */
   def duplicatedNgramStats(documents: DataFrame, n: Int = 10,
                            minDf: Int = 2): DataFrame = {
-    val sh = docShingles(documents, n)
-    val dfTable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(dfTable, "shingle")
+    // df as a window count over ONE exchange on the shingle key —
+    // the aggregate-then-join-back formulation builds the shingle
+    // explode twice (Spark does not CSE across join branches) and
+    // shuffles it twice; the window reuses the single sorted exchange
+    // and the explode runs once. Partitions are per-shingle (size =
+    // that shingle's df, bounded by corpus doc count), never global.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))
+    docShingles(documents, n)
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))

@@ -25,24 +25,7 @@ import graft.Tables
   */
 object EdgeArtifact {
 
-  /** Size/mtime fingerprint of the fact input, so the artifact path
-    * changes whenever the underlying data does. */
-  private def fingerprint(dir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .map(walk).foldLeft((0L, 0L)) { case ((s, m), (s2, m2)) =>
-            (s + s2, math.max(m, m2))
-          }
-      else (f.length(), f.lastModified())
-    val (sz, mt) = walk(new java.io.File(dir, "lineitem.parquet"))
-    java.lang.Long.toHexString(sz ^ java.lang.Long.rotateLeft(mt, 21))
-  }
-
-  def path(dir: String): String = {
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_artifacts/cooccur_${safe}_${fingerprint(dir)}"
-  }
+  def path(dir: String): String = Artifacts.path(dir, "lineitem", "cooccur")
 
   /** The edge-list plan over a (persisted) distinct basket: pair
     * self-join on the order key, pa < pb orientation, one aggregate
@@ -90,9 +73,8 @@ object EdgeArtifact {
 
   private def ensure(spark: SparkSession, dir: String): String = {
     val p = path(dir)
-    val ok = Seq("edges", "freq", "meta")
-      .forall(s => new java.io.File(s"$p/$s", "_SUCCESS").exists())
-    if (!ok) materialize(spark, dir)
+    if (!Artifacts.complete(p, Seq("edges", "freq", "meta")))
+      materialize(spark, dir)
     p
   }
 

@@ -97,6 +97,54 @@ object Similarity {
       .agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("best").getField("cell").as("cell"))
 
+  /** The full IVF index build: (centroids, inverted list). Centroids
+    * are Lloyd-refined for `iterations` rounds; the inverted list is
+    * every vector's final-centroid assignment joined back to the
+    * (persisted) corpus for the vector and its norm — exactly what an
+    * offline ANN index-build job materializes for the online search
+    * path to consume. The assignment aggregate shuffles only
+    * `(vec_id, struct(d, cell))` and stays in whole-stage codegen;
+    * carrying the embedding array through the aggregate instead was
+    * measured ~2× slower (a `first(array)` forces the slower
+    * object-hash aggregate path). */
+  def ivfIndex(embeddings: DataFrame, numCentroids: Int,
+               iterations: Int): (DataFrame, DataFrame) = {
+    val corpus = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = centroidsFromCorpus(corpus, numCentroids, iterations)
+    (cents, assignCells(corpus, cents).join(corpus, "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")))
+  }
+
+  /** IVF search over a prebuilt index (see [[ivfIndex]] /
+    * [[IvfArtifact]]): identical semantics to [[ivfSearch]] but the
+    * centroid table and inverted list come in as inputs — the online
+    * search path never touches the raw corpus or re-runs Lloyd. */
+  def ivfSearchIndexed(centroids: DataFrame, inverted: DataFrame,
+                       qMinId: Long, qMaxId: Long, k: Int,
+                       probes: Int): DataFrame = {
+    val queries = inverted
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cell"), col("qvec"), col("qnrm"),
+        pairCos(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("cell"), col("qvec"), col("qnrm"))
+    val candidates = inverted
+      .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
+    val scored = candidates.join(broadcast(probed), "cell")
+      .select(col("qid"), col("vec_id"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Lloyd (k-means) centroid refinement, engine-portably deterministic:
     * each iteration reassigns all vectors to their nearest centroid,
     * then replaces every centroid with its cell's mean vector. The mean

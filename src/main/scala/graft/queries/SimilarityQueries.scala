@@ -119,8 +119,19 @@ object SimilarityQueries {
     * histogram. The oracle unrolls the same two iterations in SQL. */
   val qEmbedIvfRefined: Q = Q(
     "q_embed_ivf_refined",
-    (spark, dir) => Similarity.ivfCells(Tables.embeddings(spark, dir),
-      numCentroids = 8, iterations = 2),
+    (spark, dir) => {
+      // The registered IVF index-build step: Lloyd refinement + final
+      // assignment written as a layout artifact
+      // (operators/IvfArtifact.scala); the occupancy histogram is read
+      // off the materialized inverted list. Search queries
+      // (q_embed_ivf_multiprobe) consume the index instead of
+      // rebuilding it — offline build, online search.
+      graft.operators.IvfArtifact.materialize(spark, dir,
+        numCentroids = 8, iterations = 2)
+      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cell"))
+    },
     Some(s"""
       WITH ${lloydCte(8, 2)},
       final_asg AS (
@@ -140,9 +151,10 @@ object SimilarityQueries {
     * single-probe, asserted against brute force in IvfRecallSpec). */
   val qEmbedIvfMultiprobe: Q = Q(
     "q_embed_ivf_multiprobe",
-    (spark, dir) => Similarity.ivfSearch(Tables.embeddings(spark, dir),
-      numCentroids = 8, qMinId = 8, qMaxId = 16, k = 3,
-      probes = 2, iterations = 2),
+    (spark, dir) => Similarity.ivfSearchIndexed(
+      graft.operators.IvfArtifact.centroids(spark, dir, 8, 2),
+      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
+      qMinId = 8, qMaxId = 16, k = 3, probes = 2),
     Some(s"""
       WITH ${lloydCte(8, 2)},
       final_asg AS (
