@@ -510,24 +510,50 @@ object DedupQueries {
     * small by nature, so Spark broadcasts it and the training corpus
     * never shuffles — contamination checks stay scan-shaped at any
     * corpus size. */
+  /** The registered eval-set build step: (re)shingles the held-out
+    * source and writes the distinct shingle set as a layout artifact
+    * (`operators/EvalSetArtifact.scala`) that every contamination
+    * screen broadcasts — the set is fixed per corpus, so deriving it
+    * inside each screening query re-paid the shingle pass per query. */
+  val qEvalShinglesBuild: Q = Q(
+    "q_eval_shingles_build",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.EvalSetArtifact.materialize(spark, dir)
+      graft.operators.EvalSetArtifact.shingles(spark, dir)
+        .agg(count(lit(1)).as("n_shingles"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl
+        FROM documents WHERE source = 'src0'),
+      sh AS (
+        SELECT unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM toks WHERE len(tl) >= 5)
+      SELECT count(DISTINCT shingle) AS n_shingles FROM sh
+    """.trim))
+
   val qContamination: Q = Q(
     "q_contamination",
     (spark, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)
-      val evalSh = broadcast(
-        Dedup.docShingles(docs.filter(col("source") === "src0"), 5)
-          .select(col("shingle")).distinct())
-      val trainSh = Dedup.docShingles(docs.filter(col("source") =!= "src0"), 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val totals = trainSh.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"))
-      val contam = trainSh.join(evalSh, Seq("shingle"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
-      totals.join(contam, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_contam"), lit(0L)).as("n_contaminated"),
-          round(coalesce(col("n_contam"), lit(0L)).cast("double")
+      // one flagged broadcast join + ONE aggregate: every train
+      // shingle row carries an in-eval marker, so totals and
+      // contaminated counts ride the same groupBy — no persisted
+      // shingle materialization, no second aggregate, and the train
+      // corpus never shuffles on the shingle key.
+      val evalSh = broadcast(graft.operators.EvalSetArtifact
+        .shingles(spark, dir).withColumn("in_eval", lit(1L)))
+      Dedup.docShingles(docs.filter(col("source") =!= "src0"), 5)
+        .join(evalSh, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("in_eval"), lit(0L))).as("n_contaminated"))
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double")
             / col("n_shingles"), 6).as("contamination"))
         .orderBy(col("doc_id"))
     },
@@ -829,6 +855,6 @@ object DedupQueries {
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
-    qDedupKeep, qContamination, qDedupIncremental, qBloomScreen,
+    qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupEditdist)
 }

@@ -503,22 +503,29 @@ object TextQueries {
           scored("fp") === keeper("fp") && scored("doc_id") === keeper("keep_id"))
         .select(scored("doc_id"), col("source"), col("text"), col("n_toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val evalSh = broadcast(
-        Dedup.docShingles(docs.filter(col("source") === "src0"))
-          .select(col("shingle")).distinct())
+      // The eval shingle set is the materialized layout artifact
+      // q_eval_shingles_build writes (operators/EvalSetArtifact.scala)
+      // — fixed per corpus, never re-shingled inside this query.
+      val evalSh = broadcast(graft.operators.EvalSetArtifact
+        .shingles(spark, dir).withColumn("in_eval", lit(1L)))
       // deduped is a JOIN output — already distributed, and outside
       // Partitioning.spreadBy's scan-shaped contract (its .rdd probe
       // would materialize the upstream AQE stages as real jobs at
       // construction time); shingle it inline instead of docShingles.
-      val docSh = deduped.select(col("doc_id"),
+      // One flagged broadcast join + ONE aggregate carries both the
+      // shingle total and the contaminated count — the exploded
+      // shingle stream is consumed by a single pass, so nothing is
+      // persisted (the previous two-aggregate form materialized the
+      // full shingle explosion to feed totals and contamination
+      // separately — the engine's worst at-scale persist pattern).
+      val shStats = deduped.select(col("doc_id"),
           explode(array_distinct(TextAnalysis.shingles(col("text")))).as("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val totals = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val contam = docSh.join(evalSh, Seq("shingle"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+        .join(evalSh, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("in_eval"), lit(0L))).as("n_contam"))
       val screened = deduped
-        .join(totals, Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
+        .join(shStats, Seq("doc_id"), "left")
         .filter(coalesce(col("n_contam"), lit(0L)).cast("double") /
           coalesce(col("n_sh"), lit(1L)) < 0.5)
       val agg = screened.groupBy(col("source"))
@@ -810,12 +817,18 @@ object TextQueries {
   val qTextLmScore: Q = Q(
     "q_text_lm_score",
     (spark, dir) => {
-      val grams = Tables.documents(spark, dir)
+      // The bigram stream is re-derived for each of its two consumers
+      // (model build, scoring join) instead of persisted: the exploded
+      // stream is tokens × row-overhead — at corpus scale the largest
+      // materialization the engine would otherwise make — while
+      // re-running the explode is a cheap scan-shaped recompute. The
+      // model side is vocab-sized, so the scoring join broadcasts it
+      // under AQE rather than shuffling the stream.
+      def grams = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
           explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
         .select(col("doc_id"), col("source"), col("bigram"),
           substring_index(col("bigram"), " ", 1).as("w1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val byBigram = grams.groupBy(col("bigram"), col("w1"))
         .agg(count(lit(1)).as("n_bigram"))
       val byW1 = byBigram.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_w1"))
