@@ -1643,7 +1643,13 @@ object AnalyticsQueries {
     * sums — one pass, map-side combinable); the divisions and the one
     * sqrt run on doubles DERIVED from those exact integers, so both
     * engines execute the identical IEEE expression tree and the
-    * rounded t-statistic is bit-stable. Sample variance (n-1). */
+    * rounded t-statistic is bit-stable. Sample variance (n-1).
+    * Squared cents accumulate in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): a BIGINT sum of cents² wraps silently in Spark's
+    * non-ANSI mode near ~10^18 — reachable at the 100 TB posture —
+    * while 128-bit accumulation holds to ~10^38. The t-statistic is
+    * NULL when either arm has fewer than 2 events (variance needs
+    * n-1 ≥ 1). */
   val qAbtestStats: Q = Q(
     "q_abtest_stats",
     (spark, dir) => {
@@ -1656,20 +1662,25 @@ object AnalyticsQueries {
           sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
           sum(when(col("arm_a"), col("cents")).otherwise(0L)).as("sum_a"),
           sum(when(!col("arm_a"), col("cents")).otherwise(0L)).as("sum_b"),
-          sum(when(col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("ss_a"),
-          sum(when(!col("arm_a"), col("cents") * col("cents")).otherwise(0L)).as("ss_b"))
+          sum(when(col("arm_a"),
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_a"),
+          sum(when(!col("arm_a"),
+            col("cents").cast("decimal(19,0)") * col("cents"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("ss_b"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           round(col("sum_a").cast("double") / col("n_a"), 6).as("mean_a"),
           round(col("sum_b").cast("double") / col("n_b"), 6).as("mean_b"),
-          round((col("sum_a").cast("double") / col("n_a")
-              - col("sum_b").cast("double") / col("n_b")) /
-            sqrt(
-              ((col("ss_a").cast("double")
-                - col("sum_a").cast("double") * col("sum_a") / col("n_a"))
-                / (col("n_a") - 1) / col("n_a")) +
-              ((col("ss_b").cast("double")
-                - col("sum_b").cast("double") * col("sum_b") / col("n_b"))
-                / (col("n_b") - 1) / col("n_b"))), 6).as("welch_t"))
+          when(col("n_a") > 1 && col("n_b") > 1,
+            round((col("sum_a").cast("double") / col("n_a")
+                - col("sum_b").cast("double") / col("n_b")) /
+              sqrt(
+                ((col("ss_a").cast("double")
+                  - col("sum_a").cast("double") * col("sum_a") / col("n_a"))
+                  / (col("n_a") - 1) / col("n_a")) +
+                ((col("ss_b").cast("double")
+                  - col("sum_b").cast("double") * col("sum_b") / col("n_b"))
+                  / (col("n_b") - 1) / col("n_b"))), 6)).as("welch_t"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -1683,18 +1694,20 @@ object AnalyticsQueries {
                CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
                CAST(sum(CASE WHEN arm_a THEN cents ELSE 0 END) AS BIGINT) AS sum_a,
                CAST(sum(CASE WHEN NOT arm_a THEN cents ELSE 0 END) AS BIGINT) AS sum_b,
-               CAST(sum(CASE WHEN arm_a THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_a,
-               CAST(sum(CASE WHEN NOT arm_a THEN cents * cents ELSE 0 END) AS BIGINT) AS ss_b
+               sum(CASE WHEN arm_a THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_a,
+               sum(CASE WHEN NOT arm_a THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_b
         FROM ev GROUP BY event_type)
       SELECT event_type, n_a, n_b,
              round(CAST(sum_a AS DOUBLE) / n_a, 6) AS mean_a,
              round(CAST(sum_b AS DOUBLE) / n_b, 6) AS mean_b,
-             round((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b) /
-               sqrt(
-                 ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
-                   / (n_a - 1) / n_a) +
-                 ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
-                   / (n_b - 1) / n_b)), 6) AS welch_t
+             CASE WHEN n_a > 1 AND n_b > 1 THEN
+               round((CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b) /
+                 sqrt(
+                   ((CAST(ss_a AS DOUBLE) - CAST(sum_a AS DOUBLE) * sum_a / n_a)
+                     / (n_a - 1) / n_a) +
+                   ((CAST(ss_b AS DOUBLE) - CAST(sum_b AS DOUBLE) * sum_b / n_b)
+                     / (n_b - 1) / n_b)), 6)
+             END AS welch_t
       FROM g ORDER BY event_type
     """.trim))
 
@@ -1709,9 +1722,6 @@ object AnalyticsQueries {
   val qTimeWeightedAvg: Q = Q(
     "q_time_weighted_avg",
     (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
       Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
           floor(col("value") * 100 + 0.5).cast("long").as("cents"))

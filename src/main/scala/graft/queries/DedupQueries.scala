@@ -347,11 +347,15 @@ object DedupQueries {
     * fixpoint via a recursive CTE — independent machinery. */
   val qDedupClusters: Q = Q(
     "q_dedup_clusters",
-    (spark, dir) => graft.operators.Clusters.connectedComponents(
-      Dedup.jaccardPairs(Tables.documents(spark, dir), 0.5,
-        maxDf = Some(JaccardCap)).select(col("da"), col("db")),
-      "da", "db")
-      .orderBy(col("doc_id")),
+    (spark, dir) => {
+      // The registered build step of the cluster-label artifact
+      // (operators/ClusterArtifact.scala): pairs → CC run once,
+      // written, and consumed by q_dedup_keep /
+      // q_dedup_cluster_sizes as a label join.
+      graft.operators.ClusterArtifact.materialize(spark, dir, 0.5, JaccardCap)
+      graft.operators.ClusterArtifact.labels(spark, dir, 0.5, JaccardCap)
+        .orderBy(col("doc_id"))
+    },
     Some(s"""
       WITH RECURSIVE
       ${shinglesCte.stripPrefix("WITH ")},
@@ -388,9 +392,8 @@ object DedupQueries {
     (spark, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)
-      val clusters = graft.operators.Clusters.connectedComponents(
-        Dedup.jaccardPairs(docs, 0.5, maxDf = Some(JaccardCap))
-          .select(col("da"), col("db")), "da", "db")
+      val clusters = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
       docs.join(clusters, Seq("doc_id"), "left")
         .select(col("source"),
           (col("cluster").isNull || col("cluster") === col("doc_id")).as("keep"))
@@ -730,9 +733,8 @@ object DedupQueries {
     (spark, dir) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)
-      val labels = graft.operators.Clusters.connectedComponents(
-        Dedup.jaccardPairs(docs, 0.5, maxDf = Some(JaccardCap))
-          .select(col("da"), col("db")), "da", "db")
+      val labels = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
       val hist = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))

@@ -11,10 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
-    val showPlan = args.contains("--plan")
+    // flags are position-independent: `QueryProbe q_x --plan` must not
+    // consume "--plan" as the sfDir
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val name = positional(0)
+    val sfDir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.1"
+    val reps = if (positional.length > 2) positional(2).toInt else 3
+    val showPlan = flags.contains("--plan")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
