@@ -87,8 +87,14 @@ object DedupQueries {
     * lose hot shingles still surface. */
   val qDedupJaccardCapped: Q = Q(
     "q_dedup_jaccard_capped",
-    (spark, dir) => Dedup.jaccardPairs(
-      Tables.documents(spark, dir), 0.5, maxDf = Some(JaccardCap)),
+    (spark, dir) => {
+      // The registered build step of the near-dup pair artifact
+      // (operators/ClusterArtifact.scala, PairsArtifact): the dedup
+      // pipeline's first job, whose output the CC labeling consumes.
+      graft.operators.PairsArtifact.materialize(spark, dir, 0.5, JaccardCap)
+      graft.operators.PairsArtifact.pairs(spark, dir, 0.5, JaccardCap)
+        .orderBy(col("da"), col("db"))
+    },
     Some(s"""
       $shinglesCte,
       df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

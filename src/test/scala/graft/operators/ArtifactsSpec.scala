@@ -68,6 +68,15 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(indexed == monolithic)
   }
 
+  test("pairs artifact equals a fresh capped-Jaccard pair run") {
+    val fresh = Dedup.jaccardPairs(graft.Tables.documents(spark, dir), 0.5,
+        maxDf = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val art = PairsArtifact.pairs(spark, dir, 0.5, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(art == fresh)
+  }
+
   test("cluster-label artifact equals a fresh pairs->CC run") {
     val fresh = Clusters.connectedComponents(
         Dedup.jaccardPairs(graft.Tables.documents(spark, dir), 0.5,
