@@ -379,6 +379,117 @@ object GraphQueries {
       ORDER BY round
     """.trim))
 
+  /** Global clustering coefficient: 3 × triangles / wedges — how much
+    * of the graph's open-triple structure closes. Triangle counting
+    * reuses the degree-ordered orientation (bounded wedge join);
+    * wedges are Σ d(d-1)/2, one aggregate over the degree table. The
+    * ratio is exact integer micro-units, so the oracle replays it
+    * bit-for-bit. */
+  val qGraphClustering: Q = Q(
+    "q_graph_clustering",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val deg = e.select(col("pa").as("node"))
+        .unionAll(e.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(
+        sum(expr("deg * (deg - 1) DIV 2")).cast("long").as("n_wedges"))
+      val withDeg = e
+        .join(deg.select(col("node").as("pa"), col("deg").as("da")), Seq("pa"))
+        .join(deg.select(col("node").as("pb"), col("deg").as("db")), Seq("pb"))
+      val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pa")).otherwise(col("pb")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("pa") < col("pb")),
+          col("pb")).otherwise(col("pa")).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tris = oriented.select(col("src"), col("dst").as("u"))
+        .join(oriented.select(col("src"), col("dst").as("v")), Seq("src"))
+        .filter(col("u") < col("v"))
+        .join(e.select(col("pa").as("u"), col("pb").as("v")), Seq("u", "v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      tris.crossJoin(broadcast(wedges))
+        .select(col("n_triangles"), col("n_wedges"),
+          expr("3 * n_triangles * 1000000L DIV n_wedges").as("global_cc_micros"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+        GROUP BY node),
+      wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+      o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pa ELSE e.pb END AS src,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.pa < e.pb)
+                    THEN e.pb ELSE e.pa END AS dst
+        FROM e JOIN deg da ON e.pa = da.node JOIN deg db ON e.pb = db.node),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        JOIN e ON e.pa = w1.dst AND e.pb = w2.dst)
+      SELECT n_triangles, n_wedges,
+             3 * n_triangles * 1000000 // n_wedges AS global_cc_micros
+      FROM tri, wed
+    """.trim))
+
+  /** Degree assortativity: the Pearson correlation of end-point
+    * degrees over directed edge instances — do hubs attach to hubs
+    * (r > 0, social-graph-like) or to leaves (r < 0, dependency-/
+    * infrastructure-like)? All five correlation sums are EXACT
+    * (128-bit decimal accumulation — degree products overflow BIGINT
+    * at the 100 TB posture); the one division runs on doubles derived
+    * from those exact sums, so both engines execute the identical
+    * IEEE expression. */
+  val qGraphAssortativity: Q = Q(
+    "q_graph_assortativity",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(deg.select(col("src"), col("deg").as("da")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("db")), Seq("dst"))
+      pairs.agg(
+          count(lit(1)).as("m2"),
+          sum(col("da").cast("decimal(19,0)")).as("sx"),
+          sum(col("da").cast("decimal(19,0)") * col("da")).as("sxx"),
+          sum(col("da").cast("decimal(19,0)") * col("db")).as("sxy"))
+        .select(expr("m2 DIV 2").as("n_edges"),
+          round(
+            (col("m2").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) /
+            (col("m2").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("assortativity"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      sym AS (SELECT pa AS src, pb AS dst FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+      p AS (
+        SELECT da.deg AS da, db.deg AS db
+        FROM sym JOIN deg da ON sym.src = da.src
+        JOIN deg db ON sym.dst = db.src),
+      s AS (
+        SELECT count(*) AS m2,
+               sum(CAST(da AS HUGEINT)) AS sx,
+               sum(CAST(da AS HUGEINT) * da) AS sxx,
+               sum(CAST(da AS HUGEINT) * db) AS sxy
+        FROM p)
+      SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+             round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                   (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS assortativity
+      FROM s
+    """.trim))
+
   def all: Seq[Q] = Seq(qGraphEdgesBuild, qGraphDegree, qGraphTriangles,
-    qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore)
+    qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore,
+    qGraphClustering, qGraphAssortativity)
 }

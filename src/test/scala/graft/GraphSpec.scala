@@ -56,4 +56,21 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum(col("n_nodes"))).head().getLong(0)
     assert(totalCc == totalDeg)
   }
+
+  test("q_graph_clustering: coefficient in [0, 1], wedges bound triangles") {
+    val row = q("q_graph_clustering").run(spark, dir).head()
+    val (nTri, nWedges, ccMicros) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nWedges >= 1)
+    // every triangle closes 3 wedges, so 3*tri <= wedges
+    assert(3 * nTri <= nWedges)
+    assert(ccMicros >= 0L && ccMicros <= 1000000L)
+  }
+
+  test("q_graph_assortativity: correlation in [-1, 1]") {
+    val row = q("q_graph_assortativity").run(spark, dir).head()
+    val (nEdges, r) = (row.getLong(0), row.getDouble(1))
+    assert(nEdges >= 1)
+    assert(r >= -1.0 && r <= 1.0)
+  }
 }
