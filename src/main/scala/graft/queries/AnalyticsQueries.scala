@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -691,6 +692,122 @@ object AnalyticsQueries {
              CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_props,
              CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
       FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** Referential-integrity audit: for each FK relationship in the
+    * warehouse star, how many child rows point at a missing parent —
+    * the DQ gate that catches a broken ingest before any join silently
+    * drops rows. Scale shape: each check first collapses the child
+    * side to DISTINCT keys with their row counts (one map-side-
+    * combinable aggregate — the join input is key-cardinality-sized,
+    * not fact-sized), then left-joins the parent key set; orphan mass
+    * is recovered from the carried counts. On this corpus every count
+    * is a verified zero — the audit proves cleanliness, like the
+    * Bloom screen's pinned FN count. */
+  val qReferentialAudit: Q = Q(
+    "q_referential_audit",
+    (spark, dir) => {
+      def check(fk: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+        val keys = child.groupBy(col(childKey).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+        keys.join(parent.select(col(parentKey).as("k"), lit(1L).as("hit"))
+            .distinct(), Seq("k"), "left")
+          .agg(sum(col("cnt")).as("n_child"),
+            sum(when(col("hit").isNull, col("cnt")).otherwise(0L)).as("n_orphan"))
+          .select(lit(fk).as("fk"), col("n_child"), col("n_orphan"))
+      }
+      val li = Tables.lineitem(spark, dir)
+      check("customer.c_nationkey->nation", Tables.customer(spark, dir),
+          "c_nationkey", Tables.nation(spark, dir), "n_nationkey")
+        .unionAll(check("lineitem.l_orderkey->orders", li, "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey"))
+        .unionAll(check("lineitem.l_partkey->part", li, "l_partkey",
+          Tables.part(spark, dir), "p_partkey"))
+        .unionAll(check("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(spark, dir), "s_suppkey"))
+        .unionAll(check("orders.o_custkey->customer",
+          Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"))
+        .orderBy(col("fk"))
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'customer.c_nationkey->nation' AS fk, count(*) AS n_child,
+               sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphan
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders', count(*),
+               sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part', count(*),
+               sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier', count(*),
+               sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        UNION ALL
+        SELECT 'orders.o_custkey->customer', count(*),
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+      SELECT fk, n_child, CAST(n_orphan AS BIGINT) AS n_orphan
+      FROM checks ORDER BY fk
+    """.trim))
+
+  /** Primary-key uniqueness audit: per table, total rows vs distinct
+    * key values and the number of duplicated keys — the other half of
+    * the DQ contract a warehouse load asserts (FKs resolve, PKs are
+    * unique). One aggregate per table over the key column only. */
+  val qKeyUniqueness: Q = Q(
+    "q_key_uniqueness",
+    (spark, dir) => {
+      def check(table: String, df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_distinct_keys"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"))
+          .select(lit(table).as("table_name"), col("n_rows"),
+            col("n_distinct_keys"), col("n_dup_keys"))
+      check("customer", Tables.customer(spark, dir), "c_custkey")
+        .unionAll(check("events", Tables.events(spark, dir), "event_id"))
+        .unionAll(check("orders", Tables.orders(spark, dir), "o_orderkey"))
+        .unionAll(check("part", Tables.part(spark, dir), "p_partkey"))
+        .unionAll(check("supplier", Tables.supplier(spark, dir), "s_suppkey"))
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT 'customer' AS table_name, count(*) AS n_rows,
+               count(DISTINCT c_custkey) AS n_distinct_keys,
+               (SELECT count(*) FROM (
+                  SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1))
+                 AS n_dup_keys
+        FROM customer
+        UNION ALL
+        SELECT 'events', count(*), count(DISTINCT event_id),
+               (SELECT count(*) FROM (
+                  SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1))
+        FROM events
+        UNION ALL
+        SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+               (SELECT count(*) FROM (
+                  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+        FROM orders
+        UNION ALL
+        SELECT 'part', count(*), count(DISTINCT p_partkey),
+               (SELECT count(*) FROM (
+                  SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1))
+        FROM part
+        UNION ALL
+        SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+               (SELECT count(*) FROM (
+                  SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1))
+        FROM supplier)
+      SELECT table_name, n_rows, CAST(n_distinct_keys AS BIGINT) AS n_distinct_keys,
+             CAST(n_dup_keys AS BIGINT) AS n_dup_keys
+      FROM u ORDER BY table_name
     """.trim))
 
   /** Forward as-of join: for every event, the FIRST order placed on or
@@ -1789,6 +1906,7 @@ object AnalyticsQueries {
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,
+    qReferentialAudit, qKeyUniqueness,
     qEventTransitions, qCohortRetention, qEquidepthHist, qAnomalyMad,
     qGapPercentiles)
 }
