@@ -798,6 +798,63 @@ object DedupQueries {
       GROUP BY cluster_size ORDER BY cluster_size
     """.trim))
 
+  /** Cross-source duplication analysis over the cluster-label
+    * artifact: does each near-dup family live inside one source or
+    * span several? Cross-source families are the syndication/license
+    * signal a curation run escalates (the same text arriving through
+    * two feeds), within-source families are ordinary re-posts a keep-
+    * one filter handles silently. One label-table join + two
+    * aggregates — the artifact makes this report label-table-sized. */
+  val qDedupCrossSource: Q = Q(
+    "q_dedup_cross_source",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val labeled = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"))
+        .join(graft.operators.ClusterArtifact
+          .labels(spark, dir, 0.5, JaccardCap), Seq("doc_id"))
+      labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"),
+          countDistinct(col("source")).as("n_sources"))
+        .groupBy(col("n_sources"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"))
+        .orderBy(col("n_sources"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node),
+      fam AS (
+        SELECT cl.cluster, count(*) AS csize,
+               count(DISTINCT d.source) AS n_sources
+        FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+        GROUP BY cl.cluster)
+      SELECT CAST(n_sources AS BIGINT) AS n_sources,
+             count(*) AS n_clusters,
+             CAST(sum(csize) AS BIGINT) AS n_docs
+      FROM fam GROUP BY n_sources ORDER BY n_sources
+    """.trim))
+
   /** Edit-distance near-dup: Levenshtein ≤ 3 on the 40-char document
     * head, with DUAL-KEY blocking — each head emits two block keys
     * (lang + length band + first-4-chars, lang + length band +
@@ -864,5 +921,6 @@ object DedupQueries {
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
-    qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupEditdist)
+    qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
+    qDedupEditdist)
 }

@@ -782,6 +782,53 @@ object RelationalQueries {
       GROUP BY c_mktsegment ORDER BY c_mktsegment
     """.trim))
 
+  /** Supplier-concentration HHI per nation: the Herfindahl–Hirschman
+    * index of supplier revenue shares (Σ shareᵢ², reported in exact
+    * integer ppm — 10⁶ = monopoly) — the supply-risk gauge behind
+    * "how captive is this market". All sums are 128-bit exact
+    * (squared cents overflow BIGINT at the 100 TB posture, exactly
+    * the q_abtest_stats hazard) and the single ratio is one integer
+    * division, so the oracle replays bit-for-bit. Two hash
+    * aggregates, dims broadcast, fact scanned once. */
+  val qMarketHhi: Q = Q(
+    "q_market_hhi",
+    (spark, dir) => {
+      val perSupp = Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      perSupp.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents").cast("decimal(19,0)")).as("tot"),
+          sum(col("cents").cast("decimal(19,0)") * col("cents")).as("ssq"))
+        .select(col("n_name"), col("n_suppliers"),
+          col("tot").cast("long").as("total_cents"),
+          expr("CAST(ssq * 1000000 DIV (tot * tot) AS BIGINT)").as("hhi_ppm"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      WITH ps AS (
+        SELECT n_name, l_suppkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, l_suppkey)
+      SELECT n_name, count(*) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+                  // (sum(CAST(cents AS HUGEINT)) * sum(CAST(cents AS HUGEINT)))
+                  AS BIGINT) AS hhi_ppm
+      FROM ps GROUP BY n_name ORDER BY n_name
+    """.trim))
+
   /** Order cycle time: order date → last line shipped, summarized per
     * priority class (count, exact interpolated P50/P90, exact integer
     * mean in micro-days). The per-order close date is one fact
@@ -827,5 +874,5 @@ object RelationalQueries {
     qLateSoleSupplier, qDormantRich,
     qShipPriority, qPriorityWait, qLocalVolume, qForecastRevenue,
     qReturnedItems, qLatenessPriority, qSupplierBreadth, qBrandRevenue,
-    qWhaleShare, qCycleTime)
+    qWhaleShare, qMarketHhi, qCycleTime)
 }
