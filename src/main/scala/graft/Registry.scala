@@ -37,5 +37,6 @@ object Registry {
       graft.queries.LayoutQueries.all ++
       graft.queries.GraphQueries.all ++
       graft.queries.SequenceQueries.all ++
-      graft.queries.RelationalQueries.all
+      graft.queries.RelationalQueries.all ++
+      graft.queries.SignalQueries.all
 }

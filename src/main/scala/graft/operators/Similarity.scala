@@ -708,6 +708,49 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Label-silhouette gauge: per label, the mean of
+    * `cos(vec, own-label centroid) − max cos(vec, other-label centroid)`
+    * — a cluster-separation score in [−2, 2] (positive = the label's
+    * vectors sit closer to their own centroid than to any rival; near
+    * zero or negative = the labelling would not survive as an ANN
+    * partitioning key). The centroid build is the same exact
+    * quantized-sum aggregate as [[centroidDrift]] (micro-unit integer
+    * sums, so both engines average identical BIGINTs); scoring is one
+    * broadcast cross join against the L-row centroid table (L = label
+    * count, tiny), and the per-vector score is rounded to integer
+    * nanos before the per-label mean so the aggregation is
+    * exact-commutative. One corpus scan for the centroids, one for
+    * the scoring — nothing wider than L ever shuffles. */
+  def labelSilhouette(embeddings: DataFrame): DataFrame = {
+    val quantized = spread(embeddings)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * lit(1000000d) + lit(0.5)).as("qv"))
+    val centroids = quantized
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("qv")) / (lit(1000000d) * count(lit(1)))).cast("float").as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cvec"))
+      .withColumnRenamed("label", "clabel")
+    val scored = spread(embeddings).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        when(col("label") === col("clabel"), cosine(col("embedding"), col("cvec")))
+          .as("own_cos"),
+        when(col("label") =!= col("clabel"), cosine(col("embedding"), col("cvec")))
+          .as("other_cos"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(max(col("own_cos")).as("own_cos"), max(col("other_cos")).as("other_cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor((col("own_cos") - col("other_cos")) * lit(1e9) + lit(0.5))
+          .cast("long")).as("sil_nanos"))
+      .select(col("label"), col("n_vectors"),
+        round(col("sil_nanos").cast("double") / 1e9
+          / col("n_vectors").cast("double"), 6).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
   /** Per-vector health row: `(label, dim, norm)` with empty or null
     * embeddings coalescing to `dim = 0, norm = 0.0` — degenerate rows
     * must land in the zero-norm count, never vanish into a NULL

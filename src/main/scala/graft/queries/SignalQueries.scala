@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.TextAnalysis
+
+/** Cross-signal corpus diagnostics: distribution-drift divergence,
+  * collocation mining, metadata dependence, and signal-correlation
+  * audits — the statistical layer a curation pipeline reads before
+  * trusting its per-doc quality signals or re-weighting a mixture.
+  *
+  * Determinism discipline (same as the entropy/Zipf family): every
+  * per-row transcendental term is floored/rounded to integer nano- or
+  * micro-units BEFORE any cross-partition sum, so both engines
+  * aggregate identical BIGINTs and doubles appear only in final
+  * one-row-per-group arithmetic. */
+object SignalQueries {
+
+  /** Jensen-Shannon divergence of each source's unigram distribution
+    * against the whole-corpus distribution — the canonical
+    * corpus-drift / mixture-skew gauge (bounded [0, ln 2], symmetric,
+    * defined even where a source misses tokens). The decomposition
+    * keeps the absent-token mass CLOSED-FORM: for tokens the source
+    * never emits, m = q/2 so the KL(Q||M) term is exactly q·ln 2 —
+    * only tokens PRESENT in the source are ever joined, and the
+    * absent mass falls out of the exact integer token counts. One
+    * (source, token) aggregate, one token-level join against the
+    * corpus marginal, per-source rollup — nothing wider than the
+    * vocabulary shuffles, and the two one-row totals broadcast. */
+  val qTextJsd: Q = Q(
+    "q_text_jsd",
+    (spark, dir) => {
+      val cst = Tables.documents(spark, dir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val ct = cst.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val total = ct.agg(sum(col("c_t")).as("n_total"))
+      val p = col("c_st").cast("double") / col("n_s").cast("double")
+      val q = col("c_t").cast("double") / col("n_total").cast("double")
+      val m = (p + q) / lit(2.0d)
+      val joined = cst.join(ct, "tok")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("n_s"), col("n_total"), col("c_t"),
+          floor(p * log(p / m) * lit(1e9)).cast("long").as("p_nanos"),
+          floor(q * log(q / m) * lit(1e9)).cast("long").as("q_nanos"))
+      joined.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          max(col("n_total")).as("n_total"),
+          count(lit(1)).as("vocab_present"),
+          sum(col("c_t")).as("present_ct"),
+          sum(col("p_nanos")).as("p_sum"),
+          sum(col("q_nanos")).as("q_sum"))
+        .select(col("source"), col("n_tokens"), col("vocab_present"),
+          round((col("p_sum").cast("double") / 1e9
+            + col("q_sum").cast("double") / 1e9
+            + log(lit(2.0d)) * (lit(1.0d)
+              - col("present_ct").cast("double") / col("n_total").cast("double")))
+            / 2.0d, 6).as("jsd_nats"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      cst AS (
+        SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+      ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst GROUP BY tok),
+      ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source),
+      total AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM ct),
+      terms AS (
+        SELECT source, n_s, n_total, c_t,
+               CAST(floor((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                 * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                      / (((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          + (CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE))) / 2.0))
+                 * 1e9) AS BIGINT) AS p_nanos,
+               CAST(floor((CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * ln((CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE))
+                      / (((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                          + (CAST(c_t AS DOUBLE) / CAST(n_total AS DOUBLE))) / 2.0))
+                 * 1e9) AS BIGINT) AS q_nanos
+        FROM cst JOIN ct USING (tok) JOIN ns USING (source), total)
+      SELECT source, max(n_s) AS n_tokens, count(*) AS vocab_present,
+             round((CAST(sum(p_nanos) AS DOUBLE) / 1e9
+                    + CAST(sum(q_nanos) AS DOUBLE) / 1e9
+                    + ln(2.0) * (1.0 - CAST(sum(c_t) AS DOUBLE)
+                                 / CAST(max(n_total) AS DOUBLE)))
+                   / 2.0, 6) AS jsd_nats
+      FROM terms GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Top-20 bigram collocations by Dunning log-likelihood ratio — the
+    * classic significance test for "these two tokens co-occur more
+    * than chance" (multiword-expression mining for tokenizer vocab
+    * building). All four contingency-cell counts derive from exact
+    * integer bigram marginals in one exploded pass; the LLR is
+    * per-candidate-row double math over those integers, floored to
+    * micro-units before the top-k ordering so ranking ties resolve
+    * identically across engines. The c12 ≥ 5 support floor bounds the
+    * candidate set to the frequent tail — at 100 TB that floor is the
+    * standard count-min prefilter and the marginals stay vocab-sized. */
+  val qTextCollocations: Q = Q(
+    "q_text_collocations",
+    (spark, dir) => {
+      val grams = Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .select(col("bigram"),
+          substring_index(col("bigram"), " ", 1).as("w1"),
+          substring_index(col("bigram"), " ", -1).as("w2"))
+      val bg = grams.groupBy(col("bigram"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val w1t = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val w2t = bg.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+      val total = bg.agg(sum(col("c12")).as("n_total"))
+      def xlx(c: org.apache.spark.sql.Column) = {
+        val d = c.cast("double")
+        when(c > 0, d * log(d)).otherwise(lit(0.0d))
+      }
+      val k11 = col("c12")
+      val k12 = col("c1") - col("c12")
+      val k21 = col("c2") - col("c12")
+      val k22 = col("n_total") - col("c1") - col("c2") + col("c12")
+      val llr = (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(col("n_total"))
+        - xlx(col("c1")) - xlx(col("n_total") - col("c1"))
+        - xlx(col("c2")) - xlx(col("n_total") - col("c2"))) * lit(2.0d)
+      bg.filter(col("c12") >= 5)
+        .join(w1t, "w1").join(w2t, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+          floor(llr * lit(1e6)).cast("long").as("llr_micros"))
+        .orderBy(col("llr_micros").desc, col("bigram"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT string_split_regex(text, '\s+') AS tl FROM documents),
+      grams AS (
+        SELECT unnest([array_to_string(tl[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(tl) - 1)]) AS bigram
+        FROM toks WHERE len(tl) >= 2),
+      bg AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, count(*) AS c12
+        FROM grams GROUP BY bigram),
+      w1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+      w2t AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+      total AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM bg),
+      cand AS (
+        SELECT bigram, c12, c1, c2, n_total,
+               c12 AS k11, c1 - c12 AS k12, c2 - c12 AS k21,
+               n_total - c1 - c2 + c12 AS k22
+        FROM bg JOIN w1t USING (w1) JOIN w2t USING (w2), total
+        WHERE c12 >= 5),
+      scored AS (
+        SELECT bigram, c12, c1, c2,
+               CAST(floor((
+                 (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN n_total > 0 THEN CAST(n_total AS DOUBLE) * ln(CAST(n_total AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN n_total - c1 > 0 THEN CAST(n_total - c1 AS DOUBLE) * ln(CAST(n_total - c1 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN n_total - c2 > 0 THEN CAST(n_total - c2 AS DOUBLE) * ln(CAST(n_total - c2 AS DOUBLE)) ELSE 0.0 END
+                 ) * 2.0) * 1e6) AS BIGINT) AS llr_micros
+        FROM cand)
+      SELECT bigram, c12, c1, c2, llr_micros
+      FROM scored ORDER BY llr_micros DESC, bigram LIMIT 20
+    """.trim))
+
+  /** Pearson correlation matrix of the per-doc curation signals
+    * (token count, distinct-token count, char length), per source —
+    * the collinearity audit a quality-model feature set needs (two
+    * signals correlated at 0.99 are one signal; a near-zero pair
+    * justifies keeping both). Every moment (n, Σx, Σxy, Σx², …) is an
+    * exact integer sum of per-doc integer products, so the shuffle
+    * carries nine BIGINTs per source and the correlations are one-row
+    * double arithmetic at the end. */
+  val qSignalCorr: Q = Q(
+    "q_signal_corr",
+    (spark, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val perDoc = Tables.documents(spark, dir)
+        .select(col("source"),
+          size(toks).cast("long").as("x"),
+          size(array_distinct(toks)).cast("long").as("y"),
+          col("n_chars").as("z"))
+      val s = perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"))
+      def corr(n: org.apache.spark.sql.Column,
+          sa: org.apache.spark.sql.Column, sb: org.apache.spark.sql.Column,
+          saa: org.apache.spark.sql.Column, sbb: org.apache.spark.sql.Column,
+          sab: org.apache.spark.sql.Column) =
+        round((n.cast("double") * sab.cast("double")
+          - sa.cast("double") * sb.cast("double"))
+          / (sqrt(n.cast("double") * saa.cast("double")
+              - sa.cast("double") * sa.cast("double"))
+            * sqrt(n.cast("double") * sbb.cast("double")
+              - sb.cast("double") * sb.cast("double"))), 6)
+      s.select(col("source"), col("n_docs"),
+        corr(col("n_docs"), col("sx"), col("sy"), col("sxx"), col("syy"),
+          col("sxy")).as("corr_tokens_distinct"),
+        corr(col("n_docs"), col("sx"), col("sz"), col("sxx"), col("szz"),
+          col("sxz")).as("corr_tokens_chars"),
+        corr(col("n_docs"), col("sy"), col("sz"), col("syy"), col("szz"),
+          col("syz")).as("corr_distinct_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH perdoc AS (
+        SELECT source,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS y,
+               n_chars AS z
+        FROM documents),
+      s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz
+        FROM perdoc GROUP BY source)
+      SELECT source, n_docs,
+             round((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr_tokens_distinct,
+             round((CAST(n_docs AS DOUBLE) * CAST(sxz AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / (sqrt(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n_docs AS DOUBLE) * CAST(szz AS DOUBLE)
+                             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+               AS corr_tokens_chars,
+             round((CAST(n_docs AS DOUBLE) * CAST(syz AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                   / (sqrt(CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * sqrt(CAST(n_docs AS DOUBLE) * CAST(szz AS DOUBLE)
+                             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+               AS corr_distinct_chars
+      FROM s ORDER BY source
+    """.trim))
+
+  /** Mutual information of the (lang, source) metadata contingency —
+    * near zero means language is spread evenly across sources (safe to
+    * stratify by either alone); high MI means the two are confounded
+    * and a mixture plan must stratify jointly. Reported as per-lang
+    * contributions (which language carries the dependence). The
+    * contingency is at most |langs|×|sources| cells, so after the one
+    * count aggregate everything is broadcast-sized; per-cell terms
+    * floor to nanos before the per-lang sum. */
+  val qMetaMi: Q = Q(
+    "q_meta_mi",
+    (spark, dir) => {
+      val cells = Tables.documents(spark, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val rowT = cells.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+      val colT = cells.groupBy(col("source")).agg(sum(col("c")).as("s"))
+      val total = cells.agg(sum(col("c")).as("n_total"))
+      val term = (col("c").cast("double") / col("n_total").cast("double"))
+        .*(log((col("c").cast("double") * col("n_total").cast("double"))
+          / (col("r").cast("double") * col("s").cast("double"))))
+      cells.join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("r"),
+          floor(term * lit(1e9)).cast("long").as("mi_nanos"))
+        .groupBy(col("lang"))
+        .agg(max(col("r")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          round(sum(col("mi_nanos")).cast("double") / 1e9, 6).as("mi_contrib_nats"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source),
+      rowt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY lang),
+      colt AS (SELECT source, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY source),
+      total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells),
+      terms AS (
+        SELECT lang, r,
+               CAST(floor((CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                 * ln((CAST(c AS DOUBLE) * CAST(n_total AS DOUBLE))
+                      / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+                 * 1e9) AS BIGINT) AS mi_nanos
+        FROM cells JOIN rowt USING (lang) JOIN colt USING (source), total)
+      SELECT lang, max(r) AS n_docs, count(*) AS n_sources,
+             round(CAST(sum(mi_nanos) AS DOUBLE) / 1e9, 6) AS mi_contrib_nats
+      FROM terms GROUP BY lang ORDER BY lang
+    """.trim))
+
+  def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi)
+}

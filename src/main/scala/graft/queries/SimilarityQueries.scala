@@ -848,10 +848,49 @@ object SimilarityQueries {
       """.trim)
     })
 
+  /** Label-silhouette separation gauge: mean own-centroid-vs-best-rival
+    * cosine margin per label — the go/no-go check before trusting a
+    * label column as an ANN blocking key (cf. `q_embed_neardup`'s
+    * label blocking and the IVF cell assignment). Scoring is one
+    * broadcast cross join against the 10-row centroid table; per-vector
+    * margins round to integer nanos before the per-label mean so the
+    * aggregate is exact-commutative. */
+  val qEmbedSilhouette: Q = Q(
+    "q_embed_silhouette",
+    (spark, dir) => Similarity.labelSilhouette(Tables.embeddings(spark, dir)),
+    Some(s"""
+      WITH qv AS (
+        SELECT label,
+               unnest([{'pos': i, 'qv': CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)}
+                       FOR i IN generate_series(1, len(embedding))], recursive := true)
+        FROM embeddings),
+      lc AS (
+        SELECT label AS clabel, list(CAST(mv AS FLOAT) ORDER BY pos) AS a FROM (
+          SELECT label, pos, sum(qv) / (1000000.0 * count(*)) AS mv
+          FROM qv GROUP BY label, pos)
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+               CASE WHEN e.label = lc.clabel
+                 THEN ${cosOf("a", "e.embedding")} END AS own_cos,
+               CASE WHEN e.label <> lc.clabel
+                 THEN ${cosOf("a", "e.embedding")} END AS other_cos
+        FROM embeddings e, lc),
+      pv AS (
+        SELECT vec_id, label, max(own_cos) AS own_cos,
+               max(other_cos) AS other_cos
+        FROM scored GROUP BY vec_id, label)
+      SELECT label, count(*) AS n_vectors,
+             round(CAST(sum(CAST(floor((own_cos - other_cos) * 1e9 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1e9
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+      FROM pv GROUP BY label ORDER BY label
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
-    qEmbedRecallCurve, qEvalMrr, qEmbedMmr)
+    qEmbedRecallCurve, qEvalMrr, qEmbedMmr, qEmbedSilhouette)
 }

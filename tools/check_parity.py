@@ -19,8 +19,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run_verify():
-    cmd = ["sbt", "--batch", f'runMain graft.Verify {SF_DIR} {OUT}']
+def run_verify(only=()):
+    names = " ".join(only)
+    cmd = ["sbt", "--batch", f'runMain graft.Verify {SF_DIR} {OUT} {names}'.strip()]
     r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
     if r.returncode != 0:
@@ -65,7 +66,7 @@ def main():
     skip = "--skip-verify" in args
     only = [a for a in args if not a.startswith("-")]
     if not skip:
-        run_verify()
+        run_verify(only)
     oracles = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
