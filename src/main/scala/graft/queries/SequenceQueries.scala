@@ -223,5 +223,172 @@ object SequenceQueries {
       FROM grid ORDER BY day
     """.trim))
 
-  def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog)
+  /** Zero-initialized exponentially-weighted moving average of each
+    * user's event values (α = 0.5): s_n = α·Σ x_i·(1−α)^(n−i) — the
+    * classic recency-weighted engagement feature. The closed form
+    * makes it one partitioned window pass + one aggregate instead of a
+    * sequential recurrence. Cross-engine exactness is free here:
+    * 0.5^k is a power of two, so x·0.5^k is EXACT IEEE scaling in
+    * both engines, and each term is floored to integer micro-units
+    * before the per-user sum (exact-commutative). Terms beyond ~50
+    * steps back underflow to zero micro-units — the decay horizon is
+    * the point. */
+  val qEventEwma: Q = Q(
+    "q_event_ewma",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wp = Window.partitionBy(col("user_id"))
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+        .select(col("user_id"), col("n"),
+          floor(col("value") * pow(lit(0.5d), col("n") - col("rn")) * lit(1e6))
+            .cast("long").as("term_micros"))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          sum(col("term_micros")).as("s_micros"))
+        // halve in INTEGER micros (α = 0.5) so the displayed value has
+        // at most 6 exact decimals — no cross-engine round-tie at the
+        // 6th digit is possible
+        .select(col("user_id"), col("n_events"),
+          round(expr("(s_micros div 2)").cast("double") / 1e6, 6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+      terms AS (
+        SELECT user_id, n,
+               CAST(floor(value * power(0.5, n - rn) * 1e6) AS BIGINT)
+                 AS term_micros
+        FROM seq)
+      SELECT user_id, max(n) AS n_events,
+             round(CAST(CAST(sum(term_micros) AS BIGINT) // 2 AS DOUBLE)
+                   / 1e6, 6) AS ewma
+      FROM terms GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  /** Stationary distribution of the event-type Markov chain: four
+    * power-iteration steps of v ← vP from the uniform start, entirely
+    * in INTEGER nano-unit arithmetic — each step's contribution is
+    * `(v_nanos · n_ab) div n_a` (exact rational transition
+    * probabilities, truncating division), so both engines iterate
+    * identical BIGINTs and no double appears before the final
+    * display. The chain has |event types| = 5 states: after the one
+    * full-scan lag + count aggregate, every iteration is a broadcast
+    * join of two ≤25-row tables — fixed stage count, nothing wide.
+    * The where-does-the-user-journey-settle complement of
+    * `q_event_transitions`' one-step shares. */
+  val qMarkovStationary: Q = Q(
+    "q_markov_stationary",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val p = trans.join(
+        trans.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a")), "a")
+      val states = p.select(col("a").as("state")).distinct()
+      val v0 = states.crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+        .select(col("state"), (lit(1000000000L) / col("ns")).cast("long").as("p_nanos"))
+      val v4 = (1 to 4).foldLeft(v0) { (v, _) =>
+        v.join(broadcast(p), v("state") === p("a"))
+          .select(col("b").as("state"),
+            expr("(p_nanos * n_ab) div n_a").as("contrib"))
+          .groupBy(col("state"))
+          .agg(sum(col("contrib")).as("p_nanos"))
+      }
+      v4.select(col("state"),
+          round(col("p_nanos").cast("double") / 1e9, 6).as("prob"))
+        .orderBy(col("state"))
+    },
+    Some("""
+      WITH trans AS (
+        SELECT prev AS a, event_type AS b, count(*) AS n_ab FROM (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events)
+        WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      p AS (
+        SELECT a, b, n_ab, n_a FROM trans
+        JOIN (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+              FROM trans GROUP BY a) USING (a)),
+      states AS (SELECT DISTINCT a AS state FROM p),
+      v0 AS (
+        SELECT state,
+               CAST(1000000000 // (SELECT count(*) FROM states) AS BIGINT)
+                 AS p_nanos
+        FROM states),
+      v1 AS (SELECT p.b AS state,
+                    CAST(sum((v0.p_nanos * p.n_ab) // p.n_a) AS BIGINT) AS p_nanos
+             FROM v0 JOIN p ON v0.state = p.a GROUP BY p.b),
+      v2 AS (SELECT p.b AS state,
+                    CAST(sum((v1.p_nanos * p.n_ab) // p.n_a) AS BIGINT) AS p_nanos
+             FROM v1 JOIN p ON v1.state = p.a GROUP BY p.b),
+      v3 AS (SELECT p.b AS state,
+                    CAST(sum((v2.p_nanos * p.n_ab) // p.n_a) AS BIGINT) AS p_nanos
+             FROM v2 JOIN p ON v2.state = p.a GROUP BY p.b),
+      v4 AS (SELECT p.b AS state,
+                    CAST(sum((v3.p_nanos * p.n_ab) // p.n_a) AS BIGINT) AS p_nanos
+             FROM v3 JOIN p ON v3.state = p.a GROUP BY p.b)
+      SELECT state, round(CAST(p_nanos AS DOUBLE) / 1e9, 6) AS prob
+      FROM v4 ORDER BY state
+    """.trim))
+
+  /** Day-of-week seasonality index per order priority:
+    * observed/expected under independence (obs·N / (row·col)) — 1.0 is
+    * flat, >1 over-indexes. The contingency machinery of `q_meta_mi`
+    * pointed at the orders calendar: one count aggregate, then
+    * everything is broadcast-sized (7 × |priorities| cells). The
+    * check a batch scheduler reads before assuming load is uniform
+    * across the week. */
+  val qDowSeasonality: Q = Q(
+    "q_dow_seasonality",
+    (spark, dir) => {
+      val cells = Tables.orders(spark, dir)
+        .select(dayofweek(col("o_orderdate")).as("dow"),
+          col("o_orderpriority").as("priority"))
+        .groupBy(col("dow"), col("priority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val rowT = cells.groupBy(col("dow")).agg(sum(col("n_orders")).as("r"))
+      val colT = cells.groupBy(col("priority")).agg(sum(col("n_orders")).as("s"))
+      val total = cells.agg(sum(col("n_orders")).as("n_total"))
+      cells.join(broadcast(rowT), "dow")
+        .join(broadcast(colT), "priority")
+        .crossJoin(broadcast(total))
+        .select(col("dow"), col("priority"), col("n_orders"),
+          round((col("n_orders").cast("double") * col("n_total").cast("double"))
+            / (col("r").cast("double") * col("s").cast("double")), 6)
+            .as("seasonality_idx"))
+        .orderBy(col("dow"), col("priority"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               o_orderpriority AS priority,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2),
+      rowt AS (SELECT dow, CAST(sum(n_orders) AS BIGINT) AS r FROM cells GROUP BY dow),
+      colt AS (SELECT priority, CAST(sum(n_orders) AS BIGINT) AS s
+               FROM cells GROUP BY priority),
+      total AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM cells)
+      SELECT dow, priority, n_orders,
+             round((CAST(n_orders AS DOUBLE) * CAST(n_total AS DOUBLE))
+                   / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+               AS seasonality_idx
+      FROM cells JOIN rowt USING (dow) JOIN colt USING (priority), total
+      ORDER BY dow, priority
+    """.trim))
+
+  def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
+    qEventEwma, qMarkovStationary, qDowSeasonality)
 }

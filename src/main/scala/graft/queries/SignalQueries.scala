@@ -312,5 +312,50 @@ object SignalQueries {
       FROM terms GROUP BY lang ORDER BY lang
     """.trim))
 
-  def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi)
+  /** Per-source lexical richness: vocabulary size, hapax legomena
+    * (tokens seen exactly once in that source), type-token ratio and
+    * hapax share — the synthetic-vs-natural text tell (templated text
+    * has few hapaxes; natural text ~40-60% of vocab). Pure integer
+    * counting over the (source, token) aggregate; the richest
+    * structure is vocab-sized. */
+  val qTextHapax: Q = Q(
+    "q_text_hapax",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("source"), col("vocab"), col("hapax"), col("n_tokens"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("type_token_ratio"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy(col("source")),
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      counts AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      agg AS (
+        SELECT source, count(*) AS vocab,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY source)
+      SELECT source, vocab, hapax, n_tokens,
+             round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS type_token_ratio,
+             round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+               AS hapax_share
+      FROM agg ORDER BY source
+    """.trim))
+
+  def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
+    qTextHapax)
 }
