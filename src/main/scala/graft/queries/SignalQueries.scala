@@ -356,6 +356,86 @@ object SignalQueries {
       FROM agg ORDER BY source
     """.trim))
 
+  /** First three BPE merge rules induced from the corpus — the
+    * tokenizer-vocabulary build step run as a query. Standard
+    * byte-pair encoding over the WORD-FREQUENCY table (the corpus
+    * reduces to vocab×count in one aggregate; every merge round then
+    * works on the vocab-sized table, so rounds cost nothing at scale
+    * and the iteration count is the plannable knob, exactly like the
+    * Lloyd/PageRank loops). Symbols are kept DOUBLE-space separated
+    * with single-space padding (` f  a  s  t `): a plain left-to-right
+    * string replace of ` x  y ` → ` xy ` then (a) can never match
+    * inside a multi-char symbol and (b) leaves the next adjacent pair
+    * with its own boundary spaces — both engines' non-overlapping
+    * replace semantics agree, no regex lookarounds needed (RE2 has
+    * none). Ties break by pair string, so the merge sequence is
+    * deterministic. */
+  val qBpeMerges: Q = {
+    val rounds = 3
+    Q(
+      "q_bpe_merges",
+      (spark, dir) => {
+        val words = Tables.documents(spark, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        // " f  a  s  t " — single-space pad, double-space between symbols
+        val r0 = words.select(
+          concat(lit(" "),
+            expr("trim(regexp_replace(w, '(.)', '$1  '))"), lit(" ")).as("repr"),
+          col("f"))
+        def pairCounts(r: org.apache.spark.sql.DataFrame) = r
+          .select(col("f"), split(expr("trim(repr)"), "  ").as("tl"))
+          .filter(size(col("tl")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(tl) - 1), i -> concat(tl[i-1], ' ', tl[i]))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+        val (_, tops) = (1 to rounds).foldLeft((r0,
+            Seq.empty[org.apache.spark.sql.DataFrame])) { case ((r, acc), rank) =>
+          val top = pairCounts(r)
+            .orderBy(col("cnt").desc, col("pair")).limit(1)
+            .select(lit(rank).as("merge_rank"), col("pair"),
+              expr("replace(pair, ' ', '')").as("merged"), col("cnt"))
+          val merged = r.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+            .select(expr(
+              "replace(repr, ' ' || replace(mp, ' ', '  ') || ' ', ' ' || replace(mp, ' ', '') || ' ')")
+              .as("repr"), col("f"))
+          (merged, acc :+ top)
+        }
+        tops.reduce(_ unionAll _).orderBy(col("merge_rank"))
+      },
+      Some {
+        def roundSql(i: Int): String = s"""
+      p$i AS (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+          SELECT f, unnest([tl[j] || ' ' || tl[j+1]
+                            FOR j IN generate_series(1, len(tl) - 1)]) AS pair
+          FROM (SELECT f, string_split(trim(r${i - 1}.repr), '  ') AS tl FROM r${i - 1})
+          WHERE len(tl) >= 2)
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      r$i AS (
+        SELECT replace(repr,
+                 ' ' || replace((SELECT pair FROM p$i), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM p$i), ' ', '') || ' ') AS repr, f
+        FROM r${i - 1})"""
+        s"""
+      WITH words AS (
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS (
+        SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS repr, f
+        FROM words),
+      ${(1 to rounds).map(roundSql).mkString(",")}
+      SELECT merge_rank, pair, replace(pair, ' ', '') AS merged, cnt FROM (
+        ${(1 to rounds).map(i =>
+          s"SELECT $i AS merge_rank, pair, cnt FROM p$i").mkString(" UNION ALL ")})
+      ORDER BY merge_rank
+    """.trim
+      })
+  }
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax)
+    qTextHapax, qBpeMerges)
 }
