@@ -917,10 +917,74 @@ object DedupQueries {
       ORDER BY id_a, id_b LIMIT 200
     """.trim))
 
+  /** Cross-family composition: do near-duplicated documents carry a
+    * different signal profile than unique ones? Joins the cluster-label
+    * ARTIFACT (membership = the doc sits in some near-dup family)
+    * against per-doc size signals and reports exact-integer-sum means
+    * per (source, dup-status) — the check a curation pipeline runs
+    * before assuming dedup is quality-neutral. Pure artifact consumer:
+    * one broadcast-able label join + one aggregate. */
+  val qDedupQualityProfile: Q = Q(
+    "q_dedup_quality_profile",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val clusters = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
+        .select(col("doc_id"), col("cluster"))
+      docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("source"), col("cluster").isNotNull.as("is_dup"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("toks"),
+          col("n_chars"))
+        .groupBy(col("source"), col("is_dup"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(col("source"), col("is_dup"), col("n_docs"),
+          round(col("sum_tokens").cast("double")
+            / col("n_docs").cast("double"), 6).as("mean_tokens"),
+          round(col("sum_chars").cast("double")
+            / col("n_docs").cast("double"), 6).as("mean_chars"))
+        .orderBy(col("source"), col("is_dup"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      lab AS (SELECT node AS doc_id, min(lbl) AS cluster
+              FROM walk GROUP BY node)
+      SELECT d.source, lab.doc_id IS NOT NULL AS is_dup,
+             count(*) AS n_docs,
+             round(CAST(sum(len(string_split_regex(d.text, '\\s+')))
+                     AS DOUBLE) / count(*), 6) AS mean_tokens,
+             round(CAST(sum(d.n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+      FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist)
+    qDedupEditdist, qDedupQualityProfile)
 }

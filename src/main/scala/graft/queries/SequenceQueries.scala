@@ -389,6 +389,58 @@ object SequenceQueries {
       ORDER BY dow, priority
     """.trim))
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent PRECEDING engagement touch (click or view); purchases with
+    * no prior touch are `direct`. The classic marketing-attribution
+    * shape as one `last(ignoreNulls)` over the per-user ordered
+    * window — no self-join, no per-purchase scan-back; revenue stays
+    * in exact integer cents and the share is one broadcast total. */
+  val qAttribution: Q = Q(
+    "q_attribution",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+      val total = attributed.agg(sum(col("revenue_cents")).as("total_cents"))
+      attributed.crossJoin(broadcast(total))
+        .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+          round(col("revenue_cents").cast("double")
+            / col("total_cents").cast("double"), 6).as("revenue_share"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH touched AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch
+        FROM events),
+      attributed AS (
+        SELECT coalesce(touch, 'direct') AS channel,
+               count(*) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY 1),
+      total AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+                FROM attributed)
+      SELECT channel, n_purchases, revenue_cents,
+             round(CAST(revenue_cents AS DOUBLE)
+                   / CAST(total_cents AS DOUBLE), 6) AS revenue_share
+      FROM attributed, total ORDER BY channel
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
-    qEventEwma, qMarkovStationary, qDowSeasonality)
+    qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution)
 }
