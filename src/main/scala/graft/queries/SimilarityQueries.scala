@@ -887,10 +887,54 @@ object SimilarityQueries {
       FROM pv GROUP BY label ORDER BY label
     """.trim))
 
+  /** Out-of-distribution screen off the IVF ARTIFACT: each vector's
+    * OOD score is 1 − cos to its nearest Lloyd-refined centroid —
+    * vectors far from every cell are the ones an index would serve
+    * badly and a curation pass quarantines. Reported as a 0.1-wide
+    * score histogram with exact-nano mean per bucket. Pure artifact
+    * consumer: one broadcast join against the 8-row centroid table,
+    * one aggregate — the corpus never shuffles. */
+  val qEmbedOodScore: Q = Q(
+    "q_embed_ood_score",
+    (spark, dir) => {
+      val cents = broadcast(
+        graft.operators.IvfArtifact.centroids(spark, dir, 8, 2)
+          .select(col("cell"), col("cvec")))
+      Tables.embeddings(spark, dir)
+        .crossJoin(cents)
+        .select(col("vec_id"),
+          Similarity.cosine(col("embedding"), col("cvec")).as("cos"))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("best_cos"))
+        .select(
+          floor((lit(1.0d) - col("best_cos")) * 10).cast("int").as("bucket"),
+          floor((lit(1.0d) - col("best_cos")) * 1e9 + 0.5).cast("long")
+            .as("ood_nanos"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("ood_nanos")).cast("double") / 1e9
+            / count(lit(1)).cast("double"), 6).as("mean_ood"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      best AS (
+        SELECT e.vec_id, max(${cosOf("e.embedding", "c.cvec")}) AS best_cos
+        FROM embeddings e, cents2 c GROUP BY e.vec_id),
+      scored AS (
+        SELECT CAST(floor((1.0 - best_cos) * 10) AS INT) AS bucket,
+               CAST(floor((1.0 - best_cos) * 1e9 + 0.5) AS BIGINT) AS ood_nanos
+        FROM best)
+      SELECT bucket, count(*) AS n_vectors,
+             round(CAST(sum(ood_nanos) AS DOUBLE) / 1e9
+                   / CAST(count(*) AS DOUBLE), 6) AS mean_ood
+      FROM scored GROUP BY bucket ORDER BY bucket
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
-    qEmbedRecallCurve, qEvalMrr, qEmbedMmr, qEmbedSilhouette)
+    qEmbedRecallCurve, qEvalMrr, qEmbedMmr, qEmbedSilhouette,
+    qEmbedOodScore)
 }

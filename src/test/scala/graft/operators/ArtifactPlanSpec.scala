@@ -41,6 +41,18 @@ class ArtifactPlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("posexplode"), "index rebuilt inline")
   }
 
+  test("q_embed_ood_score broadcasts the centroid artifact; corpus never shuffles") {
+    IvfArtifact.centroids(spark, dir, 8, 2).count() // ensure built
+    val df = graft.Registry.all.find(_.name == "q_embed_ood_score").get
+      .run(spark, dir)
+    df.collect() // let AQE finalize join strategies
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_"), "must scan the IVF artifact")
+    assert(plan.toLowerCase.contains("broadcast"),
+      "centroid side must broadcast")
+    assert(!plan.toLowerCase.contains("posexplode"), "index rebuilt inline")
+  }
+
   test("q_dedup_keep joins the label artifact, not a CC re-run") {
     ClusterArtifact.labels(spark, dir, 0.5, 2).count() // ensure built
     val plan = planOf("q_dedup_keep")
