@@ -338,11 +338,16 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max((datediff(col("l_shipdate"), col("o_orderdate")) > 365)
           .cast("int")).as("late"))
-      val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
-      perOrderSupp
-        .join(perOrder, Seq("l_orderkey"))
-        .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      // the sole-late condition (n_late = 1) makes the culprit unique,
+      // so max(when(late, suppkey)) recovers it inside the SAME
+      // per-order aggregate — no join back to the per-(order, supp)
+      // table (the round-4 plan re-shuffled it on the order key and
+      // joined; one exchange and the join are gone)
+      perOrderSupp.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .select(col("late_supp").as("l_suppkey"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables.supplier(spark, dir)
