@@ -981,10 +981,76 @@ object DedupQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** Transposition-aware fuzzy dedup: same dual-anchor blocking as
+    * `q_dedup_editdist`, but scored with the native unrestricted
+    * Damerau-Levenshtein expression
+    * ([[graft.functions.DamerauLevenshtein]]) next to plain
+    * Levenshtein. Swapped-adjacent-character typos are the most common
+    * human edit, and plain Levenshtein prices them at 2 — a threshold
+    * tuned for "≤3 edits" silently halves its transposition budget.
+    * `transposed` marks the pairs the DL metric re-prices. The oracle
+    * is DuckDB's own `damerau_levenshtein` (independent
+    * implementation, identical unrestricted semantics — pinned in
+    * `StringDistanceSpec`). Scale: O(len·len) per CANDIDATE only —
+    * the same blocked candidate set as editdist, never all-pairs. */
+  val qDedupDamerau: Q = Q(
+    "q_dedup_damerau",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{array, concat, explode, expr, lit}
+      val keyed = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+        .withColumn("band", (length(col("head")) / 4).cast("long"))
+        .withColumn("bkey", explode(array(
+          concat(lit("P"), substring(col("head"), 1, 4)),
+          concat(lit("S"),
+            expr("substring(head, greatest(length(head) - 3, 1), 4)")))))
+      val cand = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.head").as("ha"), col("b.head").as("hb"))
+        .distinct()
+      cand
+        .withColumn("dl",
+          graft.functions.DamerauLevenshtein(col("ha"), col("hb")).cast("long"))
+        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
+        .filter(col("dl") <= 3)
+        .select(col("id_a"), col("id_b"), col("dl"), col("lev"),
+          (col("dl") < col("lev")).as("transposed"))
+        .orderBy(col("id_a"), col("id_b"))
+        .limit(200)
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS head,
+               CAST(floor(length(substring(text, 1, 40)) / 4) AS BIGINT) AS band
+        FROM documents),
+      k AS (
+        SELECT doc_id, lang, head, band,
+               unnest(['P' || substring(head, 1, 4),
+                       'S' || substring(head, greatest(length(head) - 3, 1), 4)])
+                 AS bkey
+        FROM h),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.head AS ha, b.head AS hb
+        FROM k a JOIN k b
+          ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(damerau_levenshtein(ha, hb) AS BIGINT) AS dl,
+             CAST(levenshtein(ha, hb) AS BIGINT) AS lev,
+             damerau_levenshtein(ha, hb) < levenshtein(ha, hb) AS transposed
+      FROM cand WHERE damerau_levenshtein(ha, hb) <= 3
+      ORDER BY id_a, id_b LIMIT 200
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist, qDedupQualityProfile)
+    qDedupEditdist, qDedupDamerau, qDedupQualityProfile)
 }

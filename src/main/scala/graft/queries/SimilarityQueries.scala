@@ -930,11 +930,101 @@ object SimilarityQueries {
       FROM scored GROUP BY bucket ORDER BY bucket
     """.trim))
 
+  /** Sparse lexical kNN: TF-IDF-weighted cosine top-3 neighbors per
+    * document via an inverted term index — the lexical complement of
+    * the dense-embedding ANN family (and the weighted complement of
+    * the set-based Jaccard dedup family). All heavy arithmetic is
+    * exact-integer so the two engines cannot drift: weights are
+    * integer-division rational idf (`tf * n_docs div df`), dots and
+    * norms are BIGINT sums (order-free), and only the final cosine is
+    * a float (one division of exact integers, rounded to 6).
+    *
+    * Scale posture: the self-join runs on the term-posting index, so
+    * pair generation costs Σ df² over KEPT terms only — the stop-term
+    * cut (`df·10 ≤ n_docs`, the standard lexical-search stop list)
+    * bounds every posting list at n/10 and drops the terms that would
+    * otherwise make the join quadratic. Partial aggregation (map-side
+    * combine on the (a,b) pair key) pre-sums dot contributions before
+    * the shuffle; the top-3 window partitions by doc_id (never
+    * global). */
+  val qTextCosineKnn: Q = Q(
+    "q_text_cosine_knn",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
+      val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("nd"))
+        .select(col("doc_id"), col("term"),
+          expr("(tf * nd) div df").as("w"))
+      val norms = kept.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("nrm"))
+      val dots = kept.as("a")
+        .join(kept.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      val cos = dots
+        .join(norms.select(col("doc_id").as("ida"), col("nrm").as("na")), "ida")
+        .join(norms.select(col("doc_id").as("idb"), col("nrm").as("nb")), "idb")
+        .select(col("ida").as("doc_id"), col("idb").as("neighbor"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cos"))
+      val w3 = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cos").desc, col("neighbor"))
+      cos.withColumn("rnk", row_number().over(w3))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("neighbor"), col("cos"))
+        .orderBy(col("doc_id"), col("rnk"))
+        .limit(300)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      s AS (SELECT count(*) AS nd FROM documents),
+      kept AS (
+        SELECT t.doc_id, t.term, (t.tf * s.nd) // d.df AS w
+        FROM tf t JOIN dft d USING (term) CROSS JOIN s
+        WHERE d.df * 10 <= s.nd),
+      norms AS (SELECT doc_id, sum(w * w) AS nrm FROM kept GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, sum(a.w * b.w) AS dot
+        FROM kept a JOIN kept b
+          ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT ida AS doc_id, idb AS neighbor,
+               round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))),
+                 6) AS cos
+        FROM dots
+        JOIN norms na ON na.doc_id = ida
+        JOIN norms nb ON nb.doc_id = idb),
+      r AS (
+        SELECT doc_id, neighbor, cos,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cos DESC, neighbor) AS rnk
+        FROM cos)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, neighbor, cos
+      FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk LIMIT 300
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEmbedMmr, qEmbedSilhouette,
-    qEmbedOodScore)
+    qEmbedOodScore, qTextCosineKnn)
 }
