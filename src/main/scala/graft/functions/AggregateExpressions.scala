@@ -1,0 +1,198 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native bounded top-k aggregate: keeps the k best (score DESC, item
+  * ASC on ties) `(BIGINT score, STRING item)` pairs per group and
+  * returns them best-first as `array<struct<score,item>>`.
+  *
+  * This is the scale-shape answer to "top-k per key": the usual
+  * `row_number() OVER (PARTITION BY key ORDER BY score)` formulation
+  * shuffles EVERY input row to its key's reducer and sorts there —
+  * at 100 TB that is a full-data exchange to discard all but k rows
+  * per key. A TypedImperativeAggregate participates in partial
+  * aggregation: each map task reduces its slice to ≤k entries per
+  * key before the exchange, so shuffle volume is k·keys·tasks worst
+  * case, independent of input row count. Exact integer scores keep
+  * the result engine-reproducible; ties break on the item string so
+  * the output is deterministic under any partitioning.
+  *
+  * Buffer is a worst-first binary heap of bounded size k; update is
+  * O(log k) only when the candidate beats the current worst, O(1)
+  * otherwise (the common case once the heap saturates). */
+case class TopKLongAgg(
+    score: Expression,
+    item: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKLongAgg.Buffer] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(score, item)
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKLongAgg.resultType
+  override def prettyName: String = "topk_long"
+
+  override def createAggregationBuffer(): TopKLongAgg.Buffer =
+    new TopKLongAgg.Buffer(k)
+
+  override def update(
+      buf: TopKLongAgg.Buffer, input: InternalRow): TopKLongAgg.Buffer = {
+    val s = score.eval(input)
+    val it = item.eval(input)
+    if (s != null && it != null) {
+      buf.offer(s.asInstanceOf[Long], it.asInstanceOf[UTF8String])
+    }
+    buf
+  }
+
+  override def merge(
+      buf: TopKLongAgg.Buffer,
+      other: TopKLongAgg.Buffer): TopKLongAgg.Buffer = {
+    other.foreach((s, it) => buf.offer(s, it))
+    buf
+  }
+
+  override def eval(buf: TopKLongAgg.Buffer): Any = buf.toSortedArrayData
+
+  override def serialize(buf: TopKLongAgg.Buffer): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKLongAgg.Buffer =
+    TopKLongAgg.Buffer.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(off: Int): TopKLongAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): TopKLongAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLongAgg =
+    copy(score = newChildren(0), item = newChildren(1))
+}
+
+object TopKLongAgg {
+
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", LongType, nullable = false),
+      StructField("item", StringType, nullable = false))),
+    containsNull = false)
+
+  def apply(score: Column, item: Column, k: Int): Column =
+    ColumnShim.column(
+      TopKLongAgg(
+        ColumnShim.expression(score), ColumnShim.expression(item), k)
+        .toAggregateExpression())
+
+  /** Bounded worst-first binary heap. Entry a is WORSE than b when
+    * a.score < b.score, or scores tie and a.item sorts after b.item
+    * (ties prefer the smaller item). Heap root = current worst, so
+    * saturation rejects non-improving candidates with one compare. */
+  final class Buffer(k: Int) {
+    private val scores = new Array[Long](k)
+    private val items = new Array[UTF8String](k)
+    private var n = 0
+
+    private def worse(s1: Long, i1: UTF8String, s2: Long, i2: UTF8String): Boolean =
+      s1 < s2 || (s1 == s2 && i1.compareTo(i2) > 0)
+
+    private def siftUp(pos0: Int): Unit = {
+      var pos = pos0
+      while (pos > 0) {
+        val parent = (pos - 1) / 2
+        if (worse(scores(pos), items(pos), scores(parent), items(parent))) {
+          swap(pos, parent); pos = parent
+        } else return
+      }
+    }
+
+    private def siftDown(pos0: Int): Unit = {
+      var pos = pos0
+      while (true) {
+        val l = 2 * pos + 1
+        val r = l + 1
+        var m = pos
+        if (l < n && worse(scores(l), items(l), scores(m), items(m))) m = l
+        if (r < n && worse(scores(r), items(r), scores(m), items(m))) m = r
+        if (m == pos) return
+        swap(pos, m); pos = m
+      }
+    }
+
+    private def swap(i: Int, j: Int): Unit = {
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+      val ti = items(i); items(i) = items(j); items(j) = ti
+    }
+
+    def offer(s: Long, item: UTF8String): Unit =
+      if (n < k) {
+        scores(n) = s
+        items(n) = item.clone() // input row memory is reused by the scan
+        n += 1
+        siftUp(n - 1)
+      } else if (worse(scores(0), items(0), s, item)) {
+        scores(0) = s
+        items(0) = item.clone()
+        siftDown(0)
+      }
+
+    def foreach(f: (Long, UTF8String) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(scores(i), items(i)); i += 1 }
+    }
+
+    def toSortedArrayData: GenericArrayData = {
+      val idx = (0 until n).sortWith { (a, b) =>
+        scores(a) > scores(b) ||
+          (scores(a) == scores(b) && items(a).compareTo(items(b)) < 0)
+      }
+      new GenericArrayData(idx.map { i =>
+        InternalRow(scores(i), items(i))
+      }.toArray[Any])
+    }
+
+    def toBytes: Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(n)
+      var i = 0
+      while (i < n) {
+        out.writeLong(scores(i))
+        val b = items(i).getBytes
+        out.writeInt(b.length)
+        out.write(b)
+        i += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+  }
+
+  object Buffer {
+    def fromBytes(k: Int, bytes: Array[Byte]): Buffer = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val buf = new Buffer(k)
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val s = in.readLong()
+        val len = in.readInt()
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        buf.offer(s, UTF8String.fromBytes(b))
+        i += 1
+      }
+      buf
+    }
+  }
+}

@@ -79,7 +79,15 @@ object DamerauLevenshtein {
       d((i + 1) * w + 1) = i // d[i+1][1]
       i += 1
     }
-    val da = new java.util.HashMap[Character, Integer]()
+    // last-occurrence table: flat array for Latin-1 code units (all
+    // data here), spillover map for anything higher — no boxed
+    // HashMap on the hot path
+    val daLow = new Array[Int](256)
+    var daHigh: java.util.HashMap[Character, Integer] = null
+    def lastOcc(c: Char): Int =
+      if (c < 256) daLow(c)
+      else if (daHigh == null) 0
+      else { val v = daHigh.get(c); if (v == null) 0 else v.intValue() }
     i = 1
     while (i <= n) {
       var db = 0
@@ -87,8 +95,7 @@ object DamerauLevenshtein {
       j = 1
       while (j <= m) {
         val bj = b.charAt(j - 1)
-        val kBox = da.get(bj)
-        val k = if (kBox == null) 0 else kBox.intValue()
+        val k = lastOcc(bj)
         val l = db
         val cost = if (ai == bj) { db = j; 0 } else 1
         val sub = d(i * w + j) + cost
@@ -102,7 +109,11 @@ object DamerauLevenshtein {
         d((i + 1) * w + j + 1) = best
         j += 1
       }
-      da.put(ai, i)
+      if (ai < 256) daLow(ai) = i
+      else {
+        if (daHigh == null) daHigh = new java.util.HashMap[Character, Integer]()
+        daHigh.put(ai, i)
+      }
       i += 1
     }
     d((n + 1) * w + m + 1)

@@ -123,6 +123,48 @@ object AnalyticsQueries {
       WHERE rn <= 3 ORDER BY o_custkey, rn
     """.trim))
 
+  /** Top-3 orders per customer again — but via the native bounded
+    * top-k AGGREGATE ([[graft.functions.TopKLongAgg]]) instead of a
+    * ranking window. Same semantics as `q_window_topn` (modulo exact
+    * cent scoring), different physical shape: the window formulation
+    * shuffles every order row to its customer's reducer and sorts
+    * there; the aggregate reduces each map task's slice to ≤3 entries
+    * per customer BEFORE the exchange (partial aggregation), so
+    * shuffle volume no longer scales with input rows — the difference
+    * between a full-data exchange and a k·keys one at 100 TB. Ties
+    * break on a zero-padded order key so string order = numeric order
+    * and the result is deterministic under any partitioning. */
+  val qTopkAgg: Q = Q(
+    "q_topk_agg",
+    (spark, dir) => {
+      val scored = Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("score"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("item"))
+      scored.groupBy(col("o_custkey"))
+        .agg(graft.functions.TopKLongAgg(col("score"), col("item"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.score").as("price_cents"),
+          col("col.item").cast("long").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS score,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS item
+        FROM orders),
+      r AS (
+        SELECT o_custkey, score, item,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY score DESC, item) AS rnk
+        FROM s)
+      SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk,
+             score AS price_cents, CAST(item AS BIGINT) AS o_orderkey
+      FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """.trim))
+
   /** Running-sum window: cumulative quantity per supplier in
     * (shipdate, orderkey, linenumber) order — exact decimal running
     * totals. */
@@ -1902,7 +1944,7 @@ object AnalyticsQueries {
   def all: Seq[Q] = Seq(
     qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
-    qAggHaving, qWindowTopn, qWindowRunning, qAggRollup, qAggCube, qGroupingSets, qWindowTime,
+    qAggHaving, qWindowTopn, qTopkAgg, qWindowRunning, qAggRollup, qAggCube, qGroupingSets, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
     qJoinSalted, qFunnel, qSkewProfile, qCompletenessAudit,

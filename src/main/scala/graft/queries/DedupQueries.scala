@@ -1013,9 +1013,15 @@ object DedupQueries {
           col("a.head").as("ha"), col("b.head").as("hb"))
         .distinct()
       cand
+        // lossless prefilter: one transposition costs ≤2 plain edits,
+        // so dl ≤ 3 ⟹ lev ≤ 6 — the banded thresholded levenshtein
+        // (O(len·k), bails past 6) rejects the bulk of candidates
+        // before any full O(len²) DL table is built; survivors have
+        // lev ≤ 6, so the thresholded value IS the exact distance
+        .withColumn("lev", expr("levenshtein(ha, hb, 6)").cast("long"))
+        .filter(col("lev") >= 0)
         .withColumn("dl",
           graft.functions.DamerauLevenshtein(col("ha"), col("hb")).cast("long"))
-        .withColumn("lev", levenshtein(col("ha"), col("hb")).cast("long"))
         .filter(col("dl") <= 3)
         .select(col("id_a"), col("id_b"), col("dl"), col("lev"),
           (col("dl") < col("lev")).as("transposed"))

@@ -755,6 +755,93 @@ object SimilarityQueries {
       FROM fh GROUP BY qlabel ORDER BY label
     """.trim))
 
+  /** nDCG@10 per label over the same query/corpus split as
+    * `q_eval_mrr` — the graded companion to first-hit MRR (DCG credits
+    * every relevant doc in the top 10 at 1/log2(rank+1), normalized by
+    * the best achievable ordering). Every log term is floored to
+    * integer nanos BEFORE summation, so DCG/IDCG are order-free exact
+    * integers and the final ratio is one integer division — the same
+    * exact-commutative-sum discipline as the entropy/JSD family (a
+    * plain double DCG sum would be partition-order-sensitive).
+    *
+    * Scale: rides the identical broadcast-queries × corpus scoring
+    * pass as MRR (queries are the bounded broadcast side); the rank
+    * window partitions by qid, never globally. */
+  val qEvalNdcg: Q = Q(
+    "q_eval_ndcg",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = broadcast(emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qvec")))
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val scored = corpus.crossJoin(queries)
+        .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+          Similarity.cosine(col("embedding"), col("qvec")).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      val dcg = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .groupBy(col("qid"), col("qlabel"))
+        .agg(sum(when(col("label") === col("qlabel"),
+          floor(lit(1e9) / log2(col("rnk") + 1)).cast("long"))
+          .otherwise(lit(0L))).as("dcg_nanos"))
+      // ideal DCG: all of the query's top-10 slots filled by relevant
+      // docs, capped by how many relevant docs the corpus holds
+      val nRel = corpus.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("n_rel"))
+      val idealTable = spark.range(1, 11)
+        .select(col("id").as("i"),
+          floor(lit(1e9) / log2(col("id") + 1)).cast("long").as("gain"))
+      val ideal = nRel.crossJoin(broadcast(idealTable))
+        .filter(col("i") <= least(col("n_rel"), lit(10L)))
+        .groupBy(col("qlabel"))
+        .agg(sum(col("gain")).as("idcg_nanos"))
+      dcg.join(ideal, "qlabel")
+        .select(col("qlabel"), col("qid"),
+          expr("dcg_nanos * 1000000L DIV idcg_nanos").as("ndcg_micros"))
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          expr("sum(ndcg_micros) DIV count(1)").as("avg_ndcg_micros"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding AS a
+        FROM embeddings WHERE vec_id < 32),
+      scored AS (
+        SELECT qid, qlabel, e.vec_id, e.label,
+               ${cosSql.replace("b[", "e.embedding[").replace("len(b)", "len(e.embedding)")} AS cos
+        FROM embeddings e, q WHERE e.vec_id >= 32),
+      ranked AS (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored),
+      dcg AS (
+        SELECT qid, qlabel,
+               sum(CASE WHEN label = qlabel
+                 THEN CAST(floor(1e9 / log2(rnk + 1)) AS BIGINT)
+                 ELSE 0 END) AS dcg_nanos
+        FROM ranked WHERE rnk <= 10 GROUP BY qid, qlabel),
+      nrel AS (
+        SELECT label AS qlabel, count(*) AS n_rel
+        FROM embeddings WHERE vec_id >= 32 GROUP BY label),
+      ideal AS (
+        SELECT n.qlabel,
+               sum(CAST(floor(1e9 / log2(g.i + 1)) AS BIGINT)) AS idcg_nanos
+        FROM nrel n JOIN generate_series(1, 10) AS g(i)
+          ON g.i <= least(n.n_rel, 10)
+        GROUP BY n.qlabel),
+      per_q AS (
+        SELECT d.qlabel, d.qid,
+               (d.dcg_nanos * 1000000) // i.idcg_nanos AS ndcg_micros
+        FROM dcg d JOIN ideal i USING (qlabel))
+      SELECT qlabel AS label, count(*) AS n_queries,
+             CAST(sum(ndcg_micros) // count(*) AS BIGINT) AS avg_ndcg_micros
+      FROM per_q GROUP BY qlabel ORDER BY label
+    """.trim))
+
   /** Maximal marginal relevance (MMR) — the diversity-aware top-k
     * selection RAG retrieval stacks run after ANN: greedily pick the
     * candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
@@ -1025,6 +1112,6 @@ object SimilarityQueries {
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
-    qEmbedRecallCurve, qEvalMrr, qEmbedMmr, qEmbedSilhouette,
+    qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn)
 }
