@@ -60,9 +60,23 @@ object Similarity {
     val scored = corpus.crossJoin(queries)
       .select(col("qid"), col("vec_id"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // top-k per query via the bounded aggregate (map-side k-heaps):
+    // the row_number window shuffles and sorts the whole corpus×queries
+    // score table; this exchanges ≤k rows per (query, map task). The
+    // 6-dp-rounded cosine is exactly representable in integer micros,
+    // so ranking on the quantized score and reconstructing cos = s/1e6
+    // is lossless (both are the nearest double to the same decimal);
+    // zero-padded vec_id makes string order = numeric tie order.
+    scored
+      .select(col("qid"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("score"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("item"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item").cast("long").as("vec_id"),
+        round(col("col.score").cast("double") / 1e6, 6).as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("qid"), col("rank"))
   }
 

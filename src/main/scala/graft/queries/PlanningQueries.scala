@@ -364,6 +364,69 @@ object PlanningQueries {
       FROM d ORDER BY source
     """.trim))
 
-  val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qQualityCalibration,
-    qRangeJoinBanded, qShardPlan, qCurriculum, qEpochPlan)
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * training schedule p_i ∝ n_i^α that upsamples small sources as the
+    * temperature α drops below 1. Alphas are restricted to quarter
+    * powers {0.25, 0.5, 0.75, 1} COMPUTED AS SQRT COMPOSITIONS
+    * (sqrt is correctly rounded by IEEE 754, generic pow is not), so
+    * the per-source scalar is bit-identical across engines; each mass
+    * is floored to integer micro-units before the per-alpha sum, making
+    * the normalization one exact integer division. Scale: the corpus
+    * reduces to one source-sized aggregate; everything after is
+    * broadcast-sized. */
+  val qMixtureTemperature: Q = Q(
+    "q_mixture_temperature",
+    (spark, dir) => {
+      val mass = Tables.documents(spark, dir)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).as("n_tokens"))
+      val n = col("n_tokens").cast("double")
+      val byAlpha = mass
+        .select(col("source"), col("n_tokens"),
+          explode(array(lit(25L), lit(50L), lit(75L), lit(100L))).as("alpha_pct"))
+        .withColumn("m",
+          when(col("alpha_pct") === 25, sqrt(sqrt(n)))
+            .when(col("alpha_pct") === 50, sqrt(n))
+            .when(col("alpha_pct") === 75, sqrt(n) * sqrt(sqrt(n)))
+            .otherwise(n))
+        .withColumn("q", floor(col("m") * 1e6).cast("long"))
+      val totals = byAlpha.groupBy(col("alpha_pct"))
+        .agg(sum(col("q")).as("tq"))
+      byAlpha.join(broadcast(totals), "alpha_pct")
+        .select(col("alpha_pct"), col("source"), col("n_tokens"),
+          expr("q * 1000000L DIV tq").as("p_micros"))
+        .orderBy(col("alpha_pct"), col("source"))
+    },
+    Some("""
+      WITH mass AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source),
+      ba AS (
+        SELECT source, n_tokens, alpha_pct,
+               CASE alpha_pct
+                 WHEN 25 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                 WHEN 50 THEN sqrt(CAST(n_tokens AS DOUBLE))
+                 WHEN 75 THEN sqrt(CAST(n_tokens AS DOUBLE))
+                              * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                 ELSE CAST(n_tokens AS DOUBLE)
+               END AS m
+        FROM mass,
+             (SELECT unnest([25, 50, 75, 100]) AS alpha_pct)),
+      q AS (
+        SELECT source, n_tokens, CAST(alpha_pct AS BIGINT) AS alpha_pct,
+               CAST(floor(m * 1e6) AS BIGINT) AS q
+        FROM ba),
+      t AS (SELECT alpha_pct, sum(q) AS tq FROM q GROUP BY alpha_pct)
+      SELECT q.alpha_pct, source, n_tokens,
+             CAST((q.q * 1000000) // t.tq AS BIGINT) AS p_micros
+      FROM q JOIN t USING (alpha_pct)
+      ORDER BY alpha_pct, source
+    """.trim))
+
+  val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qMixtureTemperature,
+    qQualityCalibration, qRangeJoinBanded, qShardPlan, qCurriculum, qEpochPlan)
 }

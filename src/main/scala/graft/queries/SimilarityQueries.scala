@@ -1045,10 +1045,14 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
+      // the posting index feeds three consumers (norms + both sides of
+      // the pair join): persist it so the tokenize/tf/df pipeline runs
+      // once, not three times (at scale: one corpus scan, not three)
       val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
         .filter(col("df") * 10 <= col("nd"))
         .select(col("doc_id"), col("term"),
           expr("(tf * nd) div df").as("w"))
+        .persist()
       val norms = kept.groupBy(col("doc_id"))
         .agg(sum(col("w") * col("w")).as("nrm"))
       val dots = kept.as("a")
