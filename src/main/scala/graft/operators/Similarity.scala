@@ -40,6 +40,44 @@ object Similarity {
   private def pairCos(a: Column, b: Column, na: Column, nb: Column): Column =
     round(dot(a, b) / (na * nb), 6)
 
+  /** Bounded top-k per query over a `(qid, vec_id, <valName>)` score
+    * table via [[graft.functions.TopKLongAgg]] — the shared shape for
+    * every ANN result cut. The row_number-window formulation shuffles
+    * and sorts the whole score table; the aggregate reduces each map
+    * task to a k-entry heap per query first, so the exchange carries
+    * ≤ k·queries·tasks rows at any corpus width. `valName` must be a
+    * 6-dp-rounded cosine: micro-quantization is lossless in both
+    * directions (score/1e6 is the nearest double to the same decimal),
+    * and the zero-padded vec_id makes string tie order = numeric. */
+  private def topKByRoundedCos(scored: DataFrame, k: Int, valName: String,
+      rankName: String): DataFrame =
+    scored
+      .select(col("qid"),
+        floor(col(valName) * 1e6 + 0.5).cast("long").as("score"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("item"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item").cast("long").as("vec_id"),
+        round(col("col.score").cast("double") / 1e6, 6).as(valName),
+        (col("pos") + 1).cast("int").as(rankName))
+      .orderBy(col("qid"), col(rankName))
+
+  /** Bottom-k twin for exact-integer distances (PQ asymmetric
+    * distance): negate into the max-heap aggregate, negate back out. */
+  private def bottomKByLong(scored: DataFrame, k: Int, valName: String,
+      rankName: String): DataFrame =
+    scored
+      .select(col("qid"), (-col(valName)).cast("long").as("score"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("item"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.item").cast("long").as("vec_id"),
+        (-col("col.score")).as(valName),
+        (col("pos") + 1).cast("int").as(rankName))
+      .orderBy(col("qid"), col(rankName))
+
   /** Decouple CPU parallelism from input file splits (the embeddings
     * table is one small file = one partition, but the pair loops it
     * feeds are the most compute-intense stages in the engine) — see
@@ -60,24 +98,7 @@ object Similarity {
     val scored = corpus.crossJoin(queries)
       .select(col("qid"), col("vec_id"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-    // top-k per query via the bounded aggregate (map-side k-heaps):
-    // the row_number window shuffles and sorts the whole corpus×queries
-    // score table; this exchanges ≤k rows per (query, map task). The
-    // 6-dp-rounded cosine is exactly representable in integer micros,
-    // so ranking on the quantized score and reconstructing cos = s/1e6
-    // is lossless (both are the nearest double to the same decimal);
-    // zero-padded vec_id makes string order = numeric tie order.
-    scored
-      .select(col("qid"),
-        floor(col("cos") * 1e6 + 0.5).cast("long").as("score"),
-        lpad(col("vec_id").cast("string"), 12, "0").as("item"))
-      .groupBy(col("qid"))
-      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), k).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col.item").cast("long").as("vec_id"),
-        round(col("col.score").cast("double") / 1e6, 6).as("cos"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("qid"), col("rank"))
+    topKByRoundedCos(scored, k, "cos", "rank")
   }
 
   /** Corpus prepared for IVF work: spread across the cluster with the
@@ -153,10 +174,7 @@ object Similarity {
     val scored = candidates.join(broadcast(probed), "cell")
       .select(col("qid"), col("vec_id"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .orderBy(col("qid"), col("rnk"))
+    topKByRoundedCos(scored, k, "cos", "rnk")
   }
 
   /** Lloyd (k-means) centroid refinement, engine-portably deterministic:
@@ -279,10 +297,7 @@ object Similarity {
     val scored = candidates.join(broadcast(probed), "cell")
       .select(col("qid"), col("vec_id"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .orderBy(col("qid"), col("rnk"))
+    topKByRoundedCos(scored, k, "cos", "rnk")
   }
 
   /** Label-blocked near-duplicate pairs: only same-label pairs are
@@ -444,10 +459,7 @@ object Similarity {
     val scored = corpus.crossJoin(queries)
       .select(col("qid"), col("vec_id"),
         round(intDot(col("qq"), col("q")) / (col("qn") * col("qnrm")), 6).as("qcos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("qid"), col("rank"))
+    topKByRoundedCos(scored, k, "qcos", "rank")
   }
 
   // ---------------------------------------------------------------
@@ -569,11 +581,7 @@ object Similarity {
         enc("sub") === lut("sub") && enc("code") === lut("cidx"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d_int")).as("adc"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"), col("adc"), col("rnk").cast("int").as("rnk"))
-      .orderBy(col("qid"), col("rnk"))
+    bottomKByLong(scored, k, "adc", "rnk")
   }
 
   /** Recall@k of int8-quantized search vs the exact float baseline,
@@ -638,11 +646,22 @@ object Similarity {
       .filter(col("label") =!= col("qlabel"))
       .select(col("qid"), col("vec_id"), col("label"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("vec_id"), col("label"), col("cos"),
-        col("rnk").cast("int").as("rnk"))
+    // same bounded-aggregate cut as topKByRoundedCos, with the label
+    // packed into the fixed-width tiebreak item (vec_id is unique per
+    // qid, so the label suffix never influences the order)
+    scored
+      .select(col("qid"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("score"),
+        concat(lpad(col("vec_id").cast("string"), 12, "0"),
+          lpad(col("label").cast("string"), 6, "0")).as("item"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"),
+        substring(col("col.item"), 1, 12).cast("long").as("vec_id"),
+        substring(col("col.item"), 13, 6).cast("int").as("label"),
+        round(col("col.score").cast("double") / 1e6, 6).as("cos"),
+        (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -665,12 +684,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("nrm").as("qnrm")))
     val corpus = all.filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    val exact = corpus.crossJoin(queries)
-      .select(col("qid"), col("vec_id"),
-        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
-      .withColumn("rex", row_number().over(wq))
-      .filter(col("rex") <= maxK)
+    val exact = topKByRoundedCos(
+      corpus.crossJoin(queries)
+        .select(col("qid"), col("vec_id"),
+          pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
+            .as("cos")),
+      maxK, "cos", "rex")
       .select(col("qid"), col("vec_id"), col("rex"))
     val approx = ivfSearch(embeddings, numCentroids, qMinId, qMaxId, maxK)
       .select(col("qid"), col("vec_id"), col("rnk").as("rap"))

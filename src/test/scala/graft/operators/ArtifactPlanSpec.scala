@@ -36,9 +36,12 @@ class ArtifactPlanSpec extends AnyFunSuite {
     IvfArtifact.inverted(spark, dir, 8, 2).count() // ensure built
     val plan = planOf("q_embed_ivf_multiprobe")
     assert(plan.contains("ivf_"), "must scan the IVF artifact")
-    // Lloyd refinement materializes centroid means via posexplode —
-    // a consumer plan containing it would mean the build ran inline
-    assert(!plan.toLowerCase.contains("posexplode"), "index rebuilt inline")
+    // Lloyd refinement assembles centroid means via a
+    // collect_list/array_sort aggregate over exploded components — a
+    // consumer plan containing it would mean the build ran inline
+    // (posexplode alone is no longer a rebuild tell: the bounded
+    // top-k cut legitimately posexplodes its result array)
+    assert(!plan.toLowerCase.contains("collect_list"), "index rebuilt inline")
   }
 
   test("q_embed_ood_score broadcasts the centroid artifact; corpus never shuffles") {
@@ -50,7 +53,7 @@ class ArtifactPlanSpec extends AnyFunSuite {
     assert(plan.contains("ivf_"), "must scan the IVF artifact")
     assert(plan.toLowerCase.contains("broadcast"),
       "centroid side must broadcast")
-    assert(!plan.toLowerCase.contains("posexplode"), "index rebuilt inline")
+    assert(!plan.toLowerCase.contains("collect_list"), "index rebuilt inline")
   }
 
   test("q_dedup_keep joins the label artifact, not a CC re-run") {
