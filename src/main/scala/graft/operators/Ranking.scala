@@ -56,11 +56,26 @@ object Ranking {
       .withColumn("score",
         round((col("tf") * col("n_docs")).cast("double") /
           col("df").cast("double"), 6))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+    // bounded top-k aggregate instead of a per-doc ranking window: map
+    // tasks keep k-entry heaps per doc, so the exchange carries ≤k rows
+    // per (doc, task) instead of the full scored term table. The 6-dp
+    // score quantizes to integer micros losslessly; tf/df ride in the
+    // tiebreak item behind a '\t' separator (below any token character,
+    // so packed order = bare-term order even for prefix-sharing terms).
+    scored
+      .select(col("doc_id"),
+        floor(col("score") * 1e6 + 0.5).cast("long").as("s"),
+        concat_ws("\t", col("term"), col("tf"), col("df")).as("item"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKLongAgg(col("s"), col("item"), k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"),
+        split(col("col.item"), "\t").as("parts"),
+        round(col("col.score").cast("double") / 1e6, 6).as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .select(col("doc_id"), col("parts").getItem(0).as("term"),
+        col("parts").getItem(1).cast("long").as("tf"),
+        col("parts").getItem(2).cast("long").as("df"),
         col("score"), col("rnk"))
       .orderBy(col("doc_id"), col("rnk"))
   }

@@ -1053,10 +1053,97 @@ object DedupQueries {
       ORDER BY id_a, id_b LIMIT 200
     """.trim))
 
+  /** Split-leakage audit: val/test documents that share a near-dup
+    * family with a train document — the train/eval contamination a
+    * random split inflicts whenever near-duplicates exist (the eval
+    * metric silently becomes a memorization test). Composes two
+    * existing deterministic pieces: the hash-stable split assignment
+    * (`q_split_assign`) and the cluster-label ARTIFACT
+    * (`q_dedup_clusters`) — membership grouping is all that matters,
+    * and both engines derive identical components. Scale: one label
+    * join + one semi join on cluster id + two source-sized aggregates;
+    * the cluster table is dup-families only (≪ corpus). */
+  val qSplitLeakage: Q = Q(
+    "q_split_leakage",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{coalesce, count, expr, lit}
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          graft.operators.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 9800, "val" -> 9900, "test" -> 10000)).as("split"))
+      val labels = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
+        .select(col("doc_id"), col("cluster"))
+      val lab = docs.join(labels, "doc_id")
+      val trainClusters = lab.filter(col("split") === "train")
+        .select(col("cluster")).distinct()
+      val leaked = lab.filter(col("split") =!= "train")
+        .join(trainClusters, Seq("cluster"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_leak"))
+      docs.filter(col("split") =!= "train")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_eval"))
+        .join(leaked, Seq("source"), "left")
+        .select(col("source"), col("n_eval"),
+          coalesce(col("n_leak"), lit(0L)).as("n_leaked"),
+          expr("coalesce(n_leak, 0L) * 1000000L DIV n_eval")
+            .as("leak_micros"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      lab AS (SELECT node AS doc_id, min(lbl) AS cluster
+              FROM walk GROUP BY node),
+      split AS (
+        SELECT doc_id, source,
+               CASE WHEN ${AnalyticsQueries.bpSql("doc_id")} < 9800 THEN 'train'
+                    WHEN ${AnalyticsQueries.bpSql("doc_id")} < 9900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents),
+      tc AS (
+        SELECT DISTINCT l.cluster
+        FROM lab l JOIN split s ON l.doc_id = s.doc_id
+        WHERE s.split = 'train'),
+      leaked AS (
+        SELECT s.source, count(*) AS n_leak
+        FROM split s
+        JOIN lab l ON s.doc_id = l.doc_id
+        JOIN tc ON l.cluster = tc.cluster
+        WHERE s.split <> 'train' GROUP BY s.source),
+      ev AS (
+        SELECT source, count(*) AS n_eval FROM split
+        WHERE split <> 'train' GROUP BY source)
+      SELECT ev.source, ev.n_eval,
+             CAST(coalesce(leaked.n_leak, 0) AS BIGINT) AS n_leaked,
+             CAST((coalesce(leaked.n_leak, 0) * 1000000) // ev.n_eval AS BIGINT)
+               AS leak_micros
+      FROM ev LEFT JOIN leaked ON ev.source = leaked.source
+      ORDER BY ev.source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist, qDedupDamerau, qDedupQualityProfile)
+    qDedupEditdist, qDedupDamerau, qDedupQualityProfile, qSplitLeakage)
 }
