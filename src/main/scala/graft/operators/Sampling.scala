@@ -61,19 +61,32 @@ object Sampling {
     * uniform and independent of storage order, so the k rows are an
     * unbiased fixed-seed draw, identical on every run and engine.
     *
-    * Scale shape: one shuffle on the group key plus a per-group sort
-    * (external, spill-safe). The rank never leaves its group, so skew
-    * in group sizes costs sort time, not correctness; for tiny k over
-    * huge groups a two-phase partial top-k would bound the sort — at
-    * training-corpus stratum counts the window form is the simpler
-    * plan and AQE splits oversized partitions. */
+    * Scale shape (round 5): the draw is the k smallest (md5, key)
+    * items per group through the bounded top-k aggregate
+    * ([[graft.functions.TopKLongAgg]] with a constant score — ties
+    * resolve item-ascending, i.e. md5 order), and the selected keys
+    * broadcast-join back to restore the payload. The input is scanned
+    * twice but NEVER shuffles (the earlier window formulation
+    * shuffled and sorted every group); the selection table is
+    * k·groups rows, broadcastable at any corpus width. Null keys are
+    * never drawn (md5(null) is null — same exclusion either way for
+    * the non-null keys this samples). */
   def fixedKPerGroup(df: DataFrame, key: Column, group: Column,
                      k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group)
-      .orderBy(md5(key.cast("string")), key.cast("string"))
-    df.withColumn("sample_rank", row_number().over(w))
-      .filter(col("sample_rank") <= k)
+    // md5 hex is fixed 32 chars, so item order = (md5, key) order;
+    // the NUL separator sits below every key character
+    val sel = df
+      .select(group.as("_g"),
+        concat(md5(key.cast("string")), lit("\u0000"),
+          key.cast("string")).as("_item"))
+      .groupBy(col("_g"))
+      .agg(graft.functions.TopKLongAgg(lit(0L), col("_item"), k).as("_top"))
+      .select(col("_g"), posexplode(col("_top")))
+      .select(col("_g"), expr("substring(col.item, 34)").as("_key"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(broadcast(sel),
+        group === col("_g") && key.cast("string") === col("_key"))
+      .drop("_g", "_key")
   }
 
   /** Deterministic train/val/test (or arbitrary) split assignment:
