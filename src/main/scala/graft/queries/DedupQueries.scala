@@ -1140,10 +1140,119 @@ object DedupQueries {
       ORDER BY ev.source
     """.trim))
 
+  /** Exact Mann-Whitney AUC per source of the quality score as a
+    * near-dup discriminator: does low quality predict membership in a
+    * dedup cluster? The rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻) needs only a per-source rank of the 6dp-rounded score —
+    * ties get their average rank, carried as the INTEGER 2·avg =
+    * 2·min_rank + tie_count − 1, so every sum is exact BIGINT
+    * arithmetic and the micro-unit division floors identically in both
+    * engines. AUC < 0.5 means duplicated docs score LOWER quality than
+    * unique ones (the curation assumption); ≈0.5 means the score is
+    * blind to duplication. Sources with an empty class drop out
+    * (AUC undefined).
+    *
+    * Scale: one broadcastable label join (the cluster artifact is
+    * dup-members only), then windows partitioned BY SOURCE — no global
+    * sort; the rank stage parallelizes across sources exactly like the
+    * shard-plan ranking. The rank-sum R⁺ grows O(n²) per source, so
+    * the micro-unit product stays inside BIGINT up to ~2M docs per
+    * source; past that, run the audit on the deterministic hash sample
+    * ([[graft.operators.Sampling.hashSample]]) — AUC is a probability,
+    * unbiased under uniform subsampling of both classes. */
+  val qEvalAuc: Q = Q(
+    "q_eval_auc",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val labels = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
+        .select(col("doc_id"), col("cluster"))
+      val scored = Tables.documents(spark, dir)
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("source"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("q"),
+          col("cluster").isNotNull.cast("long").as("pos"))
+      val ranked = scored
+        .withColumn("r",
+          rank().over(Window.partitionBy(col("source")).orderBy(col("q")))
+            .cast("long"))
+        .withColumn("two_avg",
+          lit(2L) * col("r")
+            + count(lit(1)).over(Window.partitionBy(col("source"), col("q")))
+            - lit(1L))
+      ranked.groupBy(col("source"))
+        .agg(sum(col("pos")).as("n_dup"),
+          (count(lit(1)) - sum(col("pos"))).as("n_uniq"),
+          sum(col("two_avg") * col("pos")).as("r2"))
+        .filter(col("n_dup") > 0 && col("n_uniq") > 0)
+        .select(col("source"), col("n_dup"), col("n_uniq"),
+          expr("(r2 - n_dup * (n_dup + 1)) * 1000000 DIV (2 * n_dup * n_uniq)")
+            .as("auc_micros"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      lab AS (SELECT node AS doc_id, min(lbl) AS cluster
+              FROM walk GROUP BY node),
+      scored AS (
+        SELECT d.source,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+                     (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS q,
+               CASE WHEN lab.doc_id IS NULL THEN 0 ELSE 1 END AS pos
+        FROM (
+          SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT doc_id, source,
+                       string_split_regex(text, '\\s+') AS toks
+                FROM documents)) d
+        LEFT JOIN lab ON d.doc_id = lab.doc_id),
+      ranked AS (
+        SELECT source, pos,
+               2 * rank() OVER (PARTITION BY source ORDER BY q)
+                 + count(*) OVER (PARTITION BY source, q) - 1 AS two_avg
+        FROM scored),
+      agg AS (
+        SELECT source,
+               CAST(sum(pos) AS BIGINT) AS n_dup,
+               CAST(count(*) - sum(pos) AS BIGINT) AS n_uniq,
+               CAST(sum(two_avg * pos) AS BIGINT) AS r2
+        FROM ranked GROUP BY source)
+      SELECT source, n_dup, n_uniq,
+             CAST((r2 - n_dup * (n_dup + 1)) * 1000000
+                  // (2 * n_dup * n_uniq) AS BIGINT) AS auc_micros
+      FROM agg WHERE n_dup > 0 AND n_uniq > 0
+      ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist, qDedupDamerau, qDedupQualityProfile, qSplitLeakage)
+    qDedupEditdist, qDedupDamerau, qDedupQualityProfile, qSplitLeakage,
+    qEvalAuc)
 }

@@ -427,6 +427,109 @@ object PlanningQueries {
       ORDER BY alpha_pct, source
     """.trim))
 
+  /** Shard ORDERING audit — the check a training run needs AFTER the
+    * token-balanced shard plan: when each shard is emitted in the
+    * writer's hash-shuffled order (md5 of doc_id — the standard
+    * storage-order-independent shuffle), how often are ADJACENT
+    * documents from the same source? Long same-source runs correlate
+    * consecutive gradients; a well-mixed shard should sit at the
+    * composition baseline Σ nₛ(nₛ−1) / (n(n−1)) — the adjacent
+    * same-source probability of a uniformly random order of that
+    * shard's composition. `excess_micros` > 0 means residual source
+    * clumping the shuffle failed to break up.
+    *
+    * Scale: the serpentine striping ranks inside each source partition
+    * (never a global sort), the adjacency window runs inside each
+    * SHARD partition, and everything after is an 8-row rollup.
+    * Integer micro-units; the signed excess is a subtraction of two
+    * floored non-negative ratios so no negative division is ever
+    * evaluated (floor vs truncate would disagree there). */
+  val qShardMixAudit: Q = {
+    val numShards = 8
+    Q(
+      "q_shard_mix_audit",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sized = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        val rk = (row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("nt").desc, col("doc_id"))) - 1).cast("long")
+        val striped = sized
+          .withColumn("stripe", floor(rk / numShards).cast("long"))
+          .withColumn("pos", rk % numShards)
+          .withColumn("shard",
+            when(col("stripe") % 2 === 0, col("pos"))
+              .otherwise(lit(numShards - 1) - col("pos")))
+          .withColumn("h", md5(col("doc_id").cast("string")))
+        val wEmit = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        val adj = striped
+          .withColumn("same",
+            when(lag(col("source"), 1).over(wEmit) === col("source"), 1L)
+              .otherwise(0L))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("same")).as("n_adj_same"))
+        val comp = striped.groupBy(col("shard"), col("source"))
+          .agg(count(lit(1)).as("ns"))
+          .groupBy(col("shard"))
+          .agg(sum(col("ns") * (col("ns") - 1)).as("same_pairs"))
+        adj.join(comp, Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("n_sources"),
+            expr("n_adj_same * 1000000 DIV (n_docs - 1)").as("adj_same_micros"),
+            expr("same_pairs * 1000000 DIV (n_docs * (n_docs - 1))")
+              .as("rand_same_micros"))
+          .withColumn("excess_micros",
+            col("adj_same_micros") - col("rand_same_micros"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+      WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY source
+                 ORDER BY nt DESC, doc_id) - 1 AS rk
+        FROM sized),
+      striped AS (
+        SELECT doc_id, source,
+               CASE WHEN (rk // $numShards) % 2 = 0
+                    THEN rk % $numShards
+                    ELSE ${numShards - 1} - rk % $numShards END AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM ranked),
+      adj AS (
+        SELECT shard, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources,
+               CAST(sum(same) AS BIGINT) AS n_adj_same
+        FROM (SELECT shard, source,
+                     CASE WHEN lag(source) OVER
+                         (PARTITION BY shard ORDER BY h, doc_id) = source
+                       THEN 1 ELSE 0 END AS same
+              FROM striped)
+        GROUP BY shard),
+      comp AS (
+        SELECT shard, CAST(sum(ns * (ns - 1)) AS BIGINT) AS same_pairs
+        FROM (SELECT shard, source, count(*) AS ns
+              FROM striped GROUP BY shard, source)
+        GROUP BY shard)
+      SELECT a.shard, a.n_docs, a.n_sources,
+             CAST(a.n_adj_same * 1000000 // (a.n_docs - 1) AS BIGINT)
+               AS adj_same_micros,
+             CAST(c.same_pairs * 1000000 // (a.n_docs * (a.n_docs - 1))
+               AS BIGINT) AS rand_same_micros,
+             CAST(a.n_adj_same * 1000000 // (a.n_docs - 1)
+                  - c.same_pairs * 1000000 // (a.n_docs * (a.n_docs - 1))
+               AS BIGINT) AS excess_micros
+      FROM adj a JOIN comp c USING (shard)
+      ORDER BY shard
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qMixtureTemperature,
-    qQualityCalibration, qRangeJoinBanded, qShardPlan, qCurriculum, qEpochPlan)
+    qQualityCalibration, qRangeJoinBanded, qShardPlan, qShardMixAudit,
+    qCurriculum, qEpochPlan)
 }
