@@ -38,5 +38,6 @@ object Registry {
       graft.queries.GraphQueries.all ++
       graft.queries.SequenceQueries.all ++
       graft.queries.RelationalQueries.all ++
-      graft.queries.SignalQueries.all
+      graft.queries.SignalQueries.all ++
+      graft.queries.ClassifierQueries.all
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.{Classify, TextAnalysis}
+
+/** In-engine classifier training/eval queries — the distillation leg
+  * of a curation pipeline: an expensive teacher labels a slice, a
+  * cheap student (multinomial Naive Bayes over tokens) learns it, and
+  * the held-out confusion matrix says whether the student is fit to
+  * run at corpus scale. */
+object ClassifierQueries {
+
+  /** Distill the rule-based profile labeler ([[TextAnalysis
+    * .predictedProfile]] — the "expensive" teacher) into a Naive Bayes
+    * student on the hash-stable 80/20 split, and report the held-out
+    * confusion matrix. All likelihoods are floor(ln·10⁹) of exact
+    * rationals, so scores are plain BIGINT sums and both engines pick
+    * identical argmaxes (ties toward the smaller class name).
+    *
+    * The oracle replays the full train+score pipeline in SQL — priors,
+    * bounded vocab cut, smoothed per-(class, token) log-likelihoods,
+    * out-of-vocab fallback mass, and the per-doc argmax. */
+  val qNbDistill: Q = Q(
+    "q_nb_distill",
+    (spark, dir) =>
+      Classify.nbConfusion(Tables.documents(spark, dir),
+        TextAnalysis.predictedProfile(col("text"))),
+    Some(s"""
+      WITH base AS (
+        SELECT doc_id, actual, is_train, token FROM (
+          SELECT doc_id,
+                 CASE WHEN s_storage > greatest(s_olap, s_stream) THEN 'storage'
+                      WHEN s_stream > s_olap THEN 'stream'
+                      ELSE 'olap' END AS actual,
+                 ${AnalyticsQueries.bpSql("doc_id")} < 8000 AS is_train,
+                 unnest(toks) AS token
+          FROM (
+            SELECT doc_id, toks,
+                   len(list_filter(toks, x -> x IN ('join','query','table','scan','agg'))) AS s_olap,
+                   len(list_filter(toks, x -> x IN ('stream','batch','window','merge'))) AS s_stream,
+                   len(list_filter(toks, x -> x IN ('row','column','data','key'))) AS s_storage
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+                  FROM documents)))
+        WHERE length(token) > 0),
+      toks AS (
+        SELECT doc_id, actual, is_train, token, count(*) AS tcnt
+        FROM base GROUP BY 1, 2, 3, 4),
+      train AS (SELECT * FROM toks WHERE is_train),
+      perdoc AS (SELECT DISTINCT doc_id, actual FROM train),
+      classes AS (
+        SELECT actual AS label,
+               CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+                 (SELECT CAST(count(*) AS DOUBLE) FROM perdoc)) * 1e9)
+                 AS BIGINT) AS prior_nanos
+        FROM perdoc GROUP BY actual),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, CAST(sum(tcnt) AS BIGINT) AS gc
+          FROM train GROUP BY token)
+        ORDER BY gc DESC, token LIMIT 256),
+      vs AS (SELECT count(*) AS v FROM vocab),
+      counts AS (
+        SELECT actual AS label, t.token, CAST(sum(tcnt) AS BIGINT) AS cnt
+        FROM train t JOIN vocab USING (token) GROUP BY 1, 2),
+      ncs AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS nc
+              FROM counts GROUP BY label),
+      ct AS (
+        SELECT c.label, c.prior_nanos, n.nc, vs.v,
+               CAST(floor(ln(1.0 / CAST(n.nc + vs.v AS DOUBLE)) * 1e9)
+                 AS BIGINT) AS unk_nanos
+        FROM classes c JOIN ncs n USING (label), vs),
+      model AS (
+        SELECT ct.label, vo.token,
+               CAST(floor(ln(CAST(coalesce(cn.cnt, 0) + 1 AS DOUBLE) /
+                 CAST(ct.nc + ct.v AS DOUBLE)) * 1e9) AS BIGINT) AS term_nanos
+        FROM ct CROSS JOIN vocab vo
+        LEFT JOIN counts cn ON cn.label = ct.label AND cn.token = vo.token),
+      scored AS (
+        SELECT e.doc_id, e.actual, ct.label,
+               ct.prior_nanos
+                 + CAST(sum(e.tcnt * coalesce(m.term_nanos, ct.unk_nanos))
+                     AS BIGINT) AS score
+        FROM toks e CROSS JOIN ct
+        LEFT JOIN model m ON m.label = ct.label AND m.token = e.token
+        WHERE NOT e.is_train
+        GROUP BY e.doc_id, e.actual, ct.label, ct.prior_nanos),
+      best AS (
+        SELECT doc_id, actual, label AS predicted,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, label) AS rn
+        FROM scored)
+      SELECT actual, predicted, count(*) AS n_docs
+      FROM best WHERE rn = 1
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  val all: Seq[Q] = Seq(qNbDistill)
+}
