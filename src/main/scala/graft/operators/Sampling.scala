@@ -89,6 +89,42 @@ object Sampling {
       .drop("_g", "_key")
   }
 
+  /** Weighted fixed-size per-group sample — the deterministic
+    * Efraimidis-Spirakis reservoir: each row draws the key
+    * u^(1/w) with u the md5-derived uniform (bp + 0.5)/10⁴ and w its
+    * weight, and the k LARGEST keys per group win. Inclusion
+    * probability is proportional to weight (the quality-weighted eval
+    * draw), raising a row's weight can only pull it INTO the sample,
+    * and the whole draw replays identically on every run/engine.
+    *
+    * Ranking happens on the monotone transform floor(ln(u)/w · 10⁹):
+    * ln(u) and the divide are single IEEE ops on identical doubles in
+    * both engines, and the floor makes the comparison integer-exact —
+    * the same ln-nanos contract as the JSD/entropy gauges. Weights
+    * clamp below at 10⁻⁶ (a zero weight would divide to -∞; clamped
+    * rows still rank strictly below any realistically-weighted row).
+    *
+    * Scale shape: identical to [[fixedKPerGroup]] — map tasks keep k
+    * entries per group through the bounded top-k aggregate, the
+    * k·groups selection broadcast-joins the payload back; two scans,
+    * zero input shuffle. */
+  def weightedFixedKPerGroup(df: DataFrame, key: Column, group: Column,
+                             weight: Column, k: Int): DataFrame = {
+    val u = (hashBasisPoints(key).cast("double") + lit(0.5)) / lit(10000d)
+    val score = floor(log(u)
+      / greatest(weight.cast("double"), lit(1e-6)) * lit(1e9)).cast("long")
+    val sel = df
+      .select(group.as("_g"), score.as("_s"), key.cast("string").as("_item"))
+      .groupBy(col("_g"))
+      .agg(graft.functions.TopKLongAgg(col("_s"), col("_item"), k).as("_top"))
+      .select(col("_g"), posexplode(col("_top")))
+      .select(col("_g"), col("col.item").as("_key"),
+        (col("pos") + 1).cast("int").as("sample_rank"))
+    df.join(broadcast(sel),
+        group === col("_g") && key.cast("string") === col("_key"))
+      .drop("_g", "_key")
+  }
+
   /** Deterministic train/val/test (or arbitrary) split assignment:
     * each row's split label is decided by its key's hash basis points
     * against cumulative upper bounds, e.g.

@@ -120,6 +120,51 @@ object CurationQueries {
       ORDER BY source, sample_rank
     """.trim))
 
+  /** Quality-WEIGHTED fixed-k draw per source (k=3): the
+    * Efraimidis-Spirakis reservoir on the md5 uniform — inclusion
+    * odds proportional to the quality score, deterministic on every
+    * run/engine, zero input shuffle
+    * ([[Sampling.weightedFixedKPerGroup]]). The draw a curation
+    * pipeline uses when the spot-check should over-represent the docs
+    * that will actually be kept. */
+  val qSampleWeightedK: Q = Q(
+    "q_sample_weighted_k",
+    (spark, dir) =>
+      Sampling.weightedFixedKPerGroup(Tables.documents(spark, dir),
+          col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")), 3)
+        .select(col("source"), col("sample_rank").cast("long").as("sample_rank"),
+          col("doc_id"))
+        .orderBy(col("source"), col("sample_rank")),
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, source,
+               round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3 +
+                     (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6) AS q
+        FROM (
+          SELECT doc_id, source,
+                 len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT doc_id, source,
+                       string_split_regex(text, '\\s+') AS toks
+                FROM documents))),
+      keyed AS (
+        SELECT source, doc_id,
+               CAST(floor(ln((${AnalyticsQueries.bpSql("doc_id")} + 0.5)
+                      / 10000.0)
+                    / greatest(q, 0.000001) * 1000000000) AS BIGINT) AS s
+        FROM scored)
+      SELECT source, sample_rank, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY s DESC, CAST(doc_id AS VARCHAR)) AS sample_rank
+        FROM keyed)
+      WHERE sample_rank <= 3
+      ORDER BY source, sample_rank
+    """.trim))
+
   /** Vocabulary head: top-50 tokens by occurrence count with document
     * frequency and dense frequency rank — the corpus-stats table a
     * tokenizer build starts from. The global rank is assigned AFTER
@@ -385,6 +430,6 @@ object CurationQueries {
     """.trim))
 
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
-    qTextVocab, qCorpusDiff, qTextOov, qCorpusGini, qBoilerplateSpans,
-    qZipfFit)
+    qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
+    qBoilerplateSpans, qZipfFit)
 }

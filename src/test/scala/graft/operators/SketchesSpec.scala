@@ -57,6 +57,52 @@ object SketchesSpec extends Properties("Sketches") {
       mismatch == 0 && first == second
     }
 
+  private def esKeyNanos(id: Long, w: Double): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val bp = java.lang.Long.parseLong(hex, 16) % 10000
+    math.floor(math.log((bp + 0.5) / 10000.0)
+      / math.max(w, 1e-6) * 1e9).toLong
+  }
+
+  property("weightedFixedKPerGroup matches the brute-force ES reservoir") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 500L),
+        Gen.choose(1, 100)))) { raw =>
+      val rows = raw.map { case (g, id, w) => (g, id, w / 100.0) }
+        .groupBy(_._2).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("g", "id", "w")
+      val k = 2
+      val got = Sampling
+        .weightedFixedKPerGroup(df, col("id"), col("g"), col("w"), k)
+        .select(col("g"), col("id"), col("sample_rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map(r => (r._2, esKeyNanos(r._2, r._3)))
+          .sortBy { case (id, s) => (-s, id.toString) }
+          .take(k).zipWithIndex
+          .map { case ((id, _), i) => (g, id, i + 1) }
+      }.toSet
+      got == expected
+    }
+
+  property("weightedFixedKPerGroup: raising a row's weight never evicts it") = {
+    val rows = (0L until 20L).map(id => (0, id, 0.2))
+    val df = rows.toDF("g", "id", "w")
+    val base = Sampling
+      .weightedFixedKPerGroup(df, col("id"), col("g"), col("w"), 3)
+      .select(col("id")).as[Long].collect().toSet
+    // quintuple the weight of one already-selected row: still selected
+    val boosted = rows.map { case (g, id, w) =>
+      (g, id, if (id == base.head) 1.0 else w)
+    }.toDF("g", "id", "w")
+    val after = Sampling
+      .weightedFixedKPerGroup(boosted, col("id"), col("g"), col("w"), 3)
+      .select(col("id")).as[Long].collect().toSet
+    after.contains(base.head)
+  }
+
   property("duplicatedNgramStats: verbatim pair scores 1.0, unique doc scores 0.0") = {
     val text = (1 to 12).map(i => s"tok$i").mkString(" ")
     val unique = (1 to 12).map(i => s"other$i").mkString(" ")
