@@ -584,6 +584,61 @@ object Similarity {
     bottomKByLong(scored, k, "adc", "rnk")
   }
 
+  /** IVF-PQ search — the production ANN composition (a FAISS-style
+    * IVFPQ): the coarse quantizer (prebuilt IVF centroids + inverted
+    * list, see [[IvfArtifact]]) restricts each query to its `probes`
+    * nearest cells, and ONLY those cells' members are scored, by PQ
+    * asymmetric distance against the seed codebook. Cost per query is
+    * (probes/C)·n LUT lookups on NumSub-byte codes instead of n full
+    * float dot products — the two sub-linearities (candidate pruning ×
+    * compressed scoring) multiply.
+    *
+    * Scale shape: codes are computed WITH the cell id carried through
+    * the encode aggregate (production stores codes in the inverted
+    * list — no corpus re-join), the probe table and the
+    * queries×NumSub×NumCodes LUT broadcast, and the only corpus-wide
+    * exchanges are the encode argmin and the per-(query, vector) ADC
+    * sum — both map-side combinable with integer values. */
+  def ivfPqSearch(centroids: DataFrame, inverted: DataFrame,
+                  qMinId: Long, qMaxId: Long, k: Int,
+                  probes: Int): DataFrame = {
+    val cb = broadcast(pqCodebook(
+      inverted.select(col("vec_id"), col("embedding"))))
+    val queries = inverted
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("cell"))
+    val probed = broadcast(queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cell"),
+        pairCos(col("qvec"), col("cvec"), col("qnrm"), col("cnrm")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= probes)
+      .select(col("qid"), col("cell")))
+    val encWithCell = inverted
+      .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
+      .select(col("vec_id"), col("cell"), subVectors(col("embedding")).as("e"))
+      .select(col("vec_id"), col("cell"), col("e.sub").as("sub"),
+        col("e.svec").as("svec"))
+      .join(cb, "sub")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("cand")).getField("cidx").as("code"))
+    val lut = broadcast(queries
+      .select(col("qid"), subVectors(col("qvec")).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.svec").as("qsvec"))
+      .join(cb, "sub")
+      .select(col("qid"), col("sub"), col("cidx"),
+        floor(l2sq(col("qsvec"), col("cvec")) * lit(1e9) + lit(0.5))
+          .cast("long").as("d_int")))
+    val scored = encWithCell.join(probed, "cell")
+      .join(lut.withColumnRenamed("cidx", "code"), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d_int")).as("adc"))
+    bottomKByLong(scored, k, "adc", "rnk")
+  }
+
   /** Recall@k of int8-quantized search vs the exact float baseline,
     * per query: |exact top-k ∩ quantized top-k| / k. The quality gauge
     * that justifies (or vetoes) shipping the 4× memory saving. */

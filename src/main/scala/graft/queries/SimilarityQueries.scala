@@ -1111,10 +1111,82 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk LIMIT 300
     """.trim))
 
+  /** IVF-PQ composed ANN (the FAISS-IVFPQ production shape): the
+    * Lloyd-refined coarse quantizer from the IVF ARTIFACT restricts
+    * each query (8..15) to its 2 nearest of 8 cells, and only those
+    * cells' members are scored — by PQ asymmetric distance against
+    * the seed codebook, integer nano ADC sums. Candidate pruning ×
+    * compressed scoring: the two sub-linearities multiply. The oracle
+    * replays the whole composition — Lloyd cells, probes, codebook,
+    * per-cell encode, LUT, ADC ranking. */
+  val qEmbedIvfPq: Q = Q(
+    "q_embed_ivfpq",
+    (spark, dir) => {
+      graft.operators.IvfArtifact.materialize(spark, dir,
+        numCentroids = 8, iterations = 2)
+      Similarity.ivfPqSearch(
+        graft.operators.IvfArtifact.centroids(spark, dir, 8, 2),
+        graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
+        qMinId = 8, qMaxId = 16, k = 3, probes = 2)
+    },
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+            WHERE vec_id >= 8 AND vec_id < 16),
+      probed AS (
+        SELECT qid, cell FROM (
+          SELECT q.qid, c.cell,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.qvec", "c.cvec")} DESC, c.cell) AS rn
+          FROM q, cents2 c)
+        WHERE rn <= 2),
+      subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+      cb AS (
+        SELECT s.sub, CAST(e.vec_id AS INT) AS cidx,
+               [e.embedding[i] FOR i IN generate_series(s.sub * 8 + 1, s.sub * 8 + 8)] AS cvec
+        FROM embeddings e, subs s WHERE e.vec_id < 16),
+      encd AS (
+        SELECT vec_id, cell, sub, cidx AS code FROM (
+          SELECT e.vec_id, a.cell, c.sub, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                   list_sum([(e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             * (e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             FOR i IN generate_series(1, 8)]), c.cidx) AS rn
+          FROM embeddings e JOIN final_asg a USING (vec_id), cb c
+          WHERE e.vec_id < 8 OR e.vec_id >= 16)
+        WHERE rn = 1),
+      lut AS (
+        SELECT q.qid, c.sub, c.cidx,
+               CAST(floor(list_sum([(q.qvec[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    * (q.qvec[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    FOR i IN generate_series(1, 8)]) * 1000000000 + 0.5)
+                    AS BIGINT) AS d_int
+        FROM q, cb c),
+      scored AS (
+        SELECT l.qid, e.vec_id, CAST(sum(l.d_int) AS BIGINT) AS adc
+        FROM encd e
+        JOIN probed p ON e.cell = p.cell
+        JOIN lut l ON l.qid = p.qid AND l.sub = e.sub AND l.cidx = e.code
+        GROUP BY l.qid, e.vec_id),
+      r AS (
+        SELECT qid, vec_id, adc,
+               row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+        FROM scored)
+      SELECT qid, vec_id, adc, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 3 ORDER BY qid, rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
-    qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
+    qEmbedIvfPq, qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn)

@@ -52,4 +52,23 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(assigned.count() == n)
     assert(assigned.select("vec_id").distinct().count() == n)
   }
+
+  test("IVF-PQ: k results per query; best ADC is monotone in probes") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    IvfArtifact.materialize(spark, dir, numCentroids = 8, iterations = 2)
+    val cents = IvfArtifact.centroids(spark, dir, 8, 2)
+    val inv = IvfArtifact.inverted(spark, dir, 8, 2)
+    def bestAdc(probes: Int): Map[Long, Long] =
+      Similarity.ivfPqSearch(cents, inv, qMin, qMax, k, probes)
+        .filter(org.apache.spark.sql.functions.col("rnk") === 1)
+        .select("qid", "adc").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Similarity.ivfPqSearch(cents, inv, qMin, qMax, k, probes = 2)
+      .select("qid").collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.values.forall(_.length == k))
+    val (p1, p2) = (bestAdc(1), bestAdc(2))
+    // probes=2 candidates are a superset, so the best (lowest) ADC
+    // per query can only improve or stay
+    p1.foreach { case (q, a1) => assert(p2(q) <= a1) }
+  }
 }
