@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * `maxVocab` by global train frequency (count desc, token asc — a
   * deterministic bounded cut, same pattern as the `q_text_vocab`
   * head), so it broadcasts at any corpus width. Training is two hash
-  * aggregates over the train slice; scoring is one broadcast join per
-  * eval token — the corpus never shuffles except the per-doc score
-  * aggregate. Out-of-vocab tokens take the class's smoothed unknown
-  * mass via coalesce, so the scorer is total.
+  * aggregates over the train slice (per-doc token counts, then
+  * per-(class, token) counts; vocab and its marginals derive from the
+  * tiny class-count table, never a second corpus pass); scoring is
+  * one broadcast join per eval token — the corpus never shuffles
+  * except the per-doc score aggregate. Out-of-vocab tokens take the
+  * class's smoothed unknown mass via coalesce, so the scorer is
+  * total. Measured cost is ~85% fixed stage latency (2.6 s at sf0.01
+  * vs 3.1 s at 10× the data, local[32]): the ~10-job model-build DAG
+  * dominates, and its stage count is independent of corpus size.
   */
 object Classify {
 
@@ -36,8 +41,18 @@ object Classify {
     * [[Sampling.splitLabel]]). */
   def nbConfusion(docs: DataFrame, label: Column, trainCutBp: Int = 8000,
                   maxVocab: Int = 256): DataFrame = {
-    val base = docs.select(col("doc_id"), label.as("actual"),
+    // Evaluate the per-DOC columns in their own projection BELOW the
+    // explode: `select(expr, explode(...))` analyzes to Project(expr)
+    // ABOVE the Generate, re-evaluating the teacher label (three full
+    // text re-tokenizations) and the md5 split once per TOKEN row —
+    // measured 18 s vs 1 s at sf0.1. Two selects pin the Project under
+    // the Generate (same per-row pitfall as the shinglesHof note in
+    // TextAnalysis).
+    val labeled = docs.select(col("doc_id"), label.as("actual"),
       (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
+      col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = labeled.select(col("doc_id"), col("actual"), col("is_train"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(length(col("token")) > 0)
     val toks = base.groupBy(col("doc_id"), col("actual"), col("is_train"),
@@ -46,8 +61,10 @@ object Classify {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = toks.filter(col("is_train"))
 
-    // teacher-label priors over train docs
-    val perDoc = train.select(col("doc_id"), col("actual")).distinct()
+    // teacher-label priors straight off the per-doc table — never a
+    // distinct over the exploded token stream
+    val perDoc = labeled.filter(col("is_train"))
+      .select(col("doc_id"), col("actual"))
     val nTrain = perDoc.agg(count(lit(1)).as("n_train"))
     val classes = perDoc.groupBy(col("actual").as("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -56,18 +73,21 @@ object Classify {
         floor(log(col("n_docs").cast("double") / col("n_train").cast("double"))
           * lit(1e9)).cast("long").as("prior_nanos"))
 
+    // ONE train-wide aggregate: per-(class, token) counts; the vocab
+    // cut and its marginal derive from this class-count table (tiny),
+    // not from a second pass over the token stream
+    val countsAll = train
+      .groupBy(col("actual").as("label"), col("token"))
+      .agg(sum(col("tcnt")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded vocabulary: top maxVocab train tokens, deterministic cut
-    val vocab = train.groupBy(col("token"))
-      .agg(sum(col("tcnt")).as("gc"))
+    val vocab = countsAll.groupBy(col("token"))
+      .agg(sum(col("cnt")).as("gc"))
       .orderBy(col("gc").desc, col("token"))
       .limit(maxVocab)
       .select(col("token"))
     val vsize = vocab.agg(count(lit(1)).as("v"))
-
-    // per-(class, vocab token) counts -> smoothed log-likelihood table
-    val counts = train.join(broadcast(vocab), Seq("token"))
-      .groupBy(col("actual").as("label"), col("token"))
-      .agg(sum(col("tcnt")).as("cnt"))
+    val counts = countsAll.join(broadcast(vocab), Seq("token"))
     val nc = counts.groupBy(col("label")).agg(sum(col("cnt")).as("nc"))
     val classTable = broadcast(classes.join(nc, Seq("label"))
       .crossJoin(broadcast(vsize))
