@@ -33,38 +33,19 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
-  /** Confusion matrix of a Naive-Bayes student against the teacher
-    * label on held-out docs. `docs` needs (doc_id, text); `label` is
-    * the teacher column (computed from the row, or joined in);
-    * `trainCutBp` is the hash-split boundary in basis points (8000 =
-    * 80/20 train/eval on the same key-stable split as
-    * [[Sampling.splitLabel]]). */
-  def nbConfusion(docs: DataFrame, label: Column, trainCutBp: Int = 8000,
-                  maxVocab: Int = 256): DataFrame = {
-    // Evaluate the per-DOC columns in their own projection BELOW the
-    // explode: `select(expr, explode(...))` analyzes to Project(expr)
-    // ABOVE the Generate, re-evaluating the teacher label (three full
-    // text re-tokenizations) and the md5 split once per TOKEN row —
-    // measured 18 s vs 1 s at sf0.1. Two selects pin the Project under
-    // the Generate (same per-row pitfall as the shinglesHof note in
-    // TextAnalysis).
-    val labeled = docs.select(col("doc_id"), label.as("actual"),
-      (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
-      col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val base = labeled.select(col("doc_id"), col("actual"), col("is_train"),
-      explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-    val toks = base.groupBy(col("doc_id"), col("actual"), col("is_train"),
-        col("token"))
-      .agg(count(lit(1)).as("tcnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = toks.filter(col("is_train"))
+  /** A trained NB model as two broadcastable tables:
+    * `classTable(label, prior_nanos, nc, v, unk_nanos)` and
+    * `model(label, token, term_nanos)`. Both are lazy plans — persist
+    * them when scoring repeatedly (e.g. per micro-batch in a
+    * Structured Streaming `foreachBatch` serving loop). */
+  final case class NbModel(classTable: DataFrame, model: DataFrame)
 
-    // teacher-label priors straight off the per-doc table — never a
-    // distinct over the exploded token stream
-    val perDoc = labeled.filter(col("is_train"))
-      .select(col("doc_id"), col("actual"))
+  /** Build the model tables from per-train-doc class labels
+    * (`perDoc`: doc_id, actual) and train token counts
+    * (`trainToks`: actual, token, tcnt — per-doc or pre-aggregated,
+    * counts sum either way). */
+  private def buildModel(perDoc: DataFrame, trainToks: DataFrame,
+                         maxVocab: Int): NbModel = {
     val nTrain = perDoc.agg(count(lit(1)).as("n_train"))
     val classes = perDoc.groupBy(col("actual").as("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -74,9 +55,9 @@ object Classify {
           * lit(1e9)).cast("long").as("prior_nanos"))
 
     // ONE train-wide aggregate: per-(class, token) counts; the vocab
-    // cut and its marginal derive from this class-count table (tiny),
+    // cut and its marginals derive from this class-count table (tiny),
     // not from a second pass over the token stream
-    val countsAll = train
+    val countsAll = trainToks
       .groupBy(col("actual").as("label"), col("token"))
       .agg(sum(col("tcnt")).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -102,12 +83,77 @@ object Classify {
         floor(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
           / (col("nc") + col("v")).cast("double")) * lit(1e9))
           .cast("long").as("term_nanos")))
+    NbModel(classTable, model)
+  }
+
+  /** Per-doc token counts with the per-DOC columns evaluated in their
+    * own projection BELOW the explode: `select(expr, explode(...))`
+    * analyzes to Project(expr) ABOVE the Generate, re-evaluating every
+    * carried expression once per TOKEN row — measured 18 s vs 1 s at
+    * sf0.1 for the teacher label (same per-row pitfall as the
+    * shinglesHof note in TextAnalysis). Callers pass an already-
+    * projected frame; `carry` names its columns to keep. */
+  private def tokenCounts(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val cols = carry.map(col)
+    docs.select(cols :+ explode(TextAnalysis.tokens(col("text"))).as("token"): _*)
+      .filter(length(col("token")) > 0)
+      .groupBy(cols :+ col("token"): _*)
+      .agg(count(lit(1)).as("tcnt"))
+  }
+
+  /** Train an NB model from a labeled slice (doc_id, actual, text). */
+  def nbTrain(train: DataFrame, maxVocab: Int = 256): NbModel = {
+    val slim = train.select(col("doc_id"), col("actual"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buildModel(slim.select(col("doc_id"), col("actual")),
+      tokenCounts(slim, Seq("doc_id", "actual")), maxVocab)
+  }
+
+  /** Score docs (doc_id, text) under a model → (doc_id, predicted).
+    * The serving path: model tables broadcast, the corpus (or each
+    * streaming micro-batch) is scan-scored — its payload never
+    * shuffles, only (doc, class, BIGINT) partial sums. */
+  def nbPredict(docs: DataFrame, m: NbModel): DataFrame =
+    tokenCounts(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .crossJoin(broadcast(m.classTable
+        .select(col("label"), col("prior_nanos"), col("unk_nanos"))))
+      .join(m.model, Seq("label", "token"), "left")
+      .groupBy(col("doc_id"), col("label"), col("prior_nanos"))
+      .agg(sum(col("tcnt")
+        * coalesce(col("term_nanos"), col("unk_nanos"))).as("ll"))
+      .select(col("doc_id"), col("label"),
+        (col("prior_nanos") + col("ll")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("neg"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("predicted"))
+
+  /** Confusion matrix of a Naive-Bayes student against the teacher
+    * label on held-out docs. `docs` needs (doc_id, text); `label` is
+    * the teacher column (computed from the row, or joined in);
+    * `trainCutBp` is the hash-split boundary in basis points (8000 =
+    * 80/20 train/eval on the same key-stable split as
+    * [[Sampling.splitLabel]]). Fused path: train and eval share ONE
+    * explode + token-count aggregate over the corpus. */
+  def nbConfusion(docs: DataFrame, label: Column, trainCutBp: Int = 8000,
+                  maxVocab: Int = 256): DataFrame = {
+    val labeled = docs.select(col("doc_id"), label.as("actual"),
+      (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
+      col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = tokenCounts(labeled, Seq("doc_id", "actual", "is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // teacher-label priors straight off the per-doc table — never a
+    // distinct over the exploded token stream
+    val m = buildModel(
+      labeled.filter(col("is_train")).select(col("doc_id"), col("actual")),
+      toks.filter(col("is_train")), maxVocab)
 
     // score held-out docs: BIGINT sum of per-token nanos + class prior
     val scored = toks.filter(!col("is_train"))
-      .crossJoin(broadcast(classTable
+      .crossJoin(broadcast(m.classTable
         .select(col("label"), col("prior_nanos"), col("unk_nanos"))))
-      .join(model, Seq("label", "token"), "left")
+      .join(m.model, Seq("label", "token"), "left")
       .groupBy(col("doc_id"), col("actual"), col("label"), col("prior_nanos"))
       .agg(sum(col("tcnt")
         * coalesce(col("term_nanos"), col("unk_nanos"))).as("ll"))
