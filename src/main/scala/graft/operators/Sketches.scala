@@ -60,4 +60,34 @@ object Sketches {
       .join(broadcast(sketch), Seq("hr", "hc"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** AMS-style equi-join cardinality estimate from two sketches built
+    * by [[build]] over the respective join keys: per hash row, the
+    * inner product of co-located counters; the estimate is the MIN
+    * over rows. `est >= |A ⋈ B|` always — each cell product is the
+    * true per-key frequency product plus non-negative collision
+    * cross-terms — the same one-sided guarantee as [[estimate]].
+    * Both inputs are ≤ Depth × Width rows, so the estimate costs a
+    * tiny join + agg no matter how large the sketched inputs were:
+    * this is the planner probe that decides broadcast vs shuffle vs
+    * skew-salting BEFORE paying for the join. Products accumulate in
+    * DECIMAL(38,0) — two 100 TB-scale counters can multiply past
+    * BIGINT. One row, one BIGINT column `cms_est`. */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.withColumnRenamed("cnt", "cnt_a")
+      .join(sketchB.withColumnRenamed("cnt", "cnt_b"), Seq("hr", "hc"))
+      .groupBy(col("hr"))
+      .agg(sum(col("cnt_a").cast("decimal(19,0)") * col("cnt_b")).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0)).cast("long").as("cms_est"))
+
+  /** Exact equi-join cardinality WITHOUT materializing the join:
+    * per-key frequencies on each side (map-side-combinable counts),
+    * one key-aligned join of the two (distinct-key-sized) frequency
+    * tables, then Σ na·nb. The ground truth [[joinSizeEstimate]] is
+    * judged against — and itself the scale-sane way to size a join. */
+  def exactJoinSize(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column): DataFrame =
+    a.groupBy(aKey.as("k")).agg(count(lit(1)).as("na"))
+      .join(b.groupBy(bKey.as("k")).agg(count(lit(1)).as("nb")), "k")
+      .agg(coalesce(sum(col("na").cast("decimal(19,0)") * col("nb")), lit(0))
+        .cast("long").as("n_exact"))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.operators.{RangeJoin, Sampling, TextAnalysis}
+import graft.operators.{RangeJoin, Sampling, Sketches, TextAnalysis}
 
 /** Training-run planning queries — the operations that turn corpus
   * statistics into an executable data plan: split assignment, token
@@ -529,7 +529,87 @@ object PlanningQueries {
     """.trim))
   }
 
+  /** CMS join-cardinality estimation — the "how big is this join"
+    * planner probe run BEFORE paying for a shuffle: two Depth×Width
+    * count-min sketches ([[Sketches.build]]) stand in for the inputs,
+    * and the AMS-style row-wise inner product with a min over rows
+    * ([[Sketches.joinSizeEstimate]]) upper-bounds the equi-join
+    * cardinality. Probed on two shapes a warehouse planner actually
+    * faces — the FK join `lineitem ⋈ orders` and the self-join
+    * (second frequency moment) of `events` on `user_id`, the classic
+    * skew detector. Reported against the exact size computed from
+    * per-key frequency products (never the materialized join), with
+    * the one-sided error in integer ppm: `overest_ppm >= 0` for both
+    * rows is the sketch theorem, and the oracle deriving the
+    * IDENTICAL ppm checks every counter cell. At 100 TB the sketches
+    * broadcast (128 KiB regardless of input), so the probe costs two
+    * column scans; the exact side exists only to grade it. */
+  val qJoinSizeEst: Q = {
+    val w = Sketches.Width
+    val posList = (0 until Sketches.Depth)
+      .map(i => s"${DedupQueries.chunkSql(i)} % $w").mkString(", ")
+    val rowList = (0 until Sketches.Depth).mkString("[", ", ", "]")
+    Q(
+      "q_join_size_est",
+      (spark, dir) => {
+        import org.apache.spark.sql.DataFrame
+        def keyed(df: DataFrame, c: String): DataFrame =
+          df.select(col(c).cast("string").as("k"))
+        def one(name: String, a: DataFrame, b: DataFrame): DataFrame = {
+          val est = Sketches.joinSizeEstimate(
+            Sketches.build(a, col("k")), Sketches.build(b, col("k")))
+          val exact = Sketches.exactJoinSize(a, col("k"), b, col("k"))
+          exact.crossJoin(est).select(
+            lit(name).as("join_name"), col("n_exact"), col("cms_est"),
+            expr("(cms_est - n_exact) * 1000000 div n_exact").as("overest_ppm"))
+        }
+        val ev = keyed(Tables.events(spark, dir), "user_id")
+        one("events_self_user", ev, ev)
+          .unionByName(one("lineitem_orders_orderkey",
+            keyed(Tables.lineitem(spark, dir), "l_orderkey"),
+            keyed(Tables.orders(spark, dir), "o_orderkey")))
+          .orderBy(col("join_name"))
+      },
+      Some(s"""
+      WITH
+      he AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      hl AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem),
+      ho AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM orders),
+      pe AS (SELECT unnest($rowList) AS hr, unnest([$posList]) AS hc FROM he),
+      pl AS (SELECT unnest($rowList) AS hr, unnest([$posList]) AS hc FROM hl),
+      po AS (SELECT unnest($rowList) AS hr, unnest([$posList]) AS hc FROM ho),
+      se AS (SELECT hr, hc, count(*) AS cnt FROM pe GROUP BY hr, hc),
+      sl AS (SELECT hr, hc, count(*) AS cnt FROM pl GROUP BY hr, hc),
+      so AS (SELECT hr, hc, count(*) AS cnt FROM po GROUP BY hr, hc),
+      est_self AS (
+        SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM (
+          SELECT hr, sum(CAST(cnt AS HUGEINT) * cnt) AS dot
+          FROM se GROUP BY hr)),
+      est_fk AS (
+        SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM (
+          SELECT a.hr, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
+          FROM sl a JOIN so b USING (hr, hc) GROUP BY a.hr)),
+      ex_self AS (
+        SELECT CAST(sum(CAST(na AS HUGEINT) * na) AS BIGINT) AS n_exact FROM (
+          SELECT count(*) AS na FROM events GROUP BY user_id)),
+      ex_fk AS (
+        SELECT CAST(sum(CAST(na AS HUGEINT) * nb) AS BIGINT) AS n_exact FROM (
+          SELECT na, nb FROM
+            (SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1) a
+            JOIN (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1) b
+            USING (k)))
+      SELECT 'events_self_user' AS join_name, n_exact, cms_est,
+             (cms_est - n_exact) * 1000000 // n_exact AS overest_ppm
+      FROM ex_self, est_self
+      UNION ALL
+      SELECT 'lineitem_orders_orderkey', n_exact, cms_est,
+             (cms_est - n_exact) * 1000000 // n_exact
+      FROM ex_fk, est_fk
+      ORDER BY join_name
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qMixtureTemperature,
     qQualityCalibration, qRangeJoinBanded, qShardPlan, qShardMixAudit,
-    qCurriculum, qEpochPlan)
+    qCurriculum, qEpochPlan, qJoinSizeEst)
 }

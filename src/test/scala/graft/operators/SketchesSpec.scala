@@ -103,6 +103,19 @@ object SketchesSpec extends Properties("Sketches") {
     after.contains(base.head)
   }
 
+  property("joinSizeEstimate >= exact join size; exactJoinSize equals the real join count") =
+    forAll(Gen.nonEmptyListOf(key), Gen.nonEmptyListOf(key)) { (ka, kb) =>
+      val a = ka.toDF("k")
+      val b = kb.toDF("k")
+      val est = Sketches.joinSizeEstimate(
+        Sketches.build(a, col("k")), Sketches.build(b, col("k")))
+        .select(col("cms_est")).as[Long].head()
+      val viaFreq = Sketches.exactJoinSize(a, col("k"), b, col("k"))
+        .select(col("n_exact")).as[Long].head()
+      val real = a.join(b, "k").count()
+      est >= viaFreq && viaFreq == real
+    }
+
   property("duplicatedNgramStats: verbatim pair scores 1.0, unique doc scores 0.0") = {
     val text = (1 to 12).map(i => s"tok$i").mkString(" ")
     val unique = (1 to 12).map(i => s"other$i").mkString(" ")
