@@ -80,6 +80,59 @@ object Sketches {
       .agg(sum(col("cnt_a").cast("decimal(19,0)") * col("cnt_b")).as("dot"))
       .agg(coalesce(min(col("dot")), lit(0)).cast("long").as("cms_est"))
 
+  /** HyperLogLog registers (m = [[HllM]]): first md5 chunk mod m
+    * buckets the key, the 1-based leading-zero rank of the second
+    * 32-bit chunk is the observation, MAX per (group, register) is
+    * the state. Insertion is idempotent (duplicates free) and the
+    * state is mergeable by register-wise max — the two properties
+    * that let a 1000-executor rollup combine partial sketches without
+    * re-reading anything. ≤ m rows per group. */
+  def hllRegisters(df: DataFrame, key: Column, group: Column): DataFrame =
+    df.select(group.as("g"), md5(key).as("hx"))
+      .select(col("g"),
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long")
+          % lit(HllM.toLong)).as("idx"),
+        conv(substring(col("hx"), 9, 8), 16, 10).cast("long").as("c1"))
+      .select(col("g"), col("idx"), expr(HllRankCaseSql).as("rank"))
+      .groupBy(col("g"), col("idx")).agg(max(col("rank")).as("mr"))
+
+  /** Merge register tables across groups into one labelled group —
+    * register-wise max, the HLL union. */
+  def hllMerge(regs: DataFrame, label: String): DataFrame =
+    regs.groupBy(col("idx")).agg(max(col("mr")).as("mr"))
+      .select(lit(label).as("g"), col("idx"), col("mr"))
+
+  /** Raw HLL cardinality estimate per group from a register table:
+    * the harmonic sum Σ 2^(-rank) is carried as an exact BIGINT
+    * scaled by 2^40 (absent registers contribute 2^40 = rank 0), so
+    * the single double division at the end is the only inexact step.
+    * No small-range (linear-counting) correction — callers get the
+    * raw estimator and judge it against ground truth. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("g"))
+      .agg(sum(expr("CAST(pow(2, 40 - mr) AS BIGINT)")).as("s_nz"),
+        count(lit(1)).as("nz"))
+      .select(col("g"),
+        (col("s_nz") + (lit(HllM.toLong) - col("nz")) * lit(1L << 40)).as("s"))
+      .select(col("g"), expr(HllEstSql).as("est_raw"))
+
+  /** HLL register count (2^8 buckets → ~6.5% standard error). */
+  val HllM = 256
+
+  /** Rank of the first set bit of the 32-bit value `c1` (1-based
+    * leading-zero count, 33 for zero) — generated CASE text shared
+    * verbatim with oracle SQL so both engines run the same branches. */
+  val HllRankCaseSql: String = (1 to 32)
+    .map(r => s"WHEN c1 >= ${1L << (32 - r)} THEN $r")
+    .mkString("CASE ", " ", " ELSE 33 END")
+
+  /** alpha_256 · m² · 2^40 / s over the scaled harmonic sum `s`. The
+    * e0 exponents force DOUBLE literals in both engines — a bare
+    * 0.7213 parses as DECIMAL in both Spark and DuckDB, whose
+    * decimal-division scale rules differ. */
+  val HllEstSql: String = "0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0" +
+    " * 1099511627776e0 / CAST(s AS DOUBLE)"
+
   /** Exact equi-join cardinality WITHOUT materializing the join:
     * per-key frequencies on each side (map-side-combinable counts),
     * one key-aligned join of the two (distinct-key-sized) frequency

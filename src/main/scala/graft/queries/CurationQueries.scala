@@ -429,7 +429,97 @@ object CurationQueries {
       FROM s
     """.trim))
 
+  /** HyperLogLog distinct-cardinality sketch — the third leg of the
+    * sketch family ([[graft.operators.Bloom]] membership,
+    * [[Sketches]] frequency, this cardinality), sized at the problem
+    * the others can't answer: "how many DISTINCT 5-gram shingles per
+    * source" (the vocab/dedup-index sizing input) without a distinct
+    * aggregate over the full shingle stream. Per source, 256
+    * registers hold the max leading-zero rank of the second md5
+    * chunk, bucketed by the first chunk mod 256; the harmonic-mean
+    * estimate reads ONLY that 256-row state, and duplicate insertions
+    * are free by construction (max is idempotent), so the input needs
+    * no per-doc dedup pass. The register table IS the mergeable
+    * sketch state — the `_ALL_` row merges the per-source registers
+    * (max per register), never re-scanning the corpus: exactly how a
+    * 1000-executor rollup or cross-day union combines partials. All
+    * sketch arithmetic is integer (md5 chunks, a 32-branch rank CASE,
+    * dyadic sums scaled by 2^40 so the harmonic sum is an exact
+    * BIGINT); the one double division happens at the end on identical
+    * expression text in both engines, and the signed error lands as a
+    * floor'd integer ppm. No small-range correction (no ln): the raw
+    * estimator is the contract and the exact count sits beside it. */
+  val qSketchHll: Q = {
+    val m = Sketches.HllM
+    val rankCase = Sketches.HllRankCaseSql
+    val estExpr = Sketches.HllEstSql
+    Q(
+      "q_sketch_hll",
+      (spark, dir) => {
+        val sh = Tables.documents(spark, dir)
+          .select(col("source"),
+            explode(TextAnalysis.shingles(col("text"))).as("sh"))
+        val bySource = Sketches.hllRegisters(sh, col("sh"), col("source"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val est = Sketches.hllEstimate(
+          bySource.unionByName(Sketches.hllMerge(bySource, "_ALL_")))
+          .withColumnRenamed("g", "source")
+        val exact = sh.groupBy(col("source"))
+          .agg(countDistinct(col("sh")).as("n_exact"))
+          .unionByName(sh.agg(countDistinct(col("sh")).as("n_exact"))
+            .select(lit("_ALL_").as("source"), col("n_exact")))
+        exact.join(est, "source")
+          .select(col("source"), col("n_exact"),
+            // floor'd milli-units, not round(,3): decimal rounding of
+            // a double ties differently across engines; floor is
+            // unambiguous on the bit-identical est_raw
+            floor(col("est_raw") * 1000).cast("long").as("hll_est_milli"),
+            floor((col("est_raw") / col("n_exact") - 1) * 1000000)
+              .cast("long").as("err_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+      WITH toks AS (
+        SELECT source, string_split_regex(text, '\\s+') AS tl FROM documents),
+      shg AS (
+        SELECT source, unnest(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)]) AS sh
+        FROM toks WHERE len(tl) >= 5),
+      hx0 AS (SELECT source, md5(sh) AS hx FROM shg),
+      ch AS (
+        SELECT source, ${DedupQueries.chunkSql(0)} % $m AS idx,
+               ${DedupQueries.chunkSql(1)} AS c1
+        FROM hx0),
+      bg AS (
+        SELECT source, idx, max($rankCase) AS mr
+        FROM ch GROUP BY source, idx),
+      regs AS (
+        SELECT source, idx, mr FROM bg
+        UNION ALL
+        SELECT '_ALL_' AS source, idx, max(mr) AS mr
+        FROM bg GROUP BY idx),
+      sc AS (
+        SELECT source,
+               CAST(sum(CAST(pow(2, 40 - mr) AS BIGINT)) AS BIGINT)
+                 + ($m - count(*)) * 1099511627776 AS s
+        FROM regs GROUP BY source),
+      er AS (SELECT source, $estExpr AS est_raw FROM sc),
+      ex AS (
+        SELECT source, count(DISTINCT sh) AS n_exact
+        FROM shg GROUP BY source
+        UNION ALL
+        SELECT '_ALL_', count(DISTINCT sh) FROM shg)
+      SELECT x.source, x.n_exact,
+             CAST(floor(e.est_raw * 1000) AS BIGINT) AS hll_est_milli,
+             CAST(floor((e.est_raw / x.n_exact - 1) * 1000000) AS BIGINT)
+               AS err_ppm
+      FROM ex x JOIN er e USING (source)
+      ORDER BY source
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
-    qBoilerplateSpans, qZipfFit)
+    qBoilerplateSpans, qZipfFit, qSketchHll)
 }

@@ -116,6 +116,38 @@ object SketchesSpec extends Properties("Sketches") {
       est >= viaFreq && viaFreq == real
     }
 
+  property("hll: merged registers of a partition equal the registers of the union") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("p0", "p1", "p2"), key))) { rows =>
+      val df = rows.toDF("part", "k")
+      val partitioned = Sketches.hllRegisters(df, col("k"), col("part"))
+      val merged = Sketches.hllMerge(partitioned, "u")
+        .select(col("idx"), col("mr")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val direct = Sketches.hllRegisters(df, col("k"), lit("u"))
+        .select(col("idx"), col("mr")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      merged == direct
+    }
+
+  property("hll: duplicate insertions do not change the registers") =
+    forAll(Gen.nonEmptyListOf(key)) { keys =>
+      val once = keys.distinct.toDF("k")
+      val thrice = (keys ++ keys ++ keys).toDF("k")
+      val a = Sketches.hllRegisters(once, col("k"), lit("g"))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+      val b = Sketches.hllRegisters(thrice, col("k"), lit("g"))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+      a == b
+    }
+
+  property("hll: estimate of 5000 distinct keys lands within 4 standard errors") = {
+    val df = (0 until 5000).map(i => s"key-$i").toDF("k")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, col("k"), lit("g")))
+      .select(col("est_raw")).as[Double].head()
+    // sigma ≈ 1.04/sqrt(256) ≈ 6.5%; 4 sigma = 26%
+    math.abs(est / 5000.0 - 1.0) < 0.26
+  }
+
   property("duplicatedNgramStats: verbatim pair scores 1.0, unique doc scores 0.0") = {
     val text = (1 to 12).map(i => s"tok$i").mkString(" ")
     val unique = (1 to 12).map(i => s"other$i").mkString(" ")
