@@ -26,6 +26,10 @@ object GraftFunctions {
           WordShingles(exprs(0), litInt(exprs(1), "word_shingles(text, n): n"))
         }),
       (
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+        (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))),
+      (
         FunctionIdentifier("rolling_token_hashes"),
         new ExpressionInfo(classOf[RollingTokenHashes].getName, "rolling_token_hashes"),
         (exprs: Seq[Expression]) => RollingTokenHashes(

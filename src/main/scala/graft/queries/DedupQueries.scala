@@ -1053,6 +1053,75 @@ object DedupQueries {
       ORDER BY id_a, id_b LIMIT 200
     """.trim))
 
+  /** Jaro-Winkler record linkage — the similarity-scored (not
+    * edit-counted) view of the same dual-anchor candidate space the
+    * edit-distance dedups use: prefix/suffix-anchored, language- and
+    * length-banded blocking over 40-char heads, then the native
+    * [[graft.functions.JaroWinkler]] expression scores each pair and
+    * only jw ≥ 0.90 survive. Where `q_dedup_editdist` asks "how many
+    * edits apart", this asks the linkage question "same entity?" —
+    * JW's prefix weighting keeps tail divergence cheap, which is the
+    * right bias for heads that share openings. Scores are floor'd
+    * integer micro-units; the oracle scores the identical candidates
+    * with DuckDB's built-in `jaro_winkler_similarity`, which the
+    * native expression replays bit-for-bit (fuzz-verified, including
+    * the both-empty → 0 convention) — two INDEPENDENT implementations
+    * agreeing on every pair. Per-pair cost is O(40²) on a blocked,
+    * deduplicated candidate set; nothing is all-pairs. */
+  val qLinkageJw: Q = Q(
+    "q_linkage_jw",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{array, concat, explode, expr, floor, lit}
+      val keyed = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+        .withColumn("band", (length(col("head")) / 4).cast("long"))
+        .withColumn("bkey", explode(array(
+          concat(lit("P"), substring(col("head"), 1, 4)),
+          concat(lit("S"),
+            expr("substring(head, greatest(length(head) - 3, 1), 4)")))))
+      val cand = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.head").as("ha"), col("b.head").as("hb"))
+        .distinct()
+      cand
+        .withColumn("jw_micro",
+          floor(graft.functions.JaroWinkler(col("ha"), col("hb")) * 1000000)
+            .cast("long"))
+        .filter(col("jw_micro") >= 900000)
+        .select(col("id_a"), col("id_b"), col("jw_micro"))
+        .orderBy(col("id_a"), col("id_b"))
+        .limit(200)
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS head,
+               CAST(floor(length(substring(text, 1, 40)) / 4) AS BIGINT) AS band
+        FROM documents),
+      k AS (
+        SELECT doc_id, lang, head, band,
+               unnest(['P' || substring(head, 1, 4),
+                       'S' || substring(head, greatest(length(head) - 3, 1), 4)])
+                 AS bkey
+        FROM h),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.head AS ha, b.head AS hb
+        FROM k a JOIN k b
+          ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(floor(jaro_winkler_similarity(ha, hb) * 1000000) AS BIGINT)
+               AS jw_micro
+      FROM cand
+      WHERE CAST(floor(jaro_winkler_similarity(ha, hb) * 1000000) AS BIGINT)
+              >= 900000
+      ORDER BY id_a, id_b LIMIT 200
+    """.trim))
+
   /** Split-leakage audit: val/test documents that share a near-dup
     * family with a train document — the train/eval contamination a
     * random split inflicts whenever near-duplicates exist (the eval
@@ -1253,6 +1322,6 @@ object DedupQueries {
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist, qDedupDamerau, qDedupQualityProfile, qSplitLeakage,
-    qEvalAuc)
+    qDedupEditdist, qDedupDamerau, qLinkageJw, qDedupQualityProfile,
+    qSplitLeakage, qEvalAuc)
 }

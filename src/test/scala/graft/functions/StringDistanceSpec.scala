@@ -66,4 +66,57 @@ class StringDistanceSpec extends AnyFunSuite {
     val dls = df.select(col("dl")).as[Int].collect().toSeq
     assert(dls == duckdbVectors.map(_._3))
   }
+
+  /** Bit-exact doubles generated with DuckDB's
+    * `jaro_winkler_similarity` — the registry query's hash parity is
+    * decided by exactly these values (floor'd to micro-units), so the
+    * comparison is `==` on the raw double, no tolerance. Covers the
+    * Winkler boost branch (sim > 0.7), the no-boost branch, zero-match
+    * pairs, and the both-empty → 0.0 convention. */
+  private val jwVectors: Seq[(String, String, Double)] = Seq(
+    ("martha", "marhta", 0.9611111111111111),
+    ("dixon", "dicksonx", 0.8133333333333332),
+    ("jellyfish", "smellyfish", 0.8962962962962964),
+    ("abc", "abc", 1.0),
+    ("abc", "", 0.0),
+    ("", "", 0.0),
+    ("a", "b", 0.0),
+    ("crate", "trace", 0.7333333333333334),
+    ("dwayne", "duane", 0.8400000000000001),
+    ("arnab", "raanb", 0.8666666666666667),
+    ("hello world", "hello word", 0.9818181818181818),
+    ("eddeebbe", " ebadcba", 0.5833333333333334),
+    ("  aedd  e", "beaeaaabbea", 0.42424242424242414),
+    ("cdebeb c", "a ad cde", 0.5833333333333334),
+    (" c", "becaae", 0.5555555555555555),
+    ("da", "daa a", 0.84),
+    ("badd", "ddae b ccacc", 0.611111111111111),
+    ("d", "bb", 0.0),
+    ("aaaddb ebdeb", "bd daddbacec", 0.6527777777777778),
+    ("b", "de ", 0.0),
+    ("aabbdcaecc", "aaabe b", 0.8107936507936507),
+    ("e", "cedbed", 0.7222222222222223),
+    ("bdb bcbeb ", "b  e", 0.6833333333333332))
+
+  test("jaro-winkler compute matches DuckDB bit-for-bit on pinned vectors") {
+    jwVectors.foreach { case (a, b, want) =>
+      val got = JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got == want, s"jw('$a','$b') = $got, duckdb says $want")
+    }
+  }
+
+  test("jaro-winkler expression under codegen: pinned values, bounds, self-identity") {
+    import spark.implicits._
+    val df = jwVectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(JaroWinkler(col("a"), col("b")).as("jw"))
+    val got = df.as[Double].collect().toSeq
+    assert(got == jwVectors.map(_._3))
+    got.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // non-empty self-comparison is exactly 1.0
+    val self = Seq("alpha", "x", "hello world").toDF("s")
+      .select(JaroWinkler(col("s"), col("s")).as("jw")).as[Double].collect()
+    assert(self.forall(_ == 1.0))
+  }
 }
