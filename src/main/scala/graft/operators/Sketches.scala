@@ -116,6 +116,56 @@ object Sketches {
         (col("s_nz") + (lit(HllM.toLong) - col("nz")) * lit(1L << 40)).as("s"))
       .select(col("g"), expr(HllEstSql).as("est_raw"))
 
+  /** Deterministic bottom-k sample per group (KMV-style): the k rows
+    * whose unique key has the smallest md5 rank — a uniform sample
+    * that every engine and every run draws identically. Mergeable:
+    * the global bottom-k of a union is a subset of the concatenated
+    * per-part bottom-k samples (a global winner wins its part too),
+    * so partial samples roll up via [[bottomKResample]] without
+    * revisiting any input row. The per-group window sorts only within
+    * hash partitions of the group key — no global exchange. Output
+    * `(g, id, v)`. */
+  def bottomKSample(df: DataFrame, key: Column, value: Column,
+                    group: Column, k: Int): DataFrame =
+    df.select(group.as("g"), key.cast("string").as("id"), value.as("v"))
+      .withColumn("hk", md5(col("id")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("hk"), col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("g"), col("id"), col("v"))
+
+  /** Merge partial bottom-k samples into one group: re-rank the union
+    * under the SAME hash and keep the global bottom-k. Deliberately an
+    * `orderBy().limit()` — Spark plans a distributed
+    * TakeOrderedAndProject (per-partition top-k + tiny driver merge),
+    * never a single-partition window, and the input is already ≤
+    * k·groups rows. */
+  def bottomKResample(samples: DataFrame, label: String, k: Int): DataFrame =
+    samples.select(lit(label).as("g"), col("id"), col("v"))
+      .withColumn("hk", md5(col("id")))
+      .orderBy(col("hk"), col("id"))
+      .limit(k)
+      .select(col("g"), col("id"), col("v"))
+
+  /** Discrete (type-1) quantiles from bottom-k samples: per group, the
+    * sample value at 1-based index `((n−1)·pbp) div 10000 + 1` of the
+    * value-sorted sample, `pbp` in basis points — pure integer index
+    * selection, no interpolation, so both engines pick the identical
+    * element. Windows span ≤ k rows per group. Output
+    * `(g, pbp, est)`. */
+  def sampleDiscQuantiles(sample: DataFrame, pbps: Seq[Int]): DataFrame = {
+    val ranked = sample.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"), col("id"))))
+    val wanted = sample.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"),
+        explode(array(pbps.map(p => lit(p)): _*)).as("pbp"))
+      .withColumn("rn", expr("((n - 1) * pbp) div 10000 + 1"))
+    ranked.join(wanted, Seq("g", "rn"))
+      .select(col("g"), col("pbp"), col("v").as("est"))
+  }
+
   /** HLL register count (2^8 buckets → ~6.5% standard error). */
   val HllM = 256
 

@@ -519,7 +519,106 @@ object CurationQueries {
     """.trim))
   }
 
+  /** Mergeable quantile sketch — the fourth sketch ([[Sketches]]
+    * membership/frequency/cardinality and now quantiles): a
+    * deterministic bottom-k-by-md5 (KMV-style) uniform sample of 512
+    * event values per event type, with p50/p90/p99 read off the
+    * sorted sample by pure integer index selection (no
+    * interpolation). The `_ALL_` row is produced by RE-SAMPLING the
+    * union of the per-type samples under the same hash
+    * ([[Sketches.bottomKResample]]) — never by touching the input
+    * again, which is how per-shard partials roll up on a cluster; the
+    * merge plans as a distributed TakeOrderedAndProject, not a
+    * single-partition window. Graded against exact discrete quantiles
+    * computed from a value histogram whose cumsum window is bounded
+    * by the CENTS DOMAIN (distinct integer cents), not the row count,
+    * so even the exact gauge survives scale. Everything is integer
+    * cents end to end — both engines must select identical elements,
+    * making the sample mechanics, the merge, and the index arithmetic
+    * all hash-checked. */
+  val qSketchQuantile: Q = {
+    val k = 512
+    val pbps = Seq(5000, 9000, 9900)
+    val pbpList = pbps.mkString("[", ", ", "]")
+    Q(
+      "q_sketch_quantile",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(spark, dir)
+          .select(col("event_type").as("g"),
+            col("event_id").cast("string").as("id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        val perType = Sketches.bottomKSample(
+          base, col("id"), col("v"), col("g"), k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val samples = perType.unionByName(
+          Sketches.bottomKResample(perType, "_ALL_", k))
+        val est = Sketches.sampleDiscQuantiles(samples, pbps)
+        val fb = base.select(col("g"), col("v"))
+          .unionByName(base.select(lit("_ALL_").as("g"), col("v")))
+        val cum = fb.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum",
+            sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        val wanted = fb.groupBy(col("g")).agg(count(lit(1)).as("n"))
+          .select(col("g"), col("n"),
+            explode(array(pbps.map(p => lit(p)): _*)).as("pbp"))
+          .withColumn("idx", expr("((n - 1) * pbp) div 10000 + 1"))
+        val exact = cum.join(wanted, "g")
+          .filter(col("cum") >= col("idx"))
+          .groupBy(col("g"), col("pbp")).agg(min(col("v")).as("exact_cents"))
+        est.join(exact, Seq("g", "pbp"))
+          .select(col("g").as("event_type"), col("pbp").cast("long").as("pbp"),
+            col("est").as("est_cents"), col("exact_cents"),
+            (col("est") - col("exact_cents")).as("err_cents"))
+          .orderBy(col("event_type"), col("pbp"))
+      },
+      Some(s"""
+      WITH base AS (
+        SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      samp AS (
+        SELECT g, id, v FROM (
+          SELECT g, id, v,
+                 row_number() OVER (PARTITION BY g ORDER BY md5(id), id) AS rn
+          FROM base)
+        WHERE rn <= $k),
+      merged AS (
+        SELECT '_ALL_' AS g, id, v FROM (
+          SELECT id, v, row_number() OVER (ORDER BY md5(id), id) AS rn
+          FROM samp)
+        WHERE rn <= $k),
+      s2 AS (SELECT g, id, v FROM samp UNION ALL SELECT g, id, v FROM merged),
+      ranked AS (
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn
+        FROM s2),
+      wanted AS (
+        SELECT g, pbp, ((count(*) - 1) * pbp) // 10000 + 1 AS rn
+        FROM s2, (SELECT unnest($pbpList) AS pbp) GROUP BY g, pbp),
+      est AS (
+        SELECT w.g, w.pbp, r.v AS est_cents
+        FROM wanted w JOIN ranked r USING (g, rn)),
+      fb AS (
+        SELECT g, v FROM base UNION ALL SELECT '_ALL_', v FROM base),
+      cum AS (
+        SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM (
+          SELECT g, v, count(*) AS c FROM fb GROUP BY g, v)),
+      wf AS (
+        SELECT g, pbp, ((count(*) - 1) * pbp) // 10000 + 1 AS idx
+        FROM fb, (SELECT unnest($pbpList) AS pbp) GROUP BY g, pbp),
+      exact AS (
+        SELECT c.g, w.pbp, min(c.v) AS exact_cents
+        FROM cum c JOIN wf w ON c.g = w.g AND c.cum >= w.idx
+        GROUP BY c.g, w.pbp)
+      SELECT e.g AS event_type, CAST(e.pbp AS BIGINT) AS pbp, e.est_cents,
+             x.exact_cents, e.est_cents - x.exact_cents AS err_cents
+      FROM est e JOIN exact x ON e.g = x.g AND e.pbp = x.pbp
+      ORDER BY event_type, pbp
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
-    qBoilerplateSpans, qZipfFit, qSketchHll)
+    qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile)
 }

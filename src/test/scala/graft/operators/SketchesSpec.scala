@@ -148,6 +148,39 @@ object SketchesSpec extends Properties("Sketches") {
     math.abs(est / 5000.0 - 1.0) < 0.26
   }
 
+  property("bottom-k resample of per-part samples equals the one-shot global sample") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("p0", "p1", "p2"),
+      Gen.choose(0L, 2000L), Gen.choose(0L, 100L)))) { raw =>
+      val rows = raw.groupBy(_._2).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("part", "id", "v")
+      val k = 5
+      val parts = Sketches.bottomKSample(df, col("id"), col("v"), col("part"), k)
+      val merged = Sketches.bottomKResample(parts, "u", k)
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val direct = Sketches.bottomKSample(df, col("id"), col("v"), lit("u"), k)
+        .select(col("id"), col("v")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      merged == direct
+    }
+
+  property("sampleDiscQuantiles picks the exact sorted element at the integer index") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5000L), Gen.choose(-50L, 50L)))) { raw =>
+      val rows = raw.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("id", "v")
+      val pbps = Seq(0, 5000, 9900, 10000)
+      val got = Sketches.sampleDiscQuantiles(
+        df.select(lit("g").as("g"), col("id").cast("string").as("id"), col("v")),
+        pbps)
+        .select(col("pbp"), col("est")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      val sorted = rows.sortBy(r => (r._2, r._1.toString)).map(_._2)
+      val n = sorted.length
+      pbps.forall { p =>
+        got(p) == sorted(((n - 1).toLong * p / 10000).toInt)
+      }
+    }
+
   property("duplicatedNgramStats: verbatim pair scores 1.0, unique doc scores 0.0") = {
     val text = (1 to 12).map(i => s"tok$i").mkString(" ")
     val unique = (1 to 12).map(i => s"other$i").mkString(" ")
