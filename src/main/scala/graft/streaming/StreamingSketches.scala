@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Sketches as STREAMING STATE: the batch sketch family
+  * ([[graft.operators.Sketches]]) maintained incrementally per key in
+  * the state store, so a long-running stream answers "how many
+  * distinct X so far" in O(registers) memory per group instead of
+  * per-key state. The register recipe is IDENTICAL to the batch /
+  * oracle one (md5 chunk mod 256 buckets, leading-zero rank of the
+  * second chunk, max per register) — `StreamingSketchSpec` pins the
+  * streamed registers and estimates to the batch operator row for
+  * row, which is what makes a lambda architecture (batch backfill +
+  * streaming head) converge instead of drift.
+  *
+  * Scale shape: state per group is a fixed 256-int array regardless
+  * of stream length; updates are associative max-folds, so
+  * micro-batch size and arrival order cannot change the state; the
+  * emitted estimate is monotone non-decreasing (registers only
+  * grow), so downstream consumers may keep latest-wins. */
+object StreamingSketches {
+
+  /** JVM-side replay of the engine's HLL register recipe
+    * ([[graft.operators.Sketches.hllRegisters]]): md5 the UTF-8 key
+    * bytes, big-endian 32-bit chunk 0 mod 256 is the register index,
+    * the 1-based leading-zero rank of chunk 1 (33 for zero) is the
+    * observation. */
+  def registerOf(key: String): (Int, Int) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    def chunk(i: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (d(i * 4 + k) & 0xffL); k += 1 }
+      v
+    }
+    val idx = (chunk(0) % 256).toInt
+    val c1 = chunk(1)
+    val rank =
+      if (c1 == 0L) 33
+      else java.lang.Long.numberOfLeadingZeros(c1) - 31
+    (idx, rank)
+  }
+
+  /** Raw HLL estimate in floor'd milli-units from a 256-register
+    * array — the identical IEEE expression tree as
+    * [[graft.operators.Sketches.HllEstSql]] (alpha_256 · m² · 2^40 /
+    * Σ 2^(40-rank), absent register ⇒ rank 0). */
+  def estimateMilli(regs: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < regs.length) { s += 1L << (40 - regs(i)); i += 1 }
+    val est = 0.7213 / (1 + 1.079 / 256) * 65536 * 1099511627776.0 / s.toDouble
+    math.floor(est * 1000).toLong
+  }
+
+  /** Streaming distinct-count: `(group, key)` pairs → per-group HLL
+    * registers held in `mapGroupsWithState`, emitting
+    * `(group, estimate_milli)` each micro-batch the group appears in.
+    * Update output mode; the estimate is monotone, so the latest (or
+    * max) update per group is the current answer. */
+  def distinctOverStream(events: Dataset[(String, String)])
+      : Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Int], (String, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state) =>
+          val regs = state.getOption.getOrElse(new Array[Int](256))
+          rows.foreach { case (_, key) =>
+            val (i, r) = registerOf(key)
+            if (r > regs(i)) regs(i) = r
+          }
+          state.update(regs)
+          (g, estimateMilli(regs))
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/stream convergence for the HLL sketch: the streaming state
+  * operator must land on EXACTLY the registers and estimate the batch
+  * operator (and therefore the DuckDB oracle) computes over the same
+  * data, regardless of how arrival is micro-batched — the property
+  * that lets a streaming head serve while a batch job backfills. */
+class StreamingSketchSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("registerOf replays the batch hllRegisters recipe row for row") {
+    val keys = (0 until 300).map(i => s"key-$i")
+    val batch = graft.operators.Sketches
+      .hllRegisters(keys.toDF("k"), col("k"), lit("g"))
+      .select(col("idx"), col("mr")).collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1))).toMap
+    // fold the JVM-side recipe the way the stream state does
+    val regs = new Array[Int](256)
+    keys.foreach { k =>
+      val (i, r) = StreamingSketches.registerOf(k)
+      if (r > regs(i)) regs(i) = r
+    }
+    val jvm = regs.zipWithIndex.collect { case (mr, i) if mr > 0 => (i, mr) }.toMap
+    assert(jvm == batch)
+  }
+
+  test("streamed estimate equals the batch estimate across uneven micro-batches") {
+    val data = (0 until 500).map(i => ("a", s"user-${i % 311}")) ++
+      (0 until 400).map(i => ("b", s"user-${i % 97}")) ++
+      (0 until 100).map(i => ("a", s"extra-$i"))
+    val input = MemoryStream[(String, String)]
+    val q = StreamingSketches.distinctOverStream(input.toDS())
+      .toDF("g", "est_milli")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      // deliberately uneven batching, duplicates across batches
+      input.addData(data.take(137))
+      q.processAllAvailable()
+      input.addData(data.slice(137, 707))
+      q.processAllAvailable()
+      input.addData(data.drop(707) ++ data.take(50)) // replay some rows
+      q.processAllAvailable()
+      // monotone estimates -> final value per group is the max update
+      val streamed = spark.table("hll_out")
+        .groupBy(col("g")).agg(max(col("est_milli")).as("m"))
+        .as[(String, Long)].collect().toMap
+      val df = data.toDF("g", "k")
+      val batch = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(df, col("k"), col("g")))
+        .select(col("g"), floor(col("est_raw") * 1000).cast("long"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
