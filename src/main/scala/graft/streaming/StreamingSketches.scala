@@ -76,4 +76,44 @@ object StreamingSketches {
           (g, estimateMilli(regs))
       }
   }
+
+  /** The md5-rank sort key of the batch bottom-k sample
+    * ([[graft.operators.Sketches.bottomKSample]] orders by
+    * `(md5(id), id)`): lowercase hex digest of the UTF-8 id. */
+  def hashKey(id: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Streaming bottom-k (KMV) sample: `(group, id, value)` triples →
+    * the k rows with the smallest `(md5(id), id)` rank per group,
+    * held in `mapGroupsWithState` and re-emitted each micro-batch the
+    * group appears in. Because the winner set of a union is decided
+    * row-by-row by a total order, folding arrivals into the kept set
+    * is associative — batching and replays cannot change the state,
+    * and the final sample equals the batch operator's over the same
+    * rows (spec-pinned). State is ≤ k rows per group regardless of
+    * stream length; sorted-sample quantiles (the
+    * [[graft.operators.Sketches.sampleDiscQuantiles]] index rule)
+    * come free from the emitted rows. */
+  def bottomKOverStream(events: Dataset[(String, String, Long)], k: Int)
+      : Dataset[(String, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(String, String, Long)],
+        (String, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state) =>
+          // kept: (hk, id, v) sorted ascending by (hk, id)
+          var kept = state.getOption.getOrElse(
+            Array.empty[(String, String, Long)])
+          val incoming = rows.map { case (_, id, v) => (hashKey(id), id, v) }
+          kept = (kept ++ incoming)
+            .groupBy(t => (t._1, t._2)).map(_._2.head).toArray
+            .sortBy(t => (t._1, t._2)).take(k)
+          state.update(kept)
+          kept.iterator.map { case (_, id, v) => (g, id, v) }
+      }
+  }
 }

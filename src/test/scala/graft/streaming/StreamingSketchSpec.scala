@@ -59,4 +59,40 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streamed bottom-k sample converges to the batch sample under replays") {
+    val data = (0 until 300).map(i => ("a", s"id-$i", (i * 7 % 100).toLong)) ++
+      (0 until 200).map(i => ("b", s"id-$i", (i * 3 % 50).toLong))
+    val input = MemoryStream[(String, String, Long)]
+    val q = StreamingSketches.bottomKOverStream(input.toDS(), k = 8)
+      .toDF("g", "id", "v")
+      .writeStream.format("memory").queryName("bk_out")
+      .outputMode("update").start()
+    try {
+      input.addData(data.take(250))
+      q.processAllAvailable()
+      input.addData(data.drop(250) ++ data.take(40)) // replay rows
+      q.processAllAvailable()
+      input.addData(data.take(10)) // replay again: state must not change
+      q.processAllAvailable()
+      // Every row that was ever in state was emitted, and state rows
+      // are only ever displaced by strictly lower (hk, id) ranks — so
+      // the bottom-k over ALL emitted rows IS the final state, and
+      // must equal the batch sample over the same data. This is
+      // order-independent: no reliance on sink row ordering.
+      val emitted = spark.table("bk_out")
+        .select(col("g"), col("id"), col("v")).distinct()
+        .as[(String, String, Long)].collect()
+      val streamedBottomK = emitted.groupBy(_._1).view.mapValues { rows =>
+        rows.map { case (_, id, v) => (StreamingSketches.hashKey(id), id, v) }
+          .sortBy(t => (t._1, t._2)).take(8)
+          .map { case (_, id, v) => (id, v) }.toSet
+      }.toMap
+      val batch = graft.operators.Sketches.bottomKSample(
+        data.toDF("g", "id", "v"), col("id"), col("v"), col("g"), 8)
+        .as[(String, String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+      assert(streamedBottomK == batch)
+    } finally q.stop()
+  }
 }
