@@ -874,10 +874,101 @@ object RelationalQueries {
       FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
     """.trim))
 
+  /** Bloom runtime join filter — Spark's runtime-filter/DPP pattern
+    * made explicit and verifiable: the selective build side (urgent
+    * orders) is sketched into a broadcastable 2^18-bit Bloom filter
+    * ([[graft.operators.Bloom]]), the probe side's DISTINCT join keys
+    * are screened against it BEFORE any shuffle, and only maybe-keys
+    * rows reach the join. The report proves the two contracts that
+    * make the pattern safe at 100 TB: revenue through the filtered
+    * path EQUALS revenue through the plain join (no false negatives,
+    * by construction), and the false-pass key count prices the
+    * filter's one-sided cost (a few extra rows shuffled, never a
+    * wrong result). One per-key aggregate + two broadcast flag joins
+    * + one final fold — the probe side is scanned once. The oracle
+    * rebuilds the identical sketch (md5-chunk positions, 32-bit
+    * words, bit_or) in SQL. */
+  val qBloomJoinFilter: Q = {
+    val m = graft.operators.Bloom.NumBits
+    val posList = (0 until graft.operators.Bloom.NumHashes)
+      .map(i => s"${DedupQueries.chunkSql(i)} % $m").mkString(", ")
+    Q(
+      "q_bloom_join_filter",
+      (spark, dir) => {
+        import graft.operators.Bloom
+        val urgent = Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val sketch = Bloom.build(urgent, col("o_orderkey").cast("string"))
+        val liKeys = Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+              .as("cents"))
+        val flagged = Bloom.probe(liKeys, "l_orderkey",
+            col("l_orderkey").cast("string"), sketch)
+          .join(broadcast(urgent.withColumn("is_urgent", lit(true))),
+            col("l_orderkey") === col("o_orderkey"), "left")
+        flagged.agg(
+          sum(col("n_li")).as("n_lineitem"),
+          sum(when(col("maybe"), col("n_li")).otherwise(0L)).as("n_bloom_pass"),
+          sum(when(col("is_urgent").isNotNull, col("n_li")).otherwise(0L))
+            .as("n_joined"),
+          sum(when(col("maybe") && col("is_urgent").isNull, 1L).otherwise(0L))
+            .as("n_false_pass_keys"),
+          sum(when(col("maybe") && col("is_urgent").isNotNull, col("cents"))
+            .otherwise(0L)).as("rev_bloom_cents"),
+          sum(when(col("is_urgent").isNotNull, col("cents")).otherwise(0L))
+            .as("rev_plain_cents"))
+      },
+      Some(s"""
+      WITH urgent AS (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      upos AS (
+        SELECT unnest([$posList]) AS pos
+        FROM (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM urgent)),
+      sketch AS (
+        SELECT pos // 32 AS word,
+               bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM upos GROUP BY pos // 32),
+      lik AS (
+        SELECT l_orderkey, count(*) AS n_li,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_orderkey),
+      kpos AS (
+        SELECT l_orderkey, unnest([$posList]) AS pos
+        FROM (SELECT l_orderkey, md5(CAST(l_orderkey AS VARCHAR)) AS hx
+              FROM lik)),
+      hits AS (
+        SELECT l_orderkey, count(*) AS n_hits
+        FROM kpos k JOIN sketch s ON k.pos // 32 = s.word
+        WHERE (s.bits & (1::BIGINT << CAST(k.pos % 32 AS INT))) <> 0
+        GROUP BY l_orderkey),
+      flagged AS (
+        SELECT l.n_li, l.cents,
+               coalesce(h.n_hits, 0) = 4 AS maybe,
+               l.l_orderkey IN (SELECT o_orderkey FROM urgent) AS is_urgent
+        FROM lik l LEFT JOIN hits h USING (l_orderkey))
+      SELECT CAST(sum(n_li) AS BIGINT) AS n_lineitem,
+             CAST(sum(CASE WHEN maybe THEN n_li ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+             CAST(sum(CASE WHEN is_urgent THEN n_li ELSE 0 END) AS BIGINT)
+               AS n_joined,
+             CAST(sum(CASE WHEN maybe AND NOT is_urgent THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pass_keys,
+             CAST(sum(CASE WHEN maybe AND is_urgent THEN cents ELSE 0 END)
+               AS BIGINT) AS rev_bloom_cents,
+             CAST(sum(CASE WHEN is_urgent THEN cents ELSE 0 END) AS BIGINT)
+               AS rev_plain_cents
+      FROM flagged
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qCustOrderHistogram, qPromoShare, qExcessStock,
     qVolumeShipping, qMarketShare, qTopSupplier, qLargeOrders,
     qLateSoleSupplier, qDormantRich,
     qShipPriority, qPriorityWait, qLocalVolume, qForecastRevenue,
     qReturnedItems, qLatenessPriority, qSupplierBreadth, qBrandRevenue,
-    qWhaleShare, qMarketHhi, qCycleTime)
+    qWhaleShare, qMarketHhi, qCycleTime, qBloomJoinFilter)
 }
