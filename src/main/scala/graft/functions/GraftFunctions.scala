@@ -26,6 +26,10 @@ object GraftFunctions {
           WordShingles(exprs(0), litInt(exprs(1), "word_shingles(text, n): n"))
         }),
       (
+        FunctionIdentifier("float_l2sq"),
+        new ExpressionInfo(classOf[FloatL2Sq].getName, "float_l2sq"),
+        (exprs: Seq[Expression]) => FloatL2Sq(exprs(0), exprs(1))),
+      (
         FunctionIdentifier("jaro_winkler"),
         new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
         (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))),

@@ -64,9 +64,67 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over float arrays — the PQ-family hot
+  * path (codebook refinement argmin, corpus encode, ADC lookup tables
+  * all score O(vectors × codes) subspace pairs). Same contract as
+  * [[FloatDotProduct]]: the accumulation is the sequential
+  * left-to-right fold `acc += (a_i - b_i)²` with per-element
+  * float→double widening, bit-identical to the
+  * `aggregate(zip_with(a, b, (x, y) => (x-y)*(x-y)), 0.0, _+_)`
+  * formulation it replaces (differential-spec-pinned) and to the
+  * DuckDB oracle's `list_sum` over an index comprehension — swapping
+  * it in cannot move a single argmin tie. */
+case class FloatL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("flsN")
+      val acc = ctx.freshName("flsAcc")
+      val i = ctx.freshName("flsI")
+      val d = ctx.freshName("flsD")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatDotProduct]]. */
   def floatDot(a: Column, b: Column): Column =
     ColumnShim.column(
       FloatDotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[FloatL2Sq]]. */
+  def floatL2Sq(a: Column, b: Column): Column =
+    ColumnShim.column(
+      FloatL2Sq(ColumnShim.expression(a), ColumnShim.expression(b)))
 }

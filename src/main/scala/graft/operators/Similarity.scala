@@ -478,8 +478,16 @@ object Similarity {
   val PqSubDim = 8
   val PqNumCodes = 16
 
-  /** Squared L2 distance in double, fixed sequential order. */
+  /** Squared L2 distance in double, fixed sequential order — the
+    * native codegen'd [[graft.functions.FloatL2Sq]] (bit-identical to
+    * the `aggregate(zip_with(...))` formulation it replaced; the
+    * differential property in `SrpQuantSpec` pins that). */
   private def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.floatL2Sq(a, b)
+
+  /** The built-in-only twin of [[l2sq]], kept as the differential-test
+    * reference for the native expression. */
+  private[operators] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double")
       d * d

@@ -10,6 +10,33 @@ class SrpQuantSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("native FloatL2Sq is bit-identical to the zip_with/aggregate formulation") {
+    import spark.implicits._
+    // real embeddings, both full vectors and PQ-shaped 8-dim slices
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(500)
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+      .select(
+        graft.functions.VectorExpressions.floatL2Sq(col("x"), col("y"))
+          .as("native"),
+        Similarity.l2sqHof(col("x"), col("y")).as("hof"),
+        graft.functions.VectorExpressions
+          .floatL2Sq(slice(col("x"), 9, 8), slice(col("y"), 9, 8))
+          .as("native_slice"),
+        Similarity.l2sqHof(slice(col("x"), 9, 8), slice(col("y"), 9, 8))
+          .as("hof_slice"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, h, ns, hs) =>
+      assert(java.lang.Double.doubleToRawLongBits(n)
+        == java.lang.Double.doubleToRawLongBits(h))
+      assert(java.lang.Double.doubleToRawLongBits(ns)
+        == java.lang.Double.doubleToRawLongBits(hs))
+    }
+  }
+
   test("SRP pairs are verified near-dups: every emitted pair meets the threshold") {
     val emb = graft.Tables.embeddings(spark, dir)
     val pairs = Similarity.srpNearDupPairs(emb, minCos = 0.3).collect()
