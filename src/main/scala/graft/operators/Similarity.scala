@@ -623,16 +623,27 @@ object Similarity {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= probes)
       .select(col("qid"), col("cell")))
+    // In-row argmin against the broadcast per-sub codeword ARRAY: no
+    // corpus × codes row explosion, no encode shuffle — each
+    // (vector, sub) row scores its 16 codewords inside one projection
+    // and keeps the (d, cidx)-least code. array_min's struct order is
+    // exactly the min(struct(d, cidx)) the joined formulation used,
+    // and the distances are the identical FloatL2Sq doubles, so the
+    // chosen codes (and the query hash) cannot move.
+    val cbArr = broadcast(cb.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cidx"), col("cvec"))))
+        .as("codes")))
     val encWithCell = inverted
       .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
       .select(col("vec_id"), col("cell"), subVectors(col("embedding")).as("e"))
       .select(col("vec_id"), col("cell"), col("e.sub").as("sub"),
         col("e.svec").as("svec"))
-      .join(cb, "sub")
+      .join(cbArr, "sub")
       .select(col("vec_id"), col("cell"), col("sub"),
-        struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("cand")).getField("cidx").as("code"))
+        array_min(transform(col("codes"), c =>
+          struct(l2sq(col("svec"), c.getField("cvec")).as("d"),
+            c.getField("cidx").as("cidx"))))
+          .getField("cidx").as("code"))
     val lut = broadcast(queries
       .select(col("qid"), subVectors(col("qvec")).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.svec").as("qsvec"))
