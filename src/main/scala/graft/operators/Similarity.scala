@@ -640,10 +640,20 @@ object Similarity {
         col("e.svec").as("svec"))
       .join(cbArr, "sub")
       .select(col("vec_id"), col("cell"), col("sub"),
-        array_min(transform(col("codes"), c =>
-          struct(l2sq(col("svec"), c.getField("cvec")).as("d"),
-            c.getField("cidx").as("cidx"))))
-          .getField("cidx").as("code"))
+        // coalesce: the codes array is never empty, so the argmin is
+        // never null — but stating that makes `code` non-nullable,
+        // which stops Catalyst inferring isnotnull(code) for the
+        // downstream join key and re-evaluating the whole 16-codeword
+        // argmin a second time inside the join condition (observed in
+        // the executed plan). An unrolled least() chain was measured
+        // no faster — with 8 stages the cost floor here is stage
+        // latency, not the per-row argmin.
+        coalesce(
+          array_min(transform(col("codes"), c =>
+            struct(l2sq(col("svec"), c.getField("cvec")).as("d"),
+              c.getField("cidx").as("cidx"))))
+            .getField("cidx"),
+          lit(-1)).as("code"))
     val lut = broadcast(queries
       .select(col("qid"), subVectors(col("qvec")).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.svec").as("qsvec"))
