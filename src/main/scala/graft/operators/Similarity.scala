@@ -560,11 +560,34 @@ object Similarity {
   def pqEncode(corpus: DataFrame, cb: DataFrame): DataFrame =
     corpus.select(col("vec_id"), subVectors(col("embedding")).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
-      .join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("sub"),
-        struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("cand")).getField("cidx").as("code"))
+      .join(codesArray(cb), "sub")
+      .select(col("vec_id"), col("sub"), argminCode(col("svec")).as("code"))
+
+  /** Broadcast per-sub codeword ARRAY (sorted by cidx) — the shape the
+    * in-row [[argminCode]] scores against: one broadcast row per
+    * subspace instead of NumCodes join rows, so encoding is
+    * scan-shaped (no corpus × codes row explosion, no encode
+    * shuffle). */
+  private def codesArray(cb: DataFrame): DataFrame =
+    broadcast(cb.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cidx"), col("cvec"))))
+        .as("codes")))
+
+  /** In-row nearest-codeword index against the `codes` array:
+    * array_min over (d, cidx) structs replays min(struct(d, cidx))
+    * exactly (the order is total — cidx is unique), with the same
+    * FloatL2Sq doubles, so swapping formulations cannot move a tie.
+    * coalesce: the argmin is never null (codes is never empty), and
+    * stating so stops Catalyst inferring isnotnull(code) for a
+    * downstream join key and re-evaluating the whole argmin inside
+    * the join condition (observed in the executed plan). */
+  private def argminCode(svec: Column): Column =
+    coalesce(
+      array_min(transform(col("codes"), c =>
+        struct(l2sq(svec, c.getField("cvec")).as("d"),
+          c.getField("cidx").as("cidx"))))
+        .getField("cidx"),
+      lit(-1))
 
   /** ADC top-k: per query, a NumSub×NumCodes lookup table of FIXED-POINT
     * subspace distances (BIGINT nano-units — integer sums are
@@ -623,37 +646,21 @@ object Similarity {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= probes)
       .select(col("qid"), col("cell")))
-    // In-row argmin against the broadcast per-sub codeword ARRAY: no
-    // corpus × codes row explosion, no encode shuffle — each
-    // (vector, sub) row scores its 16 codewords inside one projection
-    // and keeps the (d, cidx)-least code. array_min's struct order is
-    // exactly the min(struct(d, cidx)) the joined formulation used,
-    // and the distances are the identical FloatL2Sq doubles, so the
-    // chosen codes (and the query hash) cannot move.
-    val cbArr = broadcast(cb.groupBy(col("sub"))
-      .agg(array_sort(collect_list(struct(col("cidx"), col("cvec"))))
-        .as("codes")))
+    // In-row argmin against the broadcast per-sub codeword ARRAY
+    // ([[codesArray]]/[[argminCode]]): no corpus × codes row
+    // explosion, no encode shuffle — each (vector, sub) row scores
+    // its 16 codewords inside one projection and keeps the
+    // (d, cidx)-least code. (An unrolled least() chain was measured
+    // no faster — with 8 stages the cost floor here is stage latency,
+    // not the per-row argmin.)
     val encWithCell = inverted
       .filter(col("vec_id") < qMinId || col("vec_id") >= qMaxId)
       .select(col("vec_id"), col("cell"), subVectors(col("embedding")).as("e"))
       .select(col("vec_id"), col("cell"), col("e.sub").as("sub"),
         col("e.svec").as("svec"))
-      .join(cbArr, "sub")
+      .join(codesArray(cb), "sub")
       .select(col("vec_id"), col("cell"), col("sub"),
-        // coalesce: the codes array is never empty, so the argmin is
-        // never null — but stating that makes `code` non-nullable,
-        // which stops Catalyst inferring isnotnull(code) for the
-        // downstream join key and re-evaluating the whole 16-codeword
-        // argmin a second time inside the join condition (observed in
-        // the executed plan). An unrolled least() chain was measured
-        // no faster — with 8 stages the cost floor here is stage
-        // latency, not the per-row argmin.
-        coalesce(
-          array_min(transform(col("codes"), c =>
-            struct(l2sq(col("svec"), c.getField("cvec")).as("d"),
-              c.getField("cidx").as("cidx"))))
-            .getField("cidx"),
-          lit(-1)).as("code"))
+        argminCode(col("svec")).as("code"))
     val lut = broadcast(queries
       .select(col("qid"), subVectors(col("qvec")).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.svec").as("qsvec"))
