@@ -529,15 +529,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cb = pqCodebook(embeddings)
     for (_ <- 0 until iterations) {
-      // argmin aggregate carrying the subvector along (every pre-agg
-      // row of a (vec_id, sub) holds the same svec, so first() is
-      // deterministic) — one shuffle, no corpus re-join.
-      val members = subs.join(broadcast(cb), "sub")
+      // in-row argmin against the broadcast codeword array
+      // ([[codesArray]]/[[argminCode]]): assignment needs NO aggregate
+      // at all — each (vec_id, sub, svec) row picks its codeword in
+      // one projection, removing a shuffle per Lloyd iteration.
+      val members = subs.join(codesArray(cb), "sub")
         .select(col("vec_id"), col("sub"), col("svec"),
-          struct(l2sq(col("svec"), col("cvec")).as("d"), col("cidx")).as("cand"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(col("cand")).getField("cidx").as("cidx"),
-          first(col("svec")).as("svec"))
+          argminCode(col("svec")).as("cidx"))
       cb = members
         .select(col("sub"), col("cidx"), posexplode(col("svec")).as(Seq("pos", "v")))
         .select(col("sub"), col("cidx"), col("pos"),
