@@ -115,40 +115,65 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
 
-  /** Nearest-centroid assignment as ONE broadcast join + ONE hash
-    * aggregate: the per-vector argmax is `min(struct(1 - cos, cell))`
-    * (lexicographic struct order = highest cosine, ties to the lower
-    * cell id; `1 - cos ≥ 0` avoids the −0.0 ordering pitfall). Replaces
-    * a per-vector `row_number` window — at corpus scale that formulation
-    * needs a full sort of n×C rows, while this is a map-side-combinable
-    * aggregate. Returns `(vec_id, cell)`. */
+  /** Nearest-centroid assignment fully IN-ROW: each vector scores the
+    * broadcast centroid array and keeps the `min(struct(1 - cos,
+    * cell))` argmin inside one projection (lexicographic struct order
+    * = highest cosine, ties to the lower cell id; `1 - cos ≥ 0`
+    * avoids the −0.0 ordering pitfall). No corpus × centroids row
+    * explosion, no aggregate, no shuffle — assignment is a pure scan
+    * at any corpus size. (Earlier formulations: a per-vector
+    * row_number window needs a full n×C sort; the broadcast-join +
+    * min(struct) aggregate still shuffled n groups.) Returns
+    * `(vec_id, cell)`. */
   def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), struct(
-        (lit(1.0) - pairCos(col("embedding"), col("cvec"),
-          col("nrm"), col("cnrm"))).as("d"),
-        col("cell")).as("cand"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("best").getField("cell").as("cell"))
+    corpus.crossJoin(centroidArray(centroids))
+      .select(col("vec_id"),
+        argminCell(col("embedding"), col("nrm")).as("cell"))
+
+  /** One-row broadcast of the centroid table as a cell-sorted array —
+    * the shape the in-row [[argminCell]] assignment scores against
+    * (no corpus × centroids row explosion, no assignment shuffle). */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    broadcast(cents.groupBy()
+      .agg(array_sort(
+        collect_list(struct(col("cell"), col("cvec"), col("cnrm"))))
+        .as("cents")))
+
+  /** In-row nearest-centroid cell (cosine distance, ties to the lower
+    * cell id): array_min over (d, cell) structs replays
+    * min(struct(d, cell)) exactly — same pairCos doubles, total order
+    * because cell is unique. coalesce: never null (the centroid set
+    * is never empty), stated so Catalyst can't infer isnotnull(cell)
+    * into a downstream join condition and re-evaluate the argmin. */
+  private def argminCell(embedding: Column, nrm: Column): Column =
+    coalesce(
+      array_min(transform(col("cents"), c =>
+        struct(
+          (lit(1.0) - pairCos(embedding, c.getField("cvec"),
+            nrm, c.getField("cnrm"))).as("d"),
+          c.getField("cell").as("cell"))))
+        .getField("cell"),
+      lit(-1L))
 
   /** The full IVF index build: (centroids, inverted list). Centroids
     * are Lloyd-refined for `iterations` rounds; the inverted list is
     * every vector's final-centroid assignment joined back to the
     * (persisted) corpus for the vector and its norm — exactly what an
     * offline ANN index-build job materializes for the online search
-    * path to consume. The assignment aggregate shuffles only
-    * `(vec_id, struct(d, cell))` and stays in whole-stage codegen;
-    * carrying the embedding array through the aggregate instead was
-    * measured ~2× slower (a `first(array)` forces the slower
-    * object-hash aggregate path). */
+    * path to consume. Assignment is the in-row [[argminCell]], so the
+    * vector and its norm ride the same projection — the build is one
+    * corpus scan with zero assignment shuffles. */
   def ivfIndex(embeddings: DataFrame, numCentroids: Int,
                iterations: Int): (DataFrame, DataFrame) = {
     val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = centroidsFromCorpus(corpus, numCentroids, iterations)
-    (cents, assignCells(corpus, cents).join(corpus, "vec_id")
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")))
+    // in-row assignment carries the vector straight through — no
+    // assignment aggregate AND no join-back to the corpus
+    (cents, corpus.crossJoin(centroidArray(cents))
+      .select(col("vec_id"),
+        argminCell(col("embedding"), col("nrm")).as("cell"),
+        col("embedding"), col("nrm")))
   }
 
   /** IVF search over a prebuilt index (see [[ivfIndex]] /
@@ -203,17 +228,12 @@ object Similarity {
                               iterations: Int): DataFrame = {
     var cents = initialCentroids(corpus, numCentroids)
     for (_ <- 0 until iterations) {
-      // argmax aggregate carrying the embedding along: every pre-agg row
-      // of a vec_id holds the same embedding, so first() is
-      // deterministic — one shuffle total, no corpus re-join stage.
-      val members = corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), struct(
-          (lit(1.0) - pairCos(col("embedding"), col("cvec"),
-            col("nrm"), col("cnrm"))).as("d"),
-          col("cell")).as("cand"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("cand")).getField("cell").as("cell"),
-          first(col("embedding")).as("embedding"))
+      // in-row assignment ([[centroidArray]]/[[argminCell]]): each
+      // vector picks its cell inside one projection — no corpus ×
+      // centroids explosion, no assignment shuffle per iteration.
+      val members = corpus.crossJoin(centroidArray(cents))
+        .select(col("vec_id"), col("embedding"),
+          argminCell(col("embedding"), col("nrm")).as("cell"))
       val quantized = members
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("cell"), col("pos"),
