@@ -77,6 +77,61 @@ object StreamingSketches {
       }
   }
 
+  /** JVM-side replay of the batch Bloom recipe
+    * ([[graft.operators.Bloom]]): the 4 bit positions of a key are
+    * the big-endian 32-bit md5 chunks mod 2^18. */
+  def bloomPositions(key: String): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val out = new Array[Int](graft.operators.Bloom.NumHashes)
+    var i = 0
+    while (i < out.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (d(i * 4 + k) & 0xffL); k += 1 }
+      out(i) = (v % graft.operators.Bloom.NumBits).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Streaming Bloom membership filter: `(group, key)` pairs fold
+    * into a per-group 2^18-bit filter held in `mapGroupsWithState`
+    * (8192 32-bit words packed as a Long array — fixed 64 KiB per
+    * group regardless of stream length). bit_or is associative AND
+    * idempotent, so micro-batch boundaries and replays cannot change
+    * the state — same convergence contract as the HLL and bottom-k
+    * states, and the same words the batch [[graft.operators.Bloom]]
+    * build produces (spec-pinned). Emits `(group, words_set,
+    * bits_set)` each batch — a cheap saturation gauge; the filter
+    * itself stays queryable in the state store for lookup joins. */
+  def bloomOverStream(events: Dataset[(String, String)])
+      : Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state) =>
+          val words = state.getOption.getOrElse(
+            new Array[Long](graft.operators.Bloom.NumWords))
+          rows.foreach { case (_, key) =>
+            bloomPositions(key).foreach { pos =>
+              words(pos / 32) |= (1L << (pos % 32))
+            }
+          }
+          state.update(words)
+          var wordsSet = 0L
+          var bitsSet = 0L
+          var i = 0
+          while (i < words.length) {
+            if (words(i) != 0L) wordsSet += 1
+            bitsSet += java.lang.Long.bitCount(words(i))
+            i += 1
+          }
+          (g, wordsSet, bitsSet)
+      }
+  }
+
   /** The md5-rank sort key of the batch bottom-k sample
     * ([[graft.operators.Sketches.bottomKSample]] orders by
     * `(md5(id), id)`): lowercase hex digest of the UTF-8 id. */

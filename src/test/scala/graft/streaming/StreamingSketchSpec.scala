@@ -60,6 +60,51 @@ class StreamingSketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomPositions replays the batch Bloom build word for word") {
+    val keys = (0 until 250).map(i => s"tok-$i")
+    val batch = graft.operators.Bloom.build(keys.toDF("k"), col("k"))
+      .select(col("word"), col("bits")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val words = new Array[Long](graft.operators.Bloom.NumWords)
+    keys.foreach(k => StreamingSketches.bloomPositions(k).foreach { pos =>
+      words(pos / 32) |= (1L << (pos % 32))
+    })
+    val jvm = words.zipWithIndex
+      .collect { case (b, w) if b != 0L => (w.toLong, b) }.toMap
+    assert(jvm == batch)
+  }
+
+  test("streamed bloom filter words equal the batch build under replays") {
+    val data = (0 until 400).map(i => ("a", s"sh-${i % 173}")) ++
+      (0 until 150).map(i => ("b", s"sh-$i"))
+    val input = MemoryStream[(String, String)]
+    val q = StreamingSketches.bloomOverStream(input.toDS())
+      .toDF("g", "words_set", "bits_set")
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("update").start()
+    try {
+      input.addData(data.take(333))
+      q.processAllAvailable()
+      input.addData(data.drop(333) ++ data.take(77)) // replay rows
+      q.processAllAvailable()
+      // monotone gauges -> final value per group is the max update
+      val streamed = spark.table("bloom_out")
+        .groupBy(col("g"))
+        .agg(max(col("words_set")).as("w"), max(col("bits_set")).as("b"))
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, (r._2, r._3))).toMap
+      val batch = Seq("a", "b").map { g =>
+        val keys = data.filter(_._1 == g).map(_._2).toDF("k")
+        val words = graft.operators.Bloom.build(keys, col("k"))
+        val agg = words.agg(count(lit(1)).as("w"),
+          sum(expr("bit_count(bits)")).as("b"))
+          .as[(Long, Long)].head()
+        g -> agg
+      }.toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamed bottom-k sample converges to the batch sample under replays") {
     val data = (0 until 300).map(i => ("a", s"id-$i", (i * 7 % 100).toLong)) ++
       (0 until 200).map(i => ("b", s"id-$i", (i * 3 % 50).toLong))
