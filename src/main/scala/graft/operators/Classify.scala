@@ -165,4 +165,82 @@ object Classify {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("actual"), col("predicted"))
   }
+
+  /** Rocchio nearest-centroid classifier over tf-idf — the
+    * vector-space sibling of the NB student (same teacher, same
+    * hash-stable split, same bounded-vocab discipline; a different
+    * inductive bias, so disagreement between the two is itself a
+    * labeling-quality signal). Per train class, the centroid is the
+    * UNNORMALIZED integer sum of per-doc tf·idf weights (tcnt ×
+    * floor(ln(N/df)·10⁶) — exact BIGINTs); a held-out doc's score
+    * against a class is `dot / sqrt(S2)` where both the dot product
+    * and the centroid's squared norm are exact DECIMAL(38) integer
+    * sums — one cast, one sqrt, one division on identical expression
+    * trees, so both engines rank identically (the doc's own norm is
+    * constant across classes and drops out of the argmax). Ties go to
+    * the smaller class name; a doc sharing no nonzero-idf vocab token
+    * with any centroid falls back to the alphabetically-first class.
+    *
+    * Scale shape: vocab and idf are one bounded broadcast table;
+    * centroids are (classes × vocab) rows, broadcast; scoring is one
+    * broadcast join per eval token and a per-(doc, class) integer
+    * aggregate — the corpus never shuffles wider than that. */
+  def rocchioConfusion(docs: DataFrame, label: Column,
+                       trainCutBp: Int = 8000, maxVocab: Int = 256): DataFrame = {
+    val labeled = docs.select(col("doc_id"), label.as("actual"),
+      (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
+      col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = tokenCounts(labeled, Seq("doc_id", "actual", "is_train"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = toks.filter(col("is_train"))
+    val nTrain = labeled.filter(col("is_train"))
+      .agg(countDistinct(col("doc_id")).as("n_train"))
+    // bounded vocab head (count desc, token asc) with integer idf
+    val vocabIdf = broadcast(
+      train.groupBy(col("token"))
+        .agg(sum(col("tcnt")).as("gc"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("gc").desc, col("token"))
+        .limit(maxVocab)
+        .crossJoin(broadcast(nTrain))
+        .select(col("token"),
+          floor(log(col("n_train").cast("double") / col("df").cast("double"))
+            * lit(1e6)).cast("long").as("idf_micros")))
+    // class centroids: exact integer component sums; all-zero
+    // components (idf 0 everywhere) are dropped so S2 > 0 for every
+    // scored class and no NaN can enter the ranking
+    val cent = train.join(vocabIdf, "token")
+      .groupBy(col("actual").as("label"), col("token"))
+      .agg(sum(col("tcnt") * col("idf_micros")).as("c"))
+      .filter(col("c") =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s2 = cent.groupBy(col("label"))
+      .agg(sum(col("c").cast("decimal(19,0)") * col("c")).as("s2"))
+    val dots = toks.filter(!col("is_train"))
+      .join(vocabIdf, "token")
+      .select(col("doc_id"), col("actual"), col("token"),
+        (col("tcnt") * col("idf_micros")).as("wt"))
+      .join(broadcast(cent), "token")
+      .groupBy(col("doc_id"), col("actual"), col("label"))
+      .agg(sum(col("wt").cast("decimal(19,0)") * col("c")).as("dot"))
+    val pred = dots.join(broadcast(s2), "label")
+      .select(col("doc_id"), col("actual"), col("label"),
+        (col("dot").cast("double") / sqrt(col("s2").cast("double")))
+          .as("score"))
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(min(struct((-col("score")).as("neg"), col("label")))
+        .getField("label").as("predicted"))
+    val fallback = cent.agg(min(col("label")).as("fb"))
+    // eval universe = docs with ≥1 token (same convention as the NB
+    // scorer: a token-less doc has no feature vector to classify)
+    toks.filter(!col("is_train"))
+      .select(col("doc_id"), col("actual")).distinct()
+      .join(pred, Seq("doc_id", "actual"), "left")
+      .crossJoin(broadcast(fallback))
+      .select(col("actual"), coalesce(col("predicted"), col("fb"))
+        .as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+  }
 }

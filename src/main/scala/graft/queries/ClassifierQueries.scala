@@ -11,23 +11,11 @@ import graft.operators.{Classify, TextAnalysis}
   * run at corpus scale. */
 object ClassifierQueries {
 
-  /** Distill the rule-based profile labeler ([[TextAnalysis
-    * .predictedProfile]] — the "expensive" teacher) into a Naive Bayes
-    * student on the hash-stable 80/20 split, and report the held-out
-    * confusion matrix. All likelihoods are floor(ln·10⁹) of exact
-    * rationals, so scores are plain BIGINT sums and both engines pick
-    * identical argmaxes (ties toward the smaller class name).
-    *
-    * The oracle replays the full train+score pipeline in SQL — priors,
-    * bounded vocab cut, smoothed per-(class, token) log-likelihoods,
-    * out-of-vocab fallback mass, and the per-doc argmax. */
-  val qNbDistill: Q = Q(
-    "q_nb_distill",
-    (spark, dir) =>
-      Classify.nbConfusion(Tables.documents(spark, dir),
-        TextAnalysis.predictedProfile(col("text"))),
-    Some(s"""
-      WITH base AS (
+  /** Shared teacher-label CTE prefix (rule-based profile labeler,
+    * hash-stable 80/20 split, per-doc token counts) — every student
+    * below trains on the IDENTICAL task, so their confusion matrices
+    * are comparable head to head. */
+  private def teacherToksCte: String = s"""base AS (
         SELECT doc_id, actual, is_train, token FROM (
           SELECT doc_id,
                  CASE WHEN s_storage > greatest(s_olap, s_stream) THEN 'storage'
@@ -45,7 +33,25 @@ object ClassifierQueries {
         WHERE length(token) > 0),
       toks AS (
         SELECT doc_id, actual, is_train, token, count(*) AS tcnt
-        FROM base GROUP BY 1, 2, 3, 4),
+        FROM base GROUP BY 1, 2, 3, 4)"""
+
+  /** Distill the rule-based profile labeler ([[TextAnalysis
+    * .predictedProfile]] — the "expensive" teacher) into a Naive Bayes
+    * student on the hash-stable 80/20 split, and report the held-out
+    * confusion matrix. All likelihoods are floor(ln·10⁹) of exact
+    * rationals, so scores are plain BIGINT sums and both engines pick
+    * identical argmaxes (ties toward the smaller class name).
+    *
+    * The oracle replays the full train+score pipeline in SQL — priors,
+    * bounded vocab cut, smoothed per-(class, token) log-likelihoods,
+    * out-of-vocab fallback mass, and the per-doc argmax. */
+  val qNbDistill: Q = Q(
+    "q_nb_distill",
+    (spark, dir) =>
+      Classify.nbConfusion(Tables.documents(spark, dir),
+        TextAnalysis.predictedProfile(col("text"))),
+    Some(s"""
+      WITH $teacherToksCte,
       train AS (SELECT * FROM toks WHERE is_train),
       perdoc AS (SELECT DISTINCT doc_id, actual FROM train),
       classes AS (
@@ -95,5 +101,71 @@ object ClassifierQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
-  val all: Seq[Q] = Seq(qNbDistill)
+  /** Rocchio nearest-centroid student on the SAME teacher task as
+    * [[qNbDistill]] — a vector-space (tf-idf cosine) inductive bias
+    * beside NB's token-likelihood bias; comparing the two confusion
+    * matrices head-to-head is the model-selection step of the
+    * distillation loop. All centroid components and dot products are
+    * exact integers (tcnt × floor(ln(N/df)·10⁶) summed in
+    * DECIMAL(38)/HUGEINT); the one double division and sqrt run on
+    * identical expression trees, so the per-doc argmax (ties to the
+    * smaller class, alphabetically-first fallback for docs with no
+    * nonzero-idf vocab overlap) is engine-exact. */
+  val qRocchio: Q = Q(
+    "q_rocchio_centroid",
+    (spark, dir) =>
+      Classify.rocchioConfusion(Tables.documents(spark, dir),
+        TextAnalysis.predictedProfile(col("text"))),
+    Some(s"""
+      WITH $teacherToksCte,
+      train AS (SELECT * FROM toks WHERE is_train),
+      ntr AS (SELECT count(DISTINCT doc_id) AS n_train FROM train),
+      vocab AS (
+        SELECT token,
+               CAST(floor(ln((SELECT CAST(n_train AS DOUBLE) FROM ntr)
+                 / CAST(df AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micros
+        FROM (
+          SELECT token, CAST(sum(tcnt) AS BIGINT) AS gc,
+                 count(DISTINCT doc_id) AS df
+          FROM train GROUP BY token
+          ORDER BY gc DESC, token LIMIT 256)),
+      cent AS (
+        SELECT actual AS label, token,
+               CAST(sum(tcnt * idf_micros) AS BIGINT) AS c
+        FROM train JOIN vocab USING (token)
+        GROUP BY 1, 2
+        HAVING CAST(sum(tcnt * idf_micros) AS BIGINT) <> 0),
+      s2 AS (
+        SELECT label, sum(CAST(c AS HUGEINT) * c) AS s2
+        FROM cent GROUP BY label),
+      dots AS (
+        SELECT e.doc_id, e.actual, c.label,
+               sum(CAST(e.tcnt * v.idf_micros AS HUGEINT) * c.c) AS dot
+        FROM toks e
+        JOIN vocab v USING (token)
+        JOIN cent c USING (token)
+        WHERE NOT e.is_train
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.actual, d.label,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(s.s2 AS DOUBLE)) AS score
+        FROM dots d JOIN s2 s USING (label)),
+      pred AS (
+        SELECT doc_id, actual, label AS predicted FROM (
+          SELECT doc_id, actual, label,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label) AS rn
+          FROM scored)
+        WHERE rn = 1),
+      evdocs AS (
+        SELECT DISTINCT doc_id, actual FROM toks WHERE NOT is_train),
+      fb AS (SELECT min(label) AS fbl FROM cent)
+      SELECT d.actual, coalesce(p.predicted, (SELECT fbl FROM fb))
+               AS predicted,
+             count(*) AS n_docs
+      FROM evdocs d LEFT JOIN pred p USING (doc_id, actual)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  val all: Seq[Q] = Seq(qNbDistill, qRocchio)
 }

@@ -52,4 +52,40 @@ class ClassifySpec extends AnyFunSuite {
     assert(run1.map(_._3).sum == nEval.toLong)
     assert(run1.forall(_._3 > 0))
   }
+
+  test("rocchioConfusion: disjoint-vocabulary classes classify perfectly") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { id =>
+      if (id % 2 == 0) (id, "apple apple pear apple", "A")
+      else (id, "banana kiwi banana banana", "B")
+    }.toDF("doc_id", "text", "lab")
+    val evalIds = (0L until 40L).filter(bp(_) >= 8000)
+    val got = Classify.rocchioConfusion(docs, col("lab"))
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val expected = Seq(
+      ("A", "A", evalIds.count(_ % 2 == 0).toLong),
+      ("B", "B", evalIds.count(_ % 2 == 1).toLong))
+    assert(got == expected)
+  }
+
+  test("rocchioConfusion: covers the eval split; no-overlap docs take the fallback class") {
+    import spark.implicits._
+    // class B's vocabulary never appears in eval docs of class C, so C
+    // docs share no centroid token and must fall back to min(label)='A'
+    val docs = (0L until 60L).map { id =>
+      if (id % 3 == 0) (id, "apple apple pear", "A")
+      else if (id % 3 == 1) (id, "banana kiwi banana", "B")
+      else (id, s"unique${id}x only${id}y", "C") // every token is a hapax
+    }.toDF("doc_id", "text", "lab")
+    val got = Classify.rocchioConfusion(docs, col("lab"))
+      .as[(String, String, Long)].collect().toSeq
+    val evalIds = (0L until 60L).filter(bp(_) >= 8000)
+    assert(got.map(_._3).sum == evalIds.length.toLong)
+    // hapax-only class C: its tokens never clear the shared-vocab cut
+    // into any centroid component overlap with its EVAL docs (train
+    // hapaxes differ from eval hapaxes), so eval C docs take the
+    // alphabetically-first class
+    val cRows = got.filter(_._1 == "C")
+    assert(cRows.nonEmpty && cRows.forall(_._2 == "A"))
+  }
 }
