@@ -135,7 +135,18 @@ object Classify {
     * [[Sampling.splitLabel]]). Fused path: train and eval share ONE
     * explode + token-count aggregate over the corpus. */
   def nbConfusion(docs: DataFrame, label: Column, trainCutBp: Int = 8000,
-                  maxVocab: Int = 256): DataFrame = {
+                  maxVocab: Int = 256): DataFrame =
+    nbHeldOutPredictions(docs, label, trainCutBp, maxVocab)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+
+  /** Per-held-out-doc NB predictions `(doc_id, actual, predicted)` —
+    * the pre-aggregation form of [[nbConfusion]], exposed so
+    * student-vs-student audits can join predictions doc by doc. */
+  def nbHeldOutPredictions(docs: DataFrame, label: Column,
+                           trainCutBp: Int = 8000,
+                           maxVocab: Int = 256): DataFrame = {
     val labeled = docs.select(col("doc_id"), label.as("actual"),
       (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
       col("text"))
@@ -161,9 +172,8 @@ object Classify {
         (col("prior_nanos") + col("ll")).as("score"))
     scored.groupBy(col("doc_id"), col("actual"))
       .agg(min(struct((-col("score")).as("neg"), col("label"))).as("best"))
-      .groupBy(col("actual"), col("best.label").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("actual"), col("predicted"))
+      .select(col("doc_id"), col("actual"),
+        col("best.label").as("predicted"))
   }
 
   /** Rocchio nearest-centroid classifier over tf-idf — the
@@ -186,7 +196,18 @@ object Classify {
     * broadcast join per eval token and a per-(doc, class) integer
     * aggregate — the corpus never shuffles wider than that. */
   def rocchioConfusion(docs: DataFrame, label: Column,
-                       trainCutBp: Int = 8000, maxVocab: Int = 256): DataFrame = {
+                       trainCutBp: Int = 8000, maxVocab: Int = 256): DataFrame =
+    rocchioHeldOutPredictions(docs, label, trainCutBp, maxVocab)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+
+  /** Per-held-out-doc Rocchio predictions `(doc_id, actual,
+    * predicted)` — the pre-aggregation form of [[rocchioConfusion]],
+    * exposed for student-vs-student audits. */
+  def rocchioHeldOutPredictions(docs: DataFrame, label: Column,
+                                trainCutBp: Int = 8000,
+                                maxVocab: Int = 256): DataFrame = {
     val labeled = docs.select(col("doc_id"), label.as("actual"),
       (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
       col("text"))
@@ -237,10 +258,7 @@ object Classify {
       .select(col("doc_id"), col("actual")).distinct()
       .join(pred, Seq("doc_id", "actual"), "left")
       .crossJoin(broadcast(fallback))
-      .select(col("actual"), coalesce(col("predicted"), col("fb"))
-        .as("predicted"))
-      .groupBy(col("actual"), col("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("actual"), col("predicted"))
+      .select(col("doc_id"), col("actual"),
+        coalesce(col("predicted"), col("fb")).as("predicted"))
   }
 }
