@@ -107,6 +107,29 @@ class StringDistanceSpec extends AnyFunSuite {
     }
   }
 
+  test("jaro-winkler metric properties hold under seeded fuzz") {
+    val rnd = new scala.util.Random(20260814L)
+    def s(): String =
+      (0 until rnd.nextInt(15)).map(_ => "abcde ".charAt(rnd.nextInt(6))).mkString
+    (0 until 2000).foreach { _ =>
+      val (a, b) = (s(), s())
+      val ab = JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val ba = JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(ab == ba, s"asymmetric on ('$a','$b'): $ab vs $ba")
+      assert(ab >= 0.0 && ab <= 1.0, s"out of range on ('$a','$b'): $ab")
+      if (a.nonEmpty) {
+        val aa = JaroWinkler.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a),
+          org.apache.spark.unsafe.types.UTF8String.fromString(a))
+        assert(aa == 1.0, s"self-similarity != 1 on '$a': $aa")
+      }
+    }
+  }
+
   test("jaro-winkler expression under codegen: pinned values, bounds, self-identity") {
     import spark.implicits._
     val df = jwVectors.map { case (a, b, _) => (a, b) }.toDF("a", "b")
