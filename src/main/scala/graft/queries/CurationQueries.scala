@@ -618,7 +618,68 @@ object CurationQueries {
     """.trim))
   }
 
+  /** Approximate query processing off the KMV sample — the BlinkDB
+    * pattern: answer `SUM(value) GROUP BY type` from the
+    * deterministic 512-row bottom-k sample
+    * ([[Sketches.bottomKSample]] — uniform because the md5 rank is
+    * independent of the value) scaled by n/k, beside the exact
+    * answer and the signed error in integer ppm. Everything is
+    * integer cents and integer index arithmetic (`est = sample_sum ·
+    * n div k`), so both engines derive identical estimates — the
+    * correctness contract is the SAMPLE MECHANICS, while the ppm
+    * column measures estimator quality honestly. At 100 TB the
+    * sample is the only thing re-read per exploratory query; the
+    * exact side here exists to grade it. */
+  val qAqpSum: Q = {
+    val k = 512
+    Q(
+      "q_aqp_sum",
+      (spark, dir) => {
+        val base = Tables.events(spark, dir)
+          .select(col("event_type").as("g"),
+            col("event_id").cast("string").as("id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        val counts = base.groupBy(col("g")).agg(
+          count(lit(1)).as("n_total"),
+          sum(col("v")).as("exact_cents"))
+        val samp = Sketches.bottomKSample(base, col("id"), col("v"), col("g"), k)
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_samp"), sum(col("v")).as("samp_cents"))
+        counts.join(samp, "g")
+          .select(col("g").as("event_type"), col("n_total"), col("n_samp"),
+            expr("samp_cents * n_total div n_samp").as("est_cents"),
+            col("exact_cents"),
+            expr("(samp_cents * n_total div n_samp - exact_cents) * 1000000"
+              + " div exact_cents").as("err_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+      WITH base AS (
+        SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events),
+      cnts AS (
+        SELECT g, count(*) AS n_total,
+               CAST(sum(v) AS BIGINT) AS exact_cents
+        FROM base GROUP BY g),
+      samp AS (
+        SELECT g, count(*) AS n_samp, CAST(sum(v) AS BIGINT) AS samp_cents
+        FROM (
+          SELECT g, v, row_number() OVER (PARTITION BY g
+                   ORDER BY md5(id), id) AS rn
+          FROM base)
+        WHERE rn <= $k GROUP BY g)
+      SELECT g AS event_type, n_total, n_samp,
+             samp_cents * n_total // n_samp AS est_cents,
+             exact_cents,
+             (samp_cents * n_total // n_samp - exact_cents) * 1000000
+               // exact_cents AS err_ppm
+      FROM cnts JOIN samp USING (g)
+      ORDER BY event_type
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
-    qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile)
+    qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum)
 }
