@@ -129,4 +129,96 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       lit("text/plain").as("mime")).as[MediaRecord]
   }
+
+  /** Deterministic media CONTAINERS with REAL format headers: the
+    * payload bytes are wrapped in a genuine PNG signature + IHDR
+    * (big-endian dims), GIF89a logical-screen descriptor
+    * (little-endian dims), or JPEG SOI/APP0 JFIF marker, chosen by
+    * id mod 3 — so a header parser exercises true byte-level format
+    * structure, not a stub. The DECLARED mime is deliberately wrong
+    * for id % 7 == 0 rows (always claims image/png): the mislabeled
+    * upload every real ingest has to catch. Dimensions use the same
+    * length-derived recipe as [[decodeStub]] so oracles replay them
+    * arithmetically. */
+  def wrapWithHeader(id: Long, payload: Array[Byte]): (Array[Byte], String) = {
+    val w = 64 + (payload.length % 512)
+    val h = 64 + (payload.length % 384)
+    val (bytes, trueMime) = (id % 3) match {
+      case 0 =>
+        val bb = java.nio.ByteBuffer.allocate(24 + payload.length)
+        bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+        bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+        bb.putInt(w).putInt(h)
+        bb.put(payload)
+        (bb.array(), "image/png")
+      case 1 =>
+        val bb = java.nio.ByteBuffer.allocate(10 + payload.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("GIF89a".getBytes("US-ASCII"))
+        bb.putShort((w & 0xffff).toShort).putShort((h & 0xffff).toShort)
+        bb.put(payload)
+        (bb.array(), "image/gif")
+      case _ =>
+        val bb = java.nio.ByteBuffer.allocate(11 + payload.length)
+        bb.put(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte,
+          0x00, 0x10))
+        bb.put("JFIF".getBytes("US-ASCII")).put(0x00.toByte)
+        bb.put(payload)
+        (bb.array(), "image/jpeg")
+    }
+    (bytes, if (id % 7 == 0) "image/png" else trueMime)
+  }
+
+  /** REAL content sniffing over the raw bytes — magic-byte format
+    * detection plus format-specific dimension extraction (PNG IHDR
+    * big-endian ints at offsets 16/20, GIF little-endian shorts at
+    * 6/8; JPEG dims need a segment scan, reported -1). This is the
+    * ingest-QA primitive that catches mislabeled uploads before a
+    * codec ever runs; unknown signatures degrade to octet-stream,
+    * never throw. */
+  def sniff(bytes: Array[Byte]): (String, Int, Int) = {
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    def le16(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    if (bytes.length >= 24 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G' && bytes(12) == 'I' && bytes(13) == 'H' &&
+      bytes(14) == 'D' && bytes(15) == 'R')
+      ("image/png", be32(16), be32(20))
+    else if (bytes.length >= 10 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8')
+      ("image/gif", le16(6), le16(8))
+    else if (bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff)
+      ("image/jpeg", -1, -1)
+    else ("application/octet-stream", -1, -1)
+  }
+
+  final case class SniffResult(
+      id: Long, declared: String, sniffed: String, width: Int, height: Int)
+  implicit val sniffResultEnc: Encoder[SniffResult] = Encoders.product[SniffResult]
+
+  /** Container records with real headers from the documents table. */
+  def documentsAsContainers(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val (bytes, declared) = wrapWithHeader(id, payload)
+        MediaRecord(id, bytes, declared)
+      }
+  }
+
+  /** Partition-batched sniff pass (same seam as [[decodeBatch]]). */
+  def sniffBatch(records: Dataset[MediaRecord]): Dataset[SniffResult] =
+    records.mapPartitions { it =>
+      it.map { r =>
+        val (fmt, w, h) = sniff(r.media)
+        SniffResult(r.id, r.mime, fmt, w, h)
+      }
+    }
 }

@@ -116,6 +116,53 @@ object TextQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Content sniffing over REAL format headers — the ingest-QA step
+    * that catches mislabeled uploads before any codec runs: media
+    * containers carry genuine PNG IHDR / GIF89a / JPEG-JFIF byte
+    * structure ([[Multimodal.wrapWithHeader]], with a deliberate
+    * declared-mime lie on every 7th id), and
+    * [[Multimodal.sniff]] re-derives format and dimensions from magic
+    * bytes and format-specific offsets (big-endian IHDR ints,
+    * little-endian GIF shorts). The oracle computes the ground truth
+    * arithmetically — if the byte parser misread an offset or an
+    * endianness, the dimension checksums diverge, so the parity check
+    * is a real test of the parsing path. Partition-batched
+    * `mapPartitions`, metadata-sized output, nothing shuffles but the
+    * tiny per-(declared, sniffed) rollup. */
+  val qMultimodalSniff: Q = Q(
+    "q_multimodal_sniff",
+    (spark, dir) => Multimodal
+      .sniffBatch(Multimodal.documentsAsContainers(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("declared") =!= col("sniffed"), 1L).otherwise(0L))
+          .as("n_mislabeled"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"))
+      .orderBy(col("declared"), col("sniffed")),
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END AS sniffed,
+               CASE WHEN doc_id % 7 = 0 THEN 'image/png'
+                 ELSE CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                   WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END
+               END AS declared,
+               CASE WHEN doc_id % 3 = 2 THEN -1
+                 ELSE 64 + octet_length(encode(text)) % 512 END AS w,
+               CASE WHEN doc_id % 3 = 2 THEN -1
+                 ELSE 64 + octet_length(encode(text)) % 384 END AS h
+        FROM documents)
+      SELECT declared, sniffed, count(*) AS n_docs,
+             CAST(sum(CASE WHEN declared <> sniffed THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_mislabeled,
+             CAST(sum(w) AS BIGINT) AS sum_width,
+             CAST(sum(h) AS BIGINT) AS sum_height
+      FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   /** BPE-style pre-tokenization over a punctuation-bearing rendered
     * line (event_type + JSON props + fixed-point value) — the token
     * accounting an LLM-training pipeline runs before feeding a real BPE
@@ -1078,7 +1125,7 @@ object TextQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(
-    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qFeatureHash,
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
