@@ -489,7 +489,69 @@ object GraphQueries {
       FROM s
     """.trim))
 
+  /** 4-hop BFS from the hub (max-degree node, ties to the smaller
+    * id) — the traversal primitive the family lacked: per-distance
+    * reachability layers with an id checksum, plus the beyond-4-hops
+    * remainder as a `dist = -1` row. Spark runs the textbook
+    * distributed BFS (fixed 4 frontier-join + min-fold rounds over
+    * the symmetric edge artifact — the iteration count is bounded by
+    * construction, like PageRank's); the oracle replays it with a
+    * depth-capped RECURSIVE CTE under UNION (distinct) semantics, so
+    * two entirely different traversal mechanics must agree node for
+    * node. All integers. */
+  val qGraphBfs: Q = Q(
+    "q_graph_bfs",
+    (spark, dir) => {
+      val e = edges(spark, dir)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dist = deg.orderBy(col("degree").desc, col("node")).limit(1)
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 1 to 4) {
+        val next = dist.join(sym, dist("node") === sym("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.unionAll(next)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val layers = dist.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
+      val beyond = deg.join(dist, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("node")), lit(0)).cast("long").as("node_checksum"))
+        .select(lit(-1L).as("dist"), col("n_nodes"), col("node_checksum"))
+      layers.unionByName(beyond).orderBy(col("dist"))
+    },
+    Some(s"""
+      WITH RECURSIVE $edgesCte,
+      sym AS (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL SELECT pb, pa FROM e),
+      deg AS (
+        SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+      r AS (
+        SELECT (SELECT node FROM deg ORDER BY degree DESC, node LIMIT 1)
+                 AS node, 0 AS d
+        UNION
+        SELECT s.dst, r.d + 1
+        FROM r JOIN sym s ON s.src = r.node
+        WHERE r.d < 4),
+      bd AS (SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node)
+      SELECT dist, count(*) AS n_nodes,
+             CAST(sum(node) AS BIGINT) AS node_checksum
+      FROM bd GROUP BY dist
+      UNION ALL
+      SELECT -1 AS dist, count(*) AS n_nodes,
+             CAST(coalesce(sum(node), 0) AS BIGINT) AS node_checksum
+      FROM deg WHERE node NOT IN (SELECT node FROM bd)
+      ORDER BY dist
+    """.trim))
+
   def all: Seq[Q] = Seq(qGraphEdgesBuild, qGraphDegree, qGraphTriangles,
     qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore,
-    qGraphClustering, qGraphAssortativity)
+    qGraphClustering, qGraphAssortativity, qGraphBfs)
 }
