@@ -147,13 +147,39 @@ object Classify {
   def nbHeldOutPredictions(docs: DataFrame, label: Column,
                            trainCutBp: Int = 8000,
                            maxVocab: Int = 256): DataFrame = {
+    val (labeled, toks) = teacherToks(docs, label, trainCutBp)
+    nbHeldOutFrom(labeled, toks, maxVocab)
+  }
+
+  /** One persisted teacher/tokenization pass, shared by every student
+    * that trains on the same task — the agreement audit builds this
+    * ONCE instead of per student. */
+  private def teacherToks(docs: DataFrame, label: Column,
+                          trainCutBp: Int): (DataFrame, DataFrame) = {
     val labeled = docs.select(col("doc_id"), label.as("actual"),
       (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
       col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = tokenCounts(labeled, Seq("doc_id", "actual", "is_train"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (labeled, toks)
+  }
 
+  /** Per-doc join of both students' held-out predictions off ONE
+    * shared teacher/token pass: `(doc_id, actual, nb_pred, rc_pred)`. */
+  def studentPredictions(docs: DataFrame, label: Column,
+                         trainCutBp: Int = 8000,
+                         maxVocab: Int = 256): DataFrame = {
+    val (labeled, toks) = teacherToks(docs, label, trainCutBp)
+    nbHeldOutFrom(labeled, toks, maxVocab)
+      .withColumnRenamed("predicted", "nb_pred")
+      .join(rocchioHeldOutFrom(labeled, toks, maxVocab)
+        .withColumnRenamed("predicted", "rc_pred"),
+        Seq("doc_id", "actual"))
+  }
+
+  private def nbHeldOutFrom(labeled: DataFrame, toks: DataFrame,
+                            maxVocab: Int): DataFrame = {
     // teacher-label priors straight off the per-doc table — never a
     // distinct over the exploded token stream
     val m = buildModel(
@@ -208,19 +234,22 @@ object Classify {
   def rocchioHeldOutPredictions(docs: DataFrame, label: Column,
                                 trainCutBp: Int = 8000,
                                 maxVocab: Int = 256): DataFrame = {
-    val labeled = docs.select(col("doc_id"), label.as("actual"),
-      (Sampling.hashBasisPoints(col("doc_id")) < trainCutBp).as("is_train"),
-      col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = tokenCounts(labeled, Seq("doc_id", "actual", "is_train"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (labeled, toks) = teacherToks(docs, label, trainCutBp)
+    rocchioHeldOutFrom(labeled, toks, maxVocab)
+  }
+
+  private def rocchioHeldOutFrom(labeled: DataFrame, toks: DataFrame,
+                                 maxVocab: Int): DataFrame = {
     val train = toks.filter(col("is_train"))
+    // labeled is one row per doc; train toks are unique per
+    // (doc, token) — so both "distinct doc" counts are plain counts,
+    // no distinct expansion in either aggregate
     val nTrain = labeled.filter(col("is_train"))
-      .agg(countDistinct(col("doc_id")).as("n_train"))
+      .agg(count(lit(1)).as("n_train"))
     // bounded vocab head (count desc, token asc) with integer idf
     val vocabIdf = broadcast(
       train.groupBy(col("token"))
-        .agg(sum(col("tcnt")).as("gc"), countDistinct(col("doc_id")).as("df"))
+        .agg(sum(col("tcnt")).as("gc"), count(lit(1)).as("df"))
         .orderBy(col("gc").desc, col("token"))
         .limit(maxVocab)
         .crossJoin(broadcast(nTrain))

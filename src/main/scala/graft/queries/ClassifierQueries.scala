@@ -180,15 +180,9 @@ object ClassifierQueries {
   val qStudentsAgree: Q = Q(
     "q_students_agree",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val nb = Classify
-        .nbHeldOutPredictions(docs, TextAnalysis.predictedProfile(col("text")))
-        .withColumnRenamed("predicted", "nb_pred")
-      val rc = Classify
-        .rocchioHeldOutPredictions(docs,
+      Classify
+        .studentPredictions(Tables.documents(spark, dir),
           TextAnalysis.predictedProfile(col("text")))
-        .withColumnRenamed("predicted", "rc_pred")
-      nb.join(rc, Seq("doc_id", "actual"))
         .groupBy(col("actual"))
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("nb_pred") === col("rc_pred"), 1L).otherwise(0L))
