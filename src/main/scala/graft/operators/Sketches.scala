@@ -183,6 +183,23 @@ object Sketches {
   val HllEstSql: String = "0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0" +
     " * 1099511627776e0 / CAST(s AS DOUBLE)"
 
+  /** Self-join (second frequency moment) estimate from ONE sketch:
+    * Σ cnt² per row, min over rows — identical values to
+    * [[joinSizeEstimate]](s, s) (the self-join matches each cell with
+    * itself exactly once) from a single build and no sketch join. */
+  def selfJoinSizeEstimate(sketch: DataFrame): DataFrame =
+    sketch.groupBy(col("hr"))
+      .agg(sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("dot"))
+      .agg(coalesce(min(col("dot")), lit(0)).cast("long").as("cms_est"))
+
+  /** Exact second frequency moment Σ na² from one frequency
+    * aggregate — the self-join ground truth without the
+    * frequency-table self-join. */
+  def exactSelfJoinSize(a: DataFrame, aKey: Column): DataFrame =
+    a.groupBy(aKey.as("k")).agg(count(lit(1)).as("na"))
+      .agg(coalesce(sum(col("na").cast("decimal(19,0)") * col("na")), lit(0))
+        .cast("long").as("n_exact"))
+
   /** Exact equi-join cardinality WITHOUT materializing the join:
     * per-key frequencies on each side (map-side-combinable counts),
     * one key-aligned join of the two (distinct-key-sized) frequency

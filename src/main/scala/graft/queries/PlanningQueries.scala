@@ -563,8 +563,14 @@ object PlanningQueries {
             lit(name).as("join_name"), col("n_exact"), col("cms_est"),
             expr("(cms_est - n_exact) * 1000000 div n_exact").as("overest_ppm"))
         }
-        val ev = keyed(Tables.events(spark, dir), "user_id")
-        one("events_self_user", ev, ev)
+        def self(name: String, a: DataFrame): DataFrame = {
+          val est = Sketches.selfJoinSizeEstimate(Sketches.build(a, col("k")))
+          val exact = Sketches.exactSelfJoinSize(a, col("k"))
+          exact.crossJoin(est).select(
+            lit(name).as("join_name"), col("n_exact"), col("cms_est"),
+            expr("(cms_est - n_exact) * 1000000 div n_exact").as("overest_ppm"))
+        }
+        self("events_self_user", keyed(Tables.events(spark, dir), "user_id"))
           .unionByName(one("lineitem_orders_orderkey",
             keyed(Tables.lineitem(spark, dir), "l_orderkey"),
             keyed(Tables.orders(spark, dir), "o_orderkey")))

@@ -116,6 +116,21 @@ object SketchesSpec extends Properties("Sketches") {
       est >= viaFreq && viaFreq == real
     }
 
+  property("self-join specializations equal the two-sided forms") =
+    forAll(Gen.nonEmptyListOf(key)) { keys =>
+      val a = keys.toDF("k")
+      val s = Sketches.build(a, col("k"))
+      val estSelf = Sketches.selfJoinSizeEstimate(s)
+        .select(col("cms_est")).as[Long].head()
+      val estPair = Sketches.joinSizeEstimate(s, Sketches.build(a, col("k")))
+        .select(col("cms_est")).as[Long].head()
+      val exSelf = Sketches.exactSelfJoinSize(a, col("k"))
+        .select(col("n_exact")).as[Long].head()
+      val exPair = Sketches.exactJoinSize(a, col("k"), a, col("k"))
+        .select(col("n_exact")).as[Long].head()
+      estSelf == estPair && exSelf == exPair
+    }
+
   property("hll: merged registers of a partition equal the registers of the union") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("p0", "p1", "p2"), key))) { rows =>
       val df = rows.toDF("part", "k")
