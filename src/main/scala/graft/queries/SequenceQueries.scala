@@ -441,6 +441,60 @@ object SequenceQueries {
       FROM attributed, total ORDER BY channel
     """.trim))
 
+  /** CUSUM changepoint monitor over the daily order-count series —
+    * the classic "did the level shift" drift detector a pipeline runs
+    * on its own ingest volume: cumulative sum of the per-day
+    * deviation from the period mean, reported as the maximum positive
+    * and negative excursions with their (tie → earlier) days. The
+    * deviation is kept integer by scaling with the day count
+    * (`c·D − total` instead of `c − total/D`), so the cumulative sums
+    * are exact BIGINTs in both engines and the argmax/argmin days are
+    * deterministic struct-min selections. The cumulative window runs
+    * over the CALENDAR-day table — bounded by the date domain, not
+    * the row count (same contract as `q_daily_backlog`). */
+  val qCusumDrift: Q = Q(
+    "q_cusum_drift",
+    (spark, dir) => {
+      val daily = Tables.orders(spark, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.agg(sum(col("c")).as("total"), count(lit(1)).as("d"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .select(col("day"), (col("c") * col("d") - col("total")).as("dev"))
+        .withColumn("cusum", sum(col("dev")).over(w))
+        .agg(
+          count(lit(1)).as("n_days"),
+          max(col("cusum")).as("max_excursion"),
+          min(col("cusum")).as("min_excursion"),
+          min(struct((-col("cusum")).as("neg"), col("day")))
+            .getField("day").as("peak_day"),
+          min(struct(col("cusum").as("v"), col("day")))
+            .getField("day").as("trough_day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                     count(*) AS d FROM daily),
+      cz AS (
+        SELECT day,
+               CAST(sum(c * (SELECT d FROM tot) - (SELECT total FROM tot))
+                 OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cusum
+        FROM daily)
+      SELECT (SELECT d FROM tot) AS n_days,
+             max(cusum) AS max_excursion,
+             min(cusum) AS min_excursion,
+             (SELECT day FROM cz ORDER BY cusum DESC, day LIMIT 1) AS peak_day,
+             (SELECT day FROM cz ORDER BY cusum ASC, day LIMIT 1) AS trough_day
+      FROM cz
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
-    qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution)
+    qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
+    qCusumDrift)
 }

@@ -29,10 +29,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // cut). Allowlisted: windows whose input is bounded by
     // construction (q_corpus_mixture ranks source×lang cells,
     // q_text_bm25 ranks a ≤10-row top-k).
-    // q_zipf_fit ranks a <=100-row top-k; q_daily_backlog cumsums a
-    // calendar-bounded day table — both bounded by construction.
+    // q_zipf_fit ranks a <=100-row top-k; q_daily_backlog and
+    // q_cusum_drift cumsum a calendar-bounded day table — all bounded
+    // by construction.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
-      "q_daily_backlog")
+      "q_daily_backlog", "q_cusum_drift")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector
