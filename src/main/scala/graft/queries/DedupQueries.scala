@@ -1122,6 +1122,81 @@ object DedupQueries {
       ORDER BY id_a, id_b LIMIT 200
     """.trim))
 
+  /** End-to-end entity resolution: the Jaro-Winkler linkage pairs
+    * (same blocking and jw ≥ 0.90 gate as `q_linkage_jw`) fold into
+    * CANONICAL ENTITIES via min-label connected components — linkage
+    * says "same entity?", this materializes the entity: family-size
+    * histogram with the sum of canonical (minimum-member) ids as a
+    * membership checksum. Spark runs the distributed label-propagation
+    * CC; the oracle replays the identical pairs and closes them with a
+    * recursive CTE — two different fixpoint mechanics agreeing on
+    * every component. */
+  val qLinkageEntities: Q = Q(
+    "q_linkage_entities",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{array, concat, count, explode, expr, floor, lit, sum}
+      val keyed = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 40).as("head"))
+        .withColumn("band", (length(col("head")) / 4).cast("long"))
+        .withColumn("bkey", explode(array(
+          concat(lit("P"), substring(col("head"), 1, 4)),
+          concat(lit("S"),
+            expr("substring(head, greatest(length(head) - 3, 1), 4)")))))
+      val pairs = keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.head").as("ha"), col("b.head").as("hb"))
+        .distinct()
+        .filter(floor(graft.functions.JaroWinkler(col("ha"), col("hb"))
+          * 1000000).cast("long") >= 900000)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+        .groupBy(col("n_members"))
+        .agg(count(lit(1)).as("n_entities"),
+          sum(col("cluster")).as("canon_checksum"))
+        .orderBy(col("n_members"))
+    },
+    Some("""
+      WITH RECURSIVE h AS (
+        SELECT doc_id, lang, substring(text, 1, 40) AS head,
+               CAST(floor(length(substring(text, 1, 40)) / 4) AS BIGINT) AS band
+        FROM documents),
+      k AS (
+        SELECT doc_id, lang, head, band,
+               unnest(['P' || substring(head, 1, 4),
+                       'S' || substring(head, greatest(length(head) - 3, 1), 4)])
+                 AS bkey
+        FROM h),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.head AS ha, b.head AS hb
+        FROM k a JOIN k b
+          ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(floor(jaro_winkler_similarity(ha, hb) * 1000000) AS BIGINT)
+                >= 900000),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      labels AS (
+        SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node),
+      ents AS (
+        SELECT cluster, count(*) AS n_members FROM labels GROUP BY cluster)
+      SELECT n_members, count(*) AS n_entities,
+             CAST(sum(cluster) AS BIGINT) AS canon_checksum
+      FROM ents GROUP BY n_members ORDER BY n_members
+    """.trim))
+
   /** Split-leakage audit: val/test documents that share a near-dup
     * family with a train document — the train/eval contamination a
     * random split inflicts whenever near-duplicates exist (the eval
@@ -1322,6 +1397,6 @@ object DedupQueries {
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
     qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
-    qDedupEditdist, qDedupDamerau, qLinkageJw, qDedupQualityProfile,
-    qSplitLeakage, qEvalAuc)
+    qDedupEditdist, qDedupDamerau, qLinkageJw, qLinkageEntities,
+    qDedupQualityProfile, qSplitLeakage, qEvalAuc)
 }
