@@ -50,11 +50,11 @@ object AsofJoin {
                           leftTs: String, rightTs: String,
                           payloadCols: Seq[String],
                           backward: Boolean): DataFrame = {
-    val lRowType = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val lRowType = left.select(struct(left.columns.toIndexedSeq.map(col): _*)).schema.head.dataType
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     val lT = left.select(
       col(leftKey).as("_k"), col(leftTs).as("_ts"), lit(1).as("_side"),
-      struct(left.columns.map(col): _*).as("_lrow"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow"),
       lit(null).cast(payloadType).as("_payload"))
     val rT = right.select(
       col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side"),
@@ -71,7 +71,7 @@ object AsofJoin {
     lT.unionByName(rT)
       .withColumn("_asof", last(col("_payload"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(c => col("_lrow").getField(c).as(c)) :+
+      .select(left.columns.toIndexedSeq.map(c => col("_lrow").getField(c).as(c)) :+
         col("_asof"): _*)
   }
 }
