@@ -494,7 +494,90 @@ object SequenceQueries {
       FROM cz
     """.trim))
 
+  /** Theil-Sen robust trend over monthly revenue — the median of all
+    * pairwise slopes, immune to the outlier months that drag an OLS
+    * fit (reported beside it for contrast). The pair space is bounded
+    * by the MONTH DOMAIN squared (80 months → 3 160 pairs), so the
+    * all-pairs generation and the single rank window are
+    * constant-sized at any fact-table scale — the slope ranking
+    * orders by the double quotient of exact integers with an exact
+    * (num, den) tie-break, and the selected median is emitted as
+    * EXACT integer micro-units (num·10⁶ div den, truncating toward
+    * zero in both engines), so no double ever reaches the robust
+    * output. The OLS slope derives from exact integer moment sums
+    * with one rounded double division (the `q_zipf_fit` recipe). */
+  val qTheilSen: Q = Q(
+    "q_theil_sen",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("idx"))
+        .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = monthly.as("a").join(monthly.as("b"),
+          col("b.idx") > col("a.idx"))
+        .select((col("b.cents") - col("a.cents")).as("num"),
+          (col("b.idx") - col("a.idx")).as("den"))
+      val ranked = pairs
+        .withColumn("sl", col("num").cast("double") / col("den"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("sl"), col("num"), col("den"))))
+      val counts = monthly.agg(
+        count(lit(1)).as("n_months"),
+        sum(col("idx").cast("long")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("idx").cast("long") * col("idx")).as("sxx"),
+        sum(col("idx").cast("long") * col("cents")).as("sxy"))
+      val med = ranked.crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_pairs"))))
+        .filter(col("rn") === expr("((n_pairs - 1) * 5000) div 10000 + 1"))
+        .select(col("n_pairs"),
+          expr("num * 1000000 div den").as("ts_slope_micro"))
+      med.crossJoin(broadcast(counts))
+        .select(col("n_months"), col("n_pairs"), col("ts_slope_micro"),
+          round((col("n_months") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy"))
+            / (col("n_months") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx")), 6).as("ols_slope"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      pairs AS (
+        SELECT b.cents - a.cents AS num, b.idx - a.idx AS den
+        FROM monthly a JOIN monthly b ON b.idx > a.idx),
+      ranked AS (
+        SELECT num, den,
+               row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den,
+                 num, den) AS rn
+        FROM pairs),
+      np AS (SELECT count(*) AS n_pairs FROM pairs),
+      med AS (
+        SELECT (SELECT n_pairs FROM np) AS n_pairs,
+               num * 1000000 // den AS ts_slope_micro
+        FROM ranked
+        WHERE rn = ((SELECT n_pairs FROM np) - 1) * 5000 // 10000 + 1),
+      mo AS (
+        SELECT count(*) AS n_months,
+               CAST(sum(idx) AS BIGINT) AS sx,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum(CAST(idx AS BIGINT) * idx) AS BIGINT) AS sxx,
+               CAST(sum(CAST(idx AS BIGINT) * cents) AS BIGINT) AS sxy
+        FROM monthly)
+      SELECT n_months, n_pairs, ts_slope_micro,
+             round((n_months * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sy)
+               / (n_months * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx), 6) AS ols_slope
+      FROM med, mo
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift)
+    qCusumDrift, qTheilSen)
 }

@@ -32,8 +32,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_zipf_fit ranks a <=100-row top-k; q_daily_backlog and
     // q_cusum_drift cumsum a calendar-bounded day table — all bounded
     // by construction.
+    // q_theil_sen ranks month-pair slopes — bounded by the month
+    // domain squared (≈3k rows), not the fact table.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
-      "q_daily_backlog", "q_cusum_drift")
+      "q_daily_backlog", "q_cusum_drift", "q_theil_sen")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector
