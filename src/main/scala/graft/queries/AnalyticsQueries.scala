@@ -1941,7 +1941,62 @@ object AnalyticsQueries {
       ORDER BY user_id, event_id
     """.trim))
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-numbers screen: observed leading-digit counts of the
+    * integer cents against the Benford expectation n·log10(1+1/d),
+    * with the signed deviation in ppm of n. The digit comes from the
+    * decimal string of the exact cents (never float formatting); the
+    * expectation uses ln-ratio doubles on identical expression text
+    * and lands as floor'd integer milli-counts, deviations as floor'd
+    * ppm — integers end to end. One scan, one 9-row aggregate;
+    * synthetic uniform-ish prices will NOT follow Benford, which is
+    * exactly what the audit is for (the gauge reports the divergence
+    * honestly rather than asserting conformity). */
+  val qBenford: Q = Q(
+    "q_benford",
+    (spark, dir) => {
+      val cents = Tables.orders(spark, dir)
+        .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+        .filter(col("cents") > 0)
+      val digits = cents
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+      val tot = cents.agg(count(lit(1)).as("n"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("d"), col("n_obs"),
+          floor(col("n").cast("double")
+            * (log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)))
+            * 1000).cast("long").as("exp_milli"),
+          floor((col("n_obs").cast("double")
+            - col("n").cast("double")
+              * (log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0))))
+            / col("n") * 1000000).cast("long").as("dev_ppm"))
+        .orderBy(col("d"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+      dg AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS d,
+               count(*) AS n_obs
+        FROM c GROUP BY 1),
+      t AS (SELECT count(*) AS n FROM c)
+      SELECT d, n_obs,
+             CAST(floor(CAST(n AS DOUBLE)
+               * (ln(1.0e0 + 1.0e0 / d) / ln(10.0e0)) * 1000) AS BIGINT)
+               AS exp_milli,
+             CAST(floor((CAST(n_obs AS DOUBLE)
+               - CAST(n AS DOUBLE) * (ln(1.0e0 + 1.0e0 / d) / ln(10.0e0)))
+               / n * 1000000) AS BIGINT) AS dev_ppm
+      FROM dg, t ORDER BY d
+    """.trim))
+
   def all: Seq[Q] = Seq(
+    qBenford,
     qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
     qAggHaving, qWindowTopn, qTopkAgg, qWindowRunning, qAggRollup, qAggCube, qGroupingSets, qWindowTime,
