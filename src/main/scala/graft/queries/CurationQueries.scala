@@ -679,7 +679,112 @@ object CurationQueries {
     """.trim))
   }
 
+  /** HLL sketch ALGEBRA — cross-source vocabulary overlap by
+    * inclusion-exclusion over merged registers: |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), where the union estimate comes from
+    * register-wise max of the two per-source sketches and never
+    * re-touches the corpus. This is the measurement exact distinct
+    * cannot deliver at 100 TB (a distinct-intersection per source
+    * pair is a corpus-wide shuffle each; the sketch version is 190
+    * pairs × 256 registers of pure arithmetic). All register math is
+    * integer; the three estimates divide once each on identical
+    * expression text, and the intersection lands as floor'd
+    * milli-units. Top-10 most-overlapping pairs. Negative estimates
+    * are possible for disjoint sources (inclusion-exclusion noise) —
+    * reported honestly, not clamped. */
+  val qSketchHllOverlap: Q = {
+    val m = Sketches.HllM
+    val rankCase = Sketches.HllRankCaseSql
+    val estExpr = Sketches.HllEstSql
+    Q(
+      "q_sketch_hll_overlap",
+      (spark, dir) => {
+        val sh = Tables.documents(spark, dir)
+          .select(col("source"),
+            explode(TextAnalysis.shingles(col("text"))).as("sh"))
+        val regs = Sketches.hllRegisters(sh, col("sh"), col("source"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val singles = Sketches.hllEstimate(regs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val srcs = regs.select(col("g")).distinct()
+        val pairs = srcs.as("a").join(srcs.as("b"), col("a.g") < col("b.g"))
+          .select(col("a.g").as("pa"), col("b.g").as("pb"))
+        val unionRegs = pairs.join(regs,
+            col("g") === col("pa") || col("g") === col("pb"))
+          .groupBy(col("pa"), col("pb"), col("idx"))
+          .agg(max(col("mr")).as("mr"))
+        val unionEst = Sketches.hllEstimate(
+          unionRegs.select(concat(col("pa"), lit("|"), col("pb")).as("g"),
+            col("idx"), col("mr")))
+          .select(split(col("g"), "\\|").getItem(0).as("pa"),
+            split(col("g"), "\\|").getItem(1).as("pb"),
+            col("est_raw").as("est_u"))
+        unionEst
+          .join(singles.select(col("g").as("pa"), col("est_raw").as("est_a")),
+            "pa")
+          .join(singles.select(col("g").as("pb"), col("est_raw").as("est_b")),
+            "pb")
+          .select(col("pa"), col("pb"),
+            floor(col("est_a") * 1000).cast("long").as("est_a_milli"),
+            floor(col("est_b") * 1000).cast("long").as("est_b_milli"),
+            floor(col("est_u") * 1000).cast("long").as("est_union_milli"),
+            floor((col("est_a") + col("est_b") - col("est_u")) * 1000)
+              .cast("long").as("est_inter_milli"))
+          .orderBy(col("est_inter_milli").desc, col("pa"), col("pb"))
+          .limit(10)
+      },
+      Some(s"""
+      WITH toks AS (
+        SELECT source, string_split_regex(text, '\\s+') AS tl FROM documents),
+      shg AS (
+        SELECT source, unnest(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)]) AS sh
+        FROM toks WHERE len(tl) >= 5),
+      hx0 AS (SELECT source, md5(sh) AS hx FROM shg),
+      ch AS (
+        SELECT source, ${DedupQueries.chunkSql(0)} % $m AS idx,
+               ${DedupQueries.chunkSql(1)} AS c1
+        FROM hx0),
+      bg AS (
+        SELECT source, idx, max($rankCase) AS mr
+        FROM ch GROUP BY source, idx),
+      sgl AS (
+        SELECT source, $estExpr AS est_raw FROM (
+          SELECT source,
+                 CAST(sum(CAST(pow(2, 40 - mr) AS BIGINT)) AS BIGINT)
+                   + ($m - count(*)) * 1099511627776 AS s
+          FROM bg GROUP BY source)),
+      prs AS (
+        SELECT a.source AS pa, b.source AS pb
+        FROM (SELECT DISTINCT source FROM bg) a
+        JOIN (SELECT DISTINCT source FROM bg) b ON a.source < b.source),
+      ur AS (
+        SELECT p.pa, p.pb, g.idx, max(g.mr) AS mr
+        FROM prs p JOIN bg g ON g.source = p.pa OR g.source = p.pb
+        GROUP BY p.pa, p.pb, g.idx),
+      ue AS (
+        SELECT pa, pb, $estExpr AS est_u FROM (
+          SELECT pa, pb,
+                 CAST(sum(CAST(pow(2, 40 - mr) AS BIGINT)) AS BIGINT)
+                   + ($m - count(*)) * 1099511627776 AS s
+          FROM ur GROUP BY pa, pb))
+      SELECT u.pa, u.pb,
+             CAST(floor(a.est_raw * 1000) AS BIGINT) AS est_a_milli,
+             CAST(floor(b.est_raw * 1000) AS BIGINT) AS est_b_milli,
+             CAST(floor(u.est_u * 1000) AS BIGINT) AS est_union_milli,
+             CAST(floor((a.est_raw + b.est_raw - u.est_u) * 1000) AS BIGINT)
+               AS est_inter_milli
+      FROM ue u
+      JOIN sgl a ON a.source = u.pa
+      JOIN sgl b ON b.source = u.pb
+      ORDER BY est_inter_milli DESC, u.pa, u.pb
+      LIMIT 10
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
-    qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum)
+    qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
+    qSketchHllOverlap)
 }
