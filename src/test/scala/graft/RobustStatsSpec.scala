@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-5 robust-statistics and sketch-algebra
+  * gauges on sf0.001 — oracle parity re-checks full values at sf0.01;
+  * these recompute the estimators independently (driver-side Scala
+  * over the collected base tables) and assert the invariants a hash
+  * can't name (median selection rule, Benford expectation algebra,
+  * HLL register monotonicity). */
+class RobustStatsSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = Registry.all.find(_.name == name).get
+
+  test("q_theil_sen: median pairwise slope matches a driver-side recompute") {
+    import spark.implicits._
+    val Array((nMonths, nPairs, tsMicro, ols)) = q("q_theil_sen").run(spark, dir)
+      .select(col("n_months"), col("n_pairs"), col("ts_slope_micro"),
+        col("ols_slope"))
+      .as[(Long, Long, Long, Double)].collect()
+    // independent base: monthly cents straight off the orders table
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("idx"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+      .as[(Int, Long)].collect()
+    assert(nMonths == monthly.length)
+    assert(nPairs == monthly.length.toLong * (monthly.length - 1) / 2)
+    // all pairwise slopes, the query's exact ordering and median pick
+    val pairs = for {
+      a <- monthly; b <- monthly; if b._1 > a._1
+    } yield (b._2 - a._2, (b._1 - a._1).toLong)
+    val sorted = pairs.sortBy { case (num, den) =>
+      (num.toDouble / den, num, den)
+    }
+    val (mNum, mDen) = sorted(((pairs.length - 1) * 5000 / 10000).toInt)
+    assert(tsMicro == mNum * 1000000L / mDen,
+      s"median slope $tsMicro != ${mNum * 1000000L / mDen}")
+    // OLS is a plain finite double beside the robust figure
+    assert(!ols.isNaN && !ols.isInfinite)
+    // robustness smoke: the median slope is inside the slope range
+    val slopes = pairs.map { case (n, d) => n.toDouble / d }
+    assert(tsMicro / 1e6 >= slopes.min - 1 && tsMicro / 1e6 <= slopes.max + 1)
+  }
+
+  test("q_benford: digit counts, expectation and deviation tie out exactly") {
+    import spark.implicits._
+    val rows = q("q_benford").run(spark, dir)
+      .select(col("d"), col("n_obs"), col("exp_milli"), col("dev_ppm"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 1 && r._1 <= 9))
+    // independent recount of leading digits from exact cents
+    val cents = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+        .as("c")).filter(col("c") > 0).as[Long].collect()
+    val n = cents.length.toLong
+    val obs = cents.groupBy(_.toString.head.asDigit)
+      .map { case (d, v) => d -> v.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == obs)
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (d, nObs, expMilli, devPpm) =>
+      val p = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      assert(expMilli == math.floor(n * p * 1000).toLong, s"digit $d exp")
+      assert(devPpm == math.floor((nObs - n * p) / n * 1000000).toLong,
+        s"digit $d dev")
+    }
+    // the nine floor'd expectations cover n within flooring loss
+    val expSum = rows.map(_._3).sum
+    assert(expSum <= n * 1000 && expSum >= n * 1000 - 9)
+  }
+
+  test("q_sketch_hll_overlap: union dominates singles; I-E algebra ties") {
+    import spark.implicits._
+    val rows = q("q_sketch_hll_overlap").run(spark, dir)
+      .select(col("pa"), col("pb"), col("est_a_milli"), col("est_b_milli"),
+        col("est_union_milli"), col("est_inter_milli"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (pa, pb, a, b, u, i) =>
+      assert(pa < pb, s"pair order $pa,$pb")
+      // register-wise max only grows registers, and the estimator is
+      // monotone in them (±1 milli flooring slack)
+      assert(u >= math.max(a, b) - 1, s"$pa|$pb union $u < max($a,$b)")
+      // inclusion-exclusion is computed from the same three doubles;
+      // independent flooring differs by at most 2 milli
+      assert(math.abs(i - (a + b - u)) <= 2, s"$pa|$pb I-E mismatch")
+    }
+    // the report is the top-10 by intersection, descending
+    assert(rows.map(_._6).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1)))
+  }
+}
