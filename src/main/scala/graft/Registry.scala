@@ -39,5 +39,6 @@ object Registry {
       graft.queries.SequenceQueries.all ++
       graft.queries.RelationalQueries.all ++
       graft.queries.SignalQueries.all ++
-      graft.queries.ClassifierQueries.all
+      graft.queries.ClassifierQueries.all ++
+      graft.queries.RobustQueries.all
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.operators.Sampling
+
+/** Robust estimation over dirty numeric columns — the aggregates a
+  * curation pipeline trusts when the raw mean is hostage to outliers:
+  * winsorized means (clamp to sample-estimated percentile fences) and
+  * Poisson-bootstrap confidence intervals (the resampling scheme that
+  * actually runs at corpus scale: per-(row, replicate) multiplicities
+  * are computed IN-ROW from a hash, so resampling is map-side and the
+  * shuffle carries only (group × replicate) partial sums — no
+  * replicated copy of the data ever materializes). */
+object RobustQueries {
+
+  /** Winsorized mean per event type: clamp values to the [p05, p95]
+    * fences ESTIMATED FROM A DETERMINISTIC 10% HASH SAMPLE, then take
+    * the exact clamped mean over the full data. Splitting estimation
+    * from application is the at-scale shape: the per-group order
+    * statistic (the only sort) runs on the bounded sample while the
+    * full pass stays a scan + broadcast-join + clamp — at 100 TB the
+    * sample fraction is the knob that keeps the sort partition
+    * in-memory. Fence ranks are pure integer arithmetic on the sample
+    * size; all means are exact integer micro-cents (sum·10⁶ div n —
+    * cents sums stay ≤ ~10¹⁰ at any plausible group, so the scaled
+    * product is far from BIGINT range). Clamp counts report how much
+    * mass the fences actually moved. */
+  val qWinsorize: Q = Q(
+    "q_winsorize",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("event_id"))
+      val samp = base.filter(Sampling.hashBasisPoints(col("event_id")) < 1000)
+      val wg = Window.partitionBy(col("g"))
+      val wr = Window.partitionBy(col("g"))
+        .orderBy(col("cents"), col("event_id"))
+      val cuts = samp
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n_s", count(lit(1)).over(wg))
+        .groupBy(col("g"))
+        .agg(
+          max(col("n_s")).as("n_samp"),
+          min(when(col("rn") === greatest(lit(1L), expr("(n_s * 5) div 100")),
+            col("cents"))).as("lo_cents"),
+          min(when(col("rn") === least(col("n_s"),
+            expr("(n_s * 95) div 100 + 1")), col("cents"))).as("hi_cents"))
+      base.join(broadcast(cuts), "g")
+        .groupBy(col("g"), col("n_samp"), col("lo_cents"), col("hi_cents"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sc"),
+          sum(least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
+            .as("swc"),
+          sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+            .as("n_clamped_lo"),
+          sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+            .as("n_clamped_hi"))
+        .select(col("g").as("event_type"), col("n"), col("n_samp"),
+          col("lo_cents"), col("hi_cents"),
+          expr("sc * 1000000 div n").as("mean_micro"),
+          expr("swc * 1000000 div n").as("wins_mean_micro"),
+          col("n_clamped_lo"), col("n_clamped_hi"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        FROM events),
+      samp AS (
+        SELECT g, cents, event_id FROM base
+        WHERE ${AnalyticsQueries.bpSql("event_id")} < 1000),
+      rk AS (
+        SELECT g, cents,
+               row_number() OVER (PARTITION BY g
+                 ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY g) AS n_s
+        FROM samp),
+      cuts AS (
+        SELECT g, max(n_s) AS n_samp,
+               min(CASE WHEN rn = greatest(1, (n_s * 5) // 100)
+                   THEN cents END) AS lo_cents,
+               min(CASE WHEN rn = least(n_s, (n_s * 95) // 100 + 1)
+                   THEN cents END) AS hi_cents
+        FROM rk GROUP BY g)
+      SELECT g AS event_type, count(*) AS n, max(n_samp) AS n_samp,
+             max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+             CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS mean_micro,
+             CAST(sum(least(greatest(cents, lo_cents), hi_cents)) AS BIGINT)
+               * 1000000 // count(*) AS wins_mean_micro,
+             CAST(sum(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clamped_lo,
+             CAST(sum(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clamped_hi
+      FROM base JOIN cuts USING (g)
+      GROUP BY g ORDER BY g
+    """.trim))
+
+  /** Poisson-bootstrap CI on the per-type mean: each of B=40
+    * replicates resamples every row with multiplicity ~ Poisson(1),
+    * the standard at-scale approximation of multinomial bootstrap
+    * weights (and the only one that needs no global coordination —
+    * each row draws its weight independently from
+    * md5(event_id:replicate), so the resample is embarrassingly
+    * parallel and exactly reproducible). The explode-by-B fan-out
+    * collapses immediately into the (group × replicate) partial-sum
+    * aggregate — map-side combine keeps the shuffle at
+    * groups × B rows regardless of corpus size. Replicate means are
+    * EXACT integer micro-cents, so the percentile CI (2nd / (B−1)th
+    * order statistic ≈ 2.5 / 97.5%) is an integer selection and the
+    * bootstrap SE derives from exact integer moment sums
+    * (128-bit square accumulation; one double division + sqrt on
+    * identical expression trees). */
+  val qBootstrapCi: Q = {
+    val B = 40
+    Q(
+      "q_bootstrap_ci",
+      (spark, dir) => {
+        val base = Tables.events(spark, dir)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+            col("event_id"))
+        val point = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+          .select(col("g"), col("n"),
+            expr("sc * 1000000 div n").as("point_mean_micro"))
+        val reps = base
+          .select(col("g"), col("cents"), col("event_id"),
+            explode(sequence(lit(0), lit(B - 1))).as("b"))
+          .withColumn("bp", Sampling.hashBasisPoints(
+            concat(col("event_id").cast("string"), lit(":"),
+              col("b").cast("string"))))
+          // Poisson(1) CDF in basis points: 0.3679 / 0.7358 / 0.9197 /
+          // 0.9810 / 0.9963 / 0.9994, tail mass capped at 6
+          .withColumn("m",
+            when(col("bp") < 3679, 0L).when(col("bp") < 7358, 1L)
+              .when(col("bp") < 9197, 2L).when(col("bp") < 9810, 3L)
+              .when(col("bp") < 9963, 4L).when(col("bp") < 9994, 5L)
+              .otherwise(6L))
+          .groupBy(col("g"), col("b"))
+          .agg(sum(col("m")).as("n_b"), sum(col("m") * col("cents")).as("sc_b"))
+          .filter(col("n_b") > 0)
+          .select(col("g"), col("b"),
+            expr("sc_b * 1000000 div n_b").as("mm"))
+        val wr = Window.partitionBy(col("g")).orderBy(col("mm"), col("b"))
+        val ci = reps
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("b_eff", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .groupBy(col("g"))
+          .agg(max(col("b_eff")).as("b_eff"),
+            min(when(col("rn") === 2, col("mm"))).as("boot_lo_micro"),
+            min(when(col("rn") === col("b_eff") - 1, col("mm")))
+              .as("boot_hi_micro"),
+            sum(col("mm")).as("sm"),
+            sum(col("mm").cast("decimal(19,0)") * col("mm")).as("smm"))
+        point.join(ci, "g")
+          .select(col("g").as("event_type"), col("n"),
+            col("point_mean_micro"), col("b_eff"),
+            col("boot_lo_micro"), col("boot_hi_micro"),
+            round(sqrt((col("b_eff") * col("smm").cast("double")
+                - col("sm").cast("double") * col("sm"))
+              / (col("b_eff") * (col("b_eff") - 1))), 6).as("boot_se_micro"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+      WITH base AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        FROM events),
+      point AS (
+        SELECT g, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) * 1000000 // count(*)
+                 AS point_mean_micro
+        FROM base GROUP BY g),
+      fan AS (
+        SELECT g, cents, event_id, unnest(generate_series(0, ${B - 1})) AS b
+        FROM base),
+      mult AS (
+        SELECT g, cents, b,
+               CASE WHEN bp < 3679 THEN 0 WHEN bp < 7358 THEN 1
+                    WHEN bp < 9197 THEN 2 WHEN bp < 9810 THEN 3
+                    WHEN bp < 9963 THEN 4 WHEN bp < 9994 THEN 5
+                    ELSE 6 END AS m
+        FROM (SELECT g, cents, b,
+                     ${AnalyticsQueries.bpSql("concat(event_id, ':', b)")} AS bp
+              FROM fan)),
+      reps AS (
+        SELECT g, b,
+               CAST(sum(m * cents) AS BIGINT) * 1000000
+                 // CAST(sum(m) AS BIGINT) AS mm
+        FROM mult GROUP BY g, b
+        HAVING CAST(sum(m) AS BIGINT) > 0),
+      rk AS (
+        SELECT g, b, mm,
+               row_number() OVER (PARTITION BY g ORDER BY mm, b) AS rn,
+               count(*) OVER (PARTITION BY g) AS b_eff
+        FROM reps),
+      ci AS (
+        SELECT g, max(b_eff) AS b_eff,
+               min(CASE WHEN rn = 2 THEN mm END) AS boot_lo_micro,
+               min(CASE WHEN rn = b_eff - 1 THEN mm END) AS boot_hi_micro,
+               CAST(sum(mm) AS BIGINT) AS sm,
+               sum(CAST(mm AS HUGEINT) * mm) AS smm
+        FROM rk GROUP BY g)
+      SELECT g AS event_type, n, point_mean_micro, b_eff,
+             boot_lo_micro, boot_hi_micro,
+             round(sqrt((b_eff * CAST(smm AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * sm)
+               / (b_eff * (b_eff - 1))), 6) AS boot_se_micro
+      FROM point JOIN ci USING (g)
+      ORDER BY event_type
+    """.trim))
+  }
+
+  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi)
+}

@@ -92,4 +92,59 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._6).sliding(2).forall(w =>
       w.length < 2 || w(0) >= w(1)))
   }
+
+  test("q_winsorize: fences ordered, clamped mean between fences, counts tie") {
+    import spark.implicits._
+    val rows = q("q_winsorize").run(spark, dir)
+      .select(col("event_type"), col("n"), col("n_samp"), col("lo_cents"),
+        col("hi_cents"), col("mean_micro"), col("wins_mean_micro"),
+        col("n_clamped_lo"), col("n_clamped_hi"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent base for recount
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (g, n, nS, lo, hi, mean, wmean, nLo, nHi) =>
+      val cents = base(g).map(_._2)
+      assert(n == cents.length && nS > 0 && lo <= hi)
+      // exact means tie to a driver-side recompute
+      assert(mean == cents.sum * 1000000L / n)
+      val clamped = cents.map(c => math.min(math.max(c, lo), hi))
+      assert(wmean == clamped.sum * 1000000L / n)
+      assert(nLo == cents.count(_ < lo) && nHi == cents.count(_ > hi))
+      // the winsorized mean sits inside the fences
+      assert(wmean >= lo * 1000000L && wmean <= hi * 1000000L)
+    }
+  }
+
+  test("q_bootstrap_ci: exact point mean, ordered CI, positive SE") {
+    import spark.implicits._
+    val rows = q("q_bootstrap_ci").run(spark, dir)
+      .select(col("event_type"), col("n"), col("point_mean_micro"),
+        col("b_eff"), col("boot_lo_micro"), col("boot_hi_micro"),
+        col("boot_se_micro"))
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (g, n, point, bEff, lo, hi, se) =>
+      val cents = base(g).map(_._2)
+      assert(n == cents.length)
+      assert(point == cents.sum * 1000000L / n)
+      // every replicate resamples the same population: the CI band is
+      // ordered and the point estimate lands inside (Poisson weights
+      // are unbiased; with B=40 and n≈200 the band is many SEs wide)
+      assert(bEff == 40L && lo <= hi)
+      assert(point >= lo - 1 && point <= hi + 1,
+        s"$g point $point outside [$lo, $hi]")
+      assert(se > 0 && !se.isNaN)
+      // the percentile band is consistent with the SE scale: the
+      // trimmed band (≈ ±2σ) cannot be wildly wider than 6σ
+      assert((hi - lo).toDouble <= 8 * se + 1, s"$g band vs se")
+    }
+  }
 }
