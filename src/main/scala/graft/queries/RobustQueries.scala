@@ -216,5 +216,93 @@ object RobustQueries {
     """.trim))
   }
 
-  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi)
+  /** Mann-Whitney U rank-sum test per event type — the nonparametric
+    * sibling of `q_abtest_stats`' Welch t: compares the two arms by
+    * rank order, immune to the heavy tails that sink a mean-based
+    * test. Ranks are computed on the VALUE HISTOGRAM, not the rows:
+    * one aggregate collapses the corpus to (group × distinct cents)
+    * cells, the cumulative window walks that bounded domain, and
+    * tied values take the textbook average rank — kept exact by
+    * working in doubled-rank units (2·avg-rank of a cell covering
+    * ranks a..b is a+b, always an integer). The rank sum accumulates
+    * in 128-bit (it is Θ(N²) in doubled units); U, the tie term
+    * Σ(t³−t) and both arm counts are exact integers, and the normal
+    * approximation's z lands from one shared double expression tree.
+    * At 100 TB the only sort is over distinct cents per group — the
+    * histogram, not the data. */
+  val qMannWhitney: Q = Q(
+    "q_mannwhitney",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val hist = base.groupBy(col("g"), col("cents"))
+        .agg(count(lit(1)).as("n_t"),
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a_v"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("cents"))
+      hist
+        .withColumn("cum", sum(col("n_t")).over(wc))
+        // ranks occupied by this value: (cum-n_t+1)..cum; doubled
+        // average rank = 2·cum − n_t + 1 (exact integer)
+        .withColumn("r2", lit(2) * col("cum") - col("n_t") + 1)
+        .groupBy(col("g"))
+        .agg(
+          sum(col("n_a_v")).as("n_a"),
+          sum(col("n_t") - col("n_a_v")).as("n_b"),
+          sum(col("n_a_v").cast("decimal(19,0)") * col("r2")).as("r2_a"),
+          sum(col("n_t") * col("n_t") * col("n_t") - col("n_t")).as("ties"))
+        .select(col("g"), col("n_a"), col("n_b"), col("ties"),
+          (col("r2_a") - col("n_a").cast("decimal(19,0)")
+            * (col("n_a") + 1)).cast("long").as("u2_a"))
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          col("u2_a"), col("ties"),
+          round((col("u2_a").cast("double")
+              - col("n_a").cast("double") * col("n_b"))
+            / (lit(2.0) * sqrt(col("n_a").cast("double") * col("n_b") / 12.0
+              * ((col("n_a").cast("double") + col("n_b") + 1)
+                - col("ties").cast("double")
+                  / ((col("n_a").cast("double") + col("n_b"))
+                    * (col("n_a").cast("double") + col("n_b") - 1))))), 6)
+            .as("z"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type AS g, user_id % 2 = 0 AS arm_a,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      hist AS (
+        SELECT g, cents, count(*) AS n_t,
+               CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a_v
+        FROM base GROUP BY g, cents),
+      rk AS (
+        SELECT g, n_t, n_a_v,
+               2 * sum(n_t) OVER (PARTITION BY g ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_t + 1 AS r2
+        FROM hist),
+      agg AS (
+        SELECT g,
+               CAST(sum(n_a_v) AS BIGINT) AS n_a,
+               CAST(sum(n_t - n_a_v) AS BIGINT) AS n_b,
+               sum(CAST(n_a_v AS HUGEINT) * r2) AS r2_a,
+               CAST(sum(n_t * n_t * n_t - n_t) AS BIGINT) AS ties
+        FROM rk GROUP BY g),
+      u AS (
+        SELECT g, n_a, n_b, ties,
+               CAST(r2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a
+        FROM agg)
+      SELECT g AS event_type, n_a, n_b, u2_a, ties,
+             round((CAST(u2_a AS DOUBLE)
+                 - CAST(n_a AS DOUBLE) * n_b)
+               / (2.0 * sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                 * ((CAST(n_a AS DOUBLE) + n_b + 1)
+                   - CAST(ties AS DOUBLE)
+                     / ((CAST(n_a AS DOUBLE) + n_b)
+                       * (CAST(n_a AS DOUBLE) + n_b - 1))))), 6) AS z
+      FROM u ORDER BY event_type
+    """.trim))
+
+  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney)
 }

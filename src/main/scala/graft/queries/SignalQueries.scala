@@ -436,6 +436,57 @@ object SignalQueries {
       })
   }
 
+  /** Unseen-species estimation per source, one step past
+    * [[qTextHapax]]'s observed shares: how much vocabulary the sample
+    * has NOT seen yet. Chao1 (bias-corrected: V + F1(F1−1)/(2(F2+1)),
+    * total everywhere — no F2=0 divide) lower-bounds the true type
+    * count from the singleton/doubleton profile, and Good-Turing
+    * coverage (1 − F1/N) says what probability mass the observed
+    * vocabulary captures — the "is this source exhausted or barely
+    * scratched" dial a corpus-collection loop reads before paying for
+    * more crawl. One (source, token) aggregate, then a 20-row
+    * profile; the estimators are integer-floored milli/ppm so both
+    * engines land identical rows. */
+  val qChaoRichness: Q = Q(
+    "q_chao_richness",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("f1"),
+        col("f2"),
+        (col("vocab") * 1000
+          + expr("f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))"))
+          .as("chao1_milli"),
+        expr("1000000 - f1 * 1000000 div n_tokens").as("gt_coverage_ppm"))
+      .orderBy(col("source")),
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      counts AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      prof AS (
+        SELECT source, count(*) AS vocab,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM counts GROUP BY source)
+      SELECT source, vocab, n_tokens, f1, f2,
+             vocab * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+               AS chao1_milli,
+             1000000 - f1 * 1000000 // n_tokens AS gt_coverage_ppm
+      FROM prof ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax, qBpeMerges)
+    qTextHapax, qBpeMerges, qChaoRichness)
 }

@@ -147,4 +147,55 @@ class RobustStatsSpec extends AnyFunSuite {
       assert((hi - lo).toDouble <= 8 * se + 1, s"$g band vs se")
     }
   }
+
+  test("q_mannwhitney: U matches a driver-side average-rank recompute") {
+    import spark.implicits._
+    val rows = q("q_mannwhitney").run(spark, dir)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        col("ties"), col("z"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(String, Boolean, Long)].collect().groupBy(_._1)
+    rows.foreach { case (g, nA, nB, u2A, ties, z) =>
+      val evs = base(g)
+      assert(nA == evs.count(_._2) && nB == evs.count(!_._2))
+      // textbook average ranks over the combined sample
+      val sorted = evs.map(e => (e._3, e._2)).sortBy(_._1)
+      val rank2: Seq[(Boolean, Long)] =
+        sorted.zipWithIndex.groupBy(_._1._1).toSeq.flatMap {
+          case (_, grp) =>
+            val r2 = grp.head._2 + 1 + grp.last._2 + 1 // doubled avg rank
+            grp.toSeq.map(e => (e._1._2, r2.toLong))
+        }
+      val r2A = rank2.collect { case (true, r) => r }.sum
+      assert(u2A == r2A - nA * (nA + 1), s"$g U mismatch")
+      // tie term recount
+      val tieSum = sorted.groupBy(_._1).values
+        .map(v => v.length.toLong).map(t => t * t * t - t).sum
+      assert(ties == tieSum)
+      // U is bounded by its domain and z is finite
+      assert(u2A >= 0 && u2A <= 2 * nA * nB)
+      assert(!z.isNaN && !z.isInfinite)
+    }
+  }
+
+  test("q_chao_richness: estimator algebra ties to the frequency profile") {
+    import spark.implicits._
+    val rows = q("q_chao_richness").run(spark, dir)
+      .select(col("source"), col("vocab"), col("n_tokens"), col("f1"),
+        col("f2"), col("chao1_milli"), col("gt_coverage_ppm"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, v, n, f1, f2, chao, cov) =>
+      assert(f1 + f2 <= v && f1 <= n, s"$s profile bounds")
+      // bias-corrected Chao1 never estimates below the observed vocab
+      assert(chao >= v * 1000, s"$s chao below vocab")
+      assert(chao == v * 1000 + f1 * (f1 - 1) * 1000 / (2 * (f2 + 1)))
+      assert(cov == 1000000 - f1 * 1000000 / n)
+      assert(cov >= 0 && cov <= 1000000)
+    }
+  }
 }
