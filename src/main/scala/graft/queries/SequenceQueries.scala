@@ -577,7 +577,112 @@ object SequenceQueries {
       FROM med, mo
     """.trim))
 
+  /** Kaplan-Meier survival curve over user lifetimes — retention with
+    * CENSORING handled correctly, which the naive `q_cohort_retention`
+    * ratio cannot do: a user still seen on the
+    * corpus's final observed day is alive (censored at the
+    * observation end),
+    * not churned, and simply averaging their shorter lifetime biases
+    * the curve down. KM removes censored users from the risk set at
+    * their censor time and steps the survival product only on churn
+    * days: S(t) = Π(1 − dᵢ/nᵢ). The corpus collapses to a per-user
+    * (first, last) span in one aggregate, then a DAY histogram — both
+    * cumulative windows (risk set descending, product ascending) walk
+    * the calendar-bounded day domain, never rows, so the global
+    * windows are constant-size at any corpus scale. The product is
+    * carried as a cumulative sum of floor(ln·10⁹) step terms (exact
+    * integers, same contract as the LM/entropy gauges) and lands as
+    * floor'd ppm; a final day where the whole risk set churns would
+    * hit ln(0), so it short-circuits to exactly 0 via a cumulative
+    * flag instead. */
+  val qSurvivalKm: Q = Q(
+    "q_survival_km",
+    (spark, dir) => {
+      val span = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .groupBy(col("user_id"))
+        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+      val end = span.agg(max(col("last_d")).as("obs_end"))
+      val obs = span.crossJoin(broadcast(end))
+        .select(
+          (datediff(col("obs_end"), col("last_d")) <= 0).as("censored"),
+          when(datediff(col("obs_end"), col("last_d")) <= 0,
+            datediff(col("obs_end"), col("first_d")))
+            .otherwise(datediff(col("last_d"), col("first_d"))).as("t"))
+      val hist = obs.groupBy(col("t"))
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d_churn"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c_cens"))
+      val wdesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wasc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("n_risk", sum(col("d_churn") + col("c_cens")).over(wdesc))
+        .filter(col("d_churn") > 0)
+        .withColumn("step_nanos",
+          when(col("n_risk") > col("d_churn"),
+            floor(log((col("n_risk") - col("d_churn")).cast("double")
+              / col("n_risk").cast("double")) * lit(1e9)).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("cum_nanos", sum(col("step_nanos")).over(wasc))
+        .withColumn("dead",
+          max(when(col("d_churn") === col("n_risk"), 1).otherwise(0))
+            .over(wasc))
+        .select(col("t").cast("long").as("day"), col("n_risk"),
+          col("d_churn"), col("c_cens"),
+          when(col("dead") === 1, 0L)
+            .otherwise(floor(exp(col("cum_nanos").cast("double") / lit(1e9))
+              * lit(1e6)).cast("long")).as("survival_ppm"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      span AS (
+        SELECT user_id, min(d) AS first_d, max(d) AS last_d
+        FROM ev GROUP BY 1),
+      e2 AS (SELECT max(last_d) AS obs_end FROM span),
+      obs AS (
+        SELECT datediff('day', last_d, obs_end) <= 0 AS censored,
+               CASE WHEN datediff('day', last_d, obs_end) <= 0
+                    THEN datediff('day', first_d, obs_end)
+                    ELSE datediff('day', first_d, last_d) END AS t
+        FROM span, e2),
+      hist AS (
+        SELECT t,
+               CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d_churn,
+               CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_cens
+        FROM obs GROUP BY t),
+      risk AS (
+        SELECT t, d_churn, c_cens,
+               CAST(sum(d_churn + c_cens) OVER (ORDER BY t DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_risk
+        FROM hist),
+      steps AS (
+        SELECT t, n_risk, d_churn, c_cens,
+               CASE WHEN n_risk > d_churn
+                    THEN CAST(floor(ln(CAST(n_risk - d_churn AS DOUBLE)
+                      / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                    ELSE 0 END AS step_nanos
+        FROM risk WHERE d_churn > 0),
+      cum AS (
+        SELECT t, n_risk, d_churn, c_cens,
+               CAST(sum(step_nanos) OVER w AS BIGINT) AS cum_nanos,
+               max(CASE WHEN d_churn = n_risk THEN 1 ELSE 0 END) OVER w
+                 AS dead
+        FROM steps
+        WINDOW w AS (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT CAST(t AS BIGINT) AS day, n_risk, d_churn, c_cens,
+             CASE WHEN dead = 1 THEN 0
+                  ELSE CAST(floor(exp(CAST(cum_nanos AS DOUBLE) / 1e9)
+                    * 1e6) AS BIGINT) END AS survival_ppm
+      FROM cum ORDER BY day
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift, qTheilSen)
+    qCusumDrift, qTheilSen, qSurvivalKm)
 }

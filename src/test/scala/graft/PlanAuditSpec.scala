@@ -34,8 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // by construction.
     // q_theil_sen ranks month-pair slopes — bounded by the month
     // domain squared (≈3k rows), not the fact table.
+    // q_survival_km cumsums the lifetime-day histogram — bounded by
+    // the calendar day domain, never the event rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
-      "q_daily_backlog", "q_cusum_drift", "q_theil_sen")
+      "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector

@@ -182,6 +182,45 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_survival_km: product ties to a driver-side KM recompute") {
+    import spark.implicits._
+    // sf0.01 has a multi-step curve (sf0.001 has a single churn day)
+    val d01 = "/root/testdata/sf0.01"
+    val rows = q("q_survival_km").run(spark, d01)
+      .select(col("day"), col("n_risk"), col("d_churn"), col("c_cens"),
+        col("survival_ppm"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // independent spans straight off the events table
+    val span = Tables.events(spark, d01)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .select(col("f").cast("string"), col("l").cast("string"))
+      .as[(String, String)].collect()
+      .map { case (f, l) =>
+        (java.time.LocalDate.parse(f), java.time.LocalDate.parse(l))
+      }
+    val obsEnd = span.map(_._2).max(Ordering.by((d: java.time.LocalDate) =>
+      d.toEpochDay))
+    import java.time.temporal.ChronoUnit.DAYS
+    val obs = span.map { case (f, l) =>
+      val cens = DAYS.between(l, obsEnd) <= 0
+      (if (cens) DAYS.between(f, obsEnd) else DAYS.between(f, l), cens)
+    }
+    var surv = 1.0
+    rows.foreach { case (day, nRisk, dChurn, cCens, ppm) =>
+      assert(nRisk == obs.count(_._1 >= day), s"day $day risk set")
+      assert(dChurn == obs.count(o => o._1 == day && !o._2))
+      assert(cCens == obs.count(o => o._1 == day && o._2))
+      surv *= (nRisk - dChurn).toDouble / nRisk
+      // nano-flooring of the log-steps can undershoot by a few ppm
+      assert(math.abs(ppm - surv * 1e6) <= 3, s"day $day S=$surv vs $ppm")
+    }
+    // survival only ever decreases
+    assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q_chao_richness: estimator algebra ties to the frequency profile") {
     import spark.implicits._
     val rows = q("q_chao_richness").run(spark, dir)
