@@ -304,5 +304,142 @@ object RobustQueries {
       FROM u ORDER BY event_type
     """.trim))
 
-  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney)
+  /** Population Stability Index per event type — the production drift
+    * metric for NUMERIC feature distributions (the categorical-share
+    * sibling is `q_mix_drift`): bin the current half of the corpus by
+    * the reference half's deciles and sum (p_cur − p_ref)·ln(p_cur/
+    * p_ref) over the 10 bins. PSI > 0.2 is the industry retrain
+    * alert. Everything runs on the VALUE HISTOGRAM: decile edges are
+    * exact rank selections over the per-group cumulative (bounded by
+    * distinct cents, like `q_mannwhitney`), bin assignment is a
+    * 9-row broadcast join against the edge table, and the corpus
+    * itself is touched by exactly one aggregate. Bin probabilities
+    * are add-one-smoothed exact rationals (no empty-bin ln(0)); each
+    * PSI term is individually non-negative and floored to nanos, so
+    * the per-group total is an order-independent integer sum. The
+    * split day derives from the observed span (integer epoch-day
+    * midpoint), not a wall-clock constant. */
+  val qPsiDrift: Q = Q(
+    "q_psi_drift",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("ed"))
+      val mid = ev.agg(
+        ((min(col("ed")) + (max(col("ed")) - min(col("ed")) + 1)
+          .cast("long") / 2).cast("long")).as("split_ed"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .select(col("g"), col("cents"), (col("ed") < col("split_ed")).as("ref"))
+      val hist = halves.groupBy(col("g"), col("cents"), col("ref"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val refHist = hist.filter(col("ref"))
+      val wcum = Window.partitionBy(col("g")).orderBy(col("cents"))
+      val refCum = refHist
+        .withColumn("cum", sum(col("n")).over(wcum))
+        .withColumn("n_ref", sum(col("n")).over(Window.partitionBy(col("g"))))
+      // decile edges: smallest cents whose cumulative reaches k·n/10
+      val edges = refCum
+        .select(col("g"), col("cents"), col("cum"), col("n_ref"),
+          explode(sequence(lit(1), lit(9))).as("k"))
+        .filter(col("cum") >= expr("n_ref * k div 10"))
+        .groupBy(col("g"), col("k"))
+        .agg(min(col("cents")).as("edge"))
+      // bin = number of edges strictly below the value (0..9)
+      val binned = hist.join(broadcast(edges), Seq("g"))
+        .groupBy(col("g"), col("cents"), col("ref"), col("n"))
+        .agg(sum(when(col("cents") > col("edge"), 1L).otherwise(0L)).as("bin"))
+        .groupBy(col("g"), col("bin"))
+        .agg(sum(when(col("ref"), col("n")).otherwise(0L)).as("nr"),
+          sum(when(!col("ref"), col("n")).otherwise(0L)).as("nc"))
+      val totals = binned.groupBy(col("g"))
+        .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+      // dense 10-bin grid so absent bins still contribute smoothed mass
+      val grid = totals
+        .select(col("g"), col("n_ref"), col("n_cur"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+        .join(binned, Seq("g", "bin"), "left")
+        .select(col("g"), col("n_ref"), col("n_cur"), col("bin"),
+          coalesce(col("nr"), lit(0L)).as("nr"),
+          coalesce(col("nc"), lit(0L)).as("nc"))
+      grid
+        .select(col("g"), col("n_ref"), col("n_cur"),
+          floor(((col("nc") + 1).cast("double") / (col("n_cur") + 10)
+              - (col("nr") + 1).cast("double") / (col("n_ref") + 10))
+            * log(((col("nc") + 1).cast("double") / (col("n_cur") + 10))
+              / ((col("nr") + 1).cast("double") / (col("n_ref") + 10)))
+            * lit(1e9)).cast("long").as("term_nanos"))
+        .groupBy(col("g"), col("n_ref"), col("n_cur"))
+        .agg(sum(col("term_nanos")).as("psi_nanos"))
+        .select(col("g").as("event_type"), col("n_ref"), col("n_cur"),
+          col("psi_nanos"),
+          (col("psi_nanos") >= 200000000L).as("alert"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+        FROM events),
+      mid AS (
+        SELECT CAST(min(ed) + (max(ed) - min(ed) + 1) // 2 AS BIGINT)
+          AS split_ed FROM ev),
+      halves AS (
+        SELECT g, cents, ed < split_ed AS ref FROM ev, mid),
+      hist AS (
+        SELECT g, cents, ref, count(*) AS n
+        FROM halves GROUP BY g, cents, ref),
+      refcum AS (
+        SELECT g, cents,
+               sum(n) OVER (PARTITION BY g ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY g) AS n_ref
+        FROM hist WHERE ref),
+      edges AS (
+        SELECT g, k, min(cents) AS edge FROM (
+          SELECT r.g, r.cents, r.cum, r.n_ref, ks.k
+          FROM refcum r, (SELECT unnest(generate_series(1, 9)) AS k) ks)
+        WHERE cum >= n_ref * k // 10
+        GROUP BY g, k),
+      assigned AS (
+        SELECT h.g, h.cents, h.ref, h.n,
+               CAST(sum(CASE WHEN h.cents > e.edge THEN 1 ELSE 0 END)
+                 AS BIGINT) AS bin
+        FROM hist h JOIN edges e USING (g)
+        GROUP BY h.g, h.cents, h.ref, h.n),
+      bins AS (
+        SELECT g, bin,
+               CAST(sum(CASE WHEN ref THEN n ELSE 0 END) AS BIGINT) AS nr,
+               CAST(sum(CASE WHEN NOT ref THEN n ELSE 0 END) AS BIGINT) AS nc
+        FROM assigned GROUP BY g, bin),
+      totals AS (
+        SELECT g, CAST(sum(nr) AS BIGINT) AS n_ref,
+               CAST(sum(nc) AS BIGINT) AS n_cur
+        FROM bins GROUP BY g),
+      cells AS (
+        SELECT t.g, t.n_ref, t.n_cur, gs.bin
+        FROM totals t, (SELECT unnest(generate_series(0, 9)) AS bin) gs),
+      grid AS (
+        SELECT x.g, x.n_ref, x.n_cur, x.bin,
+               coalesce(b.nr, 0) AS nr, coalesce(b.nc, 0) AS nc
+        FROM cells x LEFT JOIN bins b ON b.g = x.g AND b.bin = x.bin),
+      terms AS (
+        SELECT g, n_ref, n_cur,
+               CAST(floor((CAST(nc + 1 AS DOUBLE) / (n_cur + 10)
+                   - CAST(nr + 1 AS DOUBLE) / (n_ref + 10))
+                 * ln((CAST(nc + 1 AS DOUBLE) / (n_cur + 10))
+                   / (CAST(nr + 1 AS DOUBLE) / (n_ref + 10)))
+                 * 1e9) AS BIGINT) AS term_nanos
+        FROM grid)
+      SELECT g AS event_type, n_ref, n_cur,
+             CAST(sum(term_nanos) AS BIGINT) AS psi_nanos,
+             CAST(sum(term_nanos) AS BIGINT) >= 200000000 AS alert
+      FROM terms GROUP BY g, n_ref, n_cur
+      ORDER BY event_type
+    """.trim))
+
+  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney, qPsiDrift)
 }

@@ -182,6 +182,50 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_psi_drift: PSI ties to a driver-side decile-bin recompute") {
+    import spark.implicits._
+    val rows = q("q_psi_drift").run(spark, dir)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("psi_nanos"), col("alert"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ed"))
+      .as[(String, Long, Long)].collect()
+    val eds = base.map(_._3)
+    val split = eds.min + (eds.max - eds.min + 1) / 2
+    val byG = base.groupBy(_._1)
+    rows.foreach { case (g, nRef, nCur, psi, alert) =>
+      val refV = byG(g).filter(_._3 < split).map(_._2).sorted
+      val curV = byG(g).filter(_._3 >= split).map(_._2)
+      assert(nRef == refV.length && nCur == curV.length)
+      // decile edges by the query's rank rule over the ref histogram
+      val edges = (1 to 9).map { k =>
+        val target = refV.length.toLong * k / 10
+        // smallest value whose cumulative count reaches the target
+        val cum = refV.groupBy(identity).toSeq.sortBy(_._1)
+          .scanLeft((Long.MinValue, 0L)) { case ((_, c), (v, g2)) =>
+            (v, c + g2.length)
+          }.drop(1)
+        cum.find(_._2 >= target).get._1
+      }
+      def bin(v: Long): Int = edges.count(v > _)
+      def cnt(vs: Seq[Long]): Map[Int, Long] =
+        vs.groupBy(bin).map { case (b, v) => b -> v.length.toLong }
+      val (rc, cc) = (cnt(refV.toSeq), cnt(curV.toSeq))
+      val expected = (0 to 9).map { b =>
+        val pr = (rc.getOrElse(b, 0L) + 1).toDouble / (nRef + 10)
+        val pc = (cc.getOrElse(b, 0L) + 1).toDouble / (nCur + 10)
+        math.floor((pc - pr) * math.log(pc / pr) * 1e9).toLong
+      }.sum
+      assert(psi == expected, s"$g psi $psi != $expected")
+      assert(psi >= 0 && alert == (psi >= 200000000L))
+    }
+  }
+
   test("q_survival_km: product ties to a driver-side KM recompute") {
     import spark.implicits._
     // sf0.01 has a multi-step curve (sf0.001 has a single churn day)
