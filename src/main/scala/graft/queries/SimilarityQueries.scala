@@ -1183,11 +1183,166 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 3 ORDER BY qid, rnk
     """.trim))
 
+  /** Reciprocal-rank fusion — the hybrid-retrieval merge every RAG
+    * stack runs: two independent rankings of the same candidates
+    * (lexical tf-idf cosine and 5-gram shingle Jaccard here; in
+    * production, BM25 and an embedding ANN) fuse by score =
+    * Σ 1/(60+rankᵢ), which rewards agreement without having to
+    * calibrate the two score scales against each other. Both signal
+    * pipelines keep the QUERY SIDE of the pair join restricted to the
+    * 50 probe docs, so candidate generation is (probes × postings),
+    * never all-pairs; each signal keeps its top-20, the fusion is a
+    * full outer join of two 200-row lists, and every fused score is
+    * an exact integer micro sum (1000000 div (60+rank)), so the final
+    * ranking is engine-exact. Jaccard ranks on exact inter/union
+    * micros; the cosine leg reuses the df-capped integer-weight
+    * recipe of `q_text_cosine_knn`. */
+  val qRankFusion: Q = Q(
+    "q_rank_fusion",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      // leg 1: tf-idf cosine, probe docs vs corpus
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
+      val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("nd"))
+        .select(col("doc_id"), col("term"), expr("(tf * nd) div df").as("w"))
+        .persist()
+      val norms = kept.groupBy(col("doc_id"))
+        .agg(sum(col("w") * col("w")).as("nrm"))
+      val cosRanked = kept.filter(col("doc_id") < 50).as("a")
+        .join(kept.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("neighbor"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot"))
+        .join(norms.select(col("doc_id").as("qid"), col("nrm").as("na")),
+          "qid")
+        .join(norms.select(col("doc_id").as("neighbor"), col("nrm").as("nb")),
+          "neighbor")
+        .select(col("qid"), col("neighbor"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cos"))
+        .withColumn("r_cos", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("neighbor"))))
+        .filter(col("r_cos") <= 20)
+        .select(col("qid"), col("neighbor"), col("r_cos"))
+      // leg 2: shingle Jaccard, probe docs vs corpus
+      val sh = docs
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.shingles(col("text"))).as("sh"))
+        .distinct()
+        .persist()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val jacRanked = sh.filter(col("doc_id") < 50).as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("neighbor"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("qid"), col("sz").as("sa")), "qid")
+        .join(sizes.select(col("doc_id").as("neighbor"), col("sz").as("sb")),
+          "neighbor")
+        .select(col("qid"), col("neighbor"),
+          expr("inter * 1000000 div (sa + sb - inter)").as("jac_micro"))
+        .withColumn("r_jac", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("jac_micro").desc, col("neighbor"))))
+        .filter(col("r_jac") <= 20)
+        .select(col("qid"), col("neighbor"), col("r_jac"))
+      // fuse: RRF with k=60, exact integer micros
+      val fused = cosRanked.join(jacRanked, Seq("qid", "neighbor"), "full")
+        .select(col("qid"), col("neighbor"),
+          (coalesce(expr("1000000 div (60 + r_cos)"), lit(0L))
+            + coalesce(expr("1000000 div (60 + r_jac)"), lit(0L)))
+            .as("fused_micro"),
+          col("r_cos").cast("long").as("r_cos"),
+          col("r_jac").cast("long").as("r_jac"))
+      fused
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("fused_micro").desc, col("neighbor"))))
+        .filter(col("rnk") <= 5)
+        .select(col("qid").as("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("neighbor"), col("fused_micro"), col("r_cos"), col("r_jac"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      s AS (SELECT count(*) AS nd FROM documents),
+      kept AS (
+        SELECT t.doc_id, t.term, (t.tf * s.nd) // d.df AS w
+        FROM tf t JOIN dft d USING (term) CROSS JOIN s
+        WHERE d.df * 10 <= s.nd),
+      norms AS (SELECT doc_id, sum(w * w) AS nrm FROM kept GROUP BY 1),
+      cdots AS (
+        SELECT a.doc_id AS qid, b.doc_id AS neighbor, sum(a.w * b.w) AS dot
+        FROM kept a JOIN kept b
+          ON a.term = b.term AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 50 GROUP BY 1, 2),
+      cosr AS (
+        SELECT qid, neighbor,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na.nrm AS DOUBLE))
+                     * sqrt(CAST(nb.nrm AS DOUBLE))), 6) DESC, neighbor)
+                 AS r_cos
+        FROM cdots
+        JOIN norms na ON na.doc_id = qid
+        JOIN norms nb ON nb.doc_id = neighbor),
+      ckept AS (SELECT qid, neighbor, r_cos FROM cosr WHERE r_cos <= 20),
+      tl AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(tl[i:i+4], ' ')
+                       FOR i IN generate_series(1, len(tl) - 4)]) AS sh
+        FROM tl WHERE len(tl) >= 5),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      jdots AS (
+        SELECT a.doc_id AS qid, b.doc_id AS neighbor, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        WHERE a.doc_id < 50 GROUP BY 1, 2),
+      jacr AS (
+        SELECT qid, neighbor,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY inter * 1000000 // (sa.sz + sb.sz - inter) DESC,
+                   neighbor) AS r_jac
+        FROM jdots
+        JOIN sizes sa ON sa.doc_id = qid
+        JOIN sizes sb ON sb.doc_id = neighbor),
+      jkept AS (SELECT qid, neighbor, r_jac FROM jacr WHERE r_jac <= 20),
+      fused AS (
+        SELECT coalesce(c.qid, j.qid) AS qid,
+               coalesce(c.neighbor, j.neighbor) AS neighbor,
+               coalesce(1000000 // (60 + c.r_cos), 0)
+                 + coalesce(1000000 // (60 + j.r_jac), 0) AS fused_micro,
+               CAST(c.r_cos AS BIGINT) AS r_cos,
+               CAST(j.r_jac AS BIGINT) AS r_jac
+        FROM ckept c FULL OUTER JOIN jkept j
+          ON c.qid = j.qid AND c.neighbor = j.neighbor),
+      r AS (
+        SELECT qid, neighbor, fused_micro, r_cos, r_jac,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY fused_micro DESC, neighbor) AS rnk
+        FROM fused)
+      SELECT qid AS doc_id, CAST(rnk AS BIGINT) AS rnk, neighbor,
+             CAST(fused_micro AS BIGINT) AS fused_micro, r_cos, r_jac
+      FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedIvfPq, qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
-    qEmbedOodScore, qTextCosineKnn)
+    qEmbedOodScore, qTextCosineKnn, qRankFusion)
 }

@@ -265,6 +265,31 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_rank_fusion: RRF algebra and per-query ordering hold") {
+    import spark.implicits._
+    val rows = q("q_rank_fusion").run(spark, dir)
+      .select(col("doc_id"), col("rnk"), col("neighbor"), col("fused_micro"),
+        col("r_cos"), col("r_jac"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, _, fused, rCos, rJac) =>
+      // at least one leg ranked the candidate, each within its top-20
+      assert(rCos.nonEmpty || rJac.nonEmpty, s"q$qid no leg")
+      rCos.foreach(r => assert(r >= 1 && r <= 20))
+      rJac.foreach(r => assert(r >= 1 && r <= 20))
+      val expected = rCos.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rJac.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(fused == expected, s"q$qid fused $fused != $expected")
+    }
+    rows.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      // dense ranks from 1, fused scores non-increasing
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
   test("q_chao_richness: estimator algebra ties to the frequency profile") {
     import spark.implicits._
     val rows = q("q_chao_richness").run(spark, dir)
