@@ -128,12 +128,22 @@ object RobustQueries {
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
           .select(col("g"), col("n"),
             expr("sc * 1000000 div n").as("point_mean_micro"))
+        // one md5 yields FOUR independent 32-bit draws (hex chunks of
+        // the same digest are independent bits), so 40 replicates cost
+        // 10 hashes per row, not 40 — the digest is the expensive part
         val reps = base
           .select(col("g"), col("cents"), col("event_id"),
-            explode(sequence(lit(0), lit(B - 1))).as("b"))
-          .withColumn("bp", Sampling.hashBasisPoints(
+            explode(sequence(lit(0), lit(B / 4 - 1))).as("slot"))
+          .withColumn("hx", md5(
             concat(col("event_id").cast("string"), lit(":"),
-              col("b").cast("string"))))
+              col("slot").cast("string"))))
+          .select(col("g"), col("cents"),
+            explode(sequence(lit(0), lit(3))).as("chunk"),
+            col("slot"), col("hx"))
+          .withColumn("b", col("slot") * 4 + col("chunk"))
+          .withColumn("bp",
+            pmod(expr("conv(substring(hx, chunk * 8 + 1, 8), 16, 10)")
+              .cast("long"), lit(10000L)))
           // Poisson(1) CDF in basis points: 0.3679 / 0.7358 / 0.9197 /
           // 0.9810 / 0.9963 / 0.9994, tail mass capped at 6
           .withColumn("m",
@@ -177,17 +187,26 @@ object RobustQueries {
                  AS point_mean_micro
         FROM base GROUP BY g),
       fan AS (
-        SELECT g, cents, event_id, unnest(generate_series(0, ${B - 1})) AS b
+        SELECT g, cents, event_id, unnest(generate_series(0, ${B / 4 - 1}))
+          AS slot
         FROM base),
+      hx0 AS (
+        SELECT g, cents, slot, md5(concat(event_id, ':', slot)) AS hx
+        FROM fan),
+      ch AS (
+        SELECT g, cents, slot, hx, unnest(generate_series(0, 3)) AS chunk
+        FROM hx0),
       mult AS (
         SELECT g, cents, b,
                CASE WHEN bp < 3679 THEN 0 WHEN bp < 7358 THEN 1
                     WHEN bp < 9197 THEN 2 WHEN bp < 9810 THEN 3
                     WHEN bp < 9963 THEN 4 WHEN bp < 9994 THEN 5
                     ELSE 6 END AS m
-        FROM (SELECT g, cents, b,
-                     ${AnalyticsQueries.bpSql("concat(event_id, ':', b)")} AS bp
-              FROM fan)),
+        FROM (SELECT g, cents, slot * 4 + chunk AS b,
+                     (${(0 until 8).map { k =>
+                       s"(strpos('0123456789abcdef', substring(hx, chunk * 8 + ${k + 1}, 1)) - 1) * ${1L << (4 * (7 - k))}"
+                     }.mkString(" + ")}) % 10000 AS bp
+              FROM ch)),
       reps AS (
         SELECT g, b,
                CAST(sum(m * cents) AS BIGINT) * 1000000
