@@ -460,5 +460,80 @@ object RobustQueries {
       ORDER BY event_type
     """.trim))
 
-  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney, qPsiDrift)
+  /** Two-sample Kolmogorov-Smirnov per event type — completes the
+    * distribution-comparison trifecta (rank shift: `q_mannwhitney`;
+    * binned divergence: `q_psi_drift`; KS: the maximum CDF gap, the
+    * test that catches SHAPE changes a location test misses). The D
+    * statistic is EXACT: on the shared value histogram, D·n_a·n_b =
+    * max |cumA·n_b − cumB·n_a| is pure integer arithmetic — no
+    * empirical-CDF doubles anywhere — and the reported d_micro is one
+    * integer division. The α=0.05 rejection compares the same
+    * integers against c(α)²·n_a·n_b·(n_a+n_b) in doubles derived from
+    * them (identical trees both engines). The only sort is the
+    * per-group distinct-cents histogram, as in `q_mannwhitney`;
+    * at extreme row counts the n_a·n_b products move to 128-bit, a
+    * documented widening, not a redesign. */
+  val qKsTest: Q = Q(
+    "q_ks_test",
+    (spark, dir) => {
+      val base = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val hist = base.groupBy(col("g"), col("cents"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("na_v"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb_v"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("cents"))
+      val wg = Window.partitionBy(col("g"))
+      hist
+        .withColumn("cum_a", sum(col("na_v")).over(wc))
+        .withColumn("cum_b", sum(col("nb_v")).over(wc))
+        .withColumn("n_a", sum(col("na_v")).over(wg))
+        .withColumn("n_b", sum(col("nb_v")).over(wg))
+        .groupBy(col("g"), col("n_a"), col("n_b"))
+        .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("d_num"))
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          col("d_num"),
+          expr("d_num * 1000000 div (n_a * n_b)").as("d_micro"),
+          // D > c(0.05)·sqrt((n_a+n_b)/(n_a·n_b)), squared to stay in
+          // one double comparison: d_num² > 1.358²·n_a·n_b·(n_a+n_b)
+          (col("d_num").cast("double") * col("d_num")
+            > lit(1.844164) * col("n_a").cast("double") * col("n_b")
+              * (col("n_a") + col("n_b"))).as("reject_05"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type AS g, user_id % 2 = 0 AS arm_a,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+      hist AS (
+        SELECT g, cents,
+               CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+               CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nb_v
+        FROM base GROUP BY g, cents),
+      cum AS (
+        SELECT g,
+               sum(na_v) OVER w AS cum_a, sum(nb_v) OVER w AS cum_b,
+               sum(na_v) OVER (PARTITION BY g) AS n_a,
+               sum(nb_v) OVER (PARTITION BY g) AS n_b
+        FROM hist
+        WINDOW w AS (PARTITION BY g ORDER BY cents
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      agg AS (
+        SELECT g, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+        FROM cum GROUP BY g, n_a, n_b)
+      SELECT g AS event_type, n_a, n_b, d_num,
+             d_num * 1000000 // (n_a * n_b) AS d_micro,
+             CAST(d_num AS DOUBLE) * d_num
+               > 1.844164 * CAST(n_a AS DOUBLE) * n_b * (n_a + n_b)
+               AS reject_05
+      FROM agg ORDER BY event_type
+    """.trim))
+
+  def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney, qPsiDrift,
+    qKsTest)
 }

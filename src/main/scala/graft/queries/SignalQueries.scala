@@ -487,6 +487,84 @@ object SignalQueries {
       FROM prof ORDER BY source
     """.trim))
 
+  /** Heaps'-law fit V = K·N^β across sources — the vocabulary-growth
+    * exponent that sizes a tokenizer vocabulary BEFORE paying for the
+    * next 10× of corpus: β near 0.5 says vocabulary still doubles
+    * with every 4× of tokens, β near 0 says the domain is closed.
+    * The corpus collapses to 20 (n_tokens, vocab) points (one
+    * (source, token) aggregate — the same profile `q_chao_richness`
+    * reads); the log-log OLS runs on floor(ln·10⁹) integer
+    * coordinates with 128-bit moment sums, so the fit inputs are
+    * exact and the two doubles (slope, intercept) come off identical
+    * expression trees. */
+  val qTextHeaps: Q = Q(
+    "q_text_heaps",
+    (spark, dir) => Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"))
+      .select(
+        floor(log(col("n_tokens").cast("double")) * lit(1e9)).cast("long")
+          .as("x"),
+        floor(log(col("vocab").cast("double")) * lit(1e9)).cast("long")
+          .as("y"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+        sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"))
+      .select(col("n_sources"),
+        round((col("n_sources") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy"))
+          / (col("n_sources") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx")), 6).as("beta"),
+        floor(exp((col("sy").cast("double")
+            - ((col("n_sources") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy"))
+              / (col("n_sources") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx")))
+              * col("sx").cast("double"))
+          / col("n_sources") / lit(1e9)) * lit(1000)).cast("long")
+          .as("k_milli")),
+    Some("""
+      WITH toks AS (
+        SELECT source, tok FROM (
+          SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      counts AS (
+        SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      prof AS (
+        SELECT source, count(*) AS vocab,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM counts GROUP BY source),
+      pts AS (
+        SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        FROM prof),
+      mom AS (
+        SELECT count(*) AS n_sources,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM pts)
+      SELECT n_sources,
+             round((n_sources * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sy)
+               / (n_sources * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * sx), 6) AS beta,
+             CAST(floor(exp((CAST(sy AS DOUBLE)
+                 - ((n_sources * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sy)
+                   / (n_sources * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx))
+                   * CAST(sx AS DOUBLE))
+               / n_sources / 1e9) * 1000) AS BIGINT) AS k_milli
+      FROM mom
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax, qBpeMerges, qChaoRichness)
+    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps)
 }

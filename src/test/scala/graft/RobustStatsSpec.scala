@@ -265,6 +265,64 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_ks_test: D ties to a driver-side empirical-CDF recompute") {
+    import spark.implicits._
+    val rows = q("q_ks_test").run(spark, dir)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        col("d_micro"), col("reject_05"))
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .as[(String, Boolean, Long)].collect().groupBy(_._1)
+    rows.foreach { case (g, nA, nB, dNum, dMicro, reject) =>
+      val evs = base(g)
+      assert(nA == evs.count(_._2) && nB == evs.count(!_._2))
+      // scaled sup-gap over every distinct value
+      val values = evs.map(_._3).distinct.sorted
+      val expected = values.map { v =>
+        val ca = evs.count(e => e._2 && e._3 <= v).toLong
+        val cb = evs.count(e => !e._2 && e._3 <= v).toLong
+        math.abs(ca * nB - cb * nA)
+      }.max
+      assert(dNum == expected, s"$g D $dNum != $expected")
+      assert(dMicro == dNum * 1000000L / (nA * nB))
+      val crit = 1.844164 * nA * nB * (nA + nB)
+      assert(reject == (dNum.toDouble * dNum > crit))
+    }
+  }
+
+  test("q_text_heaps: fit ties to the per-source profile moments") {
+    import spark.implicits._
+    val Array((n, beta, kMilli)) = q("q_text_heaps").run(spark, dir)
+      .select(col("n_sources"), col("beta"), col("k_milli"))
+      .as[(Long, Double, Long)].collect()
+    // one point per source, a defined fit, positive K
+    assert(n > 1 && kMilli > 0)
+    assert(!beta.isNaN && beta > -1 && beta < 1.2)
+    // recompute the slope from the integer log coordinates
+    val pts = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v"), sum(col("c")).as("nt"))
+      .as[(String, Long, Long)].collect()
+      .map { case (_, v, nt) =>
+        (math.floor(math.log(nt.toDouble) * 1e9).toLong,
+          math.floor(math.log(v.toDouble) * 1e9).toLong)
+      }
+    assert(n == pts.length)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+    val slope = (n * sxy.toDouble - sx.toDouble * sy) /
+      (n * sxx.toDouble - sx.toDouble * sx)
+    assert(math.abs(beta - slope) <= 1e-6, s"beta $beta vs $slope")
+  }
+
   test("q_rank_fusion: RRF algebra and per-query ordering hold") {
     import spark.implicits._
     val rows = q("q_rank_fusion").run(spark, dir)
