@@ -783,8 +783,104 @@ object CurationQueries {
     """.trim))
   }
 
+  /** Priority sampling (Duffield-Lund-Thorup) — the weighted
+    * complement of [[qAqpSum]]'s uniform bottom-k: ONE k-row sample
+    * taken by priority w/u answers ANY later subset-sum question with
+    * the est = Σ max(w, τ) estimator (τ = the (k+1)-th priority), and
+    * heavy rows are kept with probability → 1, so heavy-tailed totals
+    * estimate far tighter than uniform rows allow. The top-(k+1)
+    * selection is `orderBy().limit()` — a distributed
+    * TakeOrderedAndProject, per-partition top-k plus a tiny merge,
+    * exactly the [[Sketches.bottomKResample]] discipline — and the
+    * one window ranks the ≤513-row survivor set, bounded by
+    * construction. The estimator sum stays deterministic by
+    * splitting: Σ max(w,τ) = Σ_{w>τ} w (exact integer) + count·τ (one
+    * double product) — never a float accumulation. Priorities are
+    * double quotients of exact integers on identical expression
+    * trees; ties break by id. Per-type signed error lands beside the
+    * uniform sampler's for the head-to-head read. */
+  val qSamplePriority: Q = {
+    val k = 512
+    Q(
+      "q_sample_priority",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(spark, dir)
+          .select(col("event_type").as("g"),
+            col("event_id").cast("string").as("id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("w"))
+        val pri = base
+          .withColumn("bp", Sampling.hashBasisPoints(col("id")))
+          .withColumn("p", col("w").cast("double")
+            / ((col("bp").cast("double") + lit(0.5)) / lit(10000.0)))
+        val top = pri.orderBy(col("p").desc, col("id")).limit(k + 1)
+        val ranked = top.withColumn("rn",
+          row_number().over(Window.orderBy(col("p").desc, col("id"))))
+          .persist()
+        val tau = ranked.filter(col("rn") === k + 1)
+          .select(col("p").as("tau"))
+        val samp = ranked.filter(col("rn") <= k)
+          .crossJoin(broadcast(tau))
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_samp"),
+            sum(when(col("w").cast("double") > col("tau"), col("w"))
+              .otherwise(0L)).as("sum_big"),
+            sum(when(col("w").cast("double") <= col("tau"), 1L)
+              .otherwise(0L)).as("n_small"))
+        val totals = base.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_total"), sum(col("w")).as("exact_cents"))
+        totals.join(samp, "g").crossJoin(broadcast(tau))
+          .select(col("g"), col("n_total"), col("exact_cents"),
+            col("n_samp"),
+            floor(col("sum_big").cast("double")
+              + col("n_small").cast("double") * col("tau")).cast("long")
+              .as("est_cents"))
+          .select(col("g").as("event_type"), col("n_total"),
+            col("exact_cents"), col("n_samp"), col("est_cents"),
+            expr("(est_cents - exact_cents) * 1000000 div exact_cents")
+              .as("err_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""
+      WITH base AS (
+        SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
+        FROM events),
+      pri AS (
+        SELECT g, id, w,
+               CAST(w AS DOUBLE) / ((bp + 0.5) / 10000.0) AS p
+        FROM (SELECT g, id, w, ${AnalyticsQueries.bpSql("id")} AS bp
+              FROM base)),
+      top AS (
+        SELECT g, id, w, p FROM pri ORDER BY p DESC, id LIMIT ${k + 1}),
+      ranked AS (
+        SELECT g, w, p,
+               row_number() OVER (ORDER BY p DESC, id) AS rn
+        FROM top),
+      tau AS (SELECT p AS tau FROM ranked WHERE rn = ${k + 1}),
+      samp AS (
+        SELECT g, count(*) AS n_samp,
+               CAST(sum(CASE WHEN CAST(w AS DOUBLE) > tau THEN w ELSE 0 END)
+                 AS BIGINT) AS sum_big,
+               CAST(sum(CASE WHEN CAST(w AS DOUBLE) <= tau THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_small
+        FROM ranked, tau WHERE rn <= $k GROUP BY g),
+      tot AS (
+        SELECT g, count(*) AS n_total, CAST(sum(w) AS BIGINT) AS exact_cents
+        FROM base GROUP BY g),
+      est AS (
+        SELECT g, n_total, exact_cents, n_samp,
+               CAST(floor(CAST(sum_big AS DOUBLE)
+                 + CAST(n_small AS DOUBLE) * tau) AS BIGINT) AS est_cents
+        FROM tot JOIN samp USING (g), tau)
+      SELECT g AS event_type, n_total, exact_cents, n_samp, est_cents,
+             (est_cents - exact_cents) * 1000000 // exact_cents AS err_ppm
+      FROM est ORDER BY event_type
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
-    qSketchHllOverlap)
+    qSketchHllOverlap, qSamplePriority)
 }

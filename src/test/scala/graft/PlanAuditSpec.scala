@@ -36,8 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // domain squared (≈3k rows), not the fact table.
     // q_survival_km cumsums the lifetime-day histogram — bounded by
     // the calendar day domain, never the event rows.
+    // q_sample_priority ranks the ≤513-row TakeOrderedAndProject
+    // survivor set — bounded by the sample size k+1, never the rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
-      "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km")
+      "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km",
+      "q_sample_priority")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector

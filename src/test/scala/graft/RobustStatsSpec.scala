@@ -265,6 +265,45 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_sample_priority: estimator ties to a driver-side DLT recompute") {
+    import spark.implicits._
+    val rows = q("q_sample_priority").run(spark, dir)
+      .select(col("event_type"), col("n_total"), col("exact_cents"),
+        col("n_samp"), col("est_cents"), col("err_ppm"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id").cast("string"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("w"),
+        graft.operators.Sampling.hashBasisPoints(
+          col("event_id").cast("string")).as("bp"))
+      .as[(String, String, Long, Long)].collect()
+    // the query's exact priority order and tau
+    val pri = base.map { case (g, id, w, bp) =>
+      (g, id, w, w.toDouble / ((bp + 0.5) / 10000.0))
+    }.sortWith((a, b) => a._4 > b._4 || (a._4 == b._4 && a._2 < b._2))
+    val k = 512
+    assert(base.length > k)
+    val tau = pri(k)._4
+    val samp = pri.take(k)
+    rows.foreach { case (g, nTot, exact, nSamp, est, err) =>
+      assert(nTot == base.count(_._1 == g))
+      assert(exact == base.filter(_._1 == g).map(_._3).sum)
+      val mine = samp.filter(_._1 == g)
+      assert(nSamp == mine.length, s"$g sample size")
+      val expected = math.floor(
+        mine.filter(_._3.toDouble > tau).map(_._3).sum.toDouble
+          + mine.count(_._3.toDouble <= tau).toDouble * tau).toLong
+      assert(est == expected, s"$g est $est != $expected")
+      assert(err == (est - exact) * 1000000L / exact)
+    }
+    // the weighted sample skews toward heavy rows: its mean weight
+    // dominates the population mean
+    val sampMean = samp.map(_._3).sum.toDouble / samp.length
+    val popMean = base.map(_._3).sum.toDouble / base.length
+    assert(sampMean > popMean, "priority sample not weight-biased")
+  }
+
   test("q_ks_test: D ties to a driver-side empirical-CDF recompute") {
     import spark.implicits._
     val rows = q("q_ks_test").run(spark, dir)
