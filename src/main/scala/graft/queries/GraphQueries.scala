@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import graft.Q
+import graft.{Q, Tables}
 import graft.operators.EdgeArtifact
 
 /** Graph analytics over the part co-occurrence graph (parts appearing
@@ -551,7 +551,84 @@ object GraphQueries {
       ORDER BY dist
     """.trim))
 
+  /** Modularity of the brand partition over the co-occurrence graph —
+    * does co-purchase structure align with the catalog's brand
+    * grouping? Q = Σ_c (e_c/m − (d_c/2m)²): per brand, the intra-brand
+    * edge share against the share expected if edges were wired at
+    * random respecting degrees. Positive contributions mark brands
+    * whose parts genuinely co-occur; Q near 0 says the brand taxonomy
+    * carries no graph signal. Two broadcast label joins on the edge
+    * ARTIFACT (never the fact table), two aggregates over the labeled
+    * edges; e_c, d_c, m are exact integers and each brand's
+    * contribution is an integer `div` plus one floored double term on
+    * identical trees, so the 25-row report and the `_ALL_` total (the
+    * modularity itself) are engine-exact. */
+  val qGraphModularity: Q = Q(
+    "q_graph_modularity",
+    (spark, dir) => {
+      val brand = Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))
+      val lab = edges(spark, dir)
+        .join(broadcast(brand.select(col("p_partkey").as("pa"),
+          col("p_brand").as("ba"))), Seq("pa"))
+        .join(broadcast(brand.select(col("p_partkey").as("pb"),
+          col("p_brand").as("bb"))), Seq("pb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = lab.agg(count(lit(1)).as("m"))
+      val intra = lab.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+      val degSum = lab.select(col("ba").as("brand"))
+        .unionAll(lab.select(col("bb").as("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("d_c"))
+      val per = degSum.join(intra, Seq("brand"), "left")
+        .select(col("brand"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+          col("d_c"))
+        .crossJoin(broadcast(m))
+        .select(col("brand"), col("e_c"), col("d_c"),
+          (expr("e_c * 1000000000 div m")
+            - floor(col("d_c").cast("double") * col("d_c")
+              / (lit(4.0) * col("m").cast("double") * col("m")) * lit(1e9))
+              .cast("long")).as("contrib_nanos"))
+      per.unionAll(per
+          .agg(sum(col("e_c")).as("e_c"), sum(col("d_c")).as("d_c"),
+            sum(col("contrib_nanos")).as("q_nanos"))
+          .select(lit("_ALL_").as("brand"), col("e_c"), col("d_c"),
+            col("q_nanos").as("contrib_nanos")))
+        .orderBy(col("brand"))
+    },
+    Some(s"""
+      WITH $edgesCte,
+      brand AS (SELECT p_partkey, p_brand FROM part),
+      lab AS (
+        SELECT e.pa, e.pb, ba.p_brand AS ba, bb.p_brand AS bb
+        FROM e
+        JOIN brand ba ON ba.p_partkey = e.pa
+        JOIN brand bb ON bb.p_partkey = e.pb),
+      m AS (SELECT count(*) AS m FROM lab),
+      intra AS (
+        SELECT ba AS brand, count(*) AS e_c
+        FROM lab WHERE ba = bb GROUP BY ba),
+      degsum AS (
+        SELECT brand, count(*) AS d_c FROM (
+          SELECT ba AS brand FROM lab UNION ALL SELECT bb FROM lab)
+        GROUP BY brand),
+      per AS (
+        SELECT d.brand, CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c,
+               CAST(d.d_c AS BIGINT) AS d_c,
+               e_c * 1000000000 // m.m
+                 - CAST(floor(CAST(d.d_c AS DOUBLE) * d.d_c
+                   / (4.0 * CAST(m.m AS DOUBLE) * m.m) * 1e9) AS BIGINT)
+                 AS contrib_nanos
+        FROM degsum d LEFT JOIN intra i USING (brand), m)
+      SELECT brand, e_c, d_c, contrib_nanos FROM per
+      UNION ALL
+      SELECT '_ALL_', CAST(sum(e_c) AS BIGINT), CAST(sum(d_c) AS BIGINT),
+             CAST(sum(contrib_nanos) AS BIGINT)
+      FROM per
+      ORDER BY brand
+    """.trim))
+
   def all: Seq[Q] = Seq(qGraphEdgesBuild, qGraphDegree, qGraphTriangles,
     qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore,
-    qGraphClustering, qGraphAssortativity, qGraphBfs)
+    qGraphClustering, qGraphAssortativity, qGraphBfs, qGraphModularity)
 }

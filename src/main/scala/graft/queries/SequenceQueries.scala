@@ -682,7 +682,87 @@ object SequenceQueries {
       FROM cum ORDER BY day
     """.trim))
 
+  /** Conditional entropy of the next event type given the current —
+    * how PREDICTABLE the event stream is, the gauge that says whether
+    * a sequence model has anything to learn: H(next|cur) =
+    * Σᵢⱼ (nᵢⱼ/N)·ln(nᵢ/nᵢⱼ) over the transition-count table, beside
+    * the unconditional H(next) and their difference (the mutual
+    * information the current state carries about the next — ≥ 0 up to
+    * nano flooring). One per-user lag window produces the pairs, two
+    * tiny aggregates do the rest; every term is an individually
+    * floored non-negative nano (ln of an exact ≥1 rational), so both
+    * entropies are order-independent integer sums — the same contract
+    * as the JSD/PSI gauges. */
+  val qEventCondEntropy: Q = Q(
+    "q_event_cond_entropy",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+        col("event_id"))
+      val pairs = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rowm = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("ni"))
+      val colm = pairs.groupBy(col("next_type")).agg(sum(col("n")).as("nj"))
+      val tot = pairs.agg(sum(col("n")).as("nn"))
+      val hCond = pairs.join(broadcast(rowm), "prev_type")
+        .crossJoin(broadcast(tot))
+        .select(floor((col("n").cast("double") / col("nn"))
+          * log(col("ni").cast("double") / col("n")) * lit(1e9))
+          .cast("long").as("t"))
+        .agg(sum(col("t")).as("h_cond_nanos"))
+      val hNext = colm.crossJoin(broadcast(tot))
+        .select(floor((col("nj").cast("double") / col("nn"))
+          * log(col("nn").cast("double") / col("nj")) * lit(1e9))
+          .cast("long").as("t"))
+        .agg(sum(col("t")).as("h_next_nanos"))
+      val shape = pairs.crossJoin(broadcast(tot))
+        .agg(max(col("nn")).as("n_transitions"),
+          countDistinct(col("prev_type")).as("n_states"))
+      shape.crossJoin(hNext).crossJoin(hCond)
+        .select(col("n_transitions"), col("n_states"),
+          col("h_next_nanos"), col("h_cond_nanos"),
+          (col("h_next_nanos") - col("h_cond_nanos")).as("info_gain_nanos"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n FROM (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type),
+      rowm AS (
+        SELECT prev_type, CAST(sum(n) AS BIGINT) AS ni
+        FROM pairs GROUP BY prev_type),
+      colm AS (
+        SELECT next_type, CAST(sum(n) AS BIGINT) AS nj
+        FROM pairs GROUP BY next_type),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+      hc AS (
+        SELECT CAST(sum(CAST(floor((CAST(n AS DOUBLE) / nn)
+            * ln(CAST(ni AS DOUBLE) / n) * 1e9) AS BIGINT)) AS BIGINT)
+          AS h_cond_nanos
+        FROM pairs JOIN rowm USING (prev_type), tot),
+      hn AS (
+        SELECT CAST(sum(CAST(floor((CAST(nj AS DOUBLE) / nn)
+            * ln(CAST(nn AS DOUBLE) / nj) * 1e9) AS BIGINT)) AS BIGINT)
+          AS h_next_nanos
+        FROM colm, tot),
+      shape AS (
+        SELECT (SELECT nn FROM tot) AS n_transitions,
+               count(DISTINCT prev_type) AS n_states
+        FROM pairs)
+      SELECT s.n_transitions, s.n_states, hn.h_next_nanos, hc.h_cond_nanos,
+             hn.h_next_nanos - hc.h_cond_nanos AS info_gain_nanos
+      FROM shape s, hn, hc
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift, qTheilSen, qSurvivalKm)
+    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy)
 }

@@ -265,6 +265,57 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_event_cond_entropy: bounds and recompute hold") {
+    import spark.implicits._
+    val Array((nTr, nSt, hNext, hCond, gain)) =
+      q("q_event_cond_entropy").run(spark, dir)
+        .select(col("n_transitions"), col("n_states"), col("h_next_nanos"),
+          col("h_cond_nanos"), col("info_gain_nanos"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nTr > 0 && nSt > 1)
+    // entropy bounds: 0 <= H(next|cur) <= H(next) <= ln(#states),
+    // each with nano-flooring slack proportional to the cell count
+    val slack = nSt * nSt + nSt
+    assert(hCond >= 0 && hNext >= 0)
+    assert(hCond <= hNext + slack, s"conditioning increased entropy")
+    assert(gain == hNext - hCond)
+    assert(hNext <= math.ceil(math.log(nSt.toDouble) * 1e9).toLong + slack)
+    // driver-side recompute from the raw transition counts
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(_._1).values.flatMap { evs =>
+        evs.sortBy(e => (e._2.getTime, e._3)).map(_._4).toList.sliding(2)
+          .collect { case List(a, b) => (a, b) }
+      }.toSeq
+    assert(nTr == pairs.length)
+    val nij = pairs.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong
+    }
+    val ni = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val expected = nij.map { case ((i, _), n) =>
+      math.floor(n.toDouble / nTr * math.log(ni(i).toDouble / n) * 1e9).toLong
+    }.sum
+    assert(hCond == expected, s"hCond $hCond != $expected")
+  }
+
+  test("q_graph_modularity: contributions sum to the _ALL_ row, Q bounded") {
+    import spark.implicits._
+    val rows = q("q_graph_modularity").run(spark, dir)
+      .select(col("brand"), col("e_c"), col("d_c"), col("contrib_nanos"))
+      .as[(String, Long, Long, Long)].collect()
+    val (all, brands) = rows.partition(_._1 == "_ALL_")
+    assert(all.length == 1 && brands.nonEmpty)
+    val (_, eAll, dAll, qNanos) = all.head
+    assert(eAll == brands.map(_._2).sum)
+    assert(dAll == brands.map(_._3).sum)
+    assert(qNanos == brands.map(_._4).sum)
+    // every edge endpoint is branded: degree mass = 2 * edge count is
+    // an upper bound on intra-edge mass; Q sits in its theory range
+    assert(brands.forall { case (_, e, d, _) => 2 * e <= d })
+    assert(qNanos >= -500000000L && qNanos <= 1000000000L)
+  }
+
   test("q_sample_priority: estimator ties to a driver-side DLT recompute") {
     import spark.implicits._
     val rows = q("q_sample_priority").run(spark, dir)
