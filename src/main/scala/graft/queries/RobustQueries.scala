@@ -534,6 +534,146 @@ object RobustQueries {
       FROM agg ORDER BY event_type
     """.trim))
 
+  /** Quantile normalization — map every source's length distribution
+    * onto the POOLED distribution (the batch-effect correction that
+    * makes per-source features comparable before mixing corpora): a
+    * doc at within-source fraction q takes the pooled value at q,
+    * i.e. min{v : F_pool(v) ≥ q}. Runs entirely on histograms — the
+    * per-source cells carry truncated-ppm cumulative fractions, the
+    * pooled histogram (bounded by the distinct-length domain) is
+    * deduplicated per fraction, and the mapping IS the engine's
+    * forward as-of join ([[graft.operators.AsofJoin]]) on the
+    * fraction axis: one interleaved window instead of a
+    * cells × pooled range join. A match always exists because both
+    * sides top out at exactly 1000000 ppm. Means before/after are
+    * exact integer micros; after normalization every source's mean
+    * converges toward the pooled mean — the point of the transform. */
+  val qQuantileNorm: Q = Q(
+    "q_quantile_norm",
+    (spark, dir) => {
+      val cells = Tables.documents(spark, dir)
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      val src = cells
+        .withColumn("cum", sum(col("n")).over(wS))
+        .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("source"))))
+        .select(col("source"), col("n_chars"), col("n"),
+          expr("cum * 1000000 div n_s").as("frac"))
+      val pooledB = cells.groupBy(col("n_chars")).agg(sum(col("n")).as("np"))
+      val tot = pooledB.agg(sum(col("np")).as("nn"))
+      val wP = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pooled = pooledB
+        .withColumn("cump", sum(col("np")).over(wP))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars").as("q_chars"),
+          expr("cump * 1000000 div nn").as("fracp"))
+        .groupBy(col("fracp")).agg(min(col("q_chars")).as("q_chars"))
+      val pooledK = cells.select(col("source")).distinct().crossJoin(pooled)
+      graft.operators.AsofJoin
+        .asofJoinForward(src, pooledK, "source", "source", "frac", "fracp",
+          Seq("q_chars"))
+        .select(col("source"), col("n_chars"), col("n"),
+          col("_asof").getField("q_chars").as("mapped"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("n") * col("n_chars")).as("sum_before"),
+          sum(col("n") * col("mapped")).as("sum_after"),
+          max(abs(col("mapped") - col("n_chars"))).as("max_shift"))
+        .select(col("source"), col("n_docs"),
+          expr("sum_before * 1000000 div n_docs").as("mean_before_micro"),
+          expr("sum_after * 1000000 div n_docs").as("mean_after_micro"),
+          col("max_shift"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, n_chars, count(*) AS n
+        FROM documents GROUP BY 1, 2),
+      src AS (
+        SELECT source, n_chars, n,
+               CAST((sum(n) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 1000000
+                 // (sum(n) OVER (PARTITION BY source)) AS BIGINT) AS frac
+        FROM cells),
+      pooledb AS (
+        SELECT n_chars, CAST(sum(n) AS BIGINT) AS np
+        FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(np) AS BIGINT) AS nn FROM pooledb),
+      pooled0 AS (
+        SELECT n_chars AS q_chars,
+               CAST((sum(np) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 1000000 // (SELECT nn FROM tot) AS BIGINT) AS fracp
+        FROM pooledb),
+      pooled AS (
+        SELECT fracp, min(q_chars) AS q_chars FROM pooled0 GROUP BY fracp),
+      pooledk AS (
+        SELECT s.source, p.fracp, p.q_chars
+        FROM (SELECT DISTINCT source FROM cells) s, pooled p),
+      mapped AS (
+        SELECT l.source, l.n_chars, l.n, r.q_chars AS mapped
+        FROM src l ASOF JOIN pooledk r
+          ON l.source = r.source AND l.frac <= r.fracp)
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(n * n_chars) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT)
+               AS mean_before_micro,
+             CAST(sum(n * mapped) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT)
+               AS mean_after_micro,
+             CAST(max(abs(mapped - n_chars)) AS BIGINT) AS max_shift
+      FROM mapped GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Wilson score intervals on per-source gate pass rates — the
+    * correct small-k confidence band for a proportion (the normal
+    * interval collapses or escapes [0,1] exactly where curation
+    * dashboards need it most: sources with a handful of passes). The
+    * gate here is a fixed length threshold; n and k are exact
+    * integers, p̂ an exact div, and both Wilson bounds come off one
+    * shared double expression tree (z = 1.96 written as the same
+    * literal in both engines), floored to milli so rows are
+    * engine-exact. One aggregate over the corpus — the cheapest query
+    * shape there is. */
+  val qGateWilson: Q = Q(
+    "q_gate_wilson",
+    (spark, dir) => {
+      val z2 = "3.8416" // 1.96²; SAME literal text both engines
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 400, 1L).otherwise(0L)).as("k"))
+        .select(col("source"), col("n"), col("k"),
+          expr("k * 1000 div n").as("p_milli"),
+          floor((expr(s"(k + $z2 / 2) / (n + $z2)")
+            - expr(s"sqrt($z2) * sqrt(k * (n - k) / cast(n as double) + $z2 / 4) / (n + $z2)"))
+            * lit(1000)).cast("long").as("wilson_lo_milli"),
+          floor((expr(s"(k + $z2 / 2) / (n + $z2)")
+            + expr(s"sqrt($z2) * sqrt(k * (n - k) / cast(n as double) + $z2 / 4) / (n + $z2)"))
+            * lit(1000)).cast("long").as("wilson_hi_milli"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, count(*) AS n,
+               CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS k
+        FROM documents GROUP BY source)
+      SELECT source, n, k,
+             k * 1000 // n AS p_milli,
+             CAST(floor(((k + 3.8416 / 2) / (n + 3.8416)
+               - sqrt(3.8416) * sqrt(k * (n - k) / CAST(n AS DOUBLE)
+                   + 3.8416 / 4) / (n + 3.8416)) * 1000) AS BIGINT)
+               AS wilson_lo_milli,
+             CAST(floor(((k + 3.8416 / 2) / (n + 3.8416)
+               + sqrt(3.8416) * sqrt(k * (n - k) / CAST(n AS DOUBLE)
+                   + 3.8416 / 4) / (n + 3.8416)) * 1000) AS BIGINT)
+               AS wilson_hi_milli
+      FROM g ORDER BY source
+    """.trim))
+
   def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney, qPsiDrift,
-    qKsTest)
+    qKsTest, qQuantileNorm, qGateWilson)
 }

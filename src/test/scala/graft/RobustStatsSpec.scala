@@ -265,6 +265,55 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_quantile_norm: normalized means contract toward the pooled mean") {
+    import spark.implicits._
+    val rows = q("q_quantile_norm").run(spark, dir)
+      .select(col("source"), col("n_docs"), col("mean_before_micro"),
+        col("mean_after_micro"), col("max_shift"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val pooledMean = docs.map(_._2).sum.toDouble / docs.length
+    rows.foreach { case (s, n, before, _, shift) =>
+      val mine = docs.filter(_._1 == s).map(_._2)
+      assert(n == mine.length)
+      assert(before == mine.sum * 1000000L / n)
+      assert(shift >= 0)
+    }
+    // normalization contracts the spread of source means: the after
+    // dispersion around the pooled mean is strictly below the before
+    // dispersion (that is the transform's purpose)
+    def disp(f: ((String, Long, Long, Long, Long)) => Long): Double =
+      rows.map(r => math.abs(f(r) / 1e6 - pooledMean)).sum
+    assert(disp(_._4) < disp(_._3), "normalization did not contract means")
+  }
+
+  test("q_gate_wilson: interval brackets p-hat and the algebra ties") {
+    import spark.implicits._
+    val rows = q("q_gate_wilson").run(spark, dir)
+      .select(col("source"), col("n"), col("k"), col("p_milli"),
+        col("wilson_lo_milli"), col("wilson_hi_milli"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    rows.foreach { case (s, n, k, p, lo, hi) =>
+      val mine = docs.filter(_._1 == s)
+      assert(n == mine.length && k == mine.count(_._2 >= 400))
+      assert(p == k * 1000 / n)
+      // Wilson recompute (z² = 3.8416)
+      val z2 = 3.8416
+      val centre = (k + z2 / 2) / (n + z2)
+      val half = math.sqrt(z2) *
+        math.sqrt(k * (n - k) / n.toDouble + z2 / 4) / (n + z2)
+      assert(lo == math.floor((centre - half) * 1000).toLong, s"$s lo")
+      assert(hi == math.floor((centre + half) * 1000).toLong, s"$s hi")
+      // the band stays inside [0, 1000] and brackets p-hat
+      assert(lo >= 0 && hi <= 1000 && lo <= p && p <= hi + 1)
+    }
+  }
+
   test("q_event_cond_entropy: bounds and recompute hold") {
     import spark.implicits._
     val Array((nTr, nSt, hNext, hCond, gain)) =
