@@ -565,6 +565,58 @@ object SignalQueries {
       FROM mom
     """.trim))
 
+  /** Church-Gale burstiness of the corpus head: the variance-to-mean
+    * ratio (Fano factor) of each top-20 term's per-doc count. A
+    * Poisson-scattered term reads 1.0 (function words, templated
+    * boilerplate); content words clump — VMR well above 1 — which is
+    * why burstiness separates topical vocabulary from glue even when
+    * raw frequency cannot. VMR is an EXACT rational of the
+    * occurrence moments with zeros handled implicitly (docs lacking
+    * the term contribute only to N): (N·Σx² − (Σx)²)·1000 div
+    * (N·Σx) — one (doc, term) aggregate, a vocabulary-sized moment
+    * table, a distributed top-k cut. */
+  val qTextBurstiness: Q = Q(
+    "q_text_burstiness",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text")))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("tok"))
+        .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          count(lit(1)).as("df"))
+        .orderBy(col("sx").desc, col("tok"))
+        .limit(20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("sx").as("n_occ"), col("df"),
+          expr("(nd * sxx - sx * sx) * 1000 div (nd * sx)").as("vmr_milli"))
+        .orderBy(col("n_occ").desc, col("tok"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0),
+      percell AS (
+        SELECT doc_id, tok, count(*) AS x FROM toks GROUP BY doc_id, tok),
+      mom AS (
+        SELECT tok, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               count(*) AS df
+        FROM percell GROUP BY tok
+        ORDER BY sx DESC, tok LIMIT 20),
+      nd AS (SELECT count(*) AS nd FROM documents)
+      SELECT tok, sx AS n_occ, df,
+             (nd * sxx - sx * sx) * 1000 // (nd * sx) AS vmr_milli
+      FROM mom, nd
+      ORDER BY n_occ DESC, tok
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps)
+    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness)
 }

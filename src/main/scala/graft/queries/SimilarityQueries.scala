@@ -1338,11 +1338,106 @@ object SimilarityQueries {
       FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
     """.trim))
 
+  /** Effective rank (participation ratio) of the embedding covariance
+    * — the representation-collapse diagnostic: PR = (tr C)²/tr(C²)
+    * reads 1.0 when every vector lies on one line and d when variance
+    * spreads isotropically, WITHOUT any eigendecomposition or
+    * iteration. Components quantize to integer micros (the engine's
+    * standard float-exactness contract), the d(d+1)/2 co-moment sums
+    * generate IN-ROW (the co-occurrence-edge trick applied to
+    * dimension pairs) and collapse map-side to 2080 cells, and the
+    * centered co-moments N·Sᵢⱼ − SᵢSⱼ divide down from 128-bit to
+    * BIGINT before squaring back into 128-bit — every number until
+    * the final PR ratio is an exact integer. One corpus scan; the
+    * matrix algebra runs on d², never N. */
+  val qEmbedEffRank: Q = Q(
+    "q_embed_effrank",
+    (spark, dir) => {
+      val q = Tables.embeddings(spark, dir)
+        .select(expr("transform(embedding, v -> " +
+          "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
+          .as("qv"))
+        .persist()
+      val nDf = q.agg(count(lit(1)).as("n"))
+      val m1 = q.select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(sum(col("x")).as("s_i"))
+      val m2 = q.select(explode(expr(
+        """flatten(transform(sequence(0, size(qv) - 1),
+          |  i -> transform(sequence(i, size(qv) - 1),
+          |    j -> struct(i AS i, j AS j, qv[i] * qv[j] AS xy))))"""
+          .stripMargin)).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(sum(col("p.xy")).as("s_ij"))
+      val mm = m2.join(broadcast(m1), "i")
+        .join(broadcast(m1.select(col("i").as("j"), col("s_i").as("s_j"))),
+          "j")
+        .crossJoin(broadcast(nDf))
+        .select(col("i"), col("j"),
+          expr("cast((cast(n as decimal(38,0)) * s_ij" +
+            " - cast(s_i as decimal(38,0)) * s_j) div n as bigint)").as("m"))
+      val d = 64
+      mm.crossJoin(broadcast(nDf))
+        .groupBy(col("n"))
+        .agg(
+          sum(when(col("i") === col("j"), col("m")).otherwise(0L)).as("tr"),
+          sum(when(col("i") === col("j"),
+            col("m").cast("decimal(19,0)") * col("m"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("d2"),
+          sum(when(col("i") =!= col("j"),
+            col("m").cast("decimal(19,0)") * col("m"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("o2"))
+        .select(col("n").as("n_vectors"), lit(d.toLong).as("d"), col("tr"),
+          floor(col("tr").cast("double") * col("tr")
+            / (col("d2") + lit(2) * col("o2")).cast("double") * lit(1000))
+            .cast("long").as("eff_rank_milli"),
+          floor(col("tr").cast("double") * col("tr")
+            / (col("d2") + lit(2) * col("o2")).cast("double") / lit(d)
+            * lit(1000)).cast("long").as("eff_rank_share_milli"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT [CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                FOR v IN embedding] AS qv
+        FROM embeddings),
+      nn AS (SELECT count(*) AS n FROM q),
+      idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+      m1 AS (
+        SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s_i
+        FROM q, idx GROUP BY i),
+      pidx AS (
+        SELECT a.i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i),
+      m2 AS (
+        SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s_ij
+        FROM q, pidx GROUP BY i, j),
+      mm AS (
+        SELECT m2.i, m2.j,
+               CAST((nn.n * CAST(s_ij AS HUGEINT)
+                 - CAST(si.s_i AS HUGEINT) * sj.s_i) // nn.n AS BIGINT) AS m
+        FROM m2
+        JOIN m1 si ON si.i = m2.i
+        JOIN m1 sj ON sj.i = m2.j, nn),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN i = j THEN m ELSE 0 END) AS BIGINT) AS tr,
+               sum(CASE WHEN i = j THEN CAST(m AS HUGEINT) * m
+                   ELSE 0 END) AS d2,
+               sum(CASE WHEN i <> j THEN CAST(m AS HUGEINT) * m
+                   ELSE 0 END) AS o2
+        FROM mm)
+      SELECT (SELECT n FROM nn) AS n_vectors, CAST(64 AS BIGINT) AS d, tr,
+             CAST(floor(CAST(tr AS DOUBLE) * tr
+               / CAST(d2 + 2 * o2 AS DOUBLE) * 1000) AS BIGINT)
+               AS eff_rank_milli,
+             CAST(floor(CAST(tr AS DOUBLE) * tr
+               / CAST(d2 + 2 * o2 AS DOUBLE) / 64 * 1000) AS BIGINT)
+               AS eff_rank_share_milli
+      FROM agg
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedIvfPq, qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
-    qEmbedOodScore, qTextCosineKnn, qRankFusion)
+    qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank)
 }

@@ -265,6 +265,48 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_embed_effrank: PR bounded by [1, d], trace positive") {
+    import spark.implicits._
+    val Array((n, d, tr, er, share)) = q("q_embed_effrank").run(spark, dir)
+      .select(col("n_vectors"), col("d"), col("tr"), col("eff_rank_milli"),
+        col("eff_rank_share_milli"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(n > 1 && d == 64)
+    // total variance is positive unless all vectors are identical
+    assert(tr > 0)
+    // Cauchy-Schwarz bounds the participation ratio by [1, d]
+    assert(er >= 1000 - 1 && er <= d * 1000 + 1, s"PR $er out of range")
+    assert(share == er * 1000 / (d * 1000) || math.abs(share - er / d) <= 1)
+    assert(share >= 0 && share <= 1000)
+  }
+
+  test("q_text_burstiness: VMR ties to a driver-side moment recompute") {
+    import spark.implicits._
+    val rows = q("q_text_burstiness").run(spark, dir)
+      .select(col("tok"), col("n_occ"), col("df"), col("vmr_milli"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length > 5)
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("x"))
+      .as[(Long, String, Long)].collect()
+    val nd = Tables.documents(spark, dir).count()
+    rows.foreach { case (tok, nOcc, df, vmr) =>
+      val xs = perDoc.filter(_._2 == tok).map(_._3)
+      assert(nOcc == xs.sum && df == xs.length)
+      val sxx = xs.map(x => x * x).sum
+      assert(vmr == (nd * sxx - nOcc * nOcc) * 1000 / (nd * nOcc),
+        s"$tok vmr")
+      // a term absent from some docs with multi-occurrence in others
+      // is over-dispersed; VMR can never go below 0
+      assert(vmr >= 0)
+    }
+    // the cut is the global top-20 by occurrence
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q_quantile_norm: normalized means contract toward the pooled mean") {
     import spark.implicits._
     val rows = q("q_quantile_norm").run(spark, dir)
