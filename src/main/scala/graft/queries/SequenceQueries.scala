@@ -762,7 +762,134 @@ object SequenceQueries {
       FROM shape s, hn, hc
     """.trim))
 
+  /** Shared two-sided OLS sum-of-squared-errors expression — the SAME
+    * text is interpolated into the Spark plan and the DuckDB oracle,
+    * so the doubles agree bit for bit. Inputs are exact integer
+    * moment sums. */
+  private def sseExpr(n: String, sx: String, sy: String, sxx: String,
+                      sxy: String, syy: String): String =
+    s"(($syy - CAST($sy AS DOUBLE) * $sy / $n)" +
+      s" - ($sxy - CAST($sx AS DOUBLE) * $sy / $n)" +
+      s" * ($sxy - CAST($sx AS DOUBLE) * $sy / $n)" +
+      s" / ($sxx - CAST($sx AS DOUBLE) * $sx / $n))"
+
+  /** Broken-stick (two-segment) regression over monthly revenue —
+    * CUSUM (`q_cusum_drift`) DETECTS a shift; this FITS it: try every
+    * admissible breakpoint, fit OLS on both sides from prefix/suffix
+    * moment sums, keep the split minimizing total SSE, and report the
+    * variance explained over the single-line fit. The candidate space
+    * is the MONTH DOMAIN (~80 rows): six cumulative windows build all
+    * prefix moments in one pass, suffix moments are total − prefix,
+    * and each candidate's SSE is pure arithmetic — a structural-break
+    * search whose cost is O(domain), not O(rows), at any corpus
+    * scale. Revenue is scaled to exact kilodollar integers so the y²
+    * moments stay in BIGINT; every SSE double derives from exact
+    * integers through ONE shared expression text. */
+  val qBrokenStick: Q = Q(
+    "q_broken_stick",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+          + " div 100000").as("y"))
+      val wPre = Window.orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val m = monthly
+        .withColumn("n1", count(lit(1)).over(wPre))
+        .withColumn("sx1", sum(col("idx")).over(wPre))
+        .withColumn("sy1", sum(col("y")).over(wPre))
+        .withColumn("sxx1", sum(col("idx") * col("idx")).over(wPre))
+        .withColumn("sxy1", sum(col("idx") * col("y")).over(wPre))
+        .withColumn("syy1", sum(col("y") * col("y")).over(wPre))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        .withColumn("sxt", sum(col("idx")).over(wAll))
+        .withColumn("syt", sum(col("y")).over(wAll))
+        .withColumn("sxxt", sum(col("idx") * col("idx")).over(wAll))
+        .withColumn("sxyt", sum(col("idx") * col("y")).over(wAll))
+        .withColumn("syyt", sum(col("y") * col("y")).over(wAll))
+        .filter(col("n1") >= 2 && col("nt") - col("n1") >= 2)
+      val sseL = sseExpr("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")
+      val sseR = sseExpr("(nt - n1)", "(sxt - sx1)", "(syt - sy1)",
+        "(sxxt - sxx1)", "(sxyt - sxy1)", "(syyt - syy1)")
+      val sseS = sseExpr("nt", "sxt", "syt", "sxxt", "sxyt", "syyt")
+      m.select(col("idx"), col("nt").as("n_months"),
+          expr(s"$sseL + $sseR").as("sse_two"),
+          expr(sseS).as("sse_single"),
+          expr("round((n1 * cast(sxy1 as double) - cast(sx1 as double) * sy1)"
+            + " / (n1 * cast(sxx1 as double) - cast(sx1 as double) * sx1), 6)")
+            .as("slope_left"),
+          expr("round(((nt - n1) * cast(sxyt - sxy1 as double)"
+            + " - cast(sxt - sx1 as double) * (syt - sy1))"
+            + " / ((nt - n1) * cast(sxxt - sxx1 as double)"
+            + " - cast(sxt - sx1 as double) * (sxt - sx1)), 6)")
+            .as("slope_right"))
+        .orderBy(col("sse_two"), col("idx"))
+        .limit(1)
+        .select(col("n_months"), col("idx").as("break_idx"),
+          col("slope_left"), col("slope_right"),
+          round(col("sse_single"), 6).as("sse_single"),
+          round(col("sse_two"), 6).as("sse_two"),
+          when(col("sse_single") > 0,
+            floor((lit(1.0) - col("sse_two") / col("sse_single")) * lit(1e6))
+              .cast("long")).as("gain_ppm"))
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) // 100000 AS y
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT idx,
+               count(*) OVER wp AS n1,
+               CAST(sum(idx) OVER wp AS BIGINT) AS sx1,
+               CAST(sum(y) OVER wp AS BIGINT) AS sy1,
+               CAST(sum(idx * idx) OVER wp AS BIGINT) AS sxx1,
+               CAST(sum(idx * y) OVER wp AS BIGINT) AS sxy1,
+               CAST(sum(y * y) OVER wp AS BIGINT) AS syy1,
+               count(*) OVER wa AS nt,
+               CAST(sum(idx) OVER wa AS BIGINT) AS sxt,
+               CAST(sum(y) OVER wa AS BIGINT) AS syt,
+               CAST(sum(idx * idx) OVER wa AS BIGINT) AS sxxt,
+               CAST(sum(idx * y) OVER wa AS BIGINT) AS sxyt,
+               CAST(sum(y * y) OVER wa AS BIGINT) AS syyt
+        FROM monthly
+        WINDOW wp AS (ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wa AS (ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      cand AS (
+        SELECT idx, nt AS n_months,
+               ${sseExpr("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")}
+                 + ${sseExpr("(nt - n1)", "(sxt - sx1)", "(syt - sy1)",
+                     "(sxxt - sxx1)", "(sxyt - sxy1)", "(syyt - syy1)")}
+                 AS sse_two,
+               ${sseExpr("nt", "sxt", "syt", "sxxt", "sxyt", "syyt")}
+                 AS sse_single,
+               round((n1 * CAST(sxy1 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * sy1)
+                 / (n1 * CAST(sxx1 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE) * sx1), 6) AS slope_left,
+               round(((nt - n1) * CAST(sxyt - sxy1 AS DOUBLE)
+                   - CAST(sxt - sx1 AS DOUBLE) * (syt - sy1))
+                 / ((nt - n1) * CAST(sxxt - sxx1 AS DOUBLE)
+                   - CAST(sxt - sx1 AS DOUBLE) * (sxt - sx1)), 6)
+                 AS slope_right
+        FROM m WHERE n1 >= 2 AND nt - n1 >= 2)
+      SELECT n_months, idx AS break_idx, slope_left, slope_right,
+             round(sse_single, 6) AS sse_single,
+             round(sse_two, 6) AS sse_two,
+             CASE WHEN sse_single > 0
+                  THEN CAST(floor((1.0 - sse_two / sse_single) * 1e6)
+                    AS BIGINT) END AS gain_ppm
+      FROM cand ORDER BY sse_two, idx LIMIT 1
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy)
+    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy, qBrokenStick)
 }

@@ -1433,11 +1433,90 @@ object SimilarityQueries {
       FROM agg
     """.trim))
 
+  /** Fisher discriminant ratio per embedding dimension — which
+    * coordinates actually separate the labels: F = between-class
+    * variance / within-class variance, the classical filter
+    * feature-selection score (and, read across all dims, a
+    * linear-probe-without-training signal of label information in the
+    * representation). Per-(label, dim) moments are one aggregate over
+    * quantized integer components; each label's between/within term
+    * is individually floored off exact integers (order-independent
+    * sums, the nano contract), and the final ratio is one shared
+    * double division. The report is the top-10 dims — a 64-row sort.
+    * B·1000 would overflow BIGINT at larger corpora, so the ratio
+    * divides in doubles derived from the exact integer B and W. */
+  val qEmbedFisher: Q = Q(
+    "q_embed_fisher",
+    (spark, dir) => {
+      val q = Tables.embeddings(spark, dir)
+        .select(col("label").cast("long").as("label"),
+          expr("transform(embedding, v -> " +
+            "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
+            .as("qv"))
+      val cell = q.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i"))
+        .agg(count(lit(1)).as("n_l"), sum(col("x")).as("s_l"),
+          sum(col("x") * col("x")).as("ss_l"))
+      val glob = cell.groupBy(col("i"))
+        .agg(sum(col("n_l")).as("n"), sum(col("s_l")).as("s"))
+      cell.join(broadcast(glob), "i")
+        .select(col("i"),
+          floor(col("n_l") * (col("s_l").cast("double") / col("n_l")
+            - col("s").cast("double") / col("n"))
+            * (col("s_l").cast("double") / col("n_l")
+              - col("s").cast("double") / col("n"))).cast("long").as("b_t"),
+          floor(col("ss_l").cast("double")
+            - col("s_l").cast("double") * col("s_l") / col("n_l"))
+            .cast("long").as("w_t"))
+        .groupBy(col("i"))
+        .agg(sum(col("b_t")).as("b"), sum(col("w_t")).as("w"))
+        .select(col("i").cast("long").as("dim"), col("b"), col("w"),
+          floor(col("b").cast("double") / col("w") * lit(1000)).cast("long")
+            .as("fisher_milli"))
+        .orderBy(col("fisher_milli").desc, col("dim"))
+        .limit(10)
+    },
+    Some("""
+      WITH q AS (
+        SELECT label,
+               [CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                FOR v IN embedding] AS qv
+        FROM embeddings),
+      idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+      cell AS (
+        SELECT label, i, count(*) AS n_l,
+               CAST(sum(qv[i + 1]) AS BIGINT) AS s_l,
+               CAST(sum(qv[i + 1] * qv[i + 1]) AS BIGINT) AS ss_l
+        FROM q, idx GROUP BY label, i),
+      gm AS (
+        SELECT i, CAST(sum(n_l) AS BIGINT) AS n,
+               CAST(sum(s_l) AS BIGINT) AS s
+        FROM cell GROUP BY i),
+      terms AS (
+        SELECT c.i,
+               CAST(floor(c.n_l * (CAST(c.s_l AS DOUBLE) / c.n_l
+                   - CAST(g.s AS DOUBLE) / g.n)
+                 * (CAST(c.s_l AS DOUBLE) / c.n_l
+                   - CAST(g.s AS DOUBLE) / g.n)) AS BIGINT) AS b_t,
+               CAST(floor(CAST(c.ss_l AS DOUBLE)
+                 - CAST(c.s_l AS DOUBLE) * c.s_l / c.n_l) AS BIGINT) AS w_t
+        FROM cell c JOIN gm g USING (i)),
+      f AS (
+        SELECT i, CAST(sum(b_t) AS BIGINT) AS b,
+               CAST(sum(w_t) AS BIGINT) AS w
+        FROM terms GROUP BY i)
+      SELECT CAST(i AS BIGINT) AS dim, b, w,
+             CAST(floor(CAST(b AS DOUBLE) / w * 1000) AS BIGINT)
+               AS fisher_milli
+      FROM f ORDER BY fisher_milli DESC, dim LIMIT 10
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
     qEmbedIvfPq, qEmbedSemanticDedup, qEmbedHealth, qEmbedMatryoshka,
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
-    qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank)
+    qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
+    qEmbedFisher)
 }

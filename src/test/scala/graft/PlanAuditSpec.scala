@@ -40,9 +40,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // survivor set — bounded by the sample size k+1, never the rows.
     // q_quantile_norm cumsums the POOLED length histogram — bounded by
     // the distinct-length domain, never the doc rows.
+    // q_broken_stick windows the ~80-row monthly moment table — the
+    // candidate space is the month domain, never the fact rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
       "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km",
-      "q_sample_priority", "q_quantile_norm")
+      "q_sample_priority", "q_quantile_norm", "q_broken_stick")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector

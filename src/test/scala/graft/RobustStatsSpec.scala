@@ -307,6 +307,43 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("q_embed_fisher: ratios non-negative, report is the top-10 cut") {
+    import spark.implicits._
+    val rows = q("q_embed_fisher").run(spark, dir)
+      .select(col("dim"), col("b"), col("w"), col("fisher_milli"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == 10)
+    rows.foreach { case (dim, b, w, f) =>
+      assert(dim >= 0 && dim < 64)
+      // between/within masses are sums of floored non-negative terms
+      assert(b >= -10 && w > 0, s"dim $dim masses")
+      assert(math.abs(f - math.floor(b.toDouble / w * 1000).toLong) <= 0)
+    }
+    assert(rows.map(_._4).sliding(2).forall(v => v.length < 2 || v(0) >= v(1)))
+    assert(rows.map(_._1).distinct.length == 10)
+  }
+
+  test("q_broken_stick: the chosen split beats the single fit") {
+    import spark.implicits._
+    val Array((n, brk, sl, sr, sse1, sse2, gain)) =
+      q("q_broken_stick").run(spark, dir)
+        .select(col("n_months"), col("break_idx"), col("slope_left"),
+          col("slope_right"), col("sse_single"), col("sse_two"),
+          col("gain_ppm"))
+        .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+    assert(n > 10)
+    // the break is interior (>= 2 months on each side)
+    val months = Tables.orders(spark, dir)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("i")).distinct().as[Long].collect().sorted
+    assert(n == months.length)
+    assert(brk >= months(1) && brk <= months(months.length - 3))
+    // a two-segment fit can never do worse than one line through all
+    assert(sse2 <= sse1 + 1e-6, s"two-fit SSE $sse2 above single $sse1")
+    assert(gain >= 0 && gain <= 1000000)
+    assert(!sl.isNaN && !sr.isNaN)
+  }
+
   test("q_quantile_norm: normalized means contract toward the pooled mean") {
     import spark.implicits._
     val rows = q("q_quantile_norm").run(spark, dir)
