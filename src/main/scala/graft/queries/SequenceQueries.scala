@@ -889,7 +889,77 @@ object SequenceQueries {
       FROM cand ORDER BY sse_two, idx LIMIT 1
     """.trim))
 
+  /** Classical additive seasonal decomposition of monthly revenue —
+    * trend (centered 12-month moving average), month-of-year seasonal
+    * indices from the detrended series, and the residual that is left
+    * (the series CUSUM and the broken-stick fit both read more
+    * cleanly once seasonality is out). Every window walks the
+    * month-domain table: the moving sum is an exact integer over a
+    * 12-row frame (emitted only where the frame is full — edge months
+    * carry no fabricated trend), seasonal indices are exact integer
+    * `div` means of detrended values, and residual magnitudes stay in
+    * kilodollar integers throughout — no float enters the
+    * decomposition at all. */
+  val qSeasonalDecompose: Q = Q(
+    "q_seasonal_decompose",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+          + " div 100000").as("y"))
+      val wMa = Window.orderBy(col("idx")).rowsBetween(-5, 6)
+      val trended = monthly
+        .withColumn("n_w", count(lit(1)).over(wMa))
+        .withColumn("trend",
+          when(col("n_w") === 12, expr("sum(y) over (order by idx"
+            + " rows between 5 preceding and 6 following) div 12")))
+        .filter(col("trend").isNotNull)
+        .select(col("idx"), col("y"), col("trend"),
+          (col("y") - col("trend")).as("d"),
+          pmod(col("idx"), lit(12L)).as("moy"))
+      val seasonal = trended.groupBy(col("moy"))
+        .agg(count(lit(1)).as("n_obs"), sum(col("d")).as("sd"))
+        .select(col("moy"), col("n_obs"),
+          expr("sd div n_obs").as("seasonal_kd"))
+      trended.join(broadcast(seasonal), "moy")
+        .select(col("moy"), col("n_obs"), col("seasonal_kd"),
+          abs(col("d") - col("seasonal_kd")).as("ar"))
+        .groupBy(col("moy"), col("n_obs"), col("seasonal_kd"))
+        .agg(expr("sum(ar) div count(1)").as("mean_abs_resid_kd"))
+        .orderBy(col("moy"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) // 100000 AS y
+        FROM orders GROUP BY 1),
+      tr AS (
+        SELECT idx, y,
+               count(*) OVER w AS n_w,
+               CAST(sum(y) OVER w AS BIGINT) // 12 AS trend
+        FROM monthly
+        WINDOW w AS (ORDER BY idx
+          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+      det AS (
+        SELECT idx, y, trend, y - trend AS d, idx % 12 AS moy
+        FROM tr WHERE n_w = 12),
+      seas AS (
+        SELECT moy, count(*) AS n_obs,
+               CAST(sum(d) AS BIGINT) // count(*) AS seasonal_kd
+        FROM det GROUP BY moy)
+      SELECT s.moy, s.n_obs, s.seasonal_kd,
+             CAST(sum(abs(d.d - s.seasonal_kd)) AS BIGINT) // count(*)
+               AS mean_abs_resid_kd
+      FROM det d JOIN seas s USING (moy)
+      GROUP BY s.moy, s.n_obs, s.seasonal_kd
+      ORDER BY s.moy
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy, qBrokenStick)
+    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy, qBrokenStick,
+    qSeasonalDecompose)
 }

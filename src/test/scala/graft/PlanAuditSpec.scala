@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // candidate space is the month domain, never the fact rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
       "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km",
-      "q_sample_priority", "q_quantile_norm", "q_broken_stick")
+      "q_sample_priority", "q_quantile_norm", "q_broken_stick",
+      "q_seasonal_decompose")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector

@@ -344,6 +344,38 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(!sl.isNaN && !sr.isNaN)
   }
 
+  test("q_seasonal_decompose: indices tie to a driver-side decomposition") {
+    import spark.implicits._
+    val rows = q("q_seasonal_decompose").run(spark, dir)
+      .select(col("moy"), col("n_obs"), col("seasonal_kd"),
+        col("mean_abs_resid_kd"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 11L))
+    rows.foreach { case (_, n, _, mar) => assert(n >= 2 && mar >= 0) }
+    // full recompute: monthly kilodollars, centered MA-12 trend on
+    // complete frames, month-of-year means of the detrended series
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("i"))
+      .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+        + " div 100000").as("y"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val det = monthly.indices.flatMap { k =>
+      val lo = k - 5; val hi = k + 6
+      if (lo >= 0 && hi < monthly.length) {
+        val trend = (lo to hi).map(monthly(_)._2).sum / 12
+        Some((monthly(k)._1 % 12, monthly(k)._2 - trend))
+      } else None
+    }
+    val expected = det.groupBy(_._1).map { case (m, v) =>
+      m -> (v.length.toLong, v.map(_._2).sum / v.length)
+    }
+    rows.foreach { case (moy, n, s, _) =>
+      val (en, es) = expected(moy)
+      assert(n == en && s == es, s"moy $moy ($n,$s) != ($en,$es)")
+    }
+  }
+
   test("q_quantile_norm: normalized means contract toward the pooled mean") {
     import spark.implicits._
     val rows = q("q_quantile_norm").run(spark, dir)
