@@ -674,6 +674,57 @@ object RobustQueries {
       FROM g ORDER BY source
     """.trim))
 
+  /** Sample-ratio mismatch check — the experiment-health gate that
+    * runs BEFORE any A/B readout is trusted: under a 50/50 split the
+    * arm counts follow a known binomial, and χ² against that
+    * expectation reduces algebraically to (n_a − n_b)²/n, so the
+    * whole test — statistic and α=0.05 rejection against 3.841 —
+    * is PURE INTEGER arithmetic ((n_a−n_b)²·1000 vs 3841·n): no
+    * doubles anywhere, not even derived ones. Per event type plus
+    * the pooled `_ALL_` row; one aggregate over the corpus. An SRM
+    * alert here invalidates `q_abtest_stats`/`q_mannwhitney`/
+    * `q_ks_test` downstream — which is exactly why it ships beside
+    * them. */
+  val qAbtestSrm: Q = Q(
+    "q_abtest_srm",
+    (spark, dir) => {
+      val per = Tables.events(spark, dir)
+        .select(col("event_type").as("g"),
+          (col("user_id") % 2 === 0).as("arm_a"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"))
+      val withAll = per.unionAll(per
+        .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+        .select(lit("_ALL_").as("g"), col("n_a"), col("n_b")))
+      withAll
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"),
+          expr("(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)")
+            .as("chi2_milli"),
+          ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) * 1000
+            > lit(3841L) * (col("n_a") + col("n_b"))).as("srm_alert"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT event_type AS g,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+        FROM events GROUP BY event_type),
+      w AS (
+        SELECT g, n_a, n_b FROM per
+        UNION ALL
+        SELECT '_ALL_', CAST(sum(n_a) AS BIGINT), CAST(sum(n_b) AS BIGINT)
+        FROM per)
+      SELECT g AS event_type, n_a, n_b,
+             (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS chi2_milli,
+             (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * (n_a + n_b)
+               AS srm_alert
+      FROM w ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(qWinsorize, qBootstrapCi, qMannWhitney, qPsiDrift,
-    qKsTest, qQuantileNorm, qGateWilson)
+    qKsTest, qQuantileNorm, qGateWilson, qAbtestSrm)
 }

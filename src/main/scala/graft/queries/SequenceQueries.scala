@@ -958,8 +958,79 @@ object SequenceQueries {
       ORDER BY s.moy
     """.trim))
 
+  /** Autocorrelation function of monthly revenue, lags 1..12 — the
+    * diagnostic that says whether yesterday predicts today (and at
+    * which period the seasonality rings): r_k = Σ(yₜ−ȳ)(yₜ₊ₖ−ȳ) /
+    * Σ(yₜ−ȳ)². Centering uses the exact integer mean·n trick —
+    * every numerator term is (n·yₜ−S)(n·yₜ₊ₖ−S), a 128-bit exact
+    * product, so the n² factors cancel in the ratio and no float
+    * enters until the final division. The lag join is the month
+    * table against itself shifted k — 12 lags × ~80 rows, constant
+    * at any corpus scale. The ±2/√n white-noise band makes each lag
+    * a significance call, not just a number. */
+  val qAcf: Q = Q(
+    "q_acf",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+          + " div 100000").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = monthly.agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      val denom = monthly.crossJoin(broadcast(tot))
+        .select((col("n") * col("y") - col("s")).as("c"))
+        .agg(sum(col("c").cast("decimal(19,0)") * col("c")).as("d2"))
+      val lags = monthly.select(explode(sequence(lit(1), lit(12))).as("k"),
+          col("idx"), col("y"))
+      monthly.select((col("idx")).as("jdx"), col("y").as("y2"))
+        .join(lags, col("jdx") === col("idx") + col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"),
+          ((col("n") * col("y") - col("s")).cast("decimal(19,0)")
+            * (col("n") * col("y2") - col("s"))).as("num"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("num")).as("num"))
+        .crossJoin(broadcast(denom))
+        .crossJoin(broadcast(tot))
+        .select(col("k").cast("long").as("lag"), col("n_pairs"),
+          round(col("num").cast("double") / col("d2").cast("double"), 6)
+            .as("acf"),
+          (abs(col("num").cast("double") / col("d2").cast("double"))
+            > lit(2.0) / sqrt(col("n").cast("double"))).as("significant"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) // 100000 AS y
+        FROM orders GROUP BY 1),
+      tot AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+              FROM monthly),
+      den AS (
+        SELECT sum(CAST(n * y - s AS HUGEINT) * (n * y - s)) AS d2
+        FROM monthly, tot),
+      lagged AS (
+        SELECT ks.k, a.y AS y, b.y AS y2
+        FROM monthly a
+        JOIN (SELECT unnest(generate_series(1, 12)) AS k) ks ON true
+        JOIN monthly b ON b.idx = a.idx + ks.k),
+      nums AS (
+        SELECT k, count(*) AS n_pairs,
+               sum(CAST(t.n * y - t.s AS HUGEINT) * (t.n * y2 - t.s)) AS num
+        FROM lagged, tot t GROUP BY k)
+      SELECT CAST(k AS BIGINT) AS lag, n_pairs,
+             round(CAST(num AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS acf,
+             abs(CAST(num AS DOUBLE) / CAST(d2 AS DOUBLE))
+               > 2.0 / sqrt(CAST(t2.n AS DOUBLE)) AS significant
+      FROM nums, den, tot t2
+      ORDER BY lag
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
     qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy, qBrokenStick,
-    qSeasonalDecompose)
+    qSeasonalDecompose, qAcf)
 }

@@ -376,6 +376,58 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_acf: coefficients bounded, lag-0 ties to the variance") {
+    import spark.implicits._
+    val rows = q("q_acf").run(spark, dir)
+      .select(col("lag"), col("n_pairs"), col("acf"), col("significant"))
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 12L))
+    val monthly = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("i"))
+      .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+        + " div 100000").as("y"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = monthly.length
+    val ys = monthly.map(_._2)
+    rows.foreach { case (k, nPairs, acf, sig) =>
+      assert(nPairs == n - k)
+      // |r_k| <= 1 up to rounding; the recompute ties exactly
+      assert(math.abs(acf) <= 1.000001, s"lag $k acf $acf")
+      val s = ys.sum
+      val c = ys.map(y => BigInt(n) * y - s)
+      val num = (0 until n - k.toInt).map(t => c(t) * c(t + k.toInt)).sum
+      val den = c.map(x => x * x).sum
+      val expected = math.rint(
+        num.toDouble / den.toDouble * 1e6) / 1e6
+      assert(math.abs(acf - expected) <= 2e-6, s"lag $k $acf vs $expected")
+      assert(sig == (math.abs(num.toDouble / den.toDouble)
+        > 2.0 / math.sqrt(n.toDouble)))
+    }
+  }
+
+  test("q_abtest_srm: all-integer chi-square ties and pools correctly") {
+    import spark.implicits._
+    val rows = q("q_abtest_srm").run(spark, dir)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("chi2_milli"),
+        col("srm_alert"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val (all, per) = rows.partition(_._1 == "_ALL_")
+    assert(all.length == 1 && per.nonEmpty)
+    assert(all.head._2 == per.map(_._2).sum && all.head._3 == per.map(_._3).sum)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"))
+      .as[(String, Boolean)].collect()
+    rows.foreach { case (g, nA, nB, chi, alert) =>
+      if (g != "_ALL_") {
+        assert(nA == base.count(e => e._1 == g && e._2))
+        assert(nB == base.count(e => e._1 == g && !e._2))
+      }
+      assert(chi == (nA - nB) * (nA - nB) * 1000 / (nA + nB))
+      assert(alert == ((nA - nB) * (nA - nB) * 1000 > 3841 * (nA + nB)))
+    }
+  }
+
   test("q_quantile_norm: normalized means contract toward the pooled mean") {
     import spark.implicits._
     val rows = q("q_quantile_norm").run(spark, dir)
