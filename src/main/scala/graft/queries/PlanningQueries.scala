@@ -615,7 +615,127 @@ object PlanningQueries {
     """.trim))
   }
 
+  /** Pareto frontier (skyline) of (source, lang) corpus cells on
+    * three maximize-objectives — volume, mean length, mean quality:
+    * the cells NO other cell dominates are the only rational
+    * candidates when budgeting the next crawl, and everything off the
+    * frontier is provably wasted spend on some axis. The dominance
+    * test is the classic skyline anti-join, priced on the CELL
+    * domain (≈ sources × langs rows, constant at any corpus scale)
+    * after one aggregate collapses the corpus; per-doc quality
+    * floors to integer micros before summing so every objective is
+    * an exact integer and dominance is engine-exact. */
+  val qParetoCells: Q = Q(
+    "q_pareto_cells",
+    (spark, dir) => {
+      val cells = Tables.documents(spark, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1e6 + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"),
+          sum(col("q")).as("sq"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          expr("sc * 1000 div n_docs").as("len_milli"),
+          expr("sq div n_docs").as("qual_micro"))
+        .persist()
+      val dominated = cells.as("a").join(cells.as("b"),
+        col("b.n_docs") >= col("a.n_docs")
+          && col("b.len_milli") >= col("a.len_milli")
+          && col("b.qual_micro") >= col("a.qual_micro")
+          && (col("b.n_docs") > col("a.n_docs")
+            || col("b.len_milli") > col("a.len_milli")
+            || col("b.qual_micro") > col("a.qual_micro")),
+        "left_semi")
+      cells.join(dominated,
+          Seq("source", "lang", "n_docs", "len_milli", "qual_micro"),
+          "left_anti")
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source, lang, n_chars,
+               CAST(floor(round(
+                 least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                 + (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3
+                 + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6)
+                 * 1e6 + 0.5) AS BIGINT) AS q
+        FROM (
+          SELECT source, lang, n_chars, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT source, lang, n_chars,
+                       string_split_regex(text, '\s+') AS toks
+                FROM documents))),
+      cells AS (
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) * 1000 // count(*) AS len_milli,
+               CAST(sum(q) AS BIGINT) // count(*) AS qual_micro
+        FROM scored GROUP BY source, lang)
+      SELECT a.source, a.lang, a.n_docs, a.len_milli, a.qual_micro
+      FROM cells a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cells b
+        WHERE b.n_docs >= a.n_docs AND b.len_milli >= a.len_milli
+          AND b.qual_micro >= a.qual_micro
+          AND (b.n_docs > a.n_docs OR b.len_milli > a.len_milli
+            OR b.qual_micro > a.qual_micro))
+      ORDER BY a.source, a.lang
+    """.trim))
+
+  /** UCB1 crawl-budget allocation over sources — the bandit read of
+    * the quality ledger: each source is an arm, each doc a pull, the
+    * reward its quality score, and the allocation rank follows
+    * mean + √(2 ln N / nᵢ) so under-sampled sources get exploration
+    * credit a plain mean ranking denies them. Means are exact integer
+    * micros; the bonus is one shared double tree; ranks come off a
+    * 20-row TakeOrdered sort. The planning counterpart of
+    * `q_mixture_plan`'s static shares. */
+  val qBanditUcb: Q = Q(
+    "q_bandit_ucb",
+    (spark, dir) => {
+      val arms = Tables.documents(spark, dir)
+        .select(col("source"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1e6 + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      val tot = arms.agg(sum(col("n")).as("nn"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          expr("sq div n").as("mean_micro"),
+          floor((col("sq").cast("double") / col("n") / lit(1e6)
+            + sqrt(lit(2.0) * log(col("nn").cast("double")) / col("n")))
+            * lit(1e6)).cast("long").as("ucb_micro"))
+        .orderBy(col("ucb_micro").desc, col("source"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source,
+               CAST(floor(round(
+                 least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+                 + (1.0 - CAST(n_stopwords AS DOUBLE) / n_tokens) * 0.3
+                 + (CAST(n_unique AS DOUBLE) / n_tokens) * 0.4, 6)
+                 * 1e6 + 0.5) AS BIGINT) AS q
+        FROM (
+          SELECT source, len(toks) AS n_tokens,
+                 len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stopwords,
+                 len(list_distinct(toks)) AS n_unique
+          FROM (SELECT source, string_split_regex(text, '\s+') AS toks
+                FROM documents))),
+      arms AS (
+        SELECT source, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+        FROM scored GROUP BY source),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM arms)
+      SELECT source, n, sq // n AS mean_micro,
+             CAST(floor((CAST(sq AS DOUBLE) / n / 1e6
+               + sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / n)) * 1e6) AS BIGINT)
+               AS ucb_micro
+      FROM arms, tot
+      ORDER BY ucb_micro DESC, source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSplitAssign, qMixturePlan, qMixtureTemperature,
     qQualityCalibration, qRangeJoinBanded, qShardPlan, qShardMixAudit,
-    qCurriculum, qEpochPlan, qJoinSizeEst)
+    qCurriculum, qEpochPlan, qJoinSizeEst, qParetoCells, qBanditUcb)
 }

@@ -428,6 +428,54 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pareto_cells: exactly the undominated cells survive") {
+    import spark.implicits._
+    val frontier = q("q_pareto_cells").run(spark, dir)
+      .select(col("source"), col("lang"), col("n_docs"), col("len_milli"),
+        col("qual_micro"))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(frontier.nonEmpty)
+    // rebuild the full cell table via the query's own metric columns
+    // (same engine, independent of the skyline machinery)
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        floor(graft.operators.TextAnalysis.qualityScore(col("text")) * 1e6
+          + lit(0.5)).cast("long").as("q"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        sum(col("q")).as("sq"))
+      .select(col("source"), col("lang"), col("n"),
+        expr("sc * 1000 div n"), expr("sq div n"))
+      .as[(String, String, Long, Long, Long)].collect()
+    def dominates(b: (String, String, Long, Long, Long),
+                  a: (String, String, Long, Long, Long)): Boolean =
+      b._3 >= a._3 && b._4 >= a._4 && b._5 >= a._5 &&
+        (b._3 > a._3 || b._4 > a._4 || b._5 > a._5)
+    val expected = cells.filter(a => !cells.exists(b => dominates(b, a)))
+      .map(c => (c._1, c._2)).toSet
+    assert(frontier.map(c => (c._1, c._2)).toSet == expected)
+  }
+
+  test("q_bandit_ucb: bonus positive, order matches the UCB score") {
+    import spark.implicits._
+    val rows = q("q_bandit_ucb").run(spark, dir)
+      .select(col("source"), col("n"), col("mean_micro"), col("ucb_micro"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val totalN = rows.map(_._2).sum
+    rows.foreach { case (s, n, mean, ucb) =>
+      assert(n > 0 && mean >= 0 && mean <= 1000000)
+      // exploration bonus is strictly positive: UCB > mean
+      assert(ucb > mean, s"$s ucb $ucb <= mean $mean")
+      val expected = math.floor((mean / 1e6
+        + math.sqrt(2.0 * math.log(totalN.toDouble) / n)) * 1e6).toLong
+      // mean_micro is the floored integer mean; the query's double path
+      // uses the unfloored ratio, so allow 1 micro of slack
+      assert(math.abs(ucb - expected) <= 1, s"$s ucb $ucb vs $expected")
+    }
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("q_quantile_norm: normalized means contract toward the pooled mean") {
     import spark.implicits._
     val rows = q("q_quantile_norm").run(spark, dir)
