@@ -93,7 +93,7 @@ object Classify {
     * sf0.1 for the teacher label (same per-row pitfall as the
     * shinglesHof note in TextAnalysis). Callers pass an already-
     * projected frame; `carry` names its columns to keep. */
-  private def tokenCounts(docs: DataFrame, carry: Seq[String]): DataFrame = {
+  private[operators] def tokenCounts(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val cols = carry.map(col)
     docs.select(cols :+ explode(TextAnalysis.tokens(col("text"))).as("token"): _*)
       .filter(length(col("token")) > 0)
@@ -171,12 +171,37 @@ object Classify {
                          trainCutBp: Int = 8000,
                          maxVocab: Int = 256): DataFrame = {
     val (labeled, toks) = teacherToks(docs, label, trainCutBp)
+    studentPredictionsFrom(labeled, toks, maxVocab)
+  }
+
+  /** [[studentPredictions]] over an already-materialized teacher pass
+    * (`labeled`: doc_id/actual/is_train, `toks`: + token/tcnt) — the
+    * artifact-consumer form (see [[TeacherArtifact]]). */
+  def studentPredictionsFrom(labeled: DataFrame, toks: DataFrame,
+                             maxVocab: Int = 256): DataFrame =
     nbHeldOutFrom(labeled, toks, maxVocab)
       .withColumnRenamed("predicted", "nb_pred")
       .join(rocchioHeldOutFrom(labeled, toks, maxVocab)
         .withColumnRenamed("predicted", "rc_pred"),
         Seq("doc_id", "actual"))
-  }
+
+  /** [[nbConfusion]] over an already-materialized teacher pass — the
+    * artifact-consumer form (see [[TeacherArtifact]]). */
+  def nbConfusionFrom(labeled: DataFrame, toks: DataFrame,
+                      maxVocab: Int = 256): DataFrame =
+    nbHeldOutFrom(labeled, toks, maxVocab)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+
+  /** [[rocchioConfusion]] over an already-materialized teacher pass —
+    * the artifact-consumer form (see [[TeacherArtifact]]). */
+  def rocchioConfusionFrom(labeled: DataFrame, toks: DataFrame,
+                           maxVocab: Int = 256): DataFrame =
+    rocchioHeldOutFrom(labeled, toks, maxVocab)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
 
   private def nbHeldOutFrom(labeled: DataFrame, toks: DataFrame,
                             maxVocab: Int): DataFrame = {

@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.{Q, Tables}
-import graft.operators.{Classify, TextAnalysis}
+import graft.Q
+import graft.operators.{Classify, TeacherArtifact}
 
 /** In-engine classifier training/eval queries — the distillation leg
   * of a curation pipeline: an expensive teacher labels a slice, a
@@ -44,12 +44,20 @@ object ClassifierQueries {
     *
     * The oracle replays the full train+score pipeline in SQL — priors,
     * bounded vocab cut, smoothed per-(class, token) log-likelihoods,
-    * out-of-vocab fallback mass, and the per-doc argmax. */
+    * out-of-vocab fallback mass, and the per-doc argmax.
+    *
+    * This is the registered BUILD STEP of the teacher artifact
+    * ([[graft.operators.TeacherArtifact]]): it forces the teacher
+    * label + tokenization pass and writes it as parquet — pricing the
+    * shared corpus pass here, once — then trains/scores the NB student
+    * off the written tables, exactly as the other two students do. */
   val qNbDistill: Q = Q(
     "q_nb_distill",
-    (spark, dir) =>
-      Classify.nbConfusion(Tables.documents(spark, dir),
-        TextAnalysis.predictedProfile(col("text"))),
+    (spark, dir) => {
+      TeacherArtifact.materialize(spark, dir)
+      Classify.nbConfusionFrom(TeacherArtifact.labeled(spark, dir),
+        TeacherArtifact.toks(spark, dir))
+    },
     Some(s"""
       WITH $teacherToksCte,
       train AS (SELECT * FROM toks WHERE is_train),
@@ -114,8 +122,8 @@ object ClassifierQueries {
   val qRocchio: Q = Q(
     "q_rocchio_centroid",
     (spark, dir) =>
-      Classify.rocchioConfusion(Tables.documents(spark, dir),
-        TextAnalysis.predictedProfile(col("text"))),
+      Classify.rocchioConfusionFrom(TeacherArtifact.labeled(spark, dir),
+        TeacherArtifact.toks(spark, dir)),
     Some(s"""
       WITH $teacherToksCte,
       train AS (SELECT * FROM toks WHERE is_train),
@@ -181,8 +189,8 @@ object ClassifierQueries {
     "q_students_agree",
     (spark, dir) => {
       Classify
-        .studentPredictions(Tables.documents(spark, dir),
-          TextAnalysis.predictedProfile(col("text")))
+        .studentPredictionsFrom(TeacherArtifact.labeled(spark, dir),
+          TeacherArtifact.toks(spark, dir))
         .groupBy(col("actual"))
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("nb_pred") === col("rc_pred"), 1L).otherwise(0L))
