@@ -80,6 +80,141 @@ case class TopKLongAgg(
     copy(score = newChildren(0), item = newChildren(1))
 }
 
+/** Fused first/second-moment aggregate over integer vectors: one pass
+  * over `array<bigint>` rows accumulating the count, the d first-moment
+  * sums Σxᵢ and the d(d+1)/2 upper-triangle co-moment sums Σxᵢxⱼ
+  * (i ≤ j) in a single flat Long buffer.
+  *
+  * This is the covariance-shaped sibling of [[TopKLongAgg]]'s
+  * scale argument: the compositional formulation (explode d(d+1)/2
+  * structs per row, hash-aggregate the cells) materializes ~2k rows
+  * per input vector before the partial aggregate collapses them —
+  * an order of magnitude of pure allocation. The fused buffer does
+  * the identical Long multiply-adds in place; each map task emits ONE
+  * buffer, so shuffle volume is d² per task independent of row count,
+  * and merge is elementwise addition. Long accumulation matches the
+  * compositional plan bit for bit (Java Long addition is commutative
+  * and associative even at wraparound); with micro-quantized unit-ish
+  * components (|x| ≤ ~2²⁰) the diagonal sums stay exact to ~2²³ rows
+  * per partition times 2⁴⁰ per product — far past any test scale, and
+  * the 128-bit widening happens downstream on the evaluated sums.
+  *
+  * Rows whose array is null or not exactly `d` elements are skipped
+  * (same totality convention as the built-in aggregates on null);
+  * elements must be non-null BIGINTs — the quantization transform
+  * that feeds this always produces them.
+  * Eval returns `struct(n, s array<long>, pairs array<struct<i, j,
+  * s_ij>>)` — the pairs list is generated ONCE at eval (2080 structs
+  * total, not per row) so consumers keep the familiar exploded-cell
+  * shape. */
+case class VectorCoMomentAgg(
+    vec: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(d >= 1, "d must be >= 1")
+  private val tri = d * (d + 1) / 2
+
+  override def children: Seq[Expression] = Seq(vec)
+  override def nullable: Boolean = false
+  override def dataType: DataType = VectorCoMomentAgg.resultType
+  override def prettyName: String = "vector_comoment"
+
+  // layout: [0]=n, [1..d]=s_i, [1+d ..]=upper-triangle s_ij row-major
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](1 + d + tri)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = vec.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (arr.numElements() == d) {
+        val v = arr.toLongArray()
+        buf(0) += 1L
+        var i = 0
+        var k = 1 + d
+        while (i < d) {
+          val vi = v(i)
+          buf(1 + i) += vi
+          var j = i
+          while (j < d) {
+            buf(k) += vi * v(j)
+            j += 1
+            k += 1
+          }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val s = new GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 1, 1 + d).asInstanceOf[Array[Long]])
+    val pairs = new Array[Any](tri)
+    var i = 0
+    var k = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        pairs(k) = InternalRow(i, j, buf(1 + d + k))
+        j += 1
+        k += 1
+      }
+      i += 1
+    }
+    InternalRow(buf(0), s, new GenericArrayData(pairs))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): VectorCoMomentAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): VectorCoMomentAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorCoMomentAgg =
+    copy(vec = newChildren(0))
+}
+
+object VectorCoMomentAgg {
+
+  val resultType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("pairs", ArrayType(
+      StructType(Seq(
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("s_ij", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  def apply(vec: Column, d: Int): Column =
+    ColumnShim.column(
+      VectorCoMomentAgg(ColumnShim.expression(vec), d)
+        .toAggregateExpression())
+}
+
 object TopKLongAgg {
 
   val resultType: DataType = ArrayType(

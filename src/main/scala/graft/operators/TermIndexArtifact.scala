@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** Materialized lexical term index — the df-capped tf-idf posting list
+  * `(doc_id, term, w)` plus per-doc squared norms `(doc_id, nrm)` that
+  * both lexical retrieval queries (`q_text_cosine_knn`,
+  * `q_rank_fusion`'s cosine leg) rank with.
+  *
+  * A search system builds its inverted index OFFLINE and serves
+  * queries from it; re-running tokenize → tf → df → stop-cut inside
+  * every retrieval query prices the index build into each search.
+  * `q_text_cosine_knn` is the registered build step (it pays the
+  * corpus scan + two aggregates + parquet writes honestly); consumers
+  * read the written postings, lazily rebuilding if absent so any
+  * registry subset runs standalone.
+  *
+  * Weights are the engine's exact-rational idf (`tf · n_docs div df`)
+  * under the standard `df·10 ≤ n_docs` stop-term cut, so everything
+  * downstream of the index is integer arithmetic. Keyed by a
+  * size/mtime fingerprint of `documents.parquet` (see [[Artifacts]]).
+  */
+object TermIndexArtifact {
+
+  def path(dir: String): String =
+    s"${Artifacts.path(dir, "documents", "termidx")}_cap10"
+
+  /** Force a (re)build. Two parquet outputs share one persisted
+    * posting build:
+    *  - kept:  (doc_id, term, w)  — df-capped integer tf-idf postings
+    *  - norms: (doc_id, nrm)      — per-doc Σw² (BIGINT)
+    */
+  def materialize(spark: SparkSession, dir: String): String = synchronized {
+    val p = path(dir)
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
+    val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("nd"))
+      .select(col("doc_id"), col("term"), expr("(tf * nd) div df").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kept.hint("rebalance").write.mode("overwrite").parquet(s"$p/kept")
+      kept.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
+        .hint("rebalance").write.mode("overwrite").parquet(s"$p/norms")
+    } finally kept.unpersist()
+    p
+  }
+
+  private def ensure(spark: SparkSession, dir: String): String = {
+    val p = path(dir)
+    if (!Artifacts.complete(p, Seq("kept", "norms"))) materialize(spark, dir)
+    p
+  }
+
+  /** Df-capped postings `(doc_id, term, w)`, building first if absent. */
+  def kept(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/kept")
+
+  /** Per-doc squared norms `(doc_id, nrm)`. */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensure(spark, dir)}/norms")
+}

@@ -1033,28 +1033,19 @@ object SimilarityQueries {
     * otherwise make the join quadratic. Partial aggregation (map-side
     * combine on the (a,b) pair key) pre-sums dot contributions before
     * the shuffle; the top-3 window partitions by doc_id (never
-    * global). */
+    * global). The index itself is a materialized artifact
+    * ([[graft.operators.TermIndexArtifact]]) built here once. */
   val qTextCosineKnn: Q = Q(
     "q_text_cosine_knn",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, dir)
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
-      // the posting index feeds three consumers (norms + both sides of
-      // the pair join): persist it so the tokenize/tf/df pipeline runs
-      // once, not three times (at scale: one corpus scan, not three)
-      val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
-        .filter(col("df") * 10 <= col("nd"))
-        .select(col("doc_id"), col("term"),
-          expr("(tf * nd) div df").as("w"))
-        .persist()
-      val norms = kept.groupBy(col("doc_id"))
-        .agg(sum(col("w") * col("w")).as("nrm"))
+      // the registered BUILD STEP of the lexical term index
+      // ([[graft.operators.TermIndexArtifact]]): pays the tokenize →
+      // tf → df → stop-cut build + parquet writes once; this query and
+      // q_rank_fusion's cosine leg then rank off the written postings
+      graft.operators.TermIndexArtifact.materialize(spark, dir)
+      val kept = graft.operators.TermIndexArtifact.kept(spark, dir)
+      val norms = graft.operators.TermIndexArtifact.norms(spark, dir)
       val dots = kept.as("a")
         .join(kept.as("b"),
           col("a.term") === col("b.term") &&
@@ -1195,27 +1186,23 @@ object SimilarityQueries {
     * full outer join of two 200-row lists, and every fused score is
     * an exact integer micro sum (1000000 div (60+rank)), so the final
     * ranking is engine-exact. Jaccard ranks on exact inter/union
-    * micros; the cosine leg reuses the df-capped integer-weight
-    * recipe of `q_text_cosine_knn`. */
+    * micros; the cosine leg CONSUMES the materialized term index
+    * ([[graft.operators.TermIndexArtifact]], built by
+    * `q_text_cosine_knn`) instead of rebuilding the df-capped posting
+    * list — half this query's former cost was that rebuild. */
   val qRankFusion: Q = Q(
     "q_rank_fusion",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(spark, dir)
-      // leg 1: tf-idf cosine, probe docs vs corpus
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nDocs = docs.groupBy().agg(count(lit(1)).as("nd"))
-      val kept = tf.join(dft, "term").crossJoin(broadcast(nDocs))
-        .filter(col("df") * 10 <= col("nd"))
-        .select(col("doc_id"), col("term"), expr("(tf * nd) div df").as("w"))
-        .persist()
-      val norms = kept.groupBy(col("doc_id"))
-        .agg(sum(col("w") * col("w")).as("nrm"))
-      val cosRanked = kept.filter(col("doc_id") < 50).as("a")
+      // leg 1: tf-idf cosine, probe docs vs corpus — postings/norms
+      // come from the materialized term index (built once by
+      // q_text_cosine_knn, lazily rebuilt here if absent)
+      val kept = graft.operators.TermIndexArtifact.kept(spark, dir)
+      val norms = graft.operators.TermIndexArtifact.norms(spark, dir)
+      // probe side is 50 docs → broadcast it: candidate generation
+      // streams the corpus postings map-side, no pair-join shuffle
+      val cosRanked = broadcast(kept.filter(col("doc_id") < 50)).as("a")
         .join(kept.as("b"),
           col("a.term") === col("b.term") &&
             col("a.doc_id") =!= col("b.doc_id"))
@@ -1233,21 +1220,30 @@ object SimilarityQueries {
           .orderBy(col("cos").desc, col("neighbor"))))
         .filter(col("r_cos") <= 20)
         .select(col("qid"), col("neighbor"), col("r_cos"))
-      // leg 2: shingle Jaccard, probe docs vs corpus
-      val sh = docs
-        .select(col("doc_id"),
-          explode(graft.operators.TextAnalysis.shingles(col("text"))).as("sh"))
-        .distinct()
-        .persist()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val jacRanked = sh.filter(col("doc_id") < 50).as("a")
+      // leg 2: shingle Jaccard, probe docs vs corpus. Per-doc shingles
+      // dedup IN-ROW (array_distinct before the explode) — the (doc,
+      // shingle) stream is distinct by construction, so the former
+      // corpus-wide .distinct() shuffle disappears entirely; per-doc
+      // set sizes come off the same in-row expression without any
+      // explode. The 50-doc probe side broadcasts, so candidate
+      // generation has NO shuffle — the corpus shingle stream is
+      // consumed map-side.
+      val shSets = docs.select(col("doc_id"),
+        array_distinct(graft.operators.TextAnalysis.shingles(col("text")))
+          .as("shs"))
+      // set size computed BELOW the explode (per doc, not per shingle
+      // row — the Project-above-Generate re-evaluation pitfall), then
+      // carried through as a plain attribute: the pair aggregate keys
+      // on it, so no per-doc size join is needed at all
+      val sh = shSets
+        .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("sz"))
+        .select(col("doc_id"), col("sz"), explode(col("shs")).as("sh"))
+      val jacRanked = broadcast(sh.filter(col("doc_id") < 50)).as("a")
         .join(sh.as("b"),
           col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("neighbor"))
+        .groupBy(col("a.doc_id").as("qid"), col("b.doc_id").as("neighbor"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
         .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("qid"), col("sz").as("sa")), "qid")
-        .join(sizes.select(col("doc_id").as("neighbor"), col("sz").as("sb")),
-          "neighbor")
         .select(col("qid"), col("neighbor"),
           expr("inter * 1000000 div (sa + sb - inter)").as("jac_micro"))
         .withColumn("r_jac", row_number().over(Window.partitionBy(col("qid"))
@@ -1343,40 +1339,32 @@ object SimilarityQueries {
     * reads 1.0 when every vector lies on one line and d when variance
     * spreads isotropically, WITHOUT any eigendecomposition or
     * iteration. Components quantize to integer micros (the engine's
-    * standard float-exactness contract), the d(d+1)/2 co-moment sums
-    * generate IN-ROW (the co-occurrence-edge trick applied to
-    * dimension pairs) and collapse map-side to 2080 cells, and the
-    * centered co-moments N·Sᵢⱼ − SᵢSⱼ divide down from 128-bit to
-    * BIGINT before squaring back into 128-bit — every number until
-    * the final PR ratio is an exact integer. One corpus scan; the
-    * matrix algebra runs on d², never N. */
+    * standard float-exactness contract); ONE fused
+    * [[graft.functions.VectorCoMomentAgg]] pass accumulates the count,
+    * the d first moments and the d(d+1)/2 co-moment sums in a flat
+    * Long buffer (each map task emits one buffer — no per-row struct
+    * materialization, shuffle volume d² per task), and the centered
+    * co-moments N·Sᵢⱼ − SᵢSⱼ divide down from 128-bit to BIGINT
+    * before squaring back into 128-bit — every number until the final
+    * PR ratio is an exact integer. One corpus scan; the matrix
+    * algebra runs on d², never N. */
   val qEmbedEffRank: Q = Q(
     "q_embed_effrank",
     (spark, dir) => {
-      val q = Tables.embeddings(spark, dir)
+      val cm = Tables.embeddings(spark, dir)
         .select(expr("transform(embedding, v -> " +
           "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
           .as("qv"))
-        .persist()
-      val nDf = q.agg(count(lit(1)).as("n"))
-      val m1 = q.select(posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("i")).agg(sum(col("x")).as("s_i"))
-      val m2 = q.select(explode(expr(
-        """flatten(transform(sequence(0, size(qv) - 1),
-          |  i -> transform(sequence(i, size(qv) - 1),
-          |    j -> struct(i AS i, j AS j, qv[i] * qv[j] AS xy))))"""
-          .stripMargin)).as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(sum(col("p.xy")).as("s_ij"))
-      val mm = m2.join(broadcast(m1), "i")
-        .join(broadcast(m1.select(col("i").as("j"), col("s_i").as("s_j"))),
-          "j")
-        .crossJoin(broadcast(nDf))
-        .select(col("i"), col("j"),
-          expr("cast((cast(n as decimal(38,0)) * s_ij" +
-            " - cast(s_i as decimal(38,0)) * s_j) div n as bigint)").as("m"))
+        .agg(graft.functions.VectorCoMomentAgg(col("qv"), 64).as("cm"))
+      val mm = cm
+        .select(col("cm.n").as("n"), col("cm.s").as("s"),
+          explode(col("cm.pairs")).as("p"))
+        .select(col("n"), col("p.i").as("i"), col("p.j").as("j"),
+          expr("cast((cast(n as decimal(38,0)) * p.s_ij" +
+            " - cast(s[p.i] as decimal(38,0)) * s[p.j]) div n as bigint)")
+            .as("m"))
       val d = 64
-      mm.crossJoin(broadcast(nDf))
+      mm
         .groupBy(col("n"))
         .agg(
           sum(when(col("i") === col("j"), col("m")).otherwise(0L)).as("tr"),
