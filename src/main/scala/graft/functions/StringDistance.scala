@@ -90,10 +90,17 @@ object JaroWinkler {
     * the Winkler prefix boost. Operation order matches the C++
     * implementation DuckDB ships: (m/l1 + m/l2 + (m-t)/m) / 3, then
     * sim + l·0.1·(1−sim) when sim > 0.7. Either operand empty
-    * (including both) scores 0.0. */
+    * (including both) scores 0.0.
+    *
+    * Operates on UTF-8 BYTES, not UTF-16 code units: DuckDB's
+    * jaro_winkler_similarity treats the string as a byte sequence, so
+    * 'café' is a 5-unit operand there — computing over charAt would
+    * silently diverge from the oracle on any non-ASCII text (0.9222
+    * vs 0.8944 for 'café x'/'cafe x'). Bytewise comparison is also
+    * exact for codepoint equality since UTF-8 is self-synchronizing. */
   def compute(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
@@ -108,7 +115,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; m += 1; done = true
         }
         j += 1
@@ -122,7 +129,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -132,7 +139,7 @@ object JaroWinkler {
     if (sim > 0.7) {
       var l = 0
       val maxP = math.min(4, math.min(l1, l2))
-      while (l < maxP && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxP && a(l) == b(l)) l += 1
       sim = sim + l * 0.1 * (1 - sim)
     }
     sim
@@ -145,13 +152,16 @@ object DamerauLevenshtein {
     ColumnShim.column(DamerauLevenshtein(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 
-  /** Lowrance-Wagner full DL over UTF-16 code units (identical to code
-    * points for the BMP text in every table here). `da` maps each code
-    * unit to the last row of `a` where it occurred; the (maxDist)
+  /** Lowrance-Wagner full DL over UTF-8 BYTES — the unit DuckDB's
+    * `damerau_levenshtein` edits (probe: dl('café','cafe') = 2 there,
+    * one substituted + one deleted byte of the two-byte 'é'), so the
+    * oracle and the engine agree on every input, not just ASCII.
+    * `da` maps each byte to the last row of `a` where it occurred —
+    * a flat 256-entry table, no boxed map anywhere; the (maxDist)
     * sentinel border rows make the transposition recurrence uniform. */
   def compute(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val n = a.length
     val m = b.length
     if (n == 0) return m
@@ -173,22 +183,15 @@ object DamerauLevenshtein {
       d((i + 1) * w + 1) = i // d[i+1][1]
       i += 1
     }
-    // last-occurrence table: flat array for Latin-1 code units (all
-    // data here), spillover map for anything higher — no boxed
-    // HashMap on the hot path
     val daLow = new Array[Int](256)
-    var daHigh: java.util.HashMap[Character, Integer] = null
-    def lastOcc(c: Char): Int =
-      if (c < 256) daLow(c)
-      else if (daHigh == null) 0
-      else { val v = daHigh.get(c); if (v == null) 0 else v.intValue() }
+    def lastOcc(c: Byte): Int = daLow(c & 0xFF)
     i = 1
     while (i <= n) {
       var db = 0
-      val ai = a.charAt(i - 1)
+      val ai = a(i - 1)
       j = 1
       while (j <= m) {
-        val bj = b.charAt(j - 1)
+        val bj = b(j - 1)
         val k = lastOcc(bj)
         val l = db
         val cost = if (ai == bj) { db = j; 0 } else 1
@@ -203,11 +206,7 @@ object DamerauLevenshtein {
         d((i + 1) * w + j + 1) = best
         j += 1
       }
-      if (ai < 256) daLow(ai) = i
-      else {
-        if (daHigh == null) daHigh = new java.util.HashMap[Character, Integer]()
-        daHigh.put(ai, i)
-      }
+      daLow(ai & 0xFF) = i
       i += 1
     }
     d((n + 1) * w + m + 1)

@@ -78,7 +78,12 @@ object Sketches {
       .join(sketchB.withColumnRenamed("cnt", "cnt_b"), Seq("hr", "hc"))
       .groupBy(col("hr"))
       .agg(sum(col("cnt_a").cast("decimal(19,0)") * col("cnt_b")).as("dot"))
-      .agg(coalesce(min(col("dot")), lit(0)).cast("long").as("cms_est"))
+      .agg(coalesce(min(col("dot")), lit(0)).as("dotmin"))
+      // saturate, don't null: a min-dot beyond Long range would turn
+      // into NULL under Spark's non-ANSI decimal→long cast; the probe
+      // should degrade to "as large as representable" instead
+      .select(least(col("dotmin"), lit(Long.MaxValue).cast("decimal(38,0)"))
+        .cast("long").as("cms_est"))
 
   /** HyperLogLog registers (m = [[HllM]]): first md5 chunk mod m
     * buckets the key, the 1-based leading-zero rank of the second
@@ -190,7 +195,10 @@ object Sketches {
   def selfJoinSizeEstimate(sketch: DataFrame): DataFrame =
     sketch.groupBy(col("hr"))
       .agg(sum(col("cnt").cast("decimal(19,0)") * col("cnt")).as("dot"))
-      .agg(coalesce(min(col("dot")), lit(0)).cast("long").as("cms_est"))
+      .agg(coalesce(min(col("dot")), lit(0)).as("dotmin"))
+      // same saturating cast as joinSizeEstimate
+      .select(least(col("dotmin"), lit(Long.MaxValue).cast("decimal(38,0)"))
+        .cast("long").as("cms_est"))
 
   /** Exact second frequency moment Σ na² from one frequency
     * aggregate — the self-join ground truth without the

@@ -588,11 +588,13 @@ object PlanningQueries {
       sl AS (SELECT hr, hc, count(*) AS cnt FROM pl GROUP BY hr, hc),
       so AS (SELECT hr, hc, count(*) AS cnt FROM po GROUP BY hr, hc),
       est_self AS (
-        SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM (
+        SELECT CAST(least(min(dot), 9223372036854775807) AS BIGINT)
+          AS cms_est FROM (
           SELECT hr, sum(CAST(cnt AS HUGEINT) * cnt) AS dot
           FROM se GROUP BY hr)),
       est_fk AS (
-        SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM (
+        SELECT CAST(least(min(dot), 9223372036854775807) AS BIGINT)
+          AS cms_est FROM (
           SELECT a.hr, sum(CAST(a.cnt AS HUGEINT) * b.cnt) AS dot
           FROM sl a JOIN so b USING (hr, hc) GROUP BY a.hr)),
       ex_self AS (

@@ -197,7 +197,15 @@ object StreamingSketches {
     * rows (spec-pinned). State is ≤ k rows per group regardless of
     * stream length; sorted-sample quantiles (the
     * [[graft.operators.Sketches.sampleDiscQuantiles]] index rule)
-    * come free from the emitted rows. */
+    * come free from the emitted rows.
+    *
+    * CONTRACT: `(group, id)` must be unique over the stream — ids are
+    * the sampled population, so a replayed id is the same population
+    * member and its first-seen value wins (idempotent under replay,
+    * which is exactly what a KMV sample wants). The batch operator
+    * keeps duplicate-id rows as separate sample slots, so the
+    * "equals the batch sample" guarantee holds only under this
+    * uniqueness; a re-keyed value update must arrive as a new id. */
   def bottomKOverStream(events: Dataset[(String, String, Long)], k: Int)
       : Dataset[(String, String, Long)] = {
     import events.sparkSession.implicits._

@@ -38,6 +38,32 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_abtest_stats: a 0/1-event arm yields NULL t, never NaN/divide-by-zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("abtest_degenerate")
+      .toFile.getAbsolutePath
+    // (event_id, user_id, event_type, value, ts): type "solo" has one
+    // arm with a single event (n-1 = 0 variance denominator), type
+    // "both" has 2+ events per arm
+    Seq(
+      (1L, 2L, "solo", 10.0), (2L, 2L, "solo", 12.5), (3L, 4L, "solo", 9.0),
+      (4L, 1L, "solo", 11.0), // the single arm-B event
+      (5L, 2L, "both", 1.0), (6L, 4L, "both", 2.0),
+      (7L, 1L, "both", 3.0), (8L, 3L, "both", 4.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = q("q_abtest_stats").run(spark, tmp)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("welch_t"))
+      .collect()
+    val solo = rows.find(_.getString(0) == "solo").get
+    assert(solo.getLong(1) == 3 && solo.getLong(2) == 1)
+    assert(solo.isNullAt(3), "degenerate arm must yield NULL t, not NaN")
+    val both = rows.find(_.getString(0) == "both").get
+    val t = both.getDouble(3)
+    assert(!t.isNaN && !t.isInfinite, "well-populated arms keep a finite t")
+  }
+
   test("q_time_weighted_avg: TWA bounded by the user's value range") {
     import spark.implicits._
     val twa = q("q_time_weighted_avg").run(spark, dir)

@@ -107,6 +107,30 @@ class StringDistanceSpec extends AnyFunSuite {
     }
   }
 
+  // DuckDB's string metrics edit UTF-8 BYTES (dl('café','cafe') = 2:
+  // one substituted + one deleted byte of the two-byte 'é'); both
+  // native expressions must follow or they silently diverge from the
+  // oracle on any non-ASCII text. Values generated with DuckDB.
+  private val nonAsciiVectors: Seq[(String, String, Double, Int)] = Seq(
+    ("café x", "cafe x", 0.8944444444444445, 2),
+    ("naïve", "naive", 0.8577777777777779, 2),
+    ("日本語", "日本話", 0.9111111111111111, 2),
+    ("größe", "grosse", 0.6428571428571429, 4),
+    ("café", "éfac", 0.4666666666666666, 4),
+    ("über", "uber ", 0.7333333333333334, 3),
+    ("résumé", "resume", 0.75, 4))
+
+  test("both metrics match DuckDB byte-level semantics on non-ASCII text") {
+    nonAsciiVectors.foreach { case (a, b, wantJw, wantDl) =>
+      val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+      assert(JaroWinkler.compute(ua, ub) == wantJw,
+        s"jw('$a','$b') diverges from DuckDB byte semantics")
+      assert(DamerauLevenshtein.compute(ua, ub) == wantDl,
+        s"dl('$a','$b') diverges from DuckDB byte semantics")
+    }
+  }
+
   test("jaro-winkler metric properties hold under seeded fuzz") {
     val rnd = new scala.util.Random(20260814L)
     def s(): String =
