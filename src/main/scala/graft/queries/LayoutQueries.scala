@@ -288,7 +288,66 @@ object LayoutQueries {
       FROM n ORDER BY source, lang
     """.trim))
 
+  /** Content-addressed dataset version fingerprint — the Merkle shape
+    * dataset reproducibility needs: per-doc leaf digests
+    * (`md5(doc_id:text)`), per-shard digests over the doc-ordered
+    * leaf concatenation, and one corpus root digest over the
+    * shard-ordered shard digests, reported beside per-shard row
+    * counts (root row has `shard = -1`). Two datasets are
+    * byte-identical iff the roots match; a changed doc pins its shard
+    * in one tree descent — the audit a training run records so "which
+    * exact data built this checkpoint" has a one-hash answer.
+    *
+    * Scale shape: leaves are in-row md5s; each shard digest
+    * concatenates a BOUNDED group (256 docs per shard by id range, the
+    * fixed shard geometry) via an in-row sort of the collected
+    * (doc_id, leaf) structs, so per-group state is constant and the
+    * aggregate is map-side combinable up to shard granularity; the
+    * root digest folds the (tiny) shard table the same way. No
+    * windows, no driver collect — the tree is two hash aggregates. */
+  val qDatasetMerkle: Q = Q(
+    "q_dataset_merkle",
+    (spark, dir) => {
+      val leaves = Tables.documents(spark, dir)
+        .select(expr("doc_id div 256").as("shard"), col("doc_id"),
+          md5(concat_ws(":", col("doc_id").cast("string"), col("text")))
+            .as("leaf"))
+      val shards = leaves.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(expr(
+            "transform(sort_array(collect_list(struct(doc_id, leaf)))," +
+              " x -> x.leaf)"), "")).as("digest"))
+      val root = shards
+        .agg(sum(col("n_docs")).as("n_docs"),
+          md5(array_join(expr(
+            "transform(sort_array(collect_list(struct(shard, digest)))," +
+              " x -> x.digest)"), "")).as("digest"))
+        .select(lit(-1L).as("shard"), col("n_docs"), col("digest"))
+      shards.select(col("shard"), col("n_docs"), col("digest"))
+        .unionByName(root)
+        .orderBy(col("shard"))
+    },
+    Some("""
+      WITH leaves AS (
+        SELECT doc_id // 256 AS shard, doc_id,
+               md5(CAST(doc_id AS VARCHAR) || ':' || text) AS leaf
+        FROM documents),
+      shards AS (
+        SELECT shard, count(*) AS n_docs,
+               md5(string_agg(leaf, '' ORDER BY doc_id)) AS digest
+        FROM leaves GROUP BY shard),
+      root AS (
+        SELECT CAST(-1 AS BIGINT) AS shard,
+               (SELECT count(*) FROM leaves) AS n_docs,
+               md5(string_agg(digest, '' ORDER BY shard)) AS digest
+        FROM shards)
+      SELECT shard, n_docs, digest FROM shards
+      UNION ALL
+      SELECT shard, n_docs, digest FROM root
+      ORDER BY shard
+    """.trim))
+
   val all: Seq[Q] = Seq(qUpsertLatest, qScd2Intervals, qCompactionPlan,
     qZorderCells, qPrivacyKanon, qPrivacyLdiversity, qZoneSkip,
-    qPrivacyDpCounts)
+    qPrivacyDpCounts, qDatasetMerkle)
 }

@@ -1124,6 +1124,190 @@ object TextQueries {
       FROM g ORDER BY source
     """.trim))
 
+  /** Unsupervised topic discovery: spherical k-means over the tf-idf
+    * posting index — the domain-mixture step a curation pipeline runs
+    * when the corpus has no labels (what IS in this crawl?). One seed
+    * doc per `lang` stratum (largest tf-idf norm in the stratum, ties
+    * to the smaller id — strata only seed diversity, the clustering
+    * itself never sees the label) anchors an assign → centroid →
+    * re-assign Lloyd round; topics are labeled by their seed doc id
+    * (the same label-by-representative convention as connected
+    * components), and the report is each topic's doc count and top-5
+    * centroid terms. Seeding-by-stratum is the deterministic stand-in
+    * for k-means++: maximally-spread anchors without sampling.
+    *
+    * Determinism: centroid components are exact BIGINT sums of
+    * integer tf-idf weights, dot products accumulate in 128-bit, and
+    * the one double division (dot/√Σc²: the doc's own norm is
+    * constant per doc and drops out of the argmax) runs on identical
+    * expression trees in both engines; argmax ties break to the
+    * smaller topic id and overlap-free docs take the smallest topic,
+    * so the partition is engine-exact.
+    *
+    * Scale shape: one tokenize + tf aggregate over the corpus (the
+    * persisted (doc, term, tf) table feeds norms, seeds, and both
+    * assignment passes — one corpus scan); the seed side is k docs
+    * (broadcast), centroids are bounded to k × 256 components by the
+    * native bounded-top-k aggregate ([[graft.functions.TopKLongAgg]]
+    * — map-side k-bounded, never a per-topic window sort), and both
+    * assignment passes are broadcast joins against the tf table with
+    * per-(doc, topic) integer aggregates. No window functions
+    * anywhere in the plan. Deliberately NOT the df-capped
+    * [[graft.operators.TermIndexArtifact]]: a retrieval stop-cut
+    * drops the shared vocabulary that carries the topical signal. */
+  val qTextTopics: Q = {
+    Q(
+      "q_text_topics",
+      (spark, dir) => {
+        // full-vocabulary tf vectors, NOT the df-capped retrieval
+        // index: a stop-cut keeps only rare terms — right for lexical
+        // search, degenerate for clustering, where the SHARED
+        // vocabulary distribution is the signal (measured: the capped
+        // index collapses this corpus to one topic; full tf yields
+        // five populated clusters)
+        val docs = Tables.documents(spark, dir)
+        val kept = docs
+          .select(col("doc_id"),
+            explode(split(col("text"), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val norms = kept.groupBy(col("doc_id"))
+          .agg(sum(col("w") * col("w")).as("nrm"))
+        val seeds = norms
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(max(struct(col("nrm"), (-col("doc_id")).as("negid"))).as("b"))
+          .select((-col("b.negid")).as("seed_doc"), col("b.nrm").as("snrm"))
+        val seedKept = broadcast(kept
+          .join(broadcast(seeds), col("doc_id") === col("seed_doc"))
+          .select(col("seed_doc"), col("term"), col("w").as("ws"),
+            col("snrm")))
+        val fallback = broadcast(seeds.agg(min(col("seed_doc")).as("fbt")))
+        // pass 1: nearest seed by cosine (doc norm drops out of argmax)
+        val a1 = norms.select(col("doc_id"))
+          .join(kept.join(seedKept, "term")
+            .groupBy(col("doc_id"), col("seed_doc"), col("snrm"))
+            .agg(sum(col("w") * col("ws")).as("dot"))
+            .select(col("doc_id"), col("seed_doc"),
+              (col("dot").cast("double") / sqrt(col("snrm").cast("double")))
+                .as("score"))
+            .groupBy(col("doc_id"))
+            .agg(min(struct((-col("score")).as("neg"), col("seed_doc")))
+              .getField("seed_doc").as("hit")),
+            Seq("doc_id"), "left")
+          .crossJoin(fallback)
+          .select(col("doc_id"), coalesce(col("hit"), col("fbt")).as("topic"))
+        // refined centroids, bounded to 256 components per topic
+        val centTop = kept.join(a1, "doc_id")
+          .groupBy(col("topic"), col("term"))
+          .agg(sum(col("w")).as("c"))
+          .groupBy(col("topic"))
+          .agg(graft.functions.TopKLongAgg(col("c"), col("term"), 256)
+            .as("top"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cent = broadcast(centTop
+          .select(col("topic"), explode(col("top")).as("e"))
+          .select(col("topic"), col("e.item").as("term"),
+            col("e.score").as("c")))
+        val s2 = broadcast(cent.groupBy(col("topic"))
+          .agg(sum(col("c").cast("decimal(19,0)") * col("c")).as("s2")))
+        // pass 2: final assignment against the refined centroids
+        val a2 = norms.select(col("doc_id"))
+          .join(kept.join(cent, "term")
+            .groupBy(col("doc_id"), col("topic"))
+            .agg(sum(col("w").cast("decimal(19,0)") * col("c")).as("dot"))
+            .join(s2, "topic")
+            .select(col("doc_id"), col("topic"),
+              (col("dot").cast("double") / sqrt(col("s2").cast("double")))
+                .as("score"))
+            .groupBy(col("doc_id"))
+            .agg(min(struct((-col("score")).as("neg"), col("topic")))
+              .getField("topic").as("hit")),
+            Seq("doc_id"), "left")
+          .crossJoin(fallback)
+          .select(col("doc_id"), coalesce(col("hit"), col("fbt")).as("topic"))
+        val counts = a2.groupBy(col("topic")).agg(count(lit(1)).as("n_docs"))
+        centTop
+          .select(col("topic"),
+            array_join(expr("transform(slice(top, 1, 5), x -> x.item)"), " ")
+              .as("top_terms"))
+          .join(counts, Seq("topic"), "left")
+          .select(col("topic"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            col("top_terms"))
+          .orderBy(col("topic"))
+      },
+      Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents),
+      kept AS (
+        SELECT doc_id, term, count(*) AS w FROM toks
+        WHERE length(term) > 0 GROUP BY 1, 2),
+      norms AS (SELECT doc_id, sum(w * w) AS nrm FROM kept GROUP BY 1),
+      seeds AS (
+        SELECT seed_doc, snrm FROM (
+          SELECT d.lang, n.doc_id AS seed_doc, n.nrm AS snrm,
+                 row_number() OVER (PARTITION BY d.lang
+                   ORDER BY n.nrm DESC, n.doc_id) AS rn
+          FROM norms n JOIN documents d USING (doc_id))
+        WHERE rn = 1),
+      skept AS (
+        SELECT se.seed_doc, k.term, k.w AS ws, se.snrm
+        FROM kept k JOIN seeds se ON k.doc_id = se.seed_doc),
+      fb AS (SELECT min(seed_doc) AS fbt FROM seeds),
+      d1 AS (
+        SELECT k.doc_id, sk.seed_doc, sk.snrm, sum(k.w * sk.ws) AS dot
+        FROM kept k JOIN skept sk USING (term) GROUP BY 1, 2, 3),
+      a1p AS (
+        SELECT doc_id, seed_doc,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(snrm AS DOUBLE))
+                   DESC, seed_doc) AS rn
+        FROM d1),
+      a1 AS (
+        SELECT n.doc_id,
+               coalesce(p.seed_doc, (SELECT fbt FROM fb)) AS topic
+        FROM norms n
+        LEFT JOIN (SELECT doc_id, seed_doc FROM a1p WHERE rn = 1) p
+          USING (doc_id)),
+      centall AS (
+        SELECT a.topic, k.term, CAST(sum(k.w) AS BIGINT) AS c
+        FROM kept k JOIN a1 a USING (doc_id) GROUP BY 1, 2),
+      ranked AS (
+        SELECT topic, term, c,
+               row_number() OVER (PARTITION BY topic
+                 ORDER BY c DESC, term) AS rn
+        FROM centall),
+      cent AS (SELECT topic, term, c FROM ranked WHERE rn <= 256),
+      s2 AS (SELECT topic, sum(CAST(c AS HUGEINT) * c) AS s2
+             FROM cent GROUP BY 1),
+      d2 AS (
+        SELECT k.doc_id, c.topic, sum(CAST(k.w AS HUGEINT) * c.c) AS dot
+        FROM kept k JOIN cent c USING (term) GROUP BY 1, 2),
+      a2p AS (
+        SELECT d.doc_id, d.topic,
+               row_number() OVER (PARTITION BY d.doc_id
+                 ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(s.s2 AS DOUBLE))
+                   DESC, d.topic) AS rn
+        FROM d2 d JOIN s2 s USING (topic)),
+      a2 AS (
+        SELECT n.doc_id,
+               coalesce(p.topic, (SELECT fbt FROM fb)) AS topic
+        FROM norms n
+        LEFT JOIN (SELECT doc_id, topic FROM a2p WHERE rn = 1) p
+          USING (doc_id)),
+      counts AS (SELECT topic, count(*) AS n_docs FROM a2 GROUP BY topic),
+      t5 AS (
+        SELECT topic, string_agg(term, ' ' ORDER BY rn) AS top_terms
+        FROM ranked WHERE rn <= 5 GROUP BY topic)
+      SELECT t5.topic, coalesce(c.n_docs, 0) AS n_docs, t5.top_terms
+      FROM t5 LEFT JOIN counts c USING (topic)
+      ORDER BY t5.topic
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
@@ -1131,5 +1315,5 @@ object TextQueries {
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
     qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility,
-    qSourceEntropy, qTextReadability)
+    qSourceEntropy, qTextReadability, qTextTopics)
 }
