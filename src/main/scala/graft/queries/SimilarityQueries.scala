@@ -1112,14 +1112,14 @@ object SimilarityQueries {
     * per-cell encode, LUT, ADC ranking. */
   val qEmbedIvfPq: Q = Q(
     "q_embed_ivfpq",
-    (spark, dir) => {
-      graft.operators.IvfArtifact.materialize(spark, dir,
-        numCentroids = 8, iterations = 2)
+    (spark, dir) =>
+      // consumes the IVF artifact (built/priced by q_embed_ivf_refined,
+      // lazily rebuilt here only if absent) — searches must not re-pay
+      // the offline index build
       Similarity.ivfPqSearch(
         graft.operators.IvfArtifact.centroids(spark, dir, 8, 2),
         graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
-        qMinId = 8, qMaxId = 16, k = 3, probes = 2)
-    },
+        qMinId = 8, qMaxId = 16, k = 3, probes = 2),
     Some(s"""
       WITH ${lloydCte(8, 2)},
       final_asg AS (
