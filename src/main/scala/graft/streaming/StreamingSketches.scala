@@ -226,4 +226,71 @@ object StreamingSketches {
           kept.iterator.map { case (_, id, v) => (g, id, v) }
       }
   }
+
+  /** JVM-side replay of the batch count-min position recipe
+    * ([[graft.operators.Sketches.positions]]): hash row i of a key is
+    * the big-endian 32-bit md5 chunk i mod Width. */
+  def cmsPositions(key: String): Array[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val out = new Array[Int](graft.operators.Sketches.Depth)
+    var i = 0
+    while (i < out.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (d(i * 4 + k) & 0xffL); k += 1 }
+      out(i) = (v % graft.operators.Sketches.Width).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Canonical digest of a CMS counter array (all Depth×Width cells,
+    * zeros included, comma-joined decimals) — the register-equality
+    * witness the convergence spec compares against a batch-built
+    * sketch. */
+  def cmsDigest(counters: Array[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(counters.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Streaming count-min sketch: `(group, key)` arrivals fold into a
+    * per-group Depth×Width Long counter array held in
+    * `mapGroupsWithState` — fixed 128 KiB per group regardless of
+    * stream length, completing the mergeable-sketch symmetry (HLL
+    * distinct, Bloom membership, KMV sample, CMS frequency) between
+    * the batch tier and streaming state. Counter increments are
+    * associative, so micro-batch boundaries and arrival order cannot
+    * change the state, and the counters equal the batch
+    * [[graft.operators.Sketches.build]] cells over the same rows
+    * (spec-pinned via [[cmsDigest]]). Unlike the max-fold sketches
+    * the fold is NOT idempotent — exactly-once replay is the
+    * checkpoint's job, same as any streaming count. Emits
+    * `(group, n_inserts, sketch_md5)` each batch the group appears
+    * in; the counters stay queryable in the state store for
+    * point-frequency serving (min over the Depth row cells). */
+  def cmsOverStream(events: Dataset[(String, String)])
+      : Dataset[(String, Long, String)] = {
+    import events.sparkSession.implicits._
+    val width = graft.operators.Sketches.Width
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, String)](
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state) =>
+          val c = state.getOption.getOrElse(
+            new Array[Long](graft.operators.Sketches.Depth * width))
+          rows.foreach { case (_, key) =>
+            val ps = cmsPositions(key)
+            var r = 0
+            while (r < ps.length) { c(r * width + ps(r)) += 1L; r += 1 }
+          }
+          state.update(c)
+          // row-0 cells each count every insert once: their sum is n
+          var n = 0L
+          var i = 0
+          while (i < width) { n += c(i); i += 1 }
+          (g, n, cmsDigest(c))
+      }
+  }
 }

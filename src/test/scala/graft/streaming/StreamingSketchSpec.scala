@@ -171,4 +171,54 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(streamedBottomK == batch)
     } finally q.stop()
   }
+
+  private def batchCmsDigest(keys: Seq[String]): (Long, String) = {
+    val width = graft.operators.Sketches.Width
+    val cells = graft.operators.Sketches.build(keys.toDF("k"), col("k"))
+      .as[(Int, Long, Long)].collect()
+    val c = new Array[Long](graft.operators.Sketches.Depth * width)
+    cells.foreach { case (hr, hc, cnt) => c(hr * width + hc.toInt) = cnt }
+    (keys.length.toLong, StreamingSketches.cmsDigest(c))
+  }
+
+  test("cmsPositions replays the batch count-min cells counter for counter") {
+    val keys = (0 until 300).map(i => s"tok-${i % 211}")
+    val (_, batchDigest) = batchCmsDigest(keys)
+    val width = graft.operators.Sketches.Width
+    val c = new Array[Long](graft.operators.Sketches.Depth * width)
+    keys.foreach { k =>
+      StreamingSketches.cmsPositions(k).zipWithIndex.foreach {
+        case (pos, r) => c(r * width + pos) += 1L
+      }
+    }
+    assert(StreamingSketches.cmsDigest(c) == batchDigest)
+  }
+
+  test("streamed CMS counters equal the batch build across uneven micro-batches") {
+    // counting state is additive, not idempotent: no replayed rows here
+    // (exactly-once replay is the checkpoint's contract, not the fold's)
+    val data = (0 until 500).map(i => ("a", s"sh-${i % 173}")) ++
+      (0 until 140).map(i => ("b", s"sh-${i % 61}"))
+    val input = MemoryStream[(String, String)]
+    val q = StreamingSketches.cmsOverStream(input.toDS())
+      .toDF("g", "n", "digest")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    try {
+      input.addData(data.take(347))
+      q.processAllAvailable()
+      input.addData(data.drop(347))
+      q.processAllAvailable()
+      // n is monotone: the row with max n per group is the latest state
+      val streamed = spark.table("cms_out")
+        .as[(String, Long, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(rows => rows.maxBy(_._2) match { case (_, n, d) => (n, d) })
+        .toMap
+      val batch = Seq("a", "b").map { g =>
+        g -> batchCmsDigest(data.filter(_._1 == g).map(_._2))
+      }.toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
