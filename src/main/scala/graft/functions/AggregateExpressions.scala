@@ -196,6 +196,139 @@ case class VectorCoMomentAgg(
     copy(vec = newChildren(0))
 }
 
+/** Fused Poisson-bootstrap replicate aggregate: per input row,
+  * derives the row's B deterministic Poisson(1) multiplicities from
+  * md5 draws (one digest per 4 replicates — the same hex-chunk recipe
+  * the DuckDB oracle replays) and adds `m` / `m·value` straight into
+  * a 2B-long buffer.
+  *
+  * The compositional formulation (explode B/4 slots, hash, explode 4
+  * chunks, partial-aggregate) materializes B rows per input row
+  * before the combine — at B=40 that is 40× the corpus streamed
+  * through a hash aggregate just to be summed down to B cells per
+  * group. The fused buffer does the identical arithmetic in place:
+  * each map task emits ONE 2B-long buffer per group, merge is
+  * elementwise addition, and the digest count (B/4 per row, the
+  * actually-expensive part) is unchanged.
+  *
+  * Determinism contract: the multiplicity of (row, replicate) is a
+  * pure function of `md5(eventId:slot)` — identical across engines,
+  * partitionings, and re-plans; sums are plain BIGINTs. Eval returns
+  * `array<struct<b, n_b, sc_b>>` with all B entries (consumers drop
+  * empty replicates themselves). Null ids/values are skipped. */
+case class PoissonBootstrapAgg(
+    id: Expression,
+    value: Expression,
+    b: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(b >= 4 && b % 4 == 0, "b must be a positive multiple of 4")
+
+  override def children: Seq[Expression] = Seq(id, value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = PoissonBootstrapAgg.resultType
+  override def prettyName: String = "poisson_bootstrap"
+
+  // layout: [0..b-1] = n_b, [b..2b-1] = sc_b
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](2 * b)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val idv = id.eval(input)
+    val v = value.eval(input)
+    if (idv != null && v != null) {
+      val cents = v.asInstanceOf[Long]
+      val idStr = idv.toString
+      val md = PoissonBootstrapAgg.digest.get()
+      var slot = 0
+      while (slot < b / 4) {
+        md.reset()
+        val d = md.digest(s"$idStr:$slot".getBytes
+          (java.nio.charset.StandardCharsets.UTF_8))
+        var chunk = 0
+        while (chunk < 4) {
+          var bp = 0L
+          var k = 0
+          while (k < 4) { bp = (bp << 8) | (d(chunk * 4 + k) & 0xffL); k += 1 }
+          bp = bp % 10000L
+          // Poisson(1) CDF in basis points, tail capped at 6 — the
+          // identical thresholds the SQL/oracle formulation uses
+          val m =
+            if (bp < 3679L) 0L else if (bp < 7358L) 1L
+            else if (bp < 9197L) 2L else if (bp < 9810L) 3L
+            else if (bp < 9963L) 4L else if (bp < 9994L) 5L else 6L
+          if (m > 0L) {
+            val r = slot * 4 + chunk
+            buf(r) += m
+            buf(b + r) += m * cents
+          }
+          chunk += 1
+        }
+        slot += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](b)
+    var r = 0
+    while (r < b) {
+      out(r) = InternalRow(r, buf(r), buf(b + r))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): PoissonBootstrapAgg =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): PoissonBootstrapAgg =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PoissonBootstrapAgg =
+    copy(id = newChildren(0), value = newChildren(1))
+}
+
+object PoissonBootstrapAgg {
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("b", IntegerType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("sc_b", LongType, nullable = false))),
+    containsNull = false)
+
+  def apply(id: Column, value: Column, b: Int): Column =
+    ColumnShim.column(
+      PoissonBootstrapAgg(
+        ColumnShim.expression(id), ColumnShim.expression(value), b)
+        .toAggregateExpression())
+}
+
 object VectorCoMomentAgg {
 
   val resultType: DataType = StructType(Seq(

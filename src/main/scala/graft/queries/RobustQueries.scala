@@ -130,32 +130,20 @@ object RobustQueries {
             expr("sc * 1000000 div n").as("point_mean_micro"))
         // one md5 yields FOUR independent 32-bit draws (hex chunks of
         // the same digest are independent bits), so 40 replicates cost
-        // 10 hashes per row, not 40 — the digest is the expensive part
+        // 10 hashes per row, not 40 — and the fused native aggregate
+        // ([[graft.functions.PoissonBootstrapAgg]]) folds all 40
+        // multiplicities straight into a per-group buffer instead of
+        // materializing 40 rows per event through the hash aggregate
+        // (identical digests, thresholds, and BIGINT sums — the
+        // oracle's exploded replay is unchanged)
         val reps = base
-          .select(col("g"), col("cents"), col("event_id"),
-            explode(sequence(lit(0), lit(B / 4 - 1))).as("slot"))
-          .withColumn("hx", md5(
-            concat(col("event_id").cast("string"), lit(":"),
-              col("slot").cast("string"))))
-          .select(col("g"), col("cents"),
-            explode(sequence(lit(0), lit(3))).as("chunk"),
-            col("slot"), col("hx"))
-          .withColumn("b", col("slot") * 4 + col("chunk"))
-          .withColumn("bp",
-            pmod(expr("conv(substring(hx, chunk * 8 + 1, 8), 16, 10)")
-              .cast("long"), lit(10000L)))
-          // Poisson(1) CDF in basis points: 0.3679 / 0.7358 / 0.9197 /
-          // 0.9810 / 0.9963 / 0.9994, tail mass capped at 6
-          .withColumn("m",
-            when(col("bp") < 3679, 0L).when(col("bp") < 7358, 1L)
-              .when(col("bp") < 9197, 2L).when(col("bp") < 9810, 3L)
-              .when(col("bp") < 9963, 4L).when(col("bp") < 9994, 5L)
-              .otherwise(6L))
-          .groupBy(col("g"), col("b"))
-          .agg(sum(col("m")).as("n_b"), sum(col("m") * col("cents")).as("sc_b"))
-          .filter(col("n_b") > 0)
-          .select(col("g"), col("b"),
-            expr("sc_b * 1000000 div n_b").as("mm"))
+          .groupBy(col("g"))
+          .agg(graft.functions.PoissonBootstrapAgg(
+            col("event_id"), col("cents"), B).as("r"))
+          .select(col("g"), explode(col("r")).as("e"))
+          .filter(col("e.n_b") > 0)
+          .select(col("g"), col("e.b").as("b"),
+            expr("e.sc_b * 1000000 div e.n_b").as("mm"))
         val wr = Window.partitionBy(col("g")).orderBy(col("mm"), col("b"))
         val ci = reps
           .withColumn("rn", row_number().over(wr))
