@@ -332,9 +332,15 @@ object RelationalQueries {
   val qLateSoleSupplier: Q = Q(
     "q_late_sole_supplier",
     (spark, dir) => {
+      // one exchange on the ORDER key serves BOTH per-order aggregates:
+      // hash(l_orderkey) satisfies the clustering requirement of the
+      // (l_orderkey, l_suppkey) aggregate AND the per-order rollup, so
+      // neither re-shuffles (the unhinted plan exchanged twice — once
+      // on the pair key, once on the order key)
       val perOrderSupp = Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max((datediff(col("l_shipdate"), col("o_orderdate")) > 365)
           .cast("int")).as("late"))
@@ -671,8 +677,11 @@ object RelationalQueries {
   val qSupplierBreadth: Q = Q(
     "q_supplier_breadth",
     (spark, dir) => {
+      // no pre-distinct: countDistinct(l_suppkey) dedups inside its own
+      // aggregate (map-side partial dedup on (group, suppkey)), so an
+      // explicit distinct would add a full extra exchange for nothing
       val pairs = Tables.lineitem(spark, dir)
-        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .select(col("l_partkey"), col("l_suppkey"))
       pairs.join(broadcast(Tables.part(spark, dir)
           .filter(col("p_brand") =!= "Brand#1")
           .select(col("p_partkey"), col("p_brand"),
