@@ -798,6 +798,76 @@ object DedupQueries {
       GROUP BY cluster_size ORDER BY cluster_size
     """.trim))
 
+  /** Duplicate-discounted training weights: each doc in a near-dup
+    * family of size s trains with weight 1/s (exact ppm by integer
+    * division), unpaired docs with weight 1 — the standard
+    * "count each piece of content once" reweighting that replaces a
+    * hard keep-one filter when near-dups still carry stylistic
+    * variation worth seeing. Reported per source: the effective
+    * corpus size (Σ weights) next to the raw size, and how many docs
+    * were discounted. Pure artifact consumer — two joins against the
+    * materialized cluster-label table, the corpus text untouched. At
+    * 100 TB this IS the job that emits a per-example weight column
+    * for the trainer, and it costs a label-table join, not a dedup
+    * rerun. */
+  val qDedupWeights: Q = Q(
+    "q_dedup_weights",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val labels = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csz"))
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+        .join(labels.join(sizes, "cluster"), Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(expr("1000000 div csz"), lit(1000000L)).as("w_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w_ppm")).as("eff_docs_ppm"),
+          sum(when(col("w_ppm") < 1000000L, 1L).otherwise(0L))
+            .as("n_discounted"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      ${shinglesCte.stripPrefix("WITH ")},
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      kept AS (
+        SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
+        FROM sh JOIN df ON sh.shingle = df.shingle
+        WHERE df.df <= $JaccardCap
+        GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM kept a, kept b
+        WHERE a.doc_id < b.doc_id
+          AND round(CAST(len(list_intersect(a.sl, b.sl)) AS DOUBLE) /
+              (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6) >= 0.5),
+      edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION SELECT db, da FROM pairs),
+      walk(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
+      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node),
+      sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz
+             FROM cl GROUP BY cluster),
+      w AS (
+        SELECT d.source,
+               CASE WHEN cl.cluster IS NULL THEN 1000000
+                    ELSE 1000000 // sz.csz END AS w_ppm
+        FROM documents d
+        LEFT JOIN cl ON d.doc_id = cl.doc_id
+        LEFT JOIN sz ON cl.cluster = sz.cluster)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(w_ppm) AS BIGINT) AS eff_docs_ppm,
+             CAST(sum(CASE WHEN w_ppm < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discounted
+      FROM w GROUP BY source ORDER BY source
+    """.trim))
+
   /** Cross-source duplication analysis over the cluster-label
     * artifact: does each near-dup family live inside one source or
     * span several? Cross-source families are the syndication/license
@@ -1396,7 +1466,8 @@ object DedupQueries {
     qDedupExact, qDedupNgramJaccard, qDedupJaccardCapped, qDedupMinhash,
     qDedupSimhash, qDedupContainment, qDedupSubsume, qDedupClusters,
     qDedupKeep, qEvalShinglesBuild, qContamination, qDedupIncremental, qBloomScreen,
-    qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupCrossSource,
+    qLshCalibration, qLshBandSweep, qDedupClusterSizes, qDedupWeights,
+    qDedupCrossSource,
     qDedupEditdist, qDedupDamerau, qLinkageJw, qLinkageEntities,
     qDedupQualityProfile, qSplitLeakage, qEvalAuc)
 }

@@ -1155,92 +1155,15 @@ object TextQueries {
     * anywhere in the plan. Deliberately NOT the df-capped
     * [[graft.operators.TermIndexArtifact]]: a retrieval stop-cut
     * drops the shared vocabulary that carries the topical signal. */
-  val qTextTopics: Q = {
-    Q(
-      "q_text_topics",
-      (spark, dir) => {
-        // full-vocabulary tf vectors, NOT the df-capped retrieval
-        // index: a stop-cut keeps only rare terms — right for lexical
-        // search, degenerate for clustering, where the SHARED
-        // vocabulary distribution is the signal (measured: the capped
-        // index collapses this corpus to one topic; full tf yields
-        // five populated clusters)
-        val docs = Tables.documents(spark, dir)
-        val kept = docs
-          .select(col("doc_id"),
-            explode(split(col("text"), "\\s+")).as("term"))
-          .filter(length(col("term")) > 0)
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val norms = kept.groupBy(col("doc_id"))
-          .agg(sum(col("w") * col("w")).as("nrm"))
-        val seeds = norms
-          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .groupBy(col("lang"))
-          .agg(max(struct(col("nrm"), (-col("doc_id")).as("negid"))).as("b"))
-          .select((-col("b.negid")).as("seed_doc"), col("b.nrm").as("snrm"))
-        val seedKept = broadcast(kept
-          .join(broadcast(seeds), col("doc_id") === col("seed_doc"))
-          .select(col("seed_doc"), col("term"), col("w").as("ws"),
-            col("snrm")))
-        val fallback = broadcast(seeds.agg(min(col("seed_doc")).as("fbt")))
-        // pass 1: nearest seed by cosine (doc norm drops out of argmax)
-        val a1 = norms.select(col("doc_id"))
-          .join(kept.join(seedKept, "term")
-            .groupBy(col("doc_id"), col("seed_doc"), col("snrm"))
-            .agg(sum(col("w") * col("ws")).as("dot"))
-            .select(col("doc_id"), col("seed_doc"),
-              (col("dot").cast("double") / sqrt(col("snrm").cast("double")))
-                .as("score"))
-            .groupBy(col("doc_id"))
-            .agg(min(struct((-col("score")).as("neg"), col("seed_doc")))
-              .getField("seed_doc").as("hit")),
-            Seq("doc_id"), "left")
-          .crossJoin(fallback)
-          .select(col("doc_id"), coalesce(col("hit"), col("fbt")).as("topic"))
-        // refined centroids, bounded to 256 components per topic
-        val centTop = kept.join(a1, "doc_id")
-          .groupBy(col("topic"), col("term"))
-          .agg(sum(col("w")).as("c"))
-          .groupBy(col("topic"))
-          .agg(graft.functions.TopKLongAgg(col("c"), col("term"), 256)
-            .as("top"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cent = broadcast(centTop
-          .select(col("topic"), explode(col("top")).as("e"))
-          .select(col("topic"), col("e.item").as("term"),
-            col("e.score").as("c")))
-        val s2 = broadcast(cent.groupBy(col("topic"))
-          .agg(sum(col("c").cast("decimal(19,0)") * col("c")).as("s2")))
-        // pass 2: final assignment against the refined centroids
-        val a2 = norms.select(col("doc_id"))
-          .join(kept.join(cent, "term")
-            .groupBy(col("doc_id"), col("topic"))
-            .agg(sum(col("w").cast("decimal(19,0)") * col("c")).as("dot"))
-            .join(s2, "topic")
-            .select(col("doc_id"), col("topic"),
-              (col("dot").cast("double") / sqrt(col("s2").cast("double")))
-                .as("score"))
-            .groupBy(col("doc_id"))
-            .agg(min(struct((-col("score")).as("neg"), col("topic")))
-              .getField("topic").as("hit")),
-            Seq("doc_id"), "left")
-          .crossJoin(fallback)
-          .select(col("doc_id"), coalesce(col("hit"), col("fbt")).as("topic"))
-        val counts = a2.groupBy(col("topic")).agg(count(lit(1)).as("n_docs"))
-        centTop
-          .select(col("topic"),
-            array_join(expr("transform(slice(top, 1, 5), x -> x.item)"), " ")
-              .as("top_terms"))
-          .join(counts, Seq("topic"), "left")
-          .select(col("topic"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-            col("top_terms"))
-          .orderBy(col("topic"))
-      },
-      Some(s"""
-      WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+  /** DuckDB replay of the whole [[graft.operators.TopicArtifact]]
+    * pipeline (tokenize → tf → stratum seeds → assign → bounded
+    * centroids → re-assign), shared by the topic-family oracles the
+    * way the dedup oracles share their recursive-CC chain. Ends at
+    * `a2(doc_id, topic)` with `ranked(topic, term, c, rn)` (the
+    * centroid order), `cent` (the 256-bounded centroid) and `kept`
+    * (the per-doc tf table) available upstream. */
+  private val topicsCte: String = """toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
         FROM documents),
       kept AS (
         SELECT doc_id, term, count(*) AS w FROM toks
@@ -1297,7 +1220,39 @@ object TextQueries {
                coalesce(p.topic, (SELECT fbt FROM fb)) AS topic
         FROM norms n
         LEFT JOIN (SELECT doc_id, topic FROM a2p WHERE rn = 1) p
-          USING (doc_id)),
+          USING (doc_id))"""
+
+  val qTextTopics: Q = {
+    Q(
+      "q_text_topics",
+      (spark, dir) => {
+        // Registered build step of the topic-model artifact
+        // (operators/TopicArtifact.scala): the one-Lloyd-round
+        // spherical k-means — full-vocabulary tf vectors from the
+        // materialized tokenized corpus (NOT the df-capped retrieval
+        // index: a stop-cut keeps only rare terms — right for lexical
+        // search, degenerate for clustering, where the SHARED
+        // vocabulary distribution is the signal; measured: the capped
+        // index collapses this corpus to one topic, full tf yields
+        // five populated clusters) — runs ONCE, writes the (doc,
+        // topic) label table + bounded centroids, and q_topic_terms /
+        // q_topic_purity consume the written labels.
+        graft.operators.TopicArtifact.materialize(spark, dir)
+        val counts = graft.operators.TopicArtifact.assign(spark, dir)
+          .groupBy(col("topic")).agg(count(lit(1)).as("n_docs"))
+        graft.operators.TopicArtifact.centroids(spark, dir)
+          .filter(col("pos") < 5)
+          .groupBy(col("topic"))
+          .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(pos, term))), x -> x.term)"),
+            " ").as("top_terms"))
+          .join(counts, Seq("topic"), "left")
+          .select(col("topic"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            col("top_terms"))
+          .orderBy(col("topic"))
+      },
+      Some(s"""
+      WITH $topicsCte,
       counts AS (SELECT topic, count(*) AS n_docs FROM a2 GROUP BY topic),
       t5 AS (
         SELECT topic, string_agg(term, ' ' ORDER BY rn) AS top_terms
@@ -1308,6 +1263,145 @@ object TextQueries {
     """.trim))
   }
 
+  /** Distinctive terms per topic by Dunning log-likelihood ratio —
+    * "what is this topic ABOUT, relative to the rest of the corpus"
+    * (the same significance machinery as `q_text_collocations`, with
+    * the contingency now term-in-topic vs term-elsewhere). Pure
+    * artifact consumer: the (doc, topic) labels come from the
+    * materialized topic model ([[graft.operators.TopicArtifact]]) and
+    * the per-doc term counts from the materialized tokenized corpus —
+    * the corpus text is never touched. Candidates are floored at
+    * c12 ≥ 5 (the standard count prefilter; bounds the scored set to
+    * the frequent tail), LLR is per-row double math over exact integer
+    * contingency cells floored to micro-units, and the top-5 per topic
+    * come from the native bounded-top-k aggregate (map-side k-bounded,
+    * never a per-topic window sort), ties to the lexicographically
+    * smaller term — engine-exact. */
+  val qTopicTerms: Q = Q(
+    "q_topic_terms",
+    (spark, dir) => {
+      val tt = graft.operators.TopicArtifact.tf(spark, dir)
+        .join(graft.operators.TopicArtifact.assign(spark, dir), "doc_id")
+        .groupBy(col("topic"), col("term"))
+        .agg(sum(col("w")).as("c12"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c1t = tt.groupBy(col("term")).agg(sum(col("c12")).as("c1"))
+      val c2t = tt.groupBy(col("topic")).agg(sum(col("c12")).as("c2"))
+      val total = tt.agg(sum(col("c12")).as("n_total"))
+      def xlx(c: org.apache.spark.sql.Column) = {
+        val d = c.cast("double")
+        when(c > 0, d * log(d)).otherwise(lit(0.0d))
+      }
+      val k11 = col("c12")
+      val k12 = col("c1") - col("c12")
+      val k21 = col("c2") - col("c12")
+      val k22 = col("n_total") - col("c1") - col("c2") + col("c12")
+      val llr = (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) + xlx(col("n_total"))
+        - xlx(col("c1")) - xlx(col("n_total") - col("c1"))
+        - xlx(col("c2")) - xlx(col("n_total") - col("c2"))) * lit(2.0d)
+      tt.filter(col("c12") >= 5)
+        .join(c1t, "term").join(c2t, "topic")
+        .crossJoin(broadcast(total))
+        .select(col("topic"), col("term"),
+          floor(llr * lit(1e6)).cast("long").as("llr_micros"))
+        .groupBy(col("topic"))
+        .agg(graft.functions.TopKLongAgg(col("llr_micros"), col("term"), 5)
+          .as("top"))
+        .select(col("topic"), posexplode(col("top")).as(Seq("p", "e")))
+        .select(col("topic"), (col("p") + 1).cast("int").as("rnk"),
+          col("e.item").as("term"), col("e.score").as("llr_micros"))
+        .orderBy(col("topic"), col("rnk"))
+    },
+    Some(s"""
+      WITH $topicsCte,
+      tt AS (
+        SELECT a.topic, k.term, CAST(sum(k.w) AS BIGINT) AS c12
+        FROM kept k JOIN a2 a USING (doc_id) GROUP BY 1, 2),
+      c1t AS (SELECT term, CAST(sum(c12) AS BIGINT) AS c1 FROM tt GROUP BY term),
+      c2t AS (SELECT topic, CAST(sum(c12) AS BIGINT) AS c2 FROM tt GROUP BY topic),
+      tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_total FROM tt),
+      cand AS (
+        SELECT tt.topic, tt.term, tt.c12, c1t.c1, c2t.c2, tot.n_total,
+               tt.c12 AS k11, c1t.c1 - tt.c12 AS k12, c2t.c2 - tt.c12 AS k21,
+               tot.n_total - c1t.c1 - c2t.c2 + tt.c12 AS k22
+        FROM tt JOIN c1t USING (term) JOIN c2t ON tt.topic = c2t.topic, tot
+        WHERE tt.c12 >= 5),
+      scored AS (
+        SELECT topic, term,
+               CAST(floor((
+                 (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN n_total > 0 THEN CAST(n_total AS DOUBLE) * ln(CAST(n_total AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN n_total - c1 > 0 THEN CAST(n_total - c1 AS DOUBLE) * ln(CAST(n_total - c1 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END
+                  - CASE WHEN n_total - c2 > 0 THEN CAST(n_total - c2 AS DOUBLE) * ln(CAST(n_total - c2 AS DOUBLE)) ELSE 0.0 END
+                 ) * 2.0) * 1e6) AS BIGINT) AS llr_micros
+        FROM cand),
+      r AS (
+        SELECT topic, term, llr_micros,
+               row_number() OVER (PARTITION BY topic
+                 ORDER BY llr_micros DESC, term) AS rn
+        FROM scored)
+      SELECT topic, CAST(rn AS INT) AS rnk, term, llr_micros
+      FROM r WHERE rn <= 5 ORDER BY topic, rnk
+    """.trim))
+
+  /** Topic ↔ metadata alignment: per topic, the majority `lang` and
+    * its share (purity, exact ppm by integer division) — the external
+    * validation a label-free clustering gets when SOME trusted
+    * metadata exists, plus the corpus-level weighted purity as the
+    * `-1` summary row. Pure artifact consumer (label table join, one
+    * scan of `documents` for the metadata column); majority ties break
+    * to the lexicographically smaller lang via min-of-struct, never a
+    * window sort. */
+  val qTopicPurity: Q = Q(
+    "q_topic_purity",
+    (spark, dir) => {
+      val cont = graft.operators.TopicArtifact.assign(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .groupBy(col("topic"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val per = cont.groupBy(col("topic"))
+        .agg(sum(col("n")).as("n_docs"),
+          min(struct((-col("n")).as("negn"), col("lang"))).as("m"))
+        .select(col("topic"), col("n_docs"),
+          col("m.lang").as("top_lang"), (-col("m.negn")).as("top_n"))
+      val overall = per.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("top_n")).as("top_n"))
+        .select(lit(-1L).as("topic"), col("n_docs"),
+          lit("_ALL_").as("top_lang"), col("top_n"))
+      per.unionByName(overall)
+        .select(col("topic"), col("n_docs"), col("top_lang"), col("top_n"),
+          expr("top_n * 1000000 div n_docs").as("purity_ppm"))
+        .orderBy(col("topic"))
+    },
+    Some(s"""
+      WITH $topicsCte,
+      cont AS (
+        SELECT a.topic, d.lang, count(*) AS n
+        FROM a2 a JOIN documents d USING (doc_id)
+        GROUP BY 1, 2),
+      per AS (
+        SELECT topic, CAST(sum(n) AS BIGINT) AS n_docs,
+               min(struct_pack(negn := -n, lang := lang)).lang AS top_lang,
+               CAST(-min(struct_pack(negn := -n, lang := lang)).negn AS BIGINT)
+                 AS top_n
+        FROM cont GROUP BY topic),
+      allrows AS (
+        SELECT topic, n_docs, top_lang, top_n FROM per
+        UNION ALL
+        SELECT -1 AS topic, CAST(sum(n_docs) AS BIGINT),
+               '_ALL_', CAST(sum(top_n) AS BIGINT)
+        FROM per)
+      SELECT topic, n_docs, top_lang, top_n,
+             top_n * 1000000 // n_docs AS purity_ppm
+      FROM allrows ORDER BY topic
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
@@ -1315,5 +1409,6 @@ object TextQueries {
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
     qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility,
-    qSourceEntropy, qTextReadability, qTextTopics)
+    qSourceEntropy, qTextReadability, qTextTopics, qTopicTerms,
+    qTopicPurity)
 }
