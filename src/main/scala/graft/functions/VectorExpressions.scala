@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding hot path: a fused
   * float-array dot product with whole-stage codegen (`doGenCode`
@@ -117,6 +117,68 @@ case class FloatL2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic integer power iteration for the dominant eigenvector
+  * of a small symmetric integer matrix (the d×d embedding covariance):
+  * v₀ = all-10⁶; each step is the exact BIGINT matvec
+  * uᵢ = Σⱼ c[i·d+j]·vⱼ followed by renormalization to ±10⁶ through the
+  * one shared double expression `floor(u·10⁶ / max(1, max|u|))` —
+  * bit-identical to the SQL formulation the DuckDB oracle unrolls
+  * (same IEEE ops in the same order), so the converged direction is
+  * engine-exact.
+  *
+  * Evaluates ONCE on the single aggregated covariance row (the
+  * distributed work — [[graft.functions.VectorCoMomentAgg]] — has
+  * already collapsed the corpus by the time this runs), so it is
+  * eval-only (CodegenFallback), deliberately outside whole-stage
+  * codegen: O(T·d²) scalar ops on one row. The expression replaces an
+  * 8-step chain of one-row DataFrame projections whose collapsed
+  * lambda trees the optimizer could not hold (and whose per-step
+  * persist barriers cost 16 scheduler round-trips).
+  *
+  * Input: row-major FULL symmetric d² BIGINT cell array; overflow
+  * bound: |c|≤10¹² (unit-norm micro-quantized corpora) gives
+  * |u|≤8·10¹⁸ < 2⁶³. */
+case class PowerIterationTop(child: Expression, d: Int, iters: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(d >= 1 && iters >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "power_iteration_top"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cells = input.asInstanceOf[ArrayData].toLongArray()
+    val v = Array.fill(d)(1000000L)
+    val u = new Array[Long](d)
+    var t = 0
+    while (t < iters) {
+      var i = 0
+      while (i < d) {
+        val base = i * d
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += cells(base + j) * v(j); j += 1 }
+        u(i) = acc
+        i += 1
+      }
+      var mx = 1L
+      i = 0
+      while (i < d) { val a = math.abs(u(i)); if (a > mx) mx = a; i += 1 }
+      i = 0
+      while (i < d) {
+        v(i) = math.floor(u(i).toDouble * 1000000.0 / mx.toDouble).toLong
+        i += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for [[FloatDotProduct]]. */
   def floatDot(a: Column, b: Column): Column =
@@ -127,4 +189,9 @@ object VectorExpressions {
   def floatL2Sq(a: Column, b: Column): Column =
     ColumnShim.column(
       FloatL2Sq(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column API for [[PowerIterationTop]]. */
+  def powerIterationTop(cells: Column, d: Int, iters: Int): Column =
+    ColumnShim.column(
+      PowerIterationTop(ColumnShim.expression(cells), d, iters))
 }

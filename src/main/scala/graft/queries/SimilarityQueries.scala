@@ -1421,6 +1421,159 @@ object SimilarityQueries {
       FROM agg
     """.trim))
 
+  /** Dominant principal direction of the embedding covariance by
+    * DETERMINISTIC INTEGER POWER ITERATION — the anisotropy /
+    * rogue-dimension diagnostic that complements `q_embed_effrank`:
+    * effrank says HOW MANY directions carry variance, this says which
+    * single direction dominates and which coordinates load it (the
+    * classic "one outlier dimension eats the cosine" pathology).
+    *
+    * The distributed part is ONE fused [[graft.functions.VectorCoMomentAgg]]
+    * pass (identical to effrank's — count, first moments, upper-triangle
+    * co-moments in a flat Long buffer; shuffle volume d² per map task,
+    * never N). Everything after runs IN-ROW on the single aggregated
+    * row: the full d×d covariance (per-vector scale, `div n div n`, so
+    * cell magnitude is independent of corpus size) is laid out as a
+    * d²-long array, and 8 power-iteration steps chain as one-row
+    * projections — each step an exact integer matvec (BIGINT-safe by
+    * construction: |c|·|v| ≤ ~2⁶³/64) followed by max-|component|
+    * renormalization to ±10⁶ through one shared double expression
+    * (identical tree both engines). No joins, no shuffles, no driver
+    * collect; the Rayleigh quotient numerator accumulates in
+    * decimal(38,0)/HUGEINT. Output: the top-5 |loading| coordinates of
+    * the converged direction plus PC1's explained-variance share of
+    * the trace in exact ppm. The oracle unrolls the identical 8 steps
+    * as generated CTEs (`AS MATERIALIZED` — DuckDB's default CTE
+    * inlining re-derives `cells` through every step and the replay
+    * goes exponential), so the whole iteration is cross-checked
+    * bit-for-bit. */
+  val qEmbedPc1: Q = {
+    val d = 64
+    val iters = 8
+    val iterCtes = (1 to iters).map { t =>
+      s"""u$t AS MATERIALIZED (
+        SELECT c.i, CAST(sum(c.c * p.v) AS BIGINT) AS u
+        FROM cells c JOIN v${t - 1} p ON c.j = p.i GROUP BY c.i),
+      mx$t AS MATERIALIZED (
+        SELECT greatest(max(abs(u)), CAST(1 AS BIGINT)) AS mx FROM u$t),
+      v$t AS MATERIALIZED (
+        SELECT i, CAST(floor(CAST(u AS DOUBLE) * 1000000.0
+          / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+        FROM u$t, mx$t)"""
+    }.mkString(",\n      ")
+    Q(
+      "q_embed_pc1",
+      (spark, dir) => {
+        val cm = Tables.embeddings(spark, dir)
+          .select(expr("transform(embedding, v -> " +
+            "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
+            .as("qv"))
+          .agg(graft.functions.VectorCoMomentAgg(col("qv"), d).as("cm"))
+        // full symmetric covariance as a d²-long array in PER-VECTOR
+        // scale (div n div n): cell magnitude is bounded by the
+        // micro-quantized component range alone (≤10¹² for unit-norm
+        // corpora), independent of corpus size — which is what makes
+        // the matvec below BIGINT-safe at any N.
+        val a = s"least(k div $d, k % $d)"
+        val b = s"greatest(k div $d, k % $d)"
+        val cellsExpr =
+          s"""transform(sequence(0, ${d * d - 1}), k ->
+             |  cast((cast(cm.n as decimal(38,0))
+             |        * cm.pairs[$a * $d - ($a * ($a - 1)) div 2 + $b - $a].s_ij
+             |      - cast(cm.s[k div $d] as decimal(38,0)) * cm.s[k % $d])
+             |      div cm.n div cm.n as bigint))""".stripMargin
+        // The 8 iterations run inside ONE native expression
+        // ([[graft.functions.PowerIterationTop]]) on the single
+        // aggregated covariance row — an equivalent chain of one-row
+        // DataFrame projections either explodes under CollapseProject
+        // (the plan tree doubles per step) or pays a persist barrier
+        // per step (16 scheduler round-trips); the expression is
+        // O(T·d²) scalar work evaluated once.
+        // ONE eager 1-row persist between binding (c, v) and the
+        // consuming aggregates: without it CollapseProject inlines the
+        // 4096-cell decimal transform into every element access of the
+        // final aggregate lambdas — each of the 4096 accumulator steps
+        // then re-evaluates the whole cell array (~17M interpreted
+        // decimal ops, measured ~1.3 s). Against the materialized row
+        // the final pass is 3 array scans. The harness cache contract
+        // (Registry.Q scaladoc) reclaims the cached row.
+        val it = cm.select(col("cm.n").as("n"), expr(cellsExpr).as("c"))
+          .select(col("n"), col("c"),
+            graft.functions.VectorExpressions
+              .powerIterationTop(col("c"), d, iters).as("v"))
+        it.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        it.count()
+        val fin = it.select(col("n"), col("v"),
+          expr(s"""aggregate(sequence(0, ${d * d - 1}),
+               |  cast(0 as decimal(38,0)),
+               |  (acc, k) -> acc + cast(v[k div $d] as decimal(38,0))
+               |    * c[k] * v[k % $d])""".stripMargin).as("num"),
+          expr("aggregate(v, cast(0 as bigint)," +
+            " (acc, x) -> acc + x * x)").as("den"),
+          expr(s"aggregate(sequence(0, ${d - 1}), cast(0 as bigint)," +
+            s" (acc, i) -> acc + c[i * $d + i])").as("tr"))
+        fin
+          .select(col("n").as("n_vectors"),
+            expr("cast((num div den) * 1000000 div tr as bigint)")
+              .as("pc1_share_ppm"),
+            expr(s"""slice(array_sort(transform(sequence(0, ${d - 1}),
+                 |  i -> struct(-abs(v[i]) AS negabs, i AS dim,
+                 |              v[i] AS loading))), 1, 5)""".stripMargin)
+              .as("top"))
+          .select(col("n_vectors"), col("pc1_share_ppm"),
+            posexplode(col("top")).as(Seq("p", "e")))
+          .select((col("p") + 1).cast("int").as("rnk"),
+            col("e.dim").cast("int").as("dim"),
+            col("e.loading").as("loading_micro"),
+            col("pc1_share_ppm"), col("n_vectors"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+      WITH q AS MATERIALIZED (
+        SELECT [CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                FOR v IN embedding] AS qv
+        FROM embeddings),
+      nn AS (SELECT count(*) AS n FROM q),
+      idx AS (SELECT unnest(generate_series(0, ${d - 1})) AS i),
+      m1 AS MATERIALIZED (
+        SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s_i
+        FROM q, idx GROUP BY i),
+      pidx AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b),
+      m2 AS MATERIALIZED (
+        SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS s_ij
+        FROM q, pidx GROUP BY i, j),
+      cells AS MATERIALIZED (
+        SELECT m2.i, m2.j,
+               CAST((nn.n * CAST(s_ij AS HUGEINT)
+                 - CAST(si.s_i AS HUGEINT) * sj.s_i) // nn.n // nn.n
+                 AS BIGINT) AS c
+        FROM m2
+        JOIN m1 si ON si.i = m2.i
+        JOIN m1 sj ON sj.i = m2.j, nn),
+      v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM idx),
+      $iterCtes,
+      num AS MATERIALIZED (
+        SELECT CAST(sum(CAST(va.v AS HUGEINT) * c.c * vb.v) AS HUGEINT)
+          AS num
+        FROM cells c
+        JOIN v$iters va ON va.i = c.i
+        JOIN v$iters vb ON vb.i = c.j),
+      den AS (SELECT CAST(sum(v * v) AS BIGINT) AS den FROM v$iters),
+      tr AS (SELECT CAST(sum(c) AS BIGINT) AS tr FROM cells WHERE i = j),
+      ranked AS MATERIALIZED (
+        SELECT i AS dim, v AS loading_micro,
+               row_number() OVER (ORDER BY abs(v) DESC, i) AS rn
+        FROM v$iters)
+      SELECT CAST(rn AS INT) AS rnk, CAST(dim AS INT) AS dim,
+             loading_micro,
+             CAST((num.num // den.den) * 1000000 // tr.tr AS BIGINT)
+               AS pc1_share_ppm,
+             (SELECT n FROM nn) AS n_vectors
+      FROM ranked, num, den, tr
+      WHERE rn <= 5 ORDER BY rnk
+    """.trim))
+  }
+
   /** Fisher discriminant ratio per embedding dimension — which
     * coordinates actually separate the labels: F = between-class
     * variance / within-class variance, the classical filter
@@ -1506,5 +1659,5 @@ object SimilarityQueries {
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
-    qEmbedFisher)
+    qEmbedPc1, qEmbedFisher)
 }
