@@ -95,4 +95,38 @@ class ArtifactsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(art == fresh)
   }
+
+  test("topic artifact: lazy build, total assignment, seed-labeled topics") {
+    val p = new java.io.File(TopicArtifact.path(dir))
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete()
+    }
+    del(p)
+    assert(!p.exists())
+    val assign = TopicArtifact.assign(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p.exists(), "first read must materialize the artifact")
+    // every doc with at least one token carries exactly one label
+    val tokenBearing = TopicArtifact.tf(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(assign.keySet == tokenBearing)
+    // topic ids are doc ids of members (label-by-representative: the
+    // seed doc of a stratum labels its cluster)
+    val topics = assign.values.toSet
+    assert(topics.subsetOf(tokenBearing))
+  }
+
+  test("topic centroids: pos-ranked by (count desc, term), bounded to 256") {
+    val cent = TopicArtifact.centroids(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    cent.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 256)
+      val byPos = rows.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq == byPos.indices.toSeq, "dense pos")
+      // (c desc, term asc) ordering encoded by pos
+      val key = byPos.map(r => (-r._4, r._3)).toSeq
+      assert(key == key.sorted, "centroid order must be (c desc, term)")
+    }
+  }
 }
