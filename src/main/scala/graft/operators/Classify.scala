@@ -203,8 +203,12 @@ object Classify {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("actual"), col("predicted"))
 
-  private def nbHeldOutFrom(labeled: DataFrame, toks: DataFrame,
-                            maxVocab: Int): DataFrame = {
+  /** Per-(held-out doc, class) NB scores `(doc_id, actual, label,
+    * score)` — every class scored against every eval doc (the frame
+    * the argmax, margin, and conformal machinery all read). Scores
+    * are exact BIGINT nano log-likelihoods. */
+  def nbHeldOutScoresFrom(labeled: DataFrame, toks: DataFrame,
+                          maxVocab: Int = 256): DataFrame = {
     // teacher-label priors straight off the per-doc table — never a
     // distinct over the exploded token stream
     val m = buildModel(
@@ -212,7 +216,7 @@ object Classify {
       toks.filter(col("is_train")), maxVocab)
 
     // score held-out docs: BIGINT sum of per-token nanos + class prior
-    val scored = toks.filter(!col("is_train"))
+    toks.filter(!col("is_train"))
       .crossJoin(broadcast(m.classTable
         .select(col("label"), col("prior_nanos"), col("unk_nanos"))))
       .join(m.model, Seq("label", "token"), "left")
@@ -221,11 +225,15 @@ object Classify {
         * coalesce(col("term_nanos"), col("unk_nanos"))).as("ll"))
       .select(col("doc_id"), col("actual"), col("label"),
         (col("prior_nanos") + col("ll")).as("score"))
-    scored.groupBy(col("doc_id"), col("actual"))
+  }
+
+  private def nbHeldOutFrom(labeled: DataFrame, toks: DataFrame,
+                            maxVocab: Int): DataFrame =
+    nbHeldOutScoresFrom(labeled, toks, maxVocab)
+      .groupBy(col("doc_id"), col("actual"))
       .agg(min(struct((-col("score")).as("neg"), col("label"))).as("best"))
       .select(col("doc_id"), col("actual"),
         col("best.label").as("predicted"))
-  }
 
   /** Rocchio nearest-centroid classifier over tf-idf — the
     * vector-space sibling of the NB student (same teacher, same
@@ -263,7 +271,7 @@ object Classify {
     rocchioHeldOutFrom(labeled, toks, maxVocab)
   }
 
-  private def rocchioHeldOutFrom(labeled: DataFrame, toks: DataFrame,
+  private[operators] def rocchioHeldOutFrom(labeled: DataFrame, toks: DataFrame,
                                  maxVocab: Int): DataFrame = {
     val train = toks.filter(col("is_train"))
     // labeled is one row per doc; train toks are unique per

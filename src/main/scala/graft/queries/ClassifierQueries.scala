@@ -47,16 +47,26 @@ object ClassifierQueries {
     * out-of-vocab fallback mass, and the per-doc argmax.
     *
     * This is the registered BUILD STEP of the teacher artifact
-    * ([[graft.operators.TeacherArtifact]]): it forces the teacher
-    * label + tokenization pass and writes it as parquet — pricing the
-    * shared corpus pass here, once — then trains/scores the NB student
-    * off the written tables, exactly as the other two students do. */
+    * ([[graft.operators.TeacherArtifact]]) AND of the NB score table
+    * ([[graft.operators.NbScoresArtifact]]): it forces the teacher
+    * label + tokenization pass, trains/scores the NB student off the
+    * written tables, publishes the per-(held-out doc, class) score
+    * parquet — the output a production scoring job ships — and
+    * reports the confusion matrix as a small aggregate over it. The
+    * agreement audit and the conformal gate consume the scores
+    * without re-running the pass. */
   val qNbDistill: Q = Q(
     "q_nb_distill",
     (spark, dir) => {
       TeacherArtifact.materialize(spark, dir)
-      Classify.nbConfusionFrom(TeacherArtifact.labeled(spark, dir),
-        TeacherArtifact.toks(spark, dir))
+      graft.operators.NbScoresArtifact.materialize(spark, dir)
+      graft.operators.NbScoresArtifact.scores(spark, dir)
+        .groupBy(col("doc_id"), col("actual"))
+        .agg(min(struct((-col("score")).as("neg"), col("label")))
+          .getField("label").as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual"), col("predicted"))
     },
     Some(s"""
       WITH $teacherToksCte,
@@ -121,9 +131,16 @@ object ClassifierQueries {
     * nonzero-idf vocab overlap) is engine-exact. */
   val qRocchio: Q = Q(
     "q_rocchio_centroid",
-    (spark, dir) =>
-      Classify.rocchioConfusionFrom(TeacherArtifact.labeled(spark, dir),
-        TeacherArtifact.toks(spark, dir)),
+    (spark, dir) => {
+      // Registered build step of the Rocchio prediction artifact
+      // (operators/StudentArtifacts.scala): pays its scoring pass +
+      // write; the agreement audit consumes the written predictions.
+      graft.operators.RocchioPredsArtifact.materialize(spark, dir)
+      graft.operators.RocchioPredsArtifact.preds(spark, dir)
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual"), col("predicted"))
+    },
     Some(s"""
       WITH $teacherToksCte,
       train AS (SELECT * FROM toks WHERE is_train),
@@ -188,9 +205,17 @@ object ClassifierQueries {
   val qStudentsAgree: Q = Q(
     "q_students_agree",
     (spark, dir) => {
-      Classify
-        .studentPredictionsFrom(TeacherArtifact.labeled(spark, dir),
-          TeacherArtifact.toks(spark, dir))
+      // Pure artifact consumer: NB predictions are the argmax of the
+      // published score table, Rocchio predictions are read as
+      // written — the audit is two small-table scans and a doc-level
+      // join, no corpus pass (see operators/StudentArtifacts.scala).
+      graft.operators.NbScoresArtifact.scores(spark, dir)
+        .groupBy(col("doc_id"), col("actual"))
+        .agg(min(struct((-col("score")).as("neg"), col("label")))
+          .getField("label").as("nb_pred"))
+        .join(graft.operators.RocchioPredsArtifact.preds(spark, dir)
+          .withColumnRenamed("predicted", "rc_pred"),
+          Seq("doc_id", "actual"))
         .groupBy(col("actual"))
         .agg(count(lit(1)).as("n_eval"),
           sum(when(col("nb_pred") === col("rc_pred"), 1L).otherwise(0L))
@@ -316,5 +341,144 @@ object ClassifierQueries {
       GROUP BY n.actual ORDER BY n.actual
     """.trim))
 
-  val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree)
+  /** Split-conformal calibration of the NB student — the piece that
+    * turns a distilled classifier into a SELECTIVE one with a
+    * distribution-free coverage guarantee: on a calibration slice of
+    * the held-out docs, the nonconformity score is the exact-nano
+    * margin `best − score(true class)`; the 90%-coverage threshold is
+    * the ⌈(n+1)·0.9⌉-th smallest such margin (pure integer rank
+    * selection — engine-exact); on the disjoint test slice the query
+    * reports the guaranteed-coverage check (must come out ≥ ~900000
+    * ppm) and the average prediction-set size (the efficiency price
+    * of the guarantee). This is the production auto-label gate: docs
+    * whose prediction set is a singleton auto-label, the rest route
+    * to the teacher.
+    *
+    * Scale shape: scoring is the same broadcast-model pass as the
+    * students; the calibration set is CAPPED at 4096 docs by
+    * deterministic md5 order (a distributed TakeOrderedAndProject,
+    * never a full collect — conformal guarantees need ~10³ points
+    * regardless of corpus size, so the cap is the statistically
+    * correct posture at 100 TB, not a shortcut); the quantile is an
+    * element_at on the one bounded sorted array. Cal/test split is
+    * the hash-stable [8000,9000)/[9000,10000) basis-point slice of
+    * the held-out 20%. */
+  val qConformal: Q = Q(
+    "q_conformal_threshold",
+    (spark, dir) => {
+      // pure artifact consumer: one scan of the published NB score
+      // table; the per-doc class-score list is BOUNDED by the class
+      // count, so prediction-set sizes compute IN-ROW (no second scan,
+      // no doc-level re-join)
+      val perDoc = graft.operators.NbScoresArtifact.scores(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(max(col("score")).as("best"),
+          max(when(col("label") === col("actual"), col("score")))
+            .as("s_true"),
+          collect_list(col("score")).as("scores"))
+        .select(col("doc_id"),
+          graft.operators.Sampling.hashBasisPoints(col("doc_id")).as("bp"),
+          col("best"), (col("best") - col("s_true")).as("nonconf"),
+          col("scores"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val thr = perDoc.filter(col("bp") < 9000)
+        .orderBy(md5(col("doc_id").cast("string"))).limit(4096)
+        .select(col("nonconf"))
+        .agg(count(lit(1)).as("n_cal"),
+          sort_array(collect_list(col("nonconf"))).as("srt"))
+        .select(col("n_cal"),
+          element_at(col("srt"),
+            least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal"))
+              .cast("int")).as("thr_nanos"))
+      perDoc.filter(col("bp") >= 9000)
+        .crossJoin(broadcast(thr))
+        .select(col("nonconf"), col("n_cal"), col("thr_nanos"),
+          expr("cast(size(filter(scores, s -> best - s <= thr_nanos))" +
+            " as bigint)").as("set_size"))
+        .groupBy(col("n_cal"), col("thr_nanos"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nonconf") <= col("thr_nanos"), 1L).otherwise(0L))
+            .as("n_covered"),
+          sum(col("set_size")).as("sum_set"))
+        .select(col("n_cal"), col("thr_nanos"), col("n_test"),
+          expr("n_covered * 1000000 div n_test").as("coverage_ppm"),
+          expr("sum_set * 1000 div n_test").as("avg_set_milli"))
+    },
+    Some(s"""
+      WITH $teacherToksCte,
+      train AS (SELECT * FROM toks WHERE is_train),
+      perdoc AS (SELECT DISTINCT doc_id, actual FROM train),
+      classes AS (
+        SELECT actual AS label,
+               CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+                 (SELECT CAST(count(*) AS DOUBLE) FROM perdoc)) * 1e9)
+                 AS BIGINT) AS prior_nanos
+        FROM perdoc GROUP BY actual),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, CAST(sum(tcnt) AS BIGINT) AS gc
+          FROM train GROUP BY token)
+        ORDER BY gc DESC, token LIMIT 256),
+      vs AS (SELECT count(*) AS v FROM vocab),
+      counts AS (
+        SELECT actual AS label, t.token, CAST(sum(tcnt) AS BIGINT) AS cnt
+        FROM train t JOIN vocab USING (token) GROUP BY 1, 2),
+      ncs AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS nc
+              FROM counts GROUP BY label),
+      ct AS (
+        SELECT c.label, c.prior_nanos, n.nc, vs.v,
+               CAST(floor(ln(1.0 / CAST(n.nc + vs.v AS DOUBLE)) * 1e9)
+                 AS BIGINT) AS unk_nanos
+        FROM classes c JOIN ncs n USING (label), vs),
+      model AS (
+        SELECT ct.label, vo.token,
+               CAST(floor(ln(CAST(coalesce(cn.cnt, 0) + 1 AS DOUBLE) /
+                 CAST(ct.nc + ct.v AS DOUBLE)) * 1e9) AS BIGINT) AS term_nanos
+        FROM ct CROSS JOIN vocab vo
+        LEFT JOIN counts cn ON cn.label = ct.label AND cn.token = vo.token),
+      scored AS (
+        SELECT e.doc_id, e.actual, ct.label,
+               ct.prior_nanos
+                 + CAST(sum(e.tcnt * coalesce(m.term_nanos, ct.unk_nanos))
+                     AS BIGINT) AS score
+        FROM toks e CROSS JOIN ct
+        LEFT JOIN model m ON m.label = ct.label AND m.token = e.token
+        WHERE NOT e.is_train
+        GROUP BY e.doc_id, e.actual, ct.label, ct.prior_nanos),
+      pd AS (
+        SELECT doc_id, max(score) AS best,
+               max(CASE WHEN label = actual THEN score END) AS s_true,
+               list(score) AS scores
+        FROM scored GROUP BY doc_id),
+      pdb AS (
+        SELECT doc_id, best, best - s_true AS nonconf, scores,
+               ${AnalyticsQueries.bpSql("doc_id")} AS bp
+        FROM pd),
+      calr AS (
+        SELECT nonconf FROM pdb WHERE bp < 9000
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 4096),
+      ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+      thr AS (
+        SELECT nonconf AS thr_nanos FROM (
+          SELECT nonconf, row_number() OVER (ORDER BY nonconf) AS rn
+          FROM calr), ncal
+        WHERE rn = least(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+      sets AS (
+        SELECT p.doc_id, p.nonconf,
+               CAST(len(list_filter(p.scores,
+                 s -> p.best - s <= t.thr_nanos)) AS BIGINT) AS set_size
+        FROM pdb p, thr t
+        WHERE p.bp >= 9000)
+      SELECT (SELECT n_cal FROM ncal) AS n_cal,
+             (SELECT thr_nanos FROM thr) AS thr_nanos,
+             count(*) AS n_test,
+             CAST(sum(CASE WHEN nonconf <= (SELECT thr_nanos FROM thr)
+               THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS coverage_ppm,
+             CAST(sum(set_size) * 1000 // count(*) AS BIGINT)
+               AS avg_set_milli
+      FROM sets
+    """.trim))
+
+  val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree, qConformal)
 }
