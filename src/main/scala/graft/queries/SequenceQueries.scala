@@ -889,6 +889,81 @@ object SequenceQueries {
       FROM cand ORDER BY sse_two, idx LIMIT 1
     """.trim))
 
+  /** Mann–Kendall trend TEST over monthly revenue — the significance
+    * companion to the `q_theil_sen` slope estimate: S = concordant −
+    * discordant pairs, Kendall tau-a in exact ppm, the tie-corrected
+    * variance (18·Var kept as an exact integer: n(n−1)(2n+5) −
+    * Σtᵤ(tᵤ−1)(2tᵤ+5) over tied revenue values), and the
+    * continuity-corrected z = (S − sign S)/√Var as the one double at
+    * the end of an all-integer pipeline (identical expression tree
+    * both engines, floored to milli). |z| > 1.96 is "the trend is
+    * real"; Theil–Sen then says how steep.
+    *
+    * Scale shape: the ONLY corpus pass is the monthly aggregate (the
+    * `q_seasonal_decompose` idx/y derivation); the all-pairs
+    * comparison is CALENDAR-BOUNDED — months² stays ~10⁴ no matter
+    * how many orders feed each month — and runs as a broadcast
+    * nested-loop on the tiny month table. */
+  val qMannKendall: Q = Q(
+    "q_mann_kendall",
+    (spark, dir) => {
+      val monthly = Tables.orders(spark, dir)
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("idx"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))"
+          + " div 100000").as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nM = monthly.agg(count(lit(1)).as("n_months"))
+      val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .as("tie18"))
+      val s = monthly.select(col("idx").as("ia"), col("y").as("ya"))
+        .join(broadcast(monthly.select(col("idx").as("ib"), col("y").as("yb"))),
+          col("ia") < col("ib"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("yb") > col("ya"), 1L)
+            .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+      s.crossJoin(broadcast(nM)).crossJoin(broadcast(ties))
+        .select(col("n_months"), col("n_pairs"), col("s_stat"),
+          expr("s_stat * 1000000 div n_pairs").as("tau_ppm"),
+          expr("n_months * (n_months - 1) * (2 * n_months + 5) - tie18")
+            .as("var18"),
+          expr("cast(floor(cast(s_stat - sign(s_stat) as double)" +
+            " / sqrt(cast(var18 as double) / 18.0) * 1000) as bigint)")
+            .as("z_milli"))
+        .select(col("n_months"), col("n_pairs"), col("s_stat"),
+          col("tau_ppm"), col("var18"), col("z_milli"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) * 12
+                 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS idx,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) // 100000 AS y
+        FROM orders GROUP BY 1),
+      nm AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM monthly),
+      ties AS (
+        SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+          AS tie18
+        FROM (SELECT y, CAST(count(*) AS BIGINT) AS t
+              FROM monthly GROUP BY y)),
+      ag AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                 AS s_stat
+        FROM monthly a JOIN monthly b ON a.idx < b.idx)
+      SELECT nm.n_months, ag.n_pairs, ag.s_stat,
+             ag.s_stat * 1000000 // ag.n_pairs AS tau_ppm,
+             nm.n_months * (nm.n_months - 1) * (2 * nm.n_months + 5)
+               - ties.tie18 AS var18,
+             CAST(floor(CAST(ag.s_stat - sign(ag.s_stat) AS DOUBLE)
+               / sqrt(CAST(nm.n_months * (nm.n_months - 1)
+                   * (2 * nm.n_months + 5) - ties.tie18 AS DOUBLE) / 18.0)
+               * 1000) AS BIGINT) AS z_milli
+      FROM nm, ag, ties
+    """.trim))
+
   /** Classical additive seasonal decomposition of monthly revenue —
     * trend (centered 12-month moving average), month-of-year seasonal
     * indices from the detrended series, and the residual that is left
@@ -1031,6 +1106,6 @@ object SequenceQueries {
 
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
-    qCusumDrift, qTheilSen, qSurvivalKm, qEventCondEntropy, qBrokenStick,
-    qSeasonalDecompose, qAcf)
+    qCusumDrift, qTheilSen, qMannKendall, qSurvivalKm, qEventCondEntropy,
+    qBrokenStick, qSeasonalDecompose, qAcf)
 }
