@@ -883,8 +883,62 @@ object CurationQueries {
     """.trim))
   }
 
+  /** Domain-mixture reweighting to a UNIFORM token target — the
+    * "don't let the biggest crawl dominate the epoch" step: each
+    * source's sampling weight is target_share / current_share in
+    * exact ppm (weight > 10⁶ ⇒ oversample/repeat, < 10⁶ ⇒
+    * downsample), and the effective-token column verifies the
+    * reweighted epoch is balanced (every source lands ≈ total/k).
+    * One corpus pass (the per-source token aggregate); 128-bit
+    * integer arithmetic so the ppm weights are exact at any corpus
+    * size (token totals × 10⁶ overflow BIGINT near 10¹³ tokens —
+    * exactly the regime this targets). */
+  val qMixtureReweight: Q = Q(
+    "q_mixture_reweight",
+    (spark, dir) => {
+      val per = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("t_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("cast(n_tokens as decimal(38,0)) * 1000000 div t_tokens")
+            .as("share_ppm"),
+          expr("cast(t_tokens as decimal(38,0)) * 1000000" +
+            " div (n_sources * n_tokens)").as("weight_ppm"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_ppm"), col("weight_ppm"),
+          expr("cast(n_tokens as decimal(38,0)) * weight_ppm div 1000000")
+            .as("eff_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM per)
+      SELECT source, n_docs, n_tokens,
+             CAST(CAST(n_tokens AS HUGEINT) * 1000000 // t_tokens AS BIGINT)
+               AS share_ppm,
+             CAST(CAST(t_tokens AS HUGEINT) * 1000000
+               // (n_sources * n_tokens) AS BIGINT) AS weight_ppm,
+             CAST(CAST(n_tokens AS HUGEINT)
+               * (CAST(t_tokens AS HUGEINT) * 1000000
+                  // (n_sources * n_tokens)) // 1000000 AS BIGINT)
+               AS eff_tokens
+      FROM per, tot ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
-    qSketchHllOverlap, qSamplePriority)
+    qSketchHllOverlap, qSamplePriority, qMixtureReweight)
 }

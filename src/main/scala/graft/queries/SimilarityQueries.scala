@@ -1421,6 +1421,83 @@ object SimilarityQueries {
       FROM agg
     """.trim))
 
+  /** Hubness audit of the ANN graph — the k-NN pathology gauge: in
+    * high dimensions a few "hub" vectors appear in a huge share of
+    * other points' top-k lists (and "anti-hubs" in none), silently
+    * skewing retrieval, dedup, and hard-negative mining. The query
+    * builds the directed cell-blocked 5-NN graph over the
+    * MATERIALIZED IVF index (same-cell candidates only — the exact
+    * candidate set the production searcher scores, so the hub report
+    * describes the index actually served) and reports the 10 most
+    * in-linked vectors. Pair cost is bounded by cell occupancy
+    * (Σ|cell|², never corpus²); both cuts are native bounded-top-k
+    * aggregates (per-query 5-NN, then global top-10 by in-degree) —
+    * no corpus-wide window sort anywhere; ids tie-break through
+    * zero-padded strings so lexicographic = numeric. */
+  val qEmbedHubness: Q = Q(
+    "q_embed_hubness",
+    (spark, dir) => {
+      import graft.functions.VectorExpressions.floatDot
+      val inv = graft.operators.IvfArtifact.inverted(spark, dir, 8, 2)
+      val a = inv.select(col("cell"), col("vec_id").as("qa"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = inv.select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val top5 = a.join(b, Seq("cell")).filter(col("qa") =!= col("vb"))
+        .select(col("qa"),
+          lpad(col("vb").cast("string"), 8, "0").as("vbs"),
+          floor(round(floatDot(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6) * lit(1000000) + lit(0.5))
+            .cast("long").as("cos_micro"))
+        .groupBy(col("qa"))
+        .agg(graft.functions.TopKLongAgg(col("cos_micro"), col("vbs"), 5)
+          .as("top"))
+        .select(explode(expr("transform(top, x -> x.item)")).as("vbs"))
+      top5.groupBy(col("vbs")).agg(count(lit(1)).as("in_degree"))
+        .agg(graft.functions.TopKLongAgg(col("in_degree"), col("vbs"), 10)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "e")))
+        .select((col("p") + 1).cast("int").as("rnk"),
+          col("e.item").cast("bigint").as("vec_id"),
+          col("e.score").as("in_degree"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      cand AS (
+        SELECT a.vec_id AS qa, b.vec_id AS vb,
+               CAST(floor(${cosOf("ea.embedding", "eb.embedding")} * 1000000
+                 + 0.5) AS BIGINT) AS cos_micro
+        FROM final_asg a
+        JOIN final_asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+      top5 AS (
+        SELECT qa, vb FROM (
+          SELECT qa, vb,
+                 row_number() OVER (PARTITION BY qa
+                   ORDER BY cos_micro DESC,
+                            lpad(CAST(vb AS VARCHAR), 8, '0')) AS rn
+          FROM cand)
+        WHERE rn <= 5),
+      deg AS (
+        SELECT vb AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+        FROM top5 GROUP BY vb)
+      SELECT CAST(rn AS INT) AS rnk, vec_id, in_degree FROM (
+        SELECT vec_id, in_degree,
+               row_number() OVER (ORDER BY in_degree DESC,
+                 lpad(CAST(vec_id AS VARCHAR), 8, '0')) AS rn
+        FROM deg)
+      WHERE rn <= 10 ORDER BY rnk
+    """.trim))
+
   /** Dominant principal direction of the embedding covariance by
     * DETERMINISTIC INTEGER POWER ITERATION — the anisotropy /
     * rogue-dimension diagnostic that complements `q_embed_effrank`:
@@ -1659,5 +1736,5 @@ object SimilarityQueries {
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
-    qEmbedPc1, qEmbedFisher)
+    qEmbedPc1, qEmbedHubness, qEmbedFisher)
 }
