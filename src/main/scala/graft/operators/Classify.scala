@@ -127,6 +127,38 @@ object Classify {
       .agg(min(struct((-col("score")).as("neg"), col("label"))).as("best"))
       .select(col("doc_id"), col("best.label").as("predicted"))
 
+  /** Conformal ROUTING under a frozen model + frozen threshold — the
+    * serving form of the `q_conformal_threshold` gate: per doc the
+    * prediction set is {c : best − score_c ≤ thrNanos}; a singleton
+    * set auto-labels with the argmax, anything wider routes to
+    * review (the expensive teacher). Stateless given (model, thr), so
+    * it serves identically per micro-batch in `foreachBatch` — the
+    * set/route math runs IN-ROW over the bounded per-doc class-score
+    * list, the corpus never shuffles beyond the per-doc score
+    * aggregate. Returns (doc_id, predicted, set_size, route). */
+  def nbConformalRoute(docs: DataFrame, m: NbModel,
+                       thrNanos: Long): DataFrame =
+    tokenCounts(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .crossJoin(broadcast(m.classTable
+        .select(col("label"), col("prior_nanos"), col("unk_nanos"))))
+      .join(m.model, Seq("label", "token"), "left")
+      .groupBy(col("doc_id"), col("label"), col("prior_nanos"))
+      .agg(sum(col("tcnt")
+        * coalesce(col("term_nanos"), col("unk_nanos"))).as("ll"))
+      .select(col("doc_id"), col("label"),
+        (col("prior_nanos") + col("ll")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("best"),
+        min(struct((-col("score")).as("neg"), col("label")))
+          .getField("label").as("predicted"),
+        collect_list(col("score")).as("scores"))
+      .select(col("doc_id"), col("predicted"),
+        expr(s"cast(size(filter(scores, s -> best - s <= ${thrNanos}L))" +
+          " as bigint)").as("set_size"))
+      .select(col("doc_id"), col("predicted"), col("set_size"),
+        when(col("set_size") === 1L, lit("auto")).otherwise(lit("review"))
+          .as("route"))
+
   /** Confusion matrix of a Naive-Bayes student against the teacher
     * label on held-out docs. `docs` needs (doc_id, text); `label` is
     * the teacher column (computed from the row, or joined in);
