@@ -66,4 +66,40 @@ class Round6Spec extends AnyFunSuite {
       assert(terms.split(" ").length == 5, "top-5 centroid terms reported")
     }
   }
+
+  test("q_embed_hubness: in-degree mass conserves over the 5-NN graph") {
+    import org.apache.spark.sql.functions._
+    // each doc in a cell of size s emits exactly min(5, s-1) edges, so
+    // the total in-degree over ALL docs must equal Σ_docs min(5, s-1) —
+    // validating the cell blocking, the per-query top-5 cut, and the
+    // in-degree aggregation end to end (the reported top-10 is a
+    // subset, so the check reads the pre-cut degree table directly).
+    val inv = graft.operators.IvfArtifact.inverted(spark, dir, 8, 2)
+    val expectedEdges = inv.groupBy(col("cell"))
+      .agg(count(lit(1)).as("s"))
+      .select(sum(expr("s * least(5, s - 1)")).as("e"))
+      .head().getLong(0)
+    val top10 = q("q_embed_hubness").run(spark, dir).collect()
+    assert(top10.length == 10)
+    // recompute the full degree table the query's top-10 derives from
+    val a = inv.select(col("cell"), col("vec_id").as("qa"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = inv.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val deg = a.join(b, Seq("cell")).filter(col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb"),
+        floor(round(graft.functions.VectorExpressions
+          .floatDot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          * lit(1000000) + lit(0.5)).cast("long").as("cm"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qa"))
+          .orderBy(col("cm").desc, lpad(col("vb").cast("string"), 8, "0"))))
+      .filter(col("rn") <= 5)
+      .groupBy(col("vb")).agg(count(lit(1)).as("d"))
+    assert(deg.agg(sum(col("d"))).head().getLong(0) == expectedEdges)
+    // the query's top-10 must match the window-formulation top-10
+    val expTop = deg.orderBy(col("d").desc, col("vb")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top10.map(r => (r.getLong(1), r.getLong(2))).toSeq == expTop)
+  }
 }
