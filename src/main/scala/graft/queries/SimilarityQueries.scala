@@ -1729,6 +1729,187 @@ object SimilarityQueries {
       FROM f ORDER BY fisher_milli DESC, dim LIMIT 10
     """.trim))
 
+  /** Isotropy audit of the embedding space — the two classic
+    * "all-but-the-top" pathologies (Mu & Viswanath 2018) in one exact
+    * pass: (a) ANISOTROPY — the max/min per-coordinate variance ratio
+    * (a healthy random-projection space is ~1; one rogue dimension
+    * hoarding variance inflates it and silently dominates every
+    * cosine); (b) MEAN-VECTOR ENERGY — the share of total second
+    * moment captured by the non-zero common mean (embeddings from one
+    * encoder all share a large offset vector; cosine similarity then
+    * measures the offset, not the content). Complements
+    * `q_embed_effrank` (how many directions) and `q_embed_pc1` (which
+    * direction): this is the cheapest gate of the three and the one a
+    * pipeline checks first.
+    *
+    * The distributed part is the SAME single fused
+    * [[graft.functions.VectorCoMomentAgg]] pass the effrank/pc1
+    * gauges use (one d(d+1)/2-cell buffer per map task, shuffle
+    * volume d², never N); only the d diagonal cells are consumed.
+    * All arithmetic is exact: per-coordinate co-moments
+    * m_i = (n·Σx² − (Σx)²) div n in BIGINT (non-negative by
+    * Cauchy-Schwarz, so truncating div agrees across engines), the
+    * squared-mean energy in decimal(38,0)/HUGEINT — replayed
+    * bit-for-bit by the oracle. */
+  val qEmbedIsotropy: Q = Q(
+    "q_embed_isotropy",
+    (spark, dir) => {
+      val cm = Tables.embeddings(spark, dir)
+        .select(expr("transform(embedding, v -> " +
+          "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
+          .as("qv"))
+        .agg(graft.functions.VectorCoMomentAgg(col("qv"), 64).as("cm"))
+      val diag = cm
+        .select(col("cm.n").as("n"), col("cm.s").as("s"),
+          explode(col("cm.pairs")).as("p"))
+        .filter(col("p.i") === col("p.j"))
+        .select(col("n"),
+          expr("cast((cast(n as decimal(38,0)) * p.s_ij" +
+            " - cast(s[p.i] as decimal(38,0)) * s[p.i]) div n as bigint)")
+            .as("m"),
+          expr("cast(s[p.i] as decimal(38,0)) * s[p.i]").as("s2"))
+      diag.groupBy(col("n"))
+        .agg(min(col("m")).as("vmin"), max(col("m")).as("vmax"),
+          sum(col("m").cast("decimal(38,0)")).as("tr"),
+          sum(col("s2")).as("mu2"))
+        .select(col("n").as("n_vectors"), lit(64L).as("d"),
+          col("vmin").as("var_min"), col("vmax").as("var_max"),
+          expr("cast((cast(vmax as decimal(38,0)) * 1000)" +
+            " div greatest(vmin, cast(1 as bigint)) as bigint)")
+            .as("anisotropy_milli"),
+          expr("cast((mu2 * 1000)" +
+            " div (mu2 + cast(n as decimal(38,0)) * tr) as bigint)")
+            .as("mean_energy_milli"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT [CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                FOR v IN embedding] AS qv
+        FROM embeddings),
+      nn AS (SELECT count(*) AS n FROM q),
+      idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+      m1 AS (
+        SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s_i,
+               CAST(sum(qv[i + 1] * qv[i + 1]) AS BIGINT) AS s_ii
+        FROM q, idx GROUP BY i),
+      mm AS (
+        SELECT i,
+               CAST((nn.n * CAST(s_ii AS HUGEINT)
+                 - CAST(s_i AS HUGEINT) * s_i) // nn.n AS BIGINT) AS m,
+               CAST(s_i AS HUGEINT) * s_i AS s2
+        FROM m1, nn),
+      agg AS (
+        SELECT min(m) AS vmin, max(m) AS vmax,
+               sum(CAST(m AS HUGEINT)) AS tr, sum(s2) AS mu2
+        FROM mm)
+      SELECT (SELECT n FROM nn) AS n_vectors, CAST(64 AS BIGINT) AS d,
+             vmin AS var_min, vmax AS var_max,
+             CAST((CAST(vmax AS HUGEINT) * 1000) // greatest(vmin, 1)
+               AS BIGINT) AS anisotropy_milli,
+             CAST((mu2 * 1000) // (mu2 + (SELECT n FROM nn) * tr)
+               AS BIGINT) AS mean_energy_milli
+      FROM agg
+    """.trim))
+
+  /** Farthest-point (Gonzalez k-center) coreset selection — the
+    * deterministic diversity sampler a curation pipeline uses to pick
+    * a small maximally-spread subset of a huge embedding corpus
+    * (coreset for data pruning, seed set for clustering, eval-probe
+    * selection). Greedy: seed with the max-norm vector, then 7 rounds
+    * of "add the vector farthest from everything selected so far".
+    * The emitted d2 sequence is the coverage-radius curve (weakly
+    * decreasing — round r's radius bounds how far ANY corpus point is
+    * from the first r centers, the classic 2-approximation
+    * guarantee).
+    *
+    * Scale shape: k passes, each ONE corpus scan with the selected
+    * centers inlined as an O(k·d) literal — min-distance computed
+    * in-row (`zip_with`/`aggregate` over the quantized arrays, exact
+    * BIGINT), collapsed map-side by a bounded `max_by` aggregate, so
+    * shuffle volume per round is one struct per partition. No N×N
+    * pairs, no window sort. The only driver-side state is the k
+    * winner rows themselves — the algorithm's OUTPUT is a k-row set,
+    * the same shape MLlib's KMeans collects per iteration; chaining
+    * the rounds as lazy DataFrames instead nests each round's plan
+    * inside the next and the logical plan grows 2^k (it OOM'd the
+    * driver long before the data mattered). The oracle unrolls the
+    * identical 8 greedy steps as MATERIALIZED CTEs (argmax = ORDER BY
+    * mind DESC, vec_id LIMIT 1 — exact integer distances make the
+    * tie-break total). */
+  val qEmbedCoreset: Q = {
+    val iterCtes = (1 to 7).map { r =>
+      s"""r$r AS MATERIALIZED (
+        SELECT q.vec_id, q.qv,
+               min(CAST(list_sum([(q.qv[i] - s.qv[i]) * (q.qv[i] - s.qv[i])
+                    FOR i IN generate_series(1, 64)]) AS BIGINT)) AS mind
+        FROM q, s${r - 1} s GROUP BY q.vec_id, q.qv),
+      c$r AS MATERIALIZED (
+        SELECT $r AS round, vec_id, qv, mind AS d2
+        FROM r$r ORDER BY mind DESC, vec_id LIMIT 1),
+      s$r AS MATERIALIZED (
+        SELECT vec_id, qv FROM s${r - 1}
+        UNION ALL SELECT vec_id, qv FROM c$r)"""
+    }.mkString(",\n      ")
+    val unionAllCs = (0 to 7)
+      .map(r => s"SELECT round, vec_id, d2 FROM c$r")
+      .mkString("\n        UNION ALL ")
+    Q(
+      "q_embed_coreset",
+      (spark, dir) => {
+        import spark.implicits._
+        val qv = Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, v -> " +
+              "cast(floor(cast(v as double) * 1000000.0 + 0.5) as bigint))")
+              .as("qv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val seed = qv
+          .select(col("vec_id"), col("qv"),
+            expr("aggregate(qv, cast(0 as bigint), (acc, x) -> acc + x * x)")
+              .as("crit"))
+          .agg(max_by(struct(col("vec_id"), col("qv")),
+            struct(col("crit"), -col("vec_id"))).as("c"))
+          .select(col("c.vec_id"), col("c.qv")).head()
+        var centers = Vector(seed.getSeq[Long](1))
+        val out = scala.collection.mutable.ArrayBuffer(
+          (0, seed.getLong(0), 0L))
+        for (r <- 1 to 7) {
+          val w = qv
+            .withColumn("cvs", typedLit(centers))
+            .select(col("vec_id"), col("qv"),
+              expr("array_min(transform(cvs, c -> " +
+                "aggregate(zip_with(qv, c, (a, b) -> (a - b) * (a - b))," +
+                " cast(0 as bigint), (acc, x) -> acc + x)))").as("mind"))
+            .agg(max_by(struct(col("vec_id"), col("qv"), col("mind")),
+              struct(col("mind"), -col("vec_id"))).as("c"))
+            .select(col("c.vec_id"), col("c.qv"), col("c.mind")).head()
+          centers :+= w.getSeq[Long](1)
+          out += ((r, w.getLong(0), w.getLong(2)))
+        }
+        qv.unpersist()
+        out.toSeq.toDF("round", "vec_id", "d2").orderBy(col("round"))
+      },
+      Some(s"""
+      WITH q AS (
+        SELECT vec_id,
+               [CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                FOR v IN embedding] AS qv
+        FROM embeddings),
+      crit AS (
+        SELECT vec_id, qv,
+               CAST(list_sum([x * x FOR x IN qv]) AS BIGINT) AS crit
+        FROM q),
+      c0 AS MATERIALIZED (
+        SELECT 0 AS round, vec_id, qv, CAST(0 AS BIGINT) AS d2
+        FROM crit ORDER BY crit DESC, vec_id LIMIT 1),
+      s0 AS MATERIALIZED (SELECT vec_id, qv FROM c0),
+      $iterCtes
+      SELECT round, vec_id, d2 FROM (
+        $unionAllCs)
+      ORDER BY round
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -1736,5 +1917,6 @@ object SimilarityQueries {
     qEmbedCentroidDrift, qEmbedThresholdSweep, qEmbedHardneg,
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
-    qEmbedPc1, qEmbedHubness, qEmbedFisher)
+    qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
+    qEmbedCoreset)
 }
