@@ -937,8 +937,81 @@ object CurationQueries {
       FROM per, tot ORDER BY source
     """.trim))
 
+  /** Context-window packing audit — the concat-and-chunk step every
+    * LLM pretraining pipeline runs last: documents are hash-assigned
+    * to 8 independent shards, concatenated within each shard in
+    * doc_id order, and cut into fixed 2048-token windows. Per shard:
+    * document count, token mass, window count, how many documents
+    * STRADDLE a window boundary (they get split mid-document — the
+    * fraction the "document-boundary-respecting" packing papers try
+    * to drive down), and the fill ratio (only the final partial
+    * window wastes tokens under concat-and-chunk).
+    *
+    * Scale shape: one scan computing per-doc token counts in-row, one
+    * shuffle on the shard key, one cumulative-sum window per shard
+    * (each shard's running order is doc_id — no global sort), one
+    * per-shard aggregate. At 100 TB the shard count rises with the
+    * corpus (here 8) and every shard's window is independent, so the
+    * plan is embarrassingly parallel; nothing is ever all-pairs or
+    * driver-side. Straddle math is pure integer arithmetic: a doc
+    * occupying token interval [cum-n, cum) straddles iff
+    * (cum-1) div C > (cum-n) div C. */
+  val qSeqPack: Q = {
+    val cap = 2048
+    Q(
+      "q_seq_pack",
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+              16, 10).cast("long"), lit(8L)).as("shard"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("cum")).as("total_tokens"),
+            expr(s"cast((max(cum) + ${cap - 1}) div $cap as bigint)")
+              .as("n_windows"),
+            sum(when(expr(s"(cum - 1) div $cap > (cum - n_tokens) div $cap"),
+              1L).otherwise(0L)).as("n_straddling"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            col("n_windows"), col("n_straddling"),
+            expr(s"cast(total_tokens * 1000 div (n_windows * $cap) as bigint)")
+              .as("fill_milli"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef',
+                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+                 AS shard,
+               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT shard, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d),
+      g AS (
+        SELECT shard, count(*) AS n_docs,
+               CAST(max(cum) AS BIGINT) AS total_tokens,
+               CAST((max(cum) + ${cap - 1}) // $cap AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN (cum - 1) // $cap > (cum - n_tokens) // $cap
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        FROM c GROUP BY shard)
+      SELECT shard, n_docs, total_tokens, n_windows, n_straddling,
+             CAST(total_tokens * 1000 // (n_windows * $cap) AS BIGINT)
+               AS fill_milli
+      FROM g ORDER BY shard
+    """.trim))
+  }
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
-    qSketchHllOverlap, qSamplePriority, qMixtureReweight)
+    qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack)
 }
