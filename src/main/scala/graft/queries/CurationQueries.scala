@@ -937,49 +937,69 @@ object CurationQueries {
       FROM per, tot ORDER BY source
     """.trim))
 
-  /** Context-window packing audit — the concat-and-chunk step every
-    * LLM pretraining pipeline runs last: documents are hash-assigned
-    * to 8 independent shards, concatenated within each shard in
-    * doc_id order, and cut into fixed 2048-token windows. Per shard:
-    * document count, token mass, window count, how many documents
-    * STRADDLE a window boundary (they get split mid-document — the
-    * fraction the "document-boundary-respecting" packing papers try
-    * to drive down), and the fill ratio (only the final partial
-    * window wastes tokens under concat-and-chunk).
+  /** Boundary-RESPECTING sequence packing — the alternative to the
+    * concat-and-chunk layout `q_pack_chunks`/`q_chunk_boundaries`
+    * audit: no document is ever split across windows, so straddling
+    * disappears and the cost moves to PADDING (part of each window's
+    * 2048-token capacity goes unused). Documents are hash-assigned to
+    * 8 independent shards; within a shard the window count is fixed
+    * at the lower bound K = ceil(total_tokens / capacity), docs are
+    * sorted by token count descending and dealt into the K windows in
+    * FOLDED (serpentine/zigzag) stripes — stripe 0 fills windows
+    * 0→K-1, stripe 1 fills K-1→0 — the one-pass distributed
+    * approximation of Graham's LPT bin balancing (big docs spread
+    * first, consecutive stripes cancel each other's imbalance). Per
+    * shard: K, the load spread (min/max window load), total padding
+    * under max(cap, max_load)-sized windows, and the makespan ratio
+    * vs capacity in milli (1000 = the packing fits the lower bound
+    * exactly; >1000 = some window must overflow or the window count
+    * must grow).
     *
-    * Scale shape: one scan computing per-doc token counts in-row, one
-    * shuffle on the shard key, one cumulative-sum window per shard
-    * (each shard's running order is doc_id — no global sort), one
-    * per-shard aggregate. At 100 TB the shard count rises with the
-    * corpus (here 8) and every shard's window is independent, so the
-    * plan is embarrassingly parallel; nothing is ever all-pairs or
-    * driver-side. Straddle math is pure integer arithmetic: a doc
-    * occupying token interval [cum-n, cum) straddles iff
-    * (cum-1) div C > (cum-n) div C. */
+    * Scale shape: one scan computing per-doc token counts in-row, an
+    * 8-row per-shard total (broadcast back — at 100 TB the shard
+    * count rises with the corpus and this stays a tiny dimension
+    * join), one rank window per shard, one per-(shard,window)
+    * aggregate, one per-shard rollup. Everything downstream of the
+    * scan moves O(shards + windows) rows, never O(docs); ties break
+    * on doc_id so the layout is a total order replayed exactly by the
+    * oracle. */
   val qSeqPack: Q = {
     val cap = 2048
     Q(
       "q_seq_pack",
       (spark, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("doc_id"))
-        Tables.documents(spark, dir)
+        val d = Tables.documents(spark, dir)
           .select(col("doc_id"),
             pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 1),
               16, 10).cast("long"), lit(8L)).as("shard"),
             TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("cum", sum(col("n_tokens")).over(w))
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            max(col("cum")).as("total_tokens"),
-            expr(s"cast((max(cum) + ${cap - 1}) div $cap as bigint)")
-              .as("n_windows"),
-            sum(when(expr(s"(cum - 1) div $cap > (cum - n_tokens) div $cap"),
-              1L).otherwise(0L)).as("n_straddling"))
+        val totals = d.groupBy(col("shard"))
+          .agg(sum(col("n_tokens")).as("total_tokens"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("k", expr(s"(total_tokens + ${cap - 1}) div $cap"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        val loads = d
+          .join(broadcast(totals.select(col("shard"), col("k"))), "shard")
+          .withColumn("r", row_number().over(w) - 1)
+          .withColumn("win",
+            expr("CASE WHEN (r div k) % 2 = 0 THEN r % k" +
+              " ELSE k - 1 - (r % k) END"))
+          .groupBy(col("shard"), col("win"))
+          .agg(sum(col("n_tokens")).as("load"))
+        loads.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_windows"),
+            min(col("load")).as("min_load"), max(col("load")).as("max_load"),
+            sum(greatest(lit(cap.toLong) - col("load"), lit(0L)))
+              .as("padding_tokens"))
+          .join(broadcast(totals.select(col("shard"), col("n_docs"),
+            col("total_tokens"))), "shard")
           .select(col("shard"), col("n_docs"), col("total_tokens"),
-            col("n_windows"), col("n_straddling"),
-            expr(s"cast(total_tokens * 1000 div (n_windows * $cap) as bigint)")
-              .as("fill_milli"))
+            col("n_windows"), col("min_load"), col("max_load"),
+            col("padding_tokens"),
+            expr(s"cast(max_load * 1000 div $cap as bigint)")
+              .as("makespan_milli"))
           .orderBy(col("shard"))
       },
       Some(s"""
@@ -991,22 +1011,35 @@ object CurationQueries {
                CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
                  AS n_tokens
         FROM documents),
-      c AS (
+      t AS (
+        SELECT shard, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               count(*) AS n_docs,
+               CAST((sum(n_tokens) + ${cap - 1}) // $cap AS BIGINT) AS k
+        FROM d GROUP BY shard),
+      ranked AS (
+        SELECT d.shard, d.n_tokens, t.k,
+               row_number() OVER (PARTITION BY d.shard
+                 ORDER BY d.n_tokens DESC, d.doc_id) - 1 AS r
+        FROM d JOIN t USING (shard)),
+      assigned AS (
         SELECT shard, n_tokens,
-               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS UNBOUNDED PRECEDING) AS cum
-        FROM d),
+               CASE WHEN (r // k) % 2 = 0 THEN r % k
+                    ELSE k - 1 - (r % k) END AS win
+        FROM ranked),
+      loads AS (
+        SELECT shard, win, CAST(sum(n_tokens) AS BIGINT) AS load
+        FROM assigned GROUP BY shard, win),
       g AS (
-        SELECT shard, count(*) AS n_docs,
-               CAST(max(cum) AS BIGINT) AS total_tokens,
-               CAST((max(cum) + ${cap - 1}) // $cap AS BIGINT) AS n_windows,
-               CAST(sum(CASE WHEN (cum - 1) // $cap > (cum - n_tokens) // $cap
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
-        FROM c GROUP BY shard)
-      SELECT shard, n_docs, total_tokens, n_windows, n_straddling,
-             CAST(total_tokens * 1000 // (n_windows * $cap) AS BIGINT)
-               AS fill_milli
-      FROM g ORDER BY shard
+        SELECT shard, count(*) AS n_windows,
+               min(load) AS min_load, max(load) AS max_load,
+               CAST(sum(greatest($cap - load, 0)) AS BIGINT)
+                 AS padding_tokens
+        FROM loads GROUP BY shard)
+      SELECT shard, n_docs, total_tokens, n_windows, min_load, max_load,
+             padding_tokens,
+             CAST(max_load * 1000 // $cap AS BIGINT) AS makespan_milli
+      FROM g JOIN t USING (shard)
+      ORDER BY shard
     """.trim))
   }
 
