@@ -40,5 +40,6 @@ object Registry {
       graft.queries.RelationalQueries.all ++
       graft.queries.SignalQueries.all ++
       graft.queries.ClassifierQueries.all ++
-      graft.queries.RobustQueries.all
+      graft.queries.RobustQueries.all ++
+      graft.queries.PrivacyQueries.all
 }

@@ -11,6 +11,13 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("registry names are unique") {
+    // a duplicate name makes Registry.all.find, Verify's output files
+    // and the driver's per-query correctness rows silently ambiguous
+    val dups = Registry.all.groupBy(_.name).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("no registry query plans a CartesianProduct") {
     val offenders = Registry.all.flatMap { q =>
       val plan =
@@ -42,10 +49,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the distinct-length domain, never the doc rows.
     // q_broken_stick windows the ~80-row monthly moment table — the
     // candidate space is the month domain, never the fact rows.
+    // q_profile_kanon / q_profile_ldiv take a total over their band
+    // histogram — ≤4 rows by construction (the band domain), never the
+    // user rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
       "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km",
       "q_sample_priority", "q_quantile_norm", "q_broken_stick",
-      "q_seasonal_decompose")
+      "q_seasonal_decompose", "q_profile_kanon", "q_profile_ldiv")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector
