@@ -893,6 +893,124 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** kNN label-noise audit (confident-learning shape): each vector's
+    * k nearest IN-CELL neighbors vote on its label; a vector whose
+    * neighborhood majority disagrees (`2·agree < cnt`) is a suspect —
+    * the rows a labeled corpus should re-annotate or drop before
+    * distillation. Consumes the materialized IVF inverted list, so the
+    * candidate set per vector is one cell, never the corpus: pair
+    * count is Σ|cell|²  (the SemDeDup blocking bound), co-located
+    * under the cell join key, and the top-k cut is the bounded
+    * [[graft.functions.TopKLongAgg]] heap — no corpus-wide window.
+    * The label join is a narrow (vec_id, label) shuffle join, never a
+    * broadcast of a corpus-sized table. Per label the agreement is
+    * exact integer milli (`Σagree·1000 div Σcnt`), so the DuckDB
+    * oracle replays it bit-for-bit.
+    *
+    * `inverted` is the IVF artifact's `(vec_id, cell, embedding,
+    * nrm)`; `labels` is `(vec_id, label)`. Vectors alone in their
+    * cell have no neighbors and drop out of `n_vectors` — the audit
+    * reports on voted vectors only. */
+  def labelNoiseAudit(inverted: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val inv = Partitioning.spreadBy(inverted, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = inv.as("a").join(inv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        pairCos(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+    val top = topKByRoundedCos(scored, k, "cos", "rnk")
+    val perVec = top
+      .join(labels.withColumnRenamed("label", "nb_label"), "vec_id")
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("own_label")),
+        "qid")
+      .groupBy(col("qid"), col("own_label"))
+      .agg(sum(when(col("nb_label") === col("own_label"), 1L).otherwise(0L))
+        .as("agree"),
+        count(lit(1)).as("cnt"))
+    perVec.groupBy(col("own_label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("agree")).as("agree_sum"), sum(col("cnt")).as("cnt_sum"),
+        sum(when(col("agree") * 2 < col("cnt"), 1L).otherwise(0L))
+          .as("n_suspect"))
+      .select(col("own_label").as("label"), col("n_vectors"),
+        expr("agree_sum * 1000 div cnt_sum").as("agreement_milli"),
+        col("n_suspect"))
+      .orderBy(col("label"))
+  }
+
+  /** Exact KNN-Shapley data valuation (Jia et al., PVLDB 2019): the
+    * Shapley contribution of every training vector to a K-NN
+    * classifier's accuracy on an eval panel, via the closed-form
+    * sorted-neighbor recursion
+    * `s(N) = 1[y_N = y]/N`,
+    * `s(j) = s(j+1) + (1[y_j = y] − 1[y_{j+1} = y])/K · min(K,j)/j` —
+    * O(N log N) per test point instead of exponential. The engine's
+    * data-pruning gauge: strongly negative totals are mislabeled or
+    * harmful rows; the top tail is the high-value core.
+    *
+    * Cross-engine exactness: each recursion term is floored to
+    * integer NANOS with non-negative division only (sign applied
+    * after), the suffix sum and per-panel totals are integer sums
+    * (order-independent), and ties rank by vec_id.
+    *
+    * Scale: the panel (vec_id < `queryMaxId`) broadcasts — data
+    * valuation always runs against a small held-out panel — so the
+    * corpus never shuffles for scoring; the per-qid ranking window
+    * partitions by panel member (the q_eval_mrr posture), and the
+    * final top/bottom-`topN` cut is a bounded two-sided
+    * [[graft.functions.TopKLongAgg]], not a global sort. */
+  def knnShapley(embeddings: DataFrame, queryMaxId: Long, kNeighbors: Int,
+                 topN: Int): DataFrame = {
+    val queries = broadcast(embeddings.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"), norm(col("embedding")).as("qnrm")))
+    val train = spread(embeddings.filter(col("vec_id") >= queryMaxId))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val scored = train.crossJoin(queries)
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm")).as("cos"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wQ = Window.partitionBy(col("qid"))
+    val wSeq = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+    val wSuffix = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val valued = scored
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wQ))
+      .withColumn("d", when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .withColumn("dn", lead(col("d"), 1).over(wSeq))
+      // term_j = sign(d_j − d_{j+1}) · ⌊|d_j − d_{j+1}|·min(K,j)·1e9 / (K·j)⌋
+      // — magnitudes divide non-negatively so both engines floor alike
+      .withColumn("term", when(col("dn").isNull, lit(0L)).otherwise(
+        when(col("d") >= col("dn"), lit(1L)).otherwise(lit(-1L)) *
+          expr(s"(abs(d - dn) * least(cast($kNeighbors as bigint), cast(rnk as bigint))" +
+            s" * cast(1000000000 as bigint)) div (cast($kNeighbors as bigint) * cast(rnk as bigint))")))
+      .withColumn("dlast", max(when(col("rnk") === col("n"), col("d"))).over(wQ))
+      .withColumn("value_nano",
+        expr("dlast * cast(1000000000 as bigint) div n") +
+          sum(col("term")).over(wSuffix))
+    val totals = valued.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("value_nano")).as("value_nano"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cut(sgn: Long, side: String): DataFrame = totals
+      .select((col("value_nano") * sgn).as("score"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("item"))
+      .groupBy()
+      .agg(graft.functions.TopKLongAgg(col("score"), col("item"), topN).as("top"))
+      .select(posexplode(col("top")))
+      .select(lit(side).as("side"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.item").cast("long").as("vec_id"),
+        (col("col.score") * sgn).as("value_nano"))
+    cut(1L, "top").unionAll(cut(-1L, "bottom"))
+      .join(totals.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("side"), col("rnk"), col("vec_id"), col("label"),
+        col("value_nano"))
+      .orderBy(col("side"), col("rnk"))
+  }
+
   /** Per-vector health row: `(label, dim, norm)` with empty or null
     * embeddings coalescing to `dim = 0, norm = 0.0` — degenerate rows
     * must land in the zero-norm count, never vanish into a NULL

@@ -1910,6 +1910,123 @@ object SimilarityQueries {
     """.trim))
   }
 
+  /** kNN label-noise audit over the materialized IVF cells: each
+    * vector's 5 nearest in-cell neighbors vote on its label; per label
+    * the audit reports voted vectors, exact integer-milli agreement
+    * and the count of majority-disagreement suspects — the
+    * re-annotation worklist a labeled corpus runs before distilling a
+    * classifier from it. The oracle replays the Lloyd assignment, the
+    * in-cell top-5 and the integer agreement arithmetic. */
+  val qEmbedLabelNoise: Q = Q(
+    "q_embed_label_noise",
+    (spark, dir) => Similarity.labelNoiseAudit(
+      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+      k = 5),
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+               ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM final_asg fa JOIN final_asg fb
+          ON fa.cell = fb.cell AND fa.vec_id <> fb.vec_id
+        JOIN embeddings a ON a.vec_id = fa.vec_id
+        JOIN embeddings b ON b.vec_id = fb.vec_id),
+      top AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM pairs)
+        WHERE rnk <= 5),
+      pv AS (
+        SELECT t.qid, eo.label AS own_label,
+               CAST(sum(CASE WHEN en.label = eo.label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS agree,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM top t
+        JOIN embeddings en ON en.vec_id = t.vec_id
+        JOIN embeddings eo ON eo.vec_id = t.qid
+        GROUP BY 1, 2)
+      SELECT own_label AS label, count(*) AS n_vectors,
+             CAST(sum(agree) * 1000 // sum(cnt) AS BIGINT) AS agreement_milli,
+             CAST(sum(CASE WHEN agree * 2 < cnt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suspect
+      FROM pv GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Exact KNN-Shapley data valuation (closed-form sorted-neighbor
+    * recursion, K=5) of every training vector against the 8-point eval
+    * panel, reported as the top-10 / bottom-10 totals in integer
+    * nanos: the engine's data-pruning signal — the bottom tail is the
+    * mislabeled/harmful rows, the top tail the high-value core. The
+    * oracle replays the ranking, the per-term integer floor, the
+    * suffix-sum recursion and both cuts. */
+  val qKnnShapley: Q = Q(
+    "q_knn_shapley",
+    (spark, dir) => Similarity.knnShapley(
+      Tables.embeddings(spark, dir), queryMaxId = 8, kNeighbors = 5,
+      topN = 10),
+    Some(s"""
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+                 FROM embeddings WHERE vec_id < 8),
+      s AS (
+        SELECT q.qid, q.qlabel, e.vec_id, e.label,
+               ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM embeddings e, q WHERE e.vec_id >= 8),
+      r AS (
+        SELECT qid, qlabel, vec_id, label, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk,
+               count(*) OVER (PARTITION BY qid) AS n
+        FROM s),
+      t AS (
+        SELECT qid, vec_id, label, rnk, n,
+               CASE WHEN label = qlabel THEN 1 ELSE 0 END AS d
+        FROM r),
+      u AS (SELECT *, lead(d) OVER (PARTITION BY qid ORDER BY rnk) AS dn
+            FROM t),
+      v AS (
+        SELECT qid, vec_id, label, rnk, n, d,
+               CASE WHEN dn IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE (CASE WHEN d >= dn THEN 1 ELSE -1 END) *
+                         ((abs(d - dn) * least(5, rnk)
+                           * CAST(1000000000 AS BIGINT)) // (5 * rnk))
+               END AS term
+        FROM u),
+      w AS (
+        SELECT qid, vec_id, label,
+               (max(CASE WHEN rnk = n THEN d END) OVER (PARTITION BY qid)
+                  * CAST(1000000000 AS BIGINT)) // n
+               + sum(term) OVER (PARTITION BY qid ORDER BY rnk
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS val
+        FROM v),
+      tot AS (
+        SELECT vec_id, label, CAST(sum(val) AS BIGINT) AS value_nano
+        FROM w GROUP BY 1, 2),
+      tb AS (
+        SELECT 'top' AS side, rnk, vec_id, label, value_nano FROM (
+          SELECT CAST(row_number() OVER (ORDER BY value_nano DESC, vec_id)
+                   AS INT) AS rnk, vec_id, label, value_nano
+          FROM tot)
+        WHERE rnk <= 10
+        UNION ALL
+        SELECT 'bottom' AS side, rnk, vec_id, label, value_nano FROM (
+          SELECT CAST(row_number() OVER (ORDER BY value_nano ASC, vec_id)
+                   AS INT) AS rnk, vec_id, label, value_nano
+          FROM tot)
+        WHERE rnk <= 10)
+      SELECT side, rnk, vec_id, label, value_nano
+      FROM tb ORDER BY side, rnk
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -1918,5 +2035,5 @@ object SimilarityQueries {
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
-    qEmbedCoreset)
+    qEmbedCoreset, qEmbedLabelNoise, qKnnShapley)
 }
