@@ -907,11 +907,19 @@ object Similarity {
     * exact integer milli (`Σagree·1000 div Σcnt`), so the DuckDB
     * oracle replays it bit-for-bit.
     *
-    * `inverted` is the IVF artifact's `(vec_id, cell, embedding,
-    * nrm)`; `labels` is `(vec_id, label)`. Vectors alone in their
-    * cell have no neighbors and drop out of `n_vectors` — the audit
-    * reports on voted vectors only. */
-  def labelNoiseAudit(inverted: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    * `knnEdges` is the [[inCellTopK]] edge table (or its materialized
+    * [[KnnEdgesArtifact]] form); `labels` is `(vec_id, label)`.
+    * Vectors alone in their cell have no neighbors and drop out of
+    * `n_vectors` — the audit reports on voted vectors only. */
+  /** Directed in-cell k-nearest-neighbor edges `(qid, vec_id, cos,
+    * rnk)` over the IVF inverted list — the kNN GRAPH a labeled-corpus
+    * audit and semi-supervised propagation both read. Candidates per
+    * vector are one cell (Σ|cell|² pairs, co-located under the cell
+    * join key), the cut is the bounded [[graft.functions.TopKLongAgg]]
+    * heap, and the rank column lets a consumer take any k' ≤ k as a
+    * prefix — which is why the materialized artifact
+    * ([[KnnEdgesArtifact]]) stores the largest k any consumer needs. */
+  def inCellTopK(inverted: DataFrame, k: Int): DataFrame = {
     val inv = Partitioning.spreadBy(inverted, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = inv.as("a").join(inv.as("b"),
@@ -919,8 +927,11 @@ object Similarity {
       .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
         pairCos(col("a.embedding"), col("b.embedding"),
           col("a.nrm"), col("b.nrm")).as("cos"))
-    val top = topKByRoundedCos(scored, k, "cos", "rnk")
-    val perVec = top
+    topKByRoundedCos(scored, k, "cos", "rnk")
+  }
+
+  def labelNoiseAudit(knnEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val perVec = knnEdges
       .join(labels.withColumnRenamed("label", "nb_label"), "vec_id")
       .join(labels.select(col("vec_id").as("qid"), col("label").as("own_label")),
         "qid")
@@ -936,6 +947,61 @@ object Similarity {
       .select(col("own_label").as("label"), col("n_vectors"),
         expr("agree_sum * 1000 div cnt_sum").as("agreement_milli"),
         col("n_suspect"))
+      .orderBy(col("label"))
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape)
+    * over the symmetrized in-cell kNN graph: seed vectors
+    * (`vec_id < seedMaxId`) keep their true label, and each synchronous
+    * round every still-unlabeled node with at least one labeled
+    * neighbor takes the majority neighbor label (ties → larger count,
+    * then smaller label; once assigned a label never flips) — the
+    * auto-labeling pass that turns a small annotation budget into a
+    * corpus-wide weak label table. Output per final label (−1 = still
+    * unreached): seed count and final count.
+    *
+    * Determinism: the edge set is the rank-cut prefix of the
+    * materialized kNN edges (rounded-cosine ranking), votes are integer
+    * counts, and the argmax is a lexicographic struct min — so the
+    * DuckDB oracle unrolls the same `rounds` rounds bit-for-bit.
+    *
+    * Scale: edges and labels are narrow (id, id) / (id, label) tables
+    * partitioned by vector id; each round is one join + one bounded
+    * aggregate, and `rounds` is a small constant — the same fixed-round
+    * posture as the BFS and PageRank queries, never a driver loop over
+    * collected rows. */
+  def labelPropagation(knnEdges: DataFrame, labels: DataFrame, kPrefix: Int,
+                       seedMaxId: Long, rounds: Int): DataFrame = {
+    val directed = knnEdges.filter(col("rnk") <= kPrefix)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    val edges = directed
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = labels.select(col("vec_id"),
+      when(col("vec_id") < seedMaxId, col("label")).as("plabel"))
+    for (_ <- 1 to rounds) {
+      val unlabeled = lab.filter(col("plabel").isNull)
+        .select(col("vec_id").as("src"))
+      val newly = edges.join(unlabeled, "src")
+        .join(lab.filter(col("plabel").isNotNull)
+          .select(col("vec_id").as("dst"), col("plabel").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("negc"), col("nl").as("l"))).as("best"))
+        .select(col("src").as("vec_id"), col("best.l").as("nlabel"))
+      lab = lab.join(newly, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("plabel"), col("nlabel")).as("plabel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val seeds = labels.filter(col("vec_id") < seedMaxId)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_seed"))
+    lab.select(coalesce(col("plabel"), lit(-1)).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_final"))
+      .join(seeds, Seq("label"), "left")
+      .select(col("label"), coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        col("n_final"))
       .orderBy(col("label"))
   }
 

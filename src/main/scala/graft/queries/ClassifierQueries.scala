@@ -480,5 +480,110 @@ object ClassifierQueries {
       FROM sets
     """.trim))
 
-  val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree, qConformal)
+  /** NB train+score CTE chain (priors → bounded vocab → smoothed
+    * log-likelihoods → held-out per-(doc, class) BIGINT scores) —
+    * the SQL replay of [[Classify.nbHeldOutScoresFrom]], shared by
+    * oracles that consume the published score table. Identical text
+    * to the chain inside `qConformal`'s oracle. */
+  private def nbScoredCte: String = s"""train AS (SELECT * FROM toks WHERE is_train),
+      perdoc AS (SELECT DISTINCT doc_id, actual FROM train),
+      classes AS (
+        SELECT actual AS label,
+               CAST(floor(ln(CAST(count(*) AS DOUBLE) /
+                 (SELECT CAST(count(*) AS DOUBLE) FROM perdoc)) * 1e9)
+                 AS BIGINT) AS prior_nanos
+        FROM perdoc GROUP BY actual),
+      vocab AS (
+        SELECT token FROM (
+          SELECT token, CAST(sum(tcnt) AS BIGINT) AS gc
+          FROM train GROUP BY token)
+        ORDER BY gc DESC, token LIMIT 256),
+      vs AS (SELECT count(*) AS v FROM vocab),
+      counts AS (
+        SELECT actual AS label, t.token, CAST(sum(tcnt) AS BIGINT) AS cnt
+        FROM train t JOIN vocab USING (token) GROUP BY 1, 2),
+      ncs AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS nc
+              FROM counts GROUP BY label),
+      ct AS (
+        SELECT c.label, c.prior_nanos, n.nc, vs.v,
+               CAST(floor(ln(1.0 / CAST(n.nc + vs.v AS DOUBLE)) * 1e9)
+                 AS BIGINT) AS unk_nanos
+        FROM classes c JOIN ncs n USING (label), vs),
+      model AS (
+        SELECT ct.label, vo.token,
+               CAST(floor(ln(CAST(coalesce(cn.cnt, 0) + 1 AS DOUBLE) /
+                 CAST(ct.nc + ct.v AS DOUBLE)) * 1e9) AS BIGINT) AS term_nanos
+        FROM ct CROSS JOIN vocab vo
+        LEFT JOIN counts cn ON cn.label = ct.label AND cn.token = vo.token),
+      scored AS (
+        SELECT e.doc_id, e.actual, ct.label,
+               ct.prior_nanos
+                 + CAST(sum(e.tcnt * coalesce(m.term_nanos, ct.unk_nanos))
+                     AS BIGINT) AS score
+        FROM toks e CROSS JOIN ct
+        LEFT JOIN model m ON m.label = ct.label AND m.token = e.token
+        WHERE NOT e.is_train
+        GROUP BY e.doc_id, e.actual, ct.label, ct.prior_nanos)"""
+
+  /** Active-learning acquisition batch (uncertainty sampling): the 20
+    * held-out documents where the NB student's top-two class scores
+    * are closest — the rows whose annotation buys the most signal per
+    * label, i.e. the next batch a human-in-the-loop curation pipeline
+    * sends out. Pure consumer of the published NB score table: per doc
+    * the bounded class-score list sorts IN-ROW (class count rows), the
+    * margin is an exact BIGINT difference of nano log-likelihoods, and
+    * the 20-row cut is a bounded two-sided heap aggregate — no global
+    * sort, no second corpus pass. Ties → smaller doc_id; argmax ties →
+    * smaller class name (both replayed by the oracle). */
+  val qActiveBatch: Q = Q(
+    "q_active_batch",
+    (spark, dir) => {
+      val perDoc = graft.operators.NbScoresArtifact.scores(spark, dir)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct((-col("score")).as("neg"),
+          col("label")))).as("srt"))
+        .select(col("doc_id"),
+          col("srt")(0).getField("label").as("predicted"),
+          (col("srt")(1).getField("neg") - col("srt")(0).getField("neg"))
+            .as("margin_nanos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      perDoc
+        .select((-col("margin_nanos")).as("score"),
+          lpad(col("doc_id").cast("string"), 12, "0").as("item"))
+        .groupBy()
+        .agg(graft.functions.TopKLongAgg(col("score"), col("item"), 20)
+          .as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("int").as("rnk"),
+          col("col.item").cast("long").as("doc_id"),
+          (-col("col.score")).as("margin_nanos"))
+        .join(perDoc.select(col("doc_id"), col("predicted")), "doc_id")
+        .select(col("rnk"), col("doc_id"), col("predicted"),
+          col("margin_nanos"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      WITH $teacherToksCte,
+      $nbScoredCte,
+      r AS (
+        SELECT doc_id, label, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, label) AS rn
+        FROM scored),
+      pd AS (
+        SELECT a.doc_id, a.label AS predicted,
+               a.score - b.score AS margin_nanos
+        FROM r a JOIN r b ON a.doc_id = b.doc_id AND b.rn = 2
+        WHERE a.rn = 1),
+      cut AS (
+        SELECT CAST(row_number() OVER (ORDER BY margin_nanos ASC, doc_id)
+                 AS INT) AS rnk,
+               doc_id, predicted, margin_nanos
+        FROM pd)
+      SELECT rnk, doc_id, predicted, margin_nanos
+      FROM cut WHERE rnk <= 20 ORDER BY rnk
+    """.trim))
+
+  val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree, qConformal,
+    qActiveBatch)
 }

@@ -1915,14 +1915,20 @@ object SimilarityQueries {
     * the audit reports voted vectors, exact integer-milli agreement
     * and the count of majority-disagreement suspects — the
     * re-annotation worklist a labeled corpus runs before distilling a
-    * classifier from it. The oracle replays the Lloyd assignment, the
-    * in-cell top-5 and the integer agreement arithmetic. */
+    * classifier from it. Registered build step of the shared kNN edge
+    * table ([[graft.operators.KnnEdgesArtifact]]) — it pays the
+    * in-cell pair generation and the parquet write; `q_label_prop`
+    * consumes the rank prefix. The oracle replays the Lloyd
+    * assignment, the in-cell top-5 and the integer agreement
+    * arithmetic. */
   val qEmbedLabelNoise: Q = Q(
     "q_embed_label_noise",
-    (spark, dir) => Similarity.labelNoiseAudit(
-      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
-      Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
-      k = 5),
+    (spark, dir) => {
+      graft.operators.KnnEdgesArtifact.materialize(spark, dir)
+      Similarity.labelNoiseAudit(
+        graft.operators.KnnEdgesArtifact.edges(spark, dir),
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("label")))
+    },
     Some(s"""
       WITH ${lloydCte(8, 2)},
       final_asg AS (
@@ -1961,6 +1967,83 @@ object SimilarityQueries {
                AS n_suspect
       FROM pv GROUP BY 1 ORDER BY 1
     """.trim))
+
+  /** Semi-supervised label propagation over the symmetrized rnk<=3
+    * prefix of the materialized kNN edge table: 32 seed vectors keep
+    * their labels, three synchronous majority-vote rounds assign
+    * labels outward (ties → larger count then smaller label; assigned
+    * labels never flip), and the output reports seed and final counts
+    * per label (−1 = unreached) — the auto-labeling pass that turns a
+    * small annotation budget into a corpus-wide weak label table. The
+    * oracle unrolls the identical three rounds. */
+  val qLabelProp: Q = {
+    val roundCtes = (1 to 3).map { r =>
+      s"""
+      new$r AS (
+        SELECT src AS vec_id, nl AS plabel FROM (
+          SELECT v.src, v.nl,
+                 row_number() OVER (PARTITION BY v.src
+                   ORDER BY v.c DESC, v.nl) AS rn
+          FROM (SELECT e.src, l.plabel AS nl, count(*) AS c
+                FROM edges e
+                JOIN lab${r - 1} u ON u.vec_id = e.src AND u.plabel IS NULL
+                JOIN lab${r - 1} l ON l.vec_id = e.dst AND l.plabel IS NOT NULL
+                GROUP BY 1, 2) v)
+        WHERE rn = 1),
+      lab$r AS (
+        SELECT l.vec_id, coalesce(l.plabel, n.plabel) AS plabel
+        FROM lab${r - 1} l LEFT JOIN new$r n USING (vec_id))"""
+    }.mkString(",")
+    Q(
+      "q_label_prop",
+      (spark, dir) => Similarity.labelPropagation(
+        graft.operators.KnnEdgesArtifact.edges(spark, dir),
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        kPrefix = 3, seedMaxId = 32, rounds = 3),
+      Some(s"""
+        WITH ${lloydCte(8, 2)},
+        final_asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+            FROM embeddings e, cents2 c)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+                 ${cosOf("a.embedding", "b.embedding")} AS cos
+          FROM final_asg fa JOIN final_asg fb
+            ON fa.cell = fb.cell AND fa.vec_id <> fb.vec_id
+          JOIN embeddings a ON a.vec_id = fa.vec_id
+          JOIN embeddings b ON b.vec_id = fb.vec_id),
+        top AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY cos DESC, vec_id) AS rnk
+            FROM pairs)
+          WHERE rnk <= 3),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT qid AS src, vec_id AS dst FROM top
+            UNION ALL
+            SELECT vec_id AS src, qid AS dst FROM top)),
+        lab0 AS (
+          SELECT vec_id, CASE WHEN vec_id < 32 THEN label END AS plabel
+          FROM embeddings),
+        $roundCtes,
+        seeds AS (
+          SELECT label, CAST(count(*) AS BIGINT) AS n_seed
+          FROM embeddings WHERE vec_id < 32 GROUP BY 1),
+        fin AS (
+          SELECT coalesce(plabel, -1) AS label,
+                 CAST(count(*) AS BIGINT) AS n_final
+          FROM lab3 GROUP BY 1)
+        SELECT f.label, coalesce(s.n_seed, CAST(0 AS BIGINT)) AS n_seed,
+               f.n_final
+        FROM fin f LEFT JOIN seeds s USING (label) ORDER BY f.label
+      """.trim))
+  }
 
   /** Exact KNN-Shapley data valuation (closed-form sorted-neighbor
     * recursion, K=5) of every training vector against the 8-point eval
@@ -2035,5 +2118,5 @@ object SimilarityQueries {
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
-    qEmbedCoreset, qEmbedLabelNoise, qKnnShapley)
+    qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp)
 }

@@ -40,6 +40,24 @@ class LabelValueSpec extends AnyFunSuite {
       ("top", 3, 13L, 0, 0L)))
   }
 
+  test("labelPropagation spreads seed labels with the pinned tie-break") {
+    import spark.implicits._
+    // seeds 0 (label 5) and 1 (label 2); chain 0-20-21-22-23 reaches
+    // 22 in exactly 3 rounds but not 23; node 10 ties between both
+    // seeds and must take the SMALLER label (2); 30 is isolated.
+    // Non-seed rows carry decoy labels that must be ignored.
+    val edges = Seq(
+      (0L, 20L, 0.9, 1), (20L, 21L, 0.9, 1), (21L, 22L, 0.9, 1),
+      (22L, 23L, 0.9, 1), (10L, 0L, 0.9, 1), (10L, 1L, 0.8, 2)
+    ).toDF("qid", "vec_id", "cos", "rnk")
+    val labels = Seq((0L, 5), (1L, 2), (10L, 9), (20L, 1), (21L, 1),
+      (22L, 1), (23L, 1), (30L, 4)).toDF("vec_id", "label")
+    val rows = Similarity
+      .labelPropagation(edges, labels, kPrefix = 3, seedMaxId = 2, rounds = 3)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rows == Seq((-1, 0L, 2L), (2, 1L, 2L), (5, 1L, 4L)))
+  }
+
   test("labelNoiseAudit flags majority-disagreement suspects per label") {
     import spark.implicits._
     // one cell, k=2: vector 3 (label 0) sits between two label-1
@@ -53,7 +71,8 @@ class LabelValueSpec extends AnyFunSuite {
       .withColumn("nrm", Similarity.norm(org.apache.spark.sql.functions.col("embedding")))
     val labels = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0))
       .toDF("vec_id", "label")
-    val rows = Similarity.labelNoiseAudit(inv, labels, k = 2)
+    val rows = Similarity
+      .labelNoiseAudit(Similarity.inCellTopK(inv, k = 2), labels)
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(rows == Seq(
       // label 0: vector 3 agrees 0/2 (suspect), vector 4 agrees 1/2
