@@ -1077,6 +1077,45 @@ object Similarity {
       .orderBy(col("side"), col("rnk"))
   }
 
+  /** Alignment & uniformity of the embedding space (Wang & Isola,
+    * ICML 2020), cell-blocked: alignment = mean squared L2 distance
+    * over positive (same-label, same-cell) pairs — lower is better;
+    * uniformity = ln E[exp(−2‖x−y‖²)] over all same-cell pairs —
+    * lower (more negative) means the space spreads instead of
+    * collapsing. The exact metrics are O(n²); blocking by IVF cell is
+    * the documented at-scale approximation (the same Σ|cell|² bound as
+    * SemDeDup), and is conservative in the right direction: in-cell
+    * pairs are the NEAR pairs, exactly where collapse shows first.
+    *
+    * Determinism: ‖x−y‖² is an exact sequential double fold (identical
+    * bits both engines) so its nano quantization is safe; exp() is
+    * libm-dependent, so each exp term is rounded to MICRO before the
+    * exact integer sum — coarse enough that a 1-ulp libm difference
+    * can't flip a bucket, fine enough for a 6-dp metric. */
+  def alignmentUniformity(inverted: DataFrame, labels: DataFrame): DataFrame = {
+    val inv = Partitioning.spreadBy(inverted, "vec_id")
+      .join(labels, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = inv.as("a").join(inv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("la"), col("b.label").as("lb"),
+        l2sq(col("a.embedding"), col("b.embedding")).as("d2"))
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(exp(col("d2") * lit(-2.0d)) * lit(1e6) + lit(0.5))
+          .cast("long")).as("u_sum"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_pos_pairs"),
+        sum(when(col("la") === col("lb"),
+          floor(col("d2") * lit(1e9) + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("a_sum"))
+      .select(col("n_pos_pairs"),
+        round(expr("a_sum div n_pos_pairs").cast("double") / 1e9, 6)
+          .as("alignment"),
+        col("n_pairs"),
+        round(log(expr("u_sum div n_pairs").cast("double") / 1e6), 6)
+          .as("uniformity"))
+  }
+
   /** Per-vector health row: `(label, dim, norm)` with empty or null
     * embeddings coalescing to `dim = 0, norm = 0.0` — degenerate rows
     * must land in the zero-norm count, never vanish into a NULL

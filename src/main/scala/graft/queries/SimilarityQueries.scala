@@ -2045,6 +2045,56 @@ object SimilarityQueries {
       """.trim))
   }
 
+  /** Squared-L2 SQL over two DuckDB list expressions — the replay of
+    * the native sequential-fold `FloatL2Sq`. */
+  private def l2Of(a: String, b: String): String =
+    s"""list_sum([($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)
+       |          FOR i IN generate_series(1, len($a))])""".stripMargin
+
+  /** Alignment & uniformity of the embedding space (Wang & Isola),
+    * cell-blocked: one row with the positive-pair mean squared
+    * distance and the ln-mean-exp spread gauge — the two numbers that
+    * say whether a contrastive embedding is collapsing. The oracle
+    * replays the Lloyd cells, the exact double L2 fold, the micro
+    * rounding of each exp term and both integer means. */
+  val qEmbedAlignUniform: Q = Q(
+    "q_embed_align_uniform",
+    (spark, dir) => Similarity.alignmentUniformity(
+      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))),
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      p AS (
+        SELECT ea.label AS la, eb.label AS lb,
+               ${l2Of("ea.embedding", "eb.embedding")} AS d2
+        FROM final_asg fa JOIN final_asg fb
+          ON fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+        JOIN embeddings ea ON ea.vec_id = fa.vec_id
+        JOIN embeddings eb ON eb.vec_id = fb.vec_id),
+      ag AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(floor(exp(d2 * -2.0) * 1000000.0 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS u_sum,
+               CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pos_pairs,
+               CAST(sum(CASE WHEN la = lb
+                 THEN CAST(floor(d2 * 1000000000.0 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS a_sum
+        FROM p)
+      SELECT n_pos_pairs,
+             round(CAST(a_sum // n_pos_pairs AS DOUBLE) / 1e9, 6) AS alignment,
+             n_pairs,
+             round(ln(CAST(u_sum // n_pairs AS DOUBLE) / 1e6), 6) AS uniformity
+      FROM ag
+    """.trim))
+
   /** Exact KNN-Shapley data valuation (closed-form sorted-neighbor
     * recursion, K=5) of every training vector against the 8-point eval
     * panel, reported as the top-10 / bottom-10 totals in integer
@@ -2118,5 +2168,6 @@ object SimilarityQueries {
     qEmbedRecallCurve, qEvalMrr, qEvalNdcg, qEmbedMmr, qEmbedSilhouette,
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
-    qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp)
+    qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
+    qEmbedAlignUniform)
 }
