@@ -584,6 +584,128 @@ object ClassifierQueries {
       FROM cut WHERE rnk <= 20 ORDER BY rnk
     """.trim))
 
+  /** Programmatic weak-supervision panel (the Snorkel labeling-function
+    * audit): four deterministic labeling functions vote keep(+1) /
+    * abstain(0) / drop(−1) on every document, and the query reports the
+    * label-model diagnostics a data-programming run reads before
+    * trusting the fused labels — per-LF coverage and polarity, overlap
+    * (votes alongside another LF), conflict (votes against an
+    * opposite-sign vote), and disagreement with the majority-vote
+    * label. The LFs are the classic corpus-quality rules: token-length
+    * gate, digit-density gate, English-stopword evidence, and a
+    * repetition gate — each an exact integer predicate both engines
+    * replay bit-for-bit (character counts, not bytes; the regex strips
+    * ALL digits on both sides).
+    *
+    * Scale: everything is computed in-row on one corpus scan (the four
+    * votes, the per-doc vote tallies, the majority sign), then a 4-way
+    * in-row unpivot feeds ONE hash aggregate keyed by the 4-value LF
+    * name — map-side combinable, no joins, no windows, output is 4
+    * rows regardless of corpus size. */
+  val qWeakLabels: Q = Q(
+    "q_weak_labels",
+    (spark, dir) => {
+      import graft.Tables
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val nToks = size(toks)
+      val nDig = length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))
+      val nStop = size(filter(toks,
+        t => lower(t).isin("the", "and", "of")))
+      val nUniq = size(array_distinct(toks))
+      val vLen = when(nToks >= 40, 1L).when(nToks < 8, -1L).otherwise(0L)
+      val vDig = when(nDig * 10 > length(col("text")), -1L)
+        .when(nDig === 0, 1L).otherwise(0L)
+      val vStop = when(nStop >= 2, 1L).when(nStop === 0, -1L).otherwise(0L)
+      val vRep = when(nUniq * 2 < nToks, -1L).otherwise(0L)
+      val perDoc = Tables.documents(spark, dir)
+        .select(col("doc_id"), vDig.as("v_digit"), vLen.as("v_len"),
+          vRep.as("v_rep"), vStop.as("v_stop"))
+        .withColumn("n_posv",
+          expr("cast(v_digit = 1 as long) + cast(v_len = 1 as long)" +
+            " + cast(v_rep = 1 as long) + cast(v_stop = 1 as long)"))
+        .withColumn("n_negv",
+          expr("cast(v_digit = -1 as long) + cast(v_len = -1 as long)" +
+            " + cast(v_rep = -1 as long) + cast(v_stop = -1 as long)"))
+        .withColumn("majority",
+          expr("case when v_digit + v_len + v_rep + v_stop > 0 then 1" +
+            " when v_digit + v_len + v_rep + v_stop < 0 then -1 else 0 end"))
+      perDoc
+        .select(col("n_posv"), col("n_negv"), col("majority"),
+          explode(array(
+            struct(lit("lf_digit").as("lf"), col("v_digit").as("v")),
+            struct(lit("lf_len").as("lf"), col("v_len").as("v")),
+            struct(lit("lf_rep").as("lf"), col("v_rep").as("v")),
+            struct(lit("lf_stop").as("lf"), col("v_stop").as("v"))))
+            .as("x"))
+        .select(col("x.lf").as("lf"), col("x.v").as("v"),
+          col("n_posv"), col("n_negv"), col("majority"))
+        .groupBy(col("lf"))
+        .agg(
+          sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("n_votes"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("v") === -1, 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("v") =!= 0 &&
+            (col("n_posv") + col("n_negv")) >= 2, 1L).otherwise(0L))
+            .as("n_overlap"),
+          sum(when((col("v") === 1 && col("n_negv") >= 1) ||
+            (col("v") === -1 && col("n_posv") >= 1), 1L).otherwise(0L))
+            .as("n_conflict"),
+          sum(when(col("v") =!= 0 && col("majority") =!= 0 &&
+            col("v") =!= col("majority"), 1L).otherwise(0L))
+            .as("n_against_majority"))
+        .orderBy(col("lf"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+               string_split_regex(text, '\s+') AS toks,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_dig
+        FROM documents),
+      v AS (
+        SELECT doc_id,
+               CASE WHEN n_dig * 10 > n_chars THEN -1
+                    WHEN n_dig = 0 THEN 1 ELSE 0 END AS v_digit,
+               CASE WHEN len(toks) >= 40 THEN 1
+                    WHEN len(toks) < 8 THEN -1 ELSE 0 END AS v_len,
+               CASE WHEN len(list_distinct(toks)) * 2 < len(toks)
+                    THEN -1 ELSE 0 END AS v_rep,
+               CASE WHEN len(list_filter(toks,
+                        x -> lower(x) IN ('the','and','of'))) >= 2 THEN 1
+                    WHEN len(list_filter(toks,
+                        x -> lower(x) IN ('the','and','of'))) = 0 THEN -1
+                    ELSE 0 END AS v_stop
+        FROM d),
+      m AS (
+        SELECT doc_id, v_digit, v_len, v_rep, v_stop,
+               CAST(v_digit = 1 AS INT) + CAST(v_len = 1 AS INT)
+                 + CAST(v_rep = 1 AS INT) + CAST(v_stop = 1 AS INT) AS n_posv,
+               CAST(v_digit = -1 AS INT) + CAST(v_len = -1 AS INT)
+                 + CAST(v_rep = -1 AS INT) + CAST(v_stop = -1 AS INT) AS n_negv,
+               CASE WHEN v_digit + v_len + v_rep + v_stop > 0 THEN 1
+                    WHEN v_digit + v_len + v_rep + v_stop < 0 THEN -1
+                    ELSE 0 END AS majority
+        FROM v),
+      u AS (
+        SELECT unnest(['lf_digit','lf_len','lf_rep','lf_stop']) AS lf,
+               unnest([v_digit, v_len, v_rep, v_stop]) AS v,
+               n_posv, n_negv, majority
+        FROM m)
+      SELECT lf,
+             CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN v <> 0 AND n_posv + n_negv >= 2
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             CAST(sum(CASE WHEN (v = 1 AND n_negv >= 1)
+                             OR (v = -1 AND n_posv >= 1)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+             CAST(sum(CASE WHEN v <> 0 AND majority <> 0 AND v <> majority
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_against_majority
+      FROM u GROUP BY lf ORDER BY lf
+    """.trim))
+
   val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree, qConformal,
-    qActiveBatch)
+    qActiveBatch, qWeakLabels)
 }

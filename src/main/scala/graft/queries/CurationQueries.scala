@@ -1043,8 +1043,165 @@ object CurationQueries {
     """.trim))
   }
 
+  /** Shared DSIR bucket-ratio CTE chain (engine-portable md5-bucket
+    * hashed-unigram counts, add-one-smoothed target/raw importance
+    * ratios in exact ppm). Target distribution = English documents;
+    * raw = the whole corpus — the Data Selection via Importance
+    * Resampling setup (Xie et al. 2023) with hashed n-gram features.
+    * Log-free by design (see `q_text_lm_score`): transcendental `ln`
+    * is not correctly-rounded across engines, so the per-bucket
+    * importance is the exact RATIO in ppm and per-document scores are
+    * ratio means, a monotone surrogate of the geometric-mean
+    * likelihood ratio that both engines replay bit-for-bit. */
+  private val dsirB = 256
+  private val dsirRatioCte: String = s"""
+      WITH tk AS (
+        SELECT doc_id, source, lang, token FROM (
+          SELECT doc_id, source, lang,
+                 unnest(string_split_regex(text, '\\s+')) AS token
+          FROM documents)
+        WHERE token <> ''),
+      bk AS (
+        SELECT doc_id, source, ${DedupQueries.chunkSql(0)} % $dsirB AS bucket,
+               lang = 'en' AS is_t
+        FROM (SELECT doc_id, source, lang, md5(token) AS hx FROM tk)),
+      cnt AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(count(*) AS BIGINT) AS n_r
+        FROM bk GROUP BY bucket),
+      tot AS (
+        SELECT CAST(sum(n_t) AS BIGINT) AS cap_t,
+               CAST(sum(n_r) AS BIGINT) AS cap_r
+        FROM cnt),
+      ratio AS (
+        SELECT bucket, n_t, n_r,
+               CAST(CAST(n_t + 1 AS HUGEINT) * (cap_r + $dsirB) * 1000000
+                 // (CAST(n_r + 1 AS HUGEINT) * (cap_t + $dsirB)) AS BIGINT)
+                 AS ratio_ppm
+        FROM cnt, tot)"""
+
+  /** Engine-side DSIR bucket-ratio table: (bucket, n_t, n_r,
+    * ratio_ppm) — `dsirB` rows, broadcastable by construction. */
+  private def dsirRatios(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("is_t"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(dsirB.toLong)).as("bucket"),
+        col("is_t"))
+    val cnt = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+    val tot = cnt.agg(sum(col("n_t")).as("cap_t"), sum(col("n_r")).as("cap_r"))
+    val ratio = cnt.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_t"), col("n_r"),
+        expr(s"cast(cast(n_t + 1 as decimal(38,0)) * (cap_r + $dsirB) * 1000000" +
+          s" div (cast(n_r + 1 as decimal(38,0)) * (cap_t + $dsirB)) as bigint)")
+          .as("ratio_ppm"))
+    (toks, ratio)
+  }
+
+  /** DSIR importance model — the 20 most target-discriminative hashed
+    * feature buckets: per-bucket target/raw counts and the
+    * add-one-smoothed importance ratio in exact ppm
+    * (`(n_t+1)(N_r+B)·10⁶ ÷ (n_r+1)(N_t+B)`, 128-bit products — the
+    * cross terms reach ~10³² at 10¹³ tokens, far past BIGINT but
+    * inside DECIMAL(38)/HUGEINT).
+    *
+    * Scale: one token scan feeding a B=256-bucket hash aggregate with
+    * map-side partials (the hashing trick: constant feature width, no
+    * vocabulary table — `q_feature_hash`'s property, reused as a
+    * MODEL), one 1-row total broadcast back. Nothing downstream of
+    * the scan moves more than B rows. */
+  val qDsirScore: Q = Q(
+    "q_dsir_score",
+    (spark, dir) => {
+      val (_, ratio) = dsirRatios(spark, dir)
+      ratio.orderBy(col("ratio_ppm").desc, col("bucket")).limit(20)
+    },
+    Some(s"""$dsirRatioCte
+      SELECT bucket, n_t, n_r, ratio_ppm
+      FROM ratio ORDER BY ratio_ppm DESC, bucket LIMIT 20
+    """.trim))
+
+  /** DSIR importance RESAMPLING — apply the hashed-ngram importance
+    * model and draw the resampled corpus: each document's score is
+    * the exact mean bucket-ratio of its tokens (sum of BIGINT ppm
+    * ratios in DECIMAL(38) — a 10⁶-token document of maximally
+    * target-skewed buckets can reach ~10¹⁸, the BIGINT edge — then
+    * one integer division), and acceptance is a deterministic
+    * Bernoulli draw with probability score/score_max: keep iff
+    * `u · s_max < score · 10⁶` where u is the doc's md5-uniform draw
+    * in [0, 10⁶) — rejection sampling, every branch an exact integer
+    * compare. Reports the per-source funnel: documents, mean score,
+    * kept count, kept-score mass — the audit a mixture planner reads
+    * before committing the resampled epoch.
+    *
+    * Scale: the B-row ratio table broadcasts to the token stream
+    * (never a shuffle of the corpus by bucket); per-doc scores are
+    * one hash aggregate keyed by doc; s_max is a 1-row broadcast;
+    * the rollup is per-source. Two corpus token passes total (model,
+    * scoring), both scan-shaped. */
+  val qDsirResample: Q = Q(
+    "q_dsir_resample",
+    (spark, dir) => {
+      val (toks, ratio) = dsirRatios(spark, dir)
+      val perDoc = toks.join(broadcast(ratio.select("bucket", "ratio_ppm")),
+          "bucket")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("ratio_ppm").cast("decimal(38,0)")).as("s_sum"))
+        .select(col("doc_id"), col("source"),
+          expr("cast(s_sum div n_toks as bigint)").as("score_ppm"))
+      val smax = perDoc.agg(max(col("score_ppm")).as("s_max"))
+      val drawn = perDoc.crossJoin(broadcast(smax))
+        .select(col("source"), col("score_ppm"),
+          (pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long"), lit(1000000L))
+            * col("s_max") < col("score_ppm") * lit(1000000L)).as("kept"))
+      drawn.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_ppm) div count(1)").as("score_ppm_avg"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("score_ppm")).otherwise(0L))
+            .as("kept_score_sum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""$dsirRatioCte,
+      perdoc AS (
+        SELECT b.doc_id, b.source, count(*) AS n_toks,
+               CAST(sum(CAST(r.ratio_ppm AS HUGEINT)) AS HUGEINT) AS s_sum
+        FROM bk b JOIN ratio r USING (bucket)
+        GROUP BY b.doc_id, b.source),
+      scored AS (
+        SELECT doc_id, source,
+               CAST(s_sum // n_toks AS BIGINT) AS score_ppm
+        FROM perdoc),
+      mx AS (SELECT max(score_ppm) AS s_max FROM scored),
+      drawn AS (
+        SELECT source, score_ppm,
+               (${DedupQueries.chunkSql(0).replace("hx", "hu")} % 1000000)
+                 * s_max < score_ppm * 1000000 AS kept
+        FROM (SELECT doc_id, source, score_ppm,
+                     md5(CAST(doc_id AS VARCHAR)) AS hu
+              FROM scored), mx)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(score_ppm) // count(*) AS BIGINT) AS score_ppm_avg,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN kept THEN score_ppm ELSE 0 END) AS BIGINT)
+               AS kept_score_sum
+      FROM drawn GROUP BY source ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
-    qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack)
+    qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
+    qDsirScore, qDsirResample)
 }
