@@ -1402,7 +1402,123 @@ object TextQueries {
       FROM allrows ORDER BY topic
     """.trim))
 
+  /** REAL audio decode — RIFF/WAVE PCM containers synthesized with
+    * genuine 44-byte headers ([[graft.operators.Codecs.synthesizeWav]])
+    * and decoded by a real chunk-walking parser
+    * ([[graft.operators.Codecs.parseWav]]): magic validation,
+    * little-endian chunk traversal, `fmt ` field checks, int16 sample
+    * decode. Per-sample-rate rollup of the stats an audio-ingest QA
+    * job reports: sample/duration mass, peak amplitude, absolute
+    * loudness mass, near-clipping count, parse failures (must be 0 on
+    * well-formed containers). The oracle recomputes every statistic
+    * arithmetically from the synthesis recipe — a parser that misreads
+    * an offset, an endianness, or the sign extension diverges.
+    *
+    * Scale: partition-batched `mapPartitions` decode (one codec
+    * context per partition), metadata-sized output, the only shuffle
+    * is the 3-row rollup. */
+  val qMultimodalAudio: Q = Q(
+    "q_multimodal_audio",
+    (spark, dir) => graft.operators.Codecs
+      .decodeWavBatch(graft.operators.Codecs
+        .documentsAsWav(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("sampleRate").as("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nSamples")).as("total_samples"),
+        sum(col("durationMs")).as("total_ms"),
+        max(col("peak")).as("max_peak"),
+        sum(col("sumAbs")).as("sum_abs"),
+        sum(col("nClipped")).as("n_clipped"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("sample_rate")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 32 + octet_length(encode(text)) % 64 AS n,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS sr
+        FROM documents),
+      s AS (SELECT doc_id, sr, n, unnest(range(0, n)) AS i FROM d),
+      v AS (
+        SELECT doc_id, sr, n,
+               ((doc_id * 31 + i * 2654435761) % 65536) - 32768 AS smp
+        FROM s),
+      p AS (
+        SELECT doc_id, sr, n, n * 1000 // sr AS ms,
+               max(abs(smp)) AS peak,
+               sum(abs(smp)) AS sum_abs,
+               sum(CASE WHEN abs(smp) >= 32000 THEN 1 ELSE 0 END) AS n_clip
+        FROM v GROUP BY 1, 2, 3, 4)
+      SELECT sr AS sample_rate, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_samples,
+             CAST(sum(ms) AS BIGINT) AS total_ms,
+             CAST(max(peak) AS BIGINT) AS max_peak,
+             CAST(sum(sum_abs) AS BIGINT) AS sum_abs,
+             CAST(sum(n_clip) AS BIGINT) AS n_clipped,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM p GROUP BY sr ORDER BY sr
+    """.trim))
+
+  /** REAL image decode — 24-bit uncompressed BMPs synthesized with
+    * genuine headers ([[graft.operators.Codecs.synthesizeBmp]]) and
+    * decoded by a real pixel parser
+    * ([[graft.operators.Codecs.parseBmp]]) that must get BMP's three
+    * famous quirks right: BGR byte order, 4-byte row padding, and
+    * bottom-up row storage. Per-(width, height) rollup of per-channel
+    * sums AND raster-order-weighted sums Σ v(x,y)·(y·W+x+1): the
+    * plain sums are permutation-invariant, so the weighted ones are
+    * what catch a parser that flips rows, slips a padding byte, or
+    * swaps channels. The oracle replays the synthesis arithmetic over
+    * a generated (x, y) grid. Partition-batched decode, 20-group
+    * rollup, no other shuffle. */
+  val qMultimodalPixels: Q = Q(
+    "q_multimodal_pixels",
+    (spark, dir) => graft.operators.Codecs
+      .decodeBmpBatch(graft.operators.Codecs
+        .documentsAsBmp(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rSum")).as("r_sum"),
+        sum(col("gSum")).as("g_sum"),
+        sum(col("bSum")).as("b_sum"),
+        sum(col("rWsum")).as("r_wsum"),
+        sum(col("gWsum")).as("g_wsum"),
+        sum(col("bWsum")).as("b_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w,
+               CAST(3 + octet_length(encode(text)) % 4 AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      g AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+      c AS (
+        SELECT doc_id, w, h,
+               (doc_id + 7 * x + 13 * y) % 256 AS r,
+               (doc_id + 7 * x + 13 * y + 37) % 256 AS gg,
+               (doc_id + 7 * x + 13 * y + 74) % 256 AS b,
+               y * w + x + 1 AS wgt
+        FROM g),
+      per AS (
+        SELECT doc_id, w, h,
+               sum(r) AS r_sum, sum(gg) AS g_sum, sum(b) AS b_sum,
+               sum(r * wgt) AS r_wsum, sum(gg * wgt) AS g_wsum,
+               sum(b * wgt) AS b_wsum
+        FROM c GROUP BY 1, 2, 3)
+      SELECT w AS width, h AS height, count(*) AS n_docs,
+             CAST(sum(r_sum) AS BIGINT) AS r_sum,
+             CAST(sum(g_sum) AS BIGINT) AS g_sum,
+             CAST(sum(b_sum) AS BIGINT) AS b_sum,
+             CAST(sum(r_wsum) AS BIGINT) AS r_wsum,
+             CAST(sum(g_wsum) AS BIGINT) AS g_wsum,
+             CAST(sum(b_wsum) AS BIGINT) AS b_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
+
   def all: Seq[Q] = Seq(
+    qMultimodalAudio, qMultimodalPixels,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

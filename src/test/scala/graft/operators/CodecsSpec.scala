@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The WAV/BMP codecs must DECODE the actual bytes — these tests pin
+  * hand-computed tiny cases, corrupt specific header fields, and
+  * assert the parsed stats respond exactly as the binary layout
+  * dictates (little-endian fields, sign extension, BGR order, row
+  * padding, bottom-up storage). A stub keyed off id or length could
+  * not pass them. */
+class CodecsSpec extends AnyFunSuite {
+
+  // ---------------- WAV ----------------
+
+  test("wav: round-trip of a synthesized container reproduces the recipe") {
+    val id = 5L
+    val nBytes = 17
+    val m = Codecs.parseWav(id, Codecs.synthesizeWav(id, nBytes))
+    assert(m.ok)
+    val n = Codecs.wavSampleCount(nBytes)
+    assert(m.nSamples == n.toLong)
+    assert(m.sampleRate == Codecs.wavSampleRate(id))
+    assert(m.durationMs == n.toLong * 1000L / m.sampleRate)
+    val samples = (0 until n).map(i => Codecs.wavSample(id, i.toLong))
+    assert(m.peak == samples.map(s => math.abs(s).toLong).max)
+    assert(m.sumAbs == samples.map(s => math.abs(s).toLong).sum)
+    assert(m.nClipped == samples.count(s => math.abs(s) >= 32000))
+  }
+
+  test("wav: int16 samples are sign-extended (negative values decode negative)") {
+    // find an id with a negative sample among the first few
+    val id = 1L
+    val n = Codecs.wavSampleCount(0)
+    val samples = (0 until n).map(i => Codecs.wavSample(id, i.toLong))
+    assert(samples.exists(_ < 0), "recipe must produce negative samples")
+    val m = Codecs.parseWav(id, Codecs.synthesizeWav(id, 0))
+    // a parser that reads uint16 would inflate sumAbs far past this
+    assert(m.sumAbs == samples.map(s => math.abs(s).toLong).sum)
+  }
+
+  test("wav: corrupting magic or fmt fields degrades to ok=false, never throws") {
+    val good = Codecs.synthesizeWav(3L, 9)
+    val badMagic = good.clone(); badMagic(9) = 'X'.toByte // 'WAVE' -> 'WXVE'
+    assert(!Codecs.parseWav(3L, badMagic).ok)
+    val badFmt = good.clone(); badFmt(20) = 3 // audioFormat: PCM -> IEEE float
+    assert(!Codecs.parseWav(3L, badFmt).ok)
+    val truncated = good.take(50)
+    assert(!Codecs.parseWav(3L, truncated).ok)
+    assert(!Codecs.parseWav(3L, Array[Byte]()).ok)
+  }
+
+  test("wav: sample-rate field is read little-endian from the header") {
+    val good = Codecs.synthesizeWav(0L, 0) // sr = 8000 = 0x1F40
+    val bumped = good.clone()
+    bumped(25) = (bumped(25) + 1).toByte // second byte of LE int32 at 24
+    val m = Codecs.parseWav(0L, bumped)
+    assert(m.ok && m.sampleRate == 8000 + 256)
+  }
+
+  test("wav: an unknown chunk between fmt and data is walked over by size") {
+    val id = 2L
+    val base = Codecs.synthesizeWav(id, 4)
+    // splice a 6-byte 'LIST' chunk (padded to even 6) before 'data'
+    val dataOff = 36 // 12 RIFF + 24 fmt
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(6)
+      .put(Array[Byte](1, 2, 3, 4, 5, 6))
+    val spliced = base.take(dataOff) ++ extra.array() ++ base.drop(dataOff)
+    val m = Codecs.parseWav(id, spliced)
+    assert(m.ok && m.nSamples == Codecs.wavSampleCount(4).toLong,
+      "chunk walking must skip unknown chunks by declared size")
+  }
+
+  // ---------------- BMP ----------------
+
+  test("bmp: hand-computed 2-pixel-high image pins BGR + bottom-up + padding") {
+    // id=1 -> w=5 (rowBytes = 16, one pad byte); nBytes=0 -> h=3
+    val id = 1L
+    val bytes = Codecs.synthesizeBmp(id, 0)
+    val w = Codecs.bmpWidth(id)
+    val h = Codecs.bmpHeight(0)
+    assert(w == 5 && h == 3)
+    val m = Codecs.parseBmp(id, bytes)
+    assert(m.ok && m.width == w && m.height == h)
+    def ch(x: Int, y: Int, c: Int) = Codecs.bmpChannel(id, x, y, c)
+    val expectedRSum = (for { y <- 0 until h; x <- 0 until w } yield
+      ch(x, y, 0).toLong).sum
+    val expectedRW = (for { y <- 0 until h; x <- 0 until w } yield
+      ch(x, y, 0).toLong * (y * w + x + 1)).sum
+    assert(m.rSum == expectedRSum)
+    assert(m.rWsum == expectedRW)
+    // file layout: FIRST stored row must be image row h-1 (bottom-up),
+    // FIRST byte of a pixel must be the BLUE channel
+    val firstStored = bytes(54) & 0xff
+    assert(firstStored == ch(0, h - 1, 2),
+      "first pixel byte in the file is B of the bottom image row")
+  }
+
+  test("bmp: swapping two stored rows changes ONLY the weighted sums") {
+    val id = 2L // w=6, rowBytes=20 (2 pad bytes)
+    val bytes = Codecs.synthesizeBmp(id, 1) // h=4
+    val w = Codecs.bmpWidth(id)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val m0 = Codecs.parseBmp(id, bytes)
+    val swapped = bytes.clone()
+    // swap stored rows 0 and 1
+    for (k <- 0 until rowBytes) {
+      val t = swapped(54 + k)
+      swapped(54 + k) = swapped(54 + rowBytes + k)
+      swapped(54 + rowBytes + k) = t
+    }
+    val m1 = Codecs.parseBmp(id, swapped)
+    assert(m1.ok)
+    assert(m1.rSum == m0.rSum && m1.gSum == m0.gSum && m1.bSum == m0.bSum,
+      "plain channel sums are permutation-invariant")
+    assert(m1.rWsum != m0.rWsum,
+      "raster-weighted sums must detect a row-order slip")
+  }
+
+  test("bmp: malformed headers degrade to ok=false, never throw") {
+    val good = Codecs.synthesizeBmp(3L, 2)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assert(!Codecs.parseBmp(3L, badMagic).ok)
+    val badBpp = good.clone(); badBpp(28) = 8 // 8-bit palette BMP
+    assert(!Codecs.parseBmp(3L, badBpp).ok)
+    val badComp = good.clone(); badComp(30) = 1 // RLE8 compression
+    assert(!Codecs.parseBmp(3L, badComp).ok)
+    assert(!Codecs.parseBmp(3L, good.take(40)).ok)
+    // a lying width that overruns the pixel array must be rejected
+    val badW = good.clone(); badW(18) = 100
+    assert(!Codecs.parseBmp(3L, badW).ok)
+  }
+
+  test("bmp: width field is read little-endian at offset 18") {
+    // choose an id whose width bump keeps pixel data in range: shrink
+    // instead — w=8 (id=4), patch to w=4: rowBytes shrinks, stays valid
+    val id = 4L
+    val good = Codecs.synthesizeBmp(id, 0)
+    assert(Codecs.bmpWidth(id) == 8)
+    val patched = good.clone(); patched(18) = 4
+    val m = Codecs.parseBmp(id, patched)
+    assert(m.ok && m.width == 4, "LE32 width at 18 drives the decode")
+  }
+}
