@@ -266,4 +266,203 @@ object Codecs {
     records.mapPartitions { it =>
       it.map(r => parseBmp(r.id, r.media))
     }
+
+  // ---------------------------------------------------------------
+  // PNG: synthesis (a REAL encoder — zlib + CRC32 are JVM built-ins)
+  // ---------------------------------------------------------------
+
+  /** Deterministic channel value at (x, y); c = 0 (R), 1 (G), 2 (B) —
+    * a different recipe from the BMP one so the two decoders can never
+    * satisfy each other's oracle by accident. */
+  def pngChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    Math.floorMod(id * 3L + 11L * x + 17L * y + 29L * c, 256L).toInt
+
+  def pngWidth(id: Long): Int = (3L + id % 4L).toInt
+  def pngHeight(nBytes: Int): Int = 2 + nBytes % 3
+
+  private def crc32(parts: Array[Byte]*): Int = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(p => c.update(p))
+    c.getValue.toInt
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def chunk(name: String, body: Array[Byte]): Array[Byte] = {
+    val tag = name.getBytes("US-ASCII")
+    be32(body.length) ++ tag ++ body ++ be32(crc32(tag, body))
+  }
+
+  /** The Paeth predictor (PNG spec §9.4) — shared by encoder and
+    * decoder. */
+  def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** A genuine 8-bit truecolor non-interlaced PNG: signature, IHDR +
+    * CRC, one zlib-deflated IDAT whose scanlines cycle through ALL
+    * FIVE filter types (`(id + y) % 5`), IEND. The filters are applied
+    * FORWARD here; [[parsePng]] must invert them exactly. */
+  def synthesizePng(id: Long, nBytes: Int): Array[Byte] = {
+    val w = pngWidth(id)
+    val h = pngHeight(nBytes)
+    val bpp = 3 // bytes per pixel (8-bit RGB)
+    val raw = Array.ofDim[Byte](h * (1 + w * bpp))
+    var prev: Array[Int] = Array.fill(w * bpp)(0)
+    var y = 0
+    var o = 0
+    while (y < h) {
+      val cur = Array.tabulate(w * bpp)(k => pngChannel(id, k / bpp, y, k % bpp))
+      val f = ((id + y) % 5L).toInt
+      raw(o) = f.toByte; o += 1
+      var k = 0
+      while (k < w * bpp) {
+        val left = if (k >= bpp) cur(k - bpp) else 0
+        val up = prev(k)
+        val ul = if (k >= bpp) prev(k - bpp) else 0
+        val filtered = f match {
+          case 0 => cur(k)
+          case 1 => cur(k) - left
+          case 2 => cur(k) - up
+          case 3 => cur(k) - (left + up) / 2
+          case _ => cur(k) - paeth(left, up, ul)
+        }
+        raw(o) = (filtered & 0xff).toByte; o += 1
+        k += 1
+      }
+      prev = cur
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zlen = {
+      var total = 0
+      while (!deflater.finished()) total += deflater.deflate(buf, total, buf.length - total)
+      total
+    }
+    deflater.end()
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(zlen)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  // ---------------------------------------------------------------
+  // PNG: the real decoder
+  // ---------------------------------------------------------------
+
+  /** Full PNG decode for the 8-bit RGB non-interlaced profile: chunk
+    * walk with per-chunk CRC32 VERIFICATION (a single flipped IDAT
+    * byte fails integrity before any pixel math), multi-IDAT zlib
+    * inflate, and scanline reconstruction inverting all five filter
+    * types — Sub, Up, Average (floor of the sum), and the Paeth
+    * predictor. Ancillary chunks are skipped by declared length, as
+    * the spec requires. Malformed input degrades to `ok = false`. */
+  def parsePng(id: Long, bytes: Array[Byte]): PixelMeta = {
+    val bad = PixelMeta(id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, ok = false)
+    if (bytes.length < 8 || (bytes(0) & 0xff) != 0x89 || bytes(1) != 'P' ||
+      bytes(2) != 'N' || bytes(3) != 'G') return bad
+    def rd32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended && off + 12 <= bytes.length) {
+      val len = rd32(off)
+      if (len < 0 || off + 12 + len > bytes.length) return bad
+      val name = new String(bytes, off + 4, 4, "US-ASCII")
+      // CRC check over tag + body — real integrity, not a skip
+      val c = new java.util.zip.CRC32()
+      c.update(bytes, off + 4, 4 + len)
+      if (c.getValue.toInt != rd32(off + 8 + len)) return bad
+      name match {
+        case "IHDR" =>
+          if (len != 13) return bad
+          w = rd32(off + 8); h = rd32(off + 12)
+          val bitDepth = bytes(off + 16)
+          val colorType = bytes(off + 17)
+          val interlace = bytes(off + 20)
+          if (bitDepth != 8 || colorType != 2 || interlace != 0 ||
+            w <= 0 || h <= 0) return bad
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunk: skip by length
+      }
+      off += 12 + len
+    }
+    if (w <= 0 || h <= 0 || idat.size() == 0) return bad
+    val bpp = 3
+    val raw = new Array[Byte](h * (1 + w * bpp))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val got =
+      try {
+        var total = 0
+        while (!inflater.finished() && total < raw.length)
+          total += inflater.inflate(raw, total, raw.length - total)
+        total
+      } catch { case _: java.util.zip.DataFormatException => -1 }
+      finally inflater.end()
+    if (got != raw.length) return bad
+    var rS, gS, bS, rW, gW, bW = 0L
+    val prev = new Array[Int](w * bpp)
+    val cur = new Array[Int](w * bpp)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + w * bpp)
+      val f = raw(base) & 0xff
+      if (f > 4) return bad
+      var k = 0
+      while (k < w * bpp) {
+        val x = raw(base + 1 + k) & 0xff
+        val left = if (k >= bpp) cur(k - bpp) else 0
+        val up = prev(k)
+        val ul = if (k >= bpp) prev(k - bpp) else 0
+        cur(k) = f match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case 4 => (x + paeth(left, up, ul)) & 0xff
+        }
+        k += 1
+      }
+      var px = 0
+      while (px < w) {
+        val wgt = (y.toLong * w + px + 1)
+        val r = cur(px * bpp); val g = cur(px * bpp + 1); val b = cur(px * bpp + 2)
+        rS += r; gS += g; bS += b
+        rW += r * wgt; gW += g * wgt; bW += b * wgt
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, w * bpp)
+      y += 1
+    }
+    PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
+  }
+
+  /** documents table -> synthesized PNG containers. */
+  def documentsAsPng(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import Multimodal.mediaRecordEnc
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        Multimodal.MediaRecord(id, synthesizePng(id, payload.length), "image/png")
+      }
+  }
+
+  /** Partition-batched PNG decode (the real-codec seam). */
+  def decodePngBatch(records: Dataset[Multimodal.MediaRecord]): Dataset[PixelMeta] =
+    records.mapPartitions { it =>
+      it.map(r => parsePng(r.id, r.media))
+    }
 }

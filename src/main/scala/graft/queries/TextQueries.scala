@@ -1517,8 +1517,66 @@ object TextQueries {
       FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
 
+  /** REAL PNG decode — zlib and CRC32 are JVM built-ins, so the full
+    * 8-bit RGB non-interlaced profile is decoded genuinely
+    * ([[graft.operators.Codecs.parsePng]]): chunk walk with per-chunk
+    * CRC32 verification, multi-IDAT inflate, and scanline
+    * reconstruction inverting all five PNG filters (None/Sub/Up/
+    * Average/Paeth — the synthesized rows cycle through every type,
+    * so a wrong predictor breaks parity). Same raster-weighted
+    * channel-sum rollup as `q_multimodal_pixels`; the oracle replays
+    * the pixel recipe arithmetically and never sees the compressed
+    * bytes — the decoder's filter inversion has to be EXACT for the
+    * sums to land. Partition-batched decode, ≤12-group rollup. */
+  val qMultimodalPng: Q = Q(
+    "q_multimodal_png",
+    (spark, dir) => graft.operators.Codecs
+      .decodePngBatch(graft.operators.Codecs
+        .documentsAsPng(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rSum")).as("r_sum"),
+        sum(col("gSum")).as("g_sum"),
+        sum(col("bSum")).as("b_sum"),
+        sum(col("rWsum")).as("r_wsum"),
+        sum(col("gWsum")).as("g_wsum"),
+        sum(col("bWsum")).as("b_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w,
+               CAST(2 + octet_length(encode(text)) % 3 AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      g AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+      c AS (
+        SELECT doc_id, w, h,
+               (doc_id * 3 + 11 * x + 17 * y) % 256 AS r,
+               (doc_id * 3 + 11 * x + 17 * y + 29) % 256 AS gg,
+               (doc_id * 3 + 11 * x + 17 * y + 58) % 256 AS b,
+               y * w + x + 1 AS wgt
+        FROM g),
+      per AS (
+        SELECT doc_id, w, h,
+               sum(r) AS r_sum, sum(gg) AS g_sum, sum(b) AS b_sum,
+               sum(r * wgt) AS r_wsum, sum(gg * wgt) AS g_wsum,
+               sum(b * wgt) AS b_wsum
+        FROM c GROUP BY 1, 2, 3)
+      SELECT w AS width, h AS height, count(*) AS n_docs,
+             CAST(sum(r_sum) AS BIGINT) AS r_sum,
+             CAST(sum(g_sum) AS BIGINT) AS g_sum,
+             CAST(sum(b_sum) AS BIGINT) AS b_sum,
+             CAST(sum(r_wsum) AS BIGINT) AS r_wsum,
+             CAST(sum(g_wsum) AS BIGINT) AS g_wsum,
+             CAST(sum(b_wsum) AS BIGINT) AS b_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qMultimodalAudio, qMultimodalPixels,
+    qMultimodalAudio, qMultimodalPixels, qMultimodalPng,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

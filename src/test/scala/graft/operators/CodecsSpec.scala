@@ -132,6 +132,80 @@ class CodecsSpec extends AnyFunSuite {
     assert(!Codecs.parseBmp(3L, badW).ok)
   }
 
+  // ---------------- PNG ----------------
+
+  test("png: round-trip through deflate + all five filters reproduces the recipe") {
+    // h up to 4 rows cycles filters (id+y)%5; sweep ids to hit all five
+    for (id <- 0L to 6L; nBytes <- Seq(0, 1, 2)) {
+      val m = Codecs.parsePng(id, Codecs.synthesizePng(id, nBytes))
+      assert(m.ok, s"id=$id nBytes=$nBytes must decode")
+      val w = Codecs.pngWidth(id); val h = Codecs.pngHeight(nBytes)
+      assert(m.width == w && m.height == h)
+      def ch(x: Int, y: Int, c: Int) = Codecs.pngChannel(id, x, y, c)
+      val exp = (for { y <- 0 until h; x <- 0 until w } yield
+        ch(x, y, 0).toLong).sum
+      val expW = (for { y <- 0 until h; x <- 0 until w } yield
+        ch(x, y, 2).toLong * (y * w + x + 1)).sum
+      assert(m.rSum == exp, s"id=$id: Sub/Up/Average/Paeth inversion must be exact")
+      assert(m.bWsum == expW)
+    }
+  }
+
+  test("png: paeth predictor picks the nearest of left/up/upper-left") {
+    assert(Codecs.paeth(10, 20, 30) == 10) // p=0, pa=10<pb=20<pc=30... p=a+b-c=0
+    assert(Codecs.paeth(100, 2, 3) == 100) // p=99: pa=1 smallest
+    assert(Codecs.paeth(2, 100, 3) == 100) // p=99: pb=1 smallest
+    assert(Codecs.paeth(50, 60, 10) == 60) // p=100: pb=40 smallest
+    // tie-break order: a before b before c (spec §9.4)
+    assert(Codecs.paeth(5, 5, 5) == 5)
+  }
+
+  test("png: a single flipped IDAT byte fails the CRC integrity check") {
+    val good = Codecs.synthesizePng(1L, 1)
+    assert(Codecs.parsePng(1L, good).ok)
+    // IDAT body starts after signature(8) + IHDR chunk(12+13); flip a
+    // byte inside the compressed stream
+    val idatBody = 8 + 25 + 8 + 2
+    val broken = good.clone()
+    broken(idatBody) = (broken(idatBody) ^ 0x40).toByte
+    assert(!Codecs.parsePng(1L, broken).ok,
+      "CRC32 verification must reject corrupted chunk bodies")
+  }
+
+  test("png: ancillary chunks are skipped by declared length") {
+    val good = Codecs.synthesizePng(2L, 0)
+    val m0 = Codecs.parsePng(2L, good)
+    // splice a valid tEXt chunk (with correct CRC) before IDAT
+    val body = "comment".getBytes("US-ASCII")
+    val tag = "tEXt".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag); crc.update(body)
+    val v = crc.getValue.toInt
+    val tchunk = Array(
+      ((body.length >>> 24) & 0xff).toByte, ((body.length >>> 16) & 0xff).toByte,
+      ((body.length >>> 8) & 0xff).toByte, (body.length & 0xff).toByte) ++
+      tag ++ body ++ Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val cut = 8 + 25 // after IHDR chunk
+    val spliced = good.take(cut) ++ tchunk ++ good.drop(cut)
+    val m1 = Codecs.parsePng(2L, spliced)
+    assert(m1.ok && m1.rWsum == m0.rWsum && m1.width == m0.width)
+  }
+
+  test("png: malformed headers and truncation degrade to ok=false") {
+    val good = Codecs.synthesizePng(3L, 2)
+    val badSig = good.clone(); badSig(0) = 0x88.toByte
+    assert(!Codecs.parsePng(3L, badSig).ok)
+    assert(!Codecs.parsePng(3L, good.take(30)).ok)
+    assert(!Codecs.parsePng(3L, Array[Byte]()).ok)
+    // interlaced flag rejected (profile not supported)
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte
+    assert(!Codecs.parsePng(3L, interlaced).ok,
+      "CRC now mismatches OR profile rejects — either way not ok")
+  }
+
   test("bmp: width field is read little-endian at offset 18") {
     // choose an id whose width bump keeps pixel data in range: shrink
     // instead — w=8 (id=4), patch to w=4: rowBytes shrinks, stays valid
