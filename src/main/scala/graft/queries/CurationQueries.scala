@@ -1053,7 +1053,7 @@ object CurationQueries {
     * importance is the exact RATIO in ppm and per-document scores are
     * ratio means, a monotone surrogate of the geometric-mean
     * likelihood ratio that both engines replay bit-for-bit. */
-  private val dsirB = 256
+  private val dsirB = graft.operators.Dsir.B
   private val dsirRatioCte: String = s"""
       WITH tk AS (
         SELECT doc_id, source, lang, token FROM (
@@ -1081,30 +1081,14 @@ object CurationQueries {
                  AS ratio_ppm
         FROM cnt, tot)"""
 
-  /** Engine-side DSIR bucket-ratio table: (bucket, n_t, n_r,
-    * ratio_ppm) — `dsirB` rows, broadcastable by construction. */
+  /** Engine-side DSIR bucket-ratio table — the operator core lives in
+    * [[graft.operators.Dsir]] (shared with the streaming serving
+    * path); this wrapper just binds it to the tables dir. */
   private def dsirRatios(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (col("lang") === "en").as("is_t"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-          lit(dsirB.toLong)).as("bucket"),
-        col("is_t"))
-    val cnt = toks.groupBy(col("bucket"))
-      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
-        count(lit(1)).as("n_r"))
-    val tot = cnt.agg(sum(col("n_t")).as("cap_t"), sum(col("n_r")).as("cap_r"))
-    val ratio = cnt.crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_t"), col("n_r"),
-        expr(s"cast(cast(n_t + 1 as decimal(38,0)) * (cap_r + $dsirB) * 1000000" +
-          s" div (cast(n_r + 1 as decimal(38,0)) * (cap_t + $dsirB)) as bigint)")
-          .as("ratio_ppm"))
-    (toks, ratio)
+    val toks = graft.operators.Dsir.tokenBuckets(Tables.documents(spark, dir))
+    (toks, graft.operators.Dsir.bucketRatios(toks))
   }
 
   /** DSIR importance model — the 20 most target-discriminative hashed
@@ -1152,13 +1136,7 @@ object CurationQueries {
     "q_dsir_resample",
     (spark, dir) => {
       val (toks, ratio) = dsirRatios(spark, dir)
-      val perDoc = toks.join(broadcast(ratio.select("bucket", "ratio_ppm")),
-          "bucket")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_toks"),
-          sum(col("ratio_ppm").cast("decimal(38,0)")).as("s_sum"))
-        .select(col("doc_id"), col("source"),
-          expr("cast(s_sum div n_toks as bigint)").as("score_ppm"))
+      val perDoc = graft.operators.Dsir.scores(toks, ratio)
       val smax = perDoc.agg(max(col("score_ppm")).as("s_max"))
       val drawn = perDoc.crossJoin(broadcast(smax))
         .select(col("source"), col("score_ppm"),
