@@ -134,6 +134,66 @@ object Codecs {
     bad
   }
 
+  final case class AudioRuns(
+      id: Long, sampleRate: Int, nRuns: Long, longestRun: Long,
+      nSilent: Long, ok: Boolean)
+
+  implicit val audioRunsEnc: Encoder[AudioRuns] = Encoders.product[AudioRuns]
+
+  /** Silence-run segmentation — the order-SENSITIVE decode statistic
+    * (a maximal run of samples with |s| < `thr`): run count, longest
+    * run, silent-sample mass. Sequential by nature, which is exactly
+    * why it belongs in the per-document decode pass (PCM is scanned
+    * once, in order, inside the partition) rather than in a
+    * corpus-wide window. The oracle replays it with a gaps-and-islands
+    * window over the synthesized samples — a decoder that reorders or
+    * drops samples diverges even when the permutation-invariant stats
+    * of [[parseWav]] would not. */
+  def wavSilenceRuns(id: Long, bytes: Array[Byte], thr: Int): AudioRuns = {
+    val m = parseWav(id, bytes)
+    if (!m.ok) return AudioRuns(id, 0, 0L, 0L, 0L, ok = false)
+    // re-walk to the data chunk (parseWav validated the layout)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var off = 12
+    var runs = 0L; var longest = 0L; var silent = 0L
+    while (off + 8 <= bytes.length) {
+      val name = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(off + 4).toInt
+      val body = off + 8
+      if (name == "data") {
+        val n = size / 2
+        var i = 0
+        var cur = 0L
+        while (i < n) {
+          val raw = le16(body + 2 * i)
+          val s = if (raw >= 32768) raw - 65536 else raw
+          if (math.abs(s) < thr) {
+            cur += 1; silent += 1
+            if (cur > longest) longest = cur
+          } else {
+            if (cur > 0) runs += 1
+            cur = 0
+          }
+          i += 1
+        }
+        if (cur > 0) runs += 1
+        return AudioRuns(id, m.sampleRate, runs, longest, silent, ok = true)
+      }
+      off = body + size + (size & 1)
+    }
+    AudioRuns(id, 0, 0L, 0L, 0L, ok = false)
+  }
+
+  /** Partition-batched silence segmentation. */
+  def wavRunsBatch(records: Dataset[Multimodal.MediaRecord],
+      thr: Int): Dataset[AudioRuns] =
+    records.mapPartitions { it =>
+      it.map(r => wavSilenceRuns(r.id, r.media, thr))
+    }
+
   /** documents table -> synthesized WAV containers. */
   def documentsAsWav(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
     val spark = documents.sparkSession

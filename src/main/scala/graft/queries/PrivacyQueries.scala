@@ -207,5 +207,121 @@ object PrivacyQueries {
       FROM b ORDER BY l_band
     """.trim))
 
-  val all: Seq[Q] = Seq(qPrivacyKanon, qPrivacyLadder, qPrivacyLdiv)
+  /** t-closeness of the ordered spend bucket within (type, volume)
+    * quasi-identifier groups (Li et al. 2007) — the gate l-diversity
+    * misses: a group can hold many DISTINCT spend buckets yet still
+    * leak because its distribution skews far from the corpus's. For
+    * an ordered attribute the distance is the Earth Mover's Distance
+    * = mean |cumulative-share gap|, computed here as EXACT integers:
+    * per (group, bucket) the term is |N·cum_c − n_g·cum_C| (group and
+    * global counts cross-multiplied instead of divided — DECIMAL(38)/
+    * HUGEINT products, since N·cum reaches ~10²² at a 10¹¹-user
+    * release), summed per group and floored to ppm of the n_g·N·(m−1)
+    * normalizer. Histogram over t bands (0.1 steps; t ≤ 0.3 is the
+    * usual release gate) with group/user counts and the worst group's
+    * EMD.
+    *
+    * Scale: the dense (group × bucket) grid is groups × m ≤ 10 rows —
+    * built by a broadcast of the ≤10-row global bucket table, never a
+    * corpus shuffle; cumulative sums run in m-row partitioned windows;
+    * the global cumulative is a 10×10 self-join. One corpus pass (the
+    * shared profile pre-aggregation), everything after is
+    * dimension-sized. */
+  val qPrivacyTcloseness: Q = Q(
+    "q_profile_tcloseness",
+    (spark, dir) => {
+      val prof = profile(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val glob = prof.groupBy(col("sbkt")).agg(count(lit(1)).as("cs"))
+      val globCum = glob.as("a")
+        .join(glob.select(col("sbkt").as("s2"), col("cs").as("cs2")).as("b"),
+          col("s2") <= col("sbkt"))
+        .groupBy(col("sbkt"))
+        .agg(sum(col("cs2")).as("cum_glob"))
+      val gtot = glob.agg(sum(col("cs")).as("n_total"),
+        count(lit(1)).as("m"))
+      val grp = prof.groupBy(col("dom_type"), col("ebkt"))
+        .agg(count(lit(1)).as("n_g"))
+      val cgs = prof.groupBy(col("dom_type"), col("ebkt"), col("sbkt"))
+        .agg(count(lit(1)).as("c"))
+      val grid = grp.crossJoin(broadcast(glob.select(col("sbkt"))))
+        .join(cgs, Seq("dom_type", "ebkt", "sbkt"), "left")
+        .select(col("dom_type"), col("ebkt"), col("sbkt"), col("n_g"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dom_type"), col("ebkt"))
+        .orderBy(col("sbkt"))
+      val emd = grid
+        .withColumn("cum_c", sum(col("c")).over(w))
+        .join(broadcast(globCum), "sbkt")
+        .crossJoin(broadcast(gtot))
+        .groupBy(col("dom_type"), col("ebkt"), col("n_g"), col("n_total"),
+          col("m"))
+        .agg(sum(expr("abs(cast(n_total as decimal(38,0)) * cum_c" +
+          " - cast(n_g as decimal(38,0)) * cum_glob)")).as("d_sum"))
+        .select(col("n_g"),
+          expr("cast(d_sum * 1000000 div (cast(n_g as decimal(38,0))" +
+            " * n_total * greatest(m - 1, 1)) as bigint)").as("emd_ppm"))
+      emd
+        .select(
+          when(col("emd_ppm") <= 100000, "0.0-0.1")
+            .when(col("emd_ppm") <= 200000, "0.1-0.2")
+            .when(col("emd_ppm") <= 300000, "0.2-0.3")
+            .otherwise("0.3+").as("t_band"),
+          col("n_g"), col("emd_ppm"))
+        .groupBy(col("t_band"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n_g")).as("n_users"),
+          max(col("emd_ppm")).as("max_emd_ppm"))
+        .orderBy(col("t_band"))
+    },
+    Some(s"""
+      $profileCte,
+      gdist AS (
+        SELECT sbkt, CAST(count(*) AS BIGINT) AS cs FROM prof GROUP BY sbkt),
+      globcum AS (
+        SELECT a.sbkt, CAST(sum(b.cs) AS BIGINT) AS cum_glob
+        FROM gdist a JOIN gdist b ON b.sbkt <= a.sbkt GROUP BY a.sbkt),
+      gtot AS (
+        SELECT CAST(sum(cs) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS m FROM gdist),
+      grp AS (
+        SELECT dom_type, ebkt, CAST(count(*) AS BIGINT) AS n_g
+        FROM prof GROUP BY 1, 2),
+      cgs AS (
+        SELECT dom_type, ebkt, sbkt, CAST(count(*) AS BIGINT) AS c
+        FROM prof GROUP BY 1, 2, 3),
+      grid AS (
+        SELECT g.dom_type, g.ebkt, v.sbkt, g.n_g,
+               coalesce(c.c, 0) AS c
+        FROM grp g CROSS JOIN (SELECT sbkt FROM gdist) v
+        LEFT JOIN cgs c USING (dom_type, ebkt, sbkt)),
+      cum AS (
+        SELECT dom_type, ebkt, sbkt, n_g,
+               sum(c) OVER (PARTITION BY dom_type, ebkt ORDER BY sbkt
+                 ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM grid),
+      emd AS (
+        SELECT dom_type, ebkt, any_value(n_g) AS n_g,
+               CAST(sum(abs(CAST(t.n_total AS HUGEINT) * cum_c
+                 - CAST(n_g AS HUGEINT) * gc.cum_glob))
+                 * 1000000 // (CAST(any_value(n_g) AS HUGEINT)
+                   * any_value(t.n_total)
+                   * greatest(any_value(t.m) - 1, 1)) AS BIGINT) AS emd_ppm
+        FROM cum JOIN globcum gc USING (sbkt) CROSS JOIN gtot t
+        GROUP BY dom_type, ebkt),
+      banded AS (
+        SELECT CASE WHEN emd_ppm <= 100000 THEN '0.0-0.1'
+                    WHEN emd_ppm <= 200000 THEN '0.1-0.2'
+                    WHEN emd_ppm <= 300000 THEN '0.2-0.3'
+                    ELSE '0.3+' END AS t_band,
+               n_g, emd_ppm
+        FROM emd)
+      SELECT t_band, count(*) AS n_groups,
+             CAST(sum(n_g) AS BIGINT) AS n_users,
+             CAST(max(emd_ppm) AS BIGINT) AS max_emd_ppm
+      FROM banded GROUP BY t_band ORDER BY t_band
+    """.trim))
+
+  val all: Seq[Q] = Seq(qPrivacyKanon, qPrivacyLadder, qPrivacyLdiv,
+    qPrivacyTcloseness)
 }

@@ -1575,8 +1575,65 @@ object TextQueries {
       FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
 
+  /** Silence-run segmentation over decoded PCM — the order-SENSITIVE
+    * audio statistic ([[graft.operators.Codecs.wavSilenceRuns]]):
+    * maximal runs of samples with |s| < 8192, counted sequentially
+    * inside the per-document decode pass (where PCM is already being
+    * scanned in order — never a corpus-wide window). The oracle
+    * replays the runs with a gaps-and-islands window over the
+    * synthesized samples, so a decoder that reorders, drops, or
+    * mis-signs samples diverges even when `q_multimodal_audio`'s
+    * permutation-invariant sums would not. Per-sample-rate rollup. */
+  val qMultimodalAudioRuns: Q = Q(
+    "q_multimodal_audio_runs",
+    (spark, dir) => graft.operators.Codecs
+      .wavRunsBatch(graft.operators.Codecs
+        .documentsAsWav(Tables.documents(spark, dir)), thr = 8192)
+      .toDF()
+      .groupBy(col("sampleRate").as("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nRuns")).as("n_runs"),
+        max(col("longestRun")).as("longest_run"),
+        sum(col("nSilent")).as("n_silent"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("sample_rate")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 32 + octet_length(encode(text)) % 64 AS n,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS sr
+        FROM documents),
+      s AS (SELECT doc_id, sr, unnest(range(0, n)) AS i FROM d),
+      v AS (
+        SELECT doc_id, sr, i,
+               abs(((doc_id * 31 + i * 2654435761) % 65536) - 32768) < 8192
+                 AS silent
+        FROM s),
+      isl AS (
+        SELECT doc_id, sr,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM v WHERE silent),
+      runs AS (
+        SELECT doc_id, sr, grp, count(*) AS run_len
+        FROM isl GROUP BY 1, 2, 3),
+      per AS (
+        SELECT d.doc_id, d.sr,
+               coalesce(r.n_runs, 0) AS n_runs,
+               coalesce(r.longest, 0) AS longest,
+               coalesce(r.n_silent, 0) AS n_silent
+        FROM d LEFT JOIN (
+          SELECT doc_id, count(*) AS n_runs, max(run_len) AS longest,
+                 sum(run_len) AS n_silent
+          FROM runs GROUP BY doc_id) r USING (doc_id))
+      SELECT sr AS sample_rate, count(*) AS n_docs,
+             CAST(sum(n_runs) AS BIGINT) AS n_runs,
+             CAST(max(longest) AS BIGINT) AS longest_run,
+             CAST(sum(n_silent) AS BIGINT) AS n_silent,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY sr ORDER BY sr
+    """.trim))
+
   def all: Seq[Q] = Seq(
-    qMultimodalAudio, qMultimodalPixels, qMultimodalPng,
+    qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

@@ -93,6 +93,29 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_tcloseness: EMD bands bounded, totals consistent") {
+    import spark.implicits._
+    val rows = q("q_profile_tcloseness").run(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val validBands = Set("0.0-0.1", "0.1-0.2", "0.2-0.3", "0.3+")
+    rows.foreach { case (band, nGroups, nUsers, maxEmd) =>
+      assert(validBands(band))
+      assert(nGroups > 0 && nUsers >= nGroups,
+        "every group holds at least one user")
+      assert(maxEmd >= 0 && maxEmd <= 1000000L,
+        "normalized EMD is a ppm fraction in [0, 1]")
+    }
+    // band ceilings actually bound their members' max EMD
+    rows.foreach {
+      case ("0.0-0.1", _, _, mx) => assert(mx <= 100000L)
+      case ("0.1-0.2", _, _, mx) => assert(mx > 100000L && mx <= 200000L)
+      case ("0.2-0.3", _, _, mx) => assert(mx > 200000L && mx <= 300000L)
+      case ("0.3+", _, _, mx) => assert(mx > 300000L)
+      case _ => ()
+    }
+  }
+
   test("q_weak_labels: handcrafted corpus pins every LF's vote") {
     import spark.implicits._
     // doc 1: 6 tokens (<8 => lf_len -1), no digits (lf_digit +1),

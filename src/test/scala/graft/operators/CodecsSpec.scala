@@ -132,6 +132,48 @@ class CodecsSpec extends AnyFunSuite {
     assert(!Codecs.parseBmp(3L, badW).ok)
   }
 
+  test("wav runs: hand-built sample pattern pins the run segmentation") {
+    // samples: 0, 100, 9000, 0, 0  (thr 8192) -> silent T T F T T
+    // runs = 2, longest = 2, silent = 4
+    val samples = Seq(0, 100, 9000, 0, 0)
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    bb.putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val m = Codecs.wavSilenceRuns(9L, bb.array(), thr = 8192)
+    assert(m.ok)
+    assert(m.nRuns == 2L && m.longestRun == 2L && m.nSilent == 4L)
+  }
+
+  test("wav runs: agree with a reference recompute on synthesized docs") {
+    for (id <- 0L to 5L) {
+      val m = Codecs.wavSilenceRuns(id, Codecs.synthesizeWav(id, 3), 8192)
+      assert(m.ok)
+      val n = Codecs.wavSampleCount(3)
+      val silent = (0 until n)
+        .map(i => math.abs(Codecs.wavSample(id, i.toLong)) < 8192)
+      val runs = silent.foldLeft((0L, 0L, 0L)) { // (runs, cur, longest)
+        case ((r, c, l), true) => (r, c + 1, math.max(l, c + 1))
+        case ((r, c, l), false) => (if (c > 0) r + 1 else r, 0L, l)
+      }
+      val totalRuns = if (runs._2 > 0) runs._1 + 1 else runs._1
+      assert(m.nRuns == totalRuns && m.longestRun == runs._3)
+      assert(m.nSilent == silent.count(identity).toLong)
+    }
+  }
+
+  test("wav runs: corrupt container degrades to ok=false") {
+    val good = Codecs.synthesizeWav(1L, 1)
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(!Codecs.wavSilenceRuns(1L, bad, 8192).ok)
+  }
+
   // ---------------- PNG ----------------
 
   test("png: round-trip through deflate + all five filters reproduces the recipe") {
