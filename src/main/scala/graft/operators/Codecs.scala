@@ -367,16 +367,22 @@ object Codecs {
     * CRC, one zlib-deflated IDAT whose scanlines cycle through ALL
     * FIVE filter types (`(id + y) % 5`), IEND. The filters are applied
     * FORWARD here; [[parsePng]] must invert them exactly. */
-  def synthesizePng(id: Long, nBytes: Int): Array[Byte] = {
-    val w = pngWidth(id)
-    val h = pngHeight(nBytes)
+  def synthesizePng(id: Long, nBytes: Int): Array[Byte] =
+    encodePng(id, pngWidth(id), pngHeight(nBytes), pngChannel(id, _, _, _))
+
+  /** General PNG encoder for ANY pixel function — also the transcode
+    * target: re-encoding decoded BMP pixels through this and decoding
+    * back must reproduce the pixels bit-for-bit
+    * (`q_multimodal_transcode`). */
+  def encodePng(id: Long, w: Int, h: Int,
+      chan: (Int, Int, Int) => Int): Array[Byte] = {
     val bpp = 3 // bytes per pixel (8-bit RGB)
     val raw = Array.ofDim[Byte](h * (1 + w * bpp))
     var prev: Array[Int] = Array.fill(w * bpp)(0)
     var y = 0
     var o = 0
     while (y < h) {
-      val cur = Array.tabulate(w * bpp)(k => pngChannel(id, k / bpp, y, k % bpp))
+      val cur = Array.tabulate(w * bpp)(k => chan(k / bpp, y, k % bpp))
       val f = ((id + y) % 5L).toInt
       raw(o) = f.toByte; o += 1
       var k = 0
@@ -525,4 +531,24 @@ object Codecs {
     records.mapPartitions { it =>
       it.map(r => parsePng(r.id, r.media))
     }
+
+  /** The TRANSCODE path: the same pixel content as
+    * [[documentsAsBmp]] (identical recipe and dimensions) re-encoded
+    * as PNG — different container bytes, equal decoded pixels. This
+    * is the in-partition transcode job shape: decode-free here
+    * because the recipe is the source of truth, but the encode is the
+    * real [[encodePng]] (filters + zlib + CRC). */
+  def documentsAsTranscodedPng(
+      documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import Multimodal.mediaRecordEnc
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val png = encodePng(id, bmpWidth(id), bmpHeight(payload.length),
+          bmpChannel(id, _, _, _))
+        Multimodal.MediaRecord(id, png, "image/png")
+      }
+  }
 }

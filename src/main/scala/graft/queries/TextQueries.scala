@@ -1632,8 +1632,59 @@ object TextQueries {
       FROM per GROUP BY sr ORDER BY sr
     """.trim))
 
+  /** Cross-format CONTENT dedup — the "same image, different file"
+    * problem a byte-hash dedup cannot see: every document's pixel
+    * content exists twice, as a BMP and as a transcoded PNG
+    * ([[graft.operators.Codecs.documentsAsTranscodedPng]] — the real
+    * encoder: filters + zlib + CRC). Both containers are DECODED by
+    * their real codecs and matched on the decoded-pixel signature
+    * (dims + channel sums + raster-weighted sums) and, separately, on
+    * the container md5. Pixel signatures must match for every doc
+    * (the transcode preserved content) while zero container hashes
+    * match (byte-level dedup finds nothing) — exactly why media dedup
+    * must run AFTER decode. Per-dimension rollup; two partition-
+    * batched decode passes and a doc-keyed join of metadata-sized
+    * tables. */
+  val qMultimodalTranscode: Q = Q(
+    "q_multimodal_transcode",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val sig = Seq("width", "height", "rSum", "gSum", "bSum",
+        "rWsum", "gWsum", "bWsum")
+      val bmpRecs = graft.operators.Codecs.documentsAsBmp(docs)
+      val pngRecs = graft.operators.Codecs.documentsAsTranscodedPng(docs)
+      val bmpHash = bmpRecs.toDF()
+        .select(col("id"), md5(col("media")).as("bmp_md5"))
+      val pngHash = pngRecs.toDF()
+        .select(col("id"), md5(col("media")).as("png_md5"))
+      val a = graft.operators.Codecs.decodeBmpBatch(bmpRecs).toDF()
+        .select((col("id") +: sig.map(c => col(c).as(s"a_$c"))): _*)
+      val b = graft.operators.Codecs.decodePngBatch(pngRecs).toDF()
+        .select((col("id") +: sig.map(c => col(c).as(s"b_$c"))): _*)
+      a.join(b, "id").join(bmpHash, "id").join(pngHash, "id")
+        .select(col("a_width").as("width"), col("a_height").as("height"),
+          sig.map(c => (col(s"a_$c") === col(s"b_$c")).cast("long"))
+            .reduce(_ * _).as("pixel_match"),
+          (col("bmp_md5") === col("png_md5")).cast("long")
+            .as("container_match"))
+        .groupBy(col("width"), col("height"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pixel_match")).as("n_pixel_match"),
+          sum(col("container_match")).as("n_container_match"))
+        .orderBy(col("width"), col("height"))
+    },
+    Some("""
+      SELECT CAST(4 + doc_id % 5 AS INT) AS width,
+             CAST(3 + octet_length(encode(text)) % 4 AS INT) AS height,
+             count(*) AS n_docs,
+             count(*) AS n_pixel_match,
+             CAST(0 AS BIGINT) AS n_container_match
+      FROM documents GROUP BY 1, 2 ORDER BY width, height
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
+    qMultimodalTranscode,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

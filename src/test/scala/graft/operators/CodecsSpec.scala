@@ -235,6 +235,18 @@ class CodecsSpec extends AnyFunSuite {
     assert(m1.ok && m1.rWsum == m0.rWsum && m1.width == m0.width)
   }
 
+  test("png: transcoding BMP pixels through encodePng round-trips exactly") {
+    for (id <- 0L to 4L; nBytes <- Seq(0, 2)) {
+      val viaBmp = Codecs.parseBmp(id, Codecs.synthesizeBmp(id, nBytes))
+      val png = Codecs.encodePng(id, Codecs.bmpWidth(id),
+        Codecs.bmpHeight(nBytes), Codecs.bmpChannel(id, _, _, _))
+      val viaPng = Codecs.parsePng(id, png)
+      assert(viaBmp.ok && viaPng.ok)
+      assert(viaPng.copy(ok = viaBmp.ok) == viaBmp,
+        s"id=$id: decoded pixel stats must survive the BMP->PNG transcode")
+    }
+  }
+
   test("png: malformed headers and truncation degrade to ok=false") {
     val good = Codecs.synthesizePng(3L, 2)
     val badSig = good.clone(); badSig(0) = 0x88.toByte
