@@ -1104,8 +1104,87 @@ object SequenceQueries {
       ORDER BY lag
     """.trim))
 
+  /** Holt double-exponential smoothing (level + trend, α = β = ½) of
+    * the monthly value series per event type, with the 1-3 month
+    * forecasts — the trend companion to `q_event_ewma`'s level-only
+    * smoother. The coupled recurrences
+    * `l_t = (y_t + l_{t-1} + b_{t-1}) div 2`,
+    * `b_t = (b_{t-1} + l_t − l_{t-1}) div 2` have no closed form once
+    * the state is integer-floored, so the recursion RUNS — but over a
+    * CALENDAR-bounded series: the months collapse to ≤ a few hundred
+    * rows per type no matter the corpus size, are collected into one
+    * in-row sorted array, and the recurrence executes inside a single
+    * `aggregate` HOF with a (level, trend, i) struct state. Both
+    * divisions truncate toward zero in both engines (verified:
+    * Spark `div` and DuckDB `//` agree on negatives — a falling
+    * series drives the trend negative, so this is load-bearing). The
+    * oracle replays the identical recursion as a recursive CTE.
+    *
+    * Scale: one corpus pass (the month × type aggregate — the only
+    * data-sized stage), then per-type arrays bounded by time, not
+    * data. No window over the corpus, no driver loop. */
+  val qHoltTrend: Q = Q(
+    "q_holt_trend",
+    (spark, dir) => {
+      val monthly = Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("idx"))
+        .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint))").as("y"))
+      monthly.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("y"))))
+          .as("ms"))
+        .withColumn("st", expr("""
+          aggregate(ms,
+            named_struct('l', cast(0 as bigint), 'b', cast(0 as bigint),
+                         'i', cast(0 as bigint)),
+            (acc, x) -> CASE WHEN acc.i = 0
+              THEN named_struct('l', x.y, 'b', cast(0 as bigint),
+                                'i', cast(1 as bigint))
+              ELSE named_struct(
+                'l', (x.y + acc.l + acc.b) div 2,
+                'b', (acc.b + ((x.y + acc.l + acc.b) div 2) - acc.l) div 2,
+                'i', acc.i + 1) END)"""))
+        .select(col("event_type"),
+          size(col("ms")).cast("long").as("n_months"),
+          col("st.l").as("level_cents"),
+          col("st.b").as("trend_cents"),
+          (col("st.l") + col("st.b")).as("f1_cents"),
+          (col("st.l") + col("st.b") * 2).as("f2_cents"),
+          (col("st.l") + col("st.b") * 3).as("f3_cents"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH RECURSIVE monthly AS (
+        SELECT event_type,
+               CAST(year(ts) * 12 + month(ts) AS BIGINT) AS idx,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM events GROUP BY 1, 2),
+      rk AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn
+        FROM monthly),
+      nn AS (SELECT event_type, max(rn) AS n FROM rk GROUP BY event_type),
+      rec AS (
+        SELECT event_type, rn, y AS l, CAST(0 AS BIGINT) AS b
+        FROM rk WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, k.rn,
+               (k.y + r.l + r.b) // 2,
+               (r.b + ((k.y + r.l + r.b) // 2) - r.l) // 2
+        FROM rec r JOIN rk k
+          ON k.event_type = r.event_type AND k.rn = r.rn + 1)
+      SELECT r.event_type, CAST(n.n AS BIGINT) AS n_months,
+             r.l AS level_cents, r.b AS trend_cents,
+             r.l + r.b AS f1_cents,
+             r.l + r.b * 2 AS f2_cents,
+             r.l + r.b * 3 AS f3_cents
+      FROM rec r JOIN nn n USING (event_type)
+      WHERE r.rn = n.n ORDER BY r.event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
     qCusumDrift, qTheilSen, qMannKendall, qSurvivalKm, qEventCondEntropy,
-    qBrokenStick, qSeasonalDecompose, qAcf)
+    qBrokenStick, qSeasonalDecompose, qAcf, qHoltTrend)
 }

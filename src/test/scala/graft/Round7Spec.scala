@@ -116,6 +116,32 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("q_holt_trend: recursion replayed in plain Scala matches the HOF state") {
+    import spark.implicits._
+    val rows = q("q_holt_trend").run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the recurrence from the raw series
+    val monthly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("idx"))
+      .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint))").as("y"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    rows.foreach { case (et, nMonths, level, trend, f1, f2, f3) =>
+      val ys = monthly(et)
+      assert(nMonths == ys.length.toLong)
+      var l = ys.head; var b = 0L
+      ys.tail.foreach { y =>
+        val l2 = (y + l + b) / 2 // Long / truncates toward zero like div
+        b = (b + l2 - l) / 2
+        l = l2
+      }
+      assert(level == l && trend == b, s"$et: recursion must match")
+      assert(f1 == l + b && f2 == l + 2 * b && f3 == l + 3 * b)
+    }
+  }
+
   test("q_weak_labels: handcrafted corpus pins every LF's vote") {
     import spark.implicits._
     // doc 1: 6 tokens (<8 => lf_len -1), no digits (lf_digit +1),
