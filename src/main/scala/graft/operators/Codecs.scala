@@ -194,6 +194,124 @@ object Codecs {
       it.map(r => wavSilenceRuns(r.id, r.media, thr))
     }
 
+  // ---------------------------------------------------------------
+  // µ-law (G.711) WAV: companded 8-bit telephony audio
+  // ---------------------------------------------------------------
+
+  /** Deterministic encoded µ-law byte i of document `id`. */
+  def ulawByte(id: Long, i: Long): Int =
+    Math.floorMod(id * 7L + i * 131L, 256L).toInt
+
+  def ulawSampleCount(nBytes: Int): Int = 24 + nBytes % 40
+
+  /** Canonical G.711 µ-law expansion (the telephony standard's
+    * segment/mantissa decode): `u = ~b`, magnitude
+    * `((mantissa·8)+132) << segment`, bias 132, sign from the top
+    * bit. Pure integer arithmetic — the oracle replays it with
+    * mod/shift SQL. */
+  def ulawToLinear(b: Int): Int = {
+    val u = (~b) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** A canonical µ-law WAVE file: audioFormat 7, 8 bits, mono,
+    * blockAlign 1 — the second REAL audio profile beside PCM. */
+  def synthesizeUlawWav(id: Long, nBytes: Int): Array[Byte] = {
+    val n = ulawSampleCount(nBytes)
+    val sr = wavSampleRate(id)
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(7) // µ-law
+    bb.putShort(1) // mono
+    bb.putInt(sr)
+    bb.putInt(sr)  // byte rate = sr · blockAlign
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { bb.put(ulawByte(id, i.toLong).toByte); i += 1 }
+    bb.array()
+  }
+
+  final case class UlawMeta(
+      id: Long, sampleRate: Int, nSamples: Long, peak: Long,
+      sumAbs: Long, sumSigned: Long, nLoud: Long, ok: Boolean)
+
+  implicit val ulawMetaEnc: Encoder[UlawMeta] = Encoders.product[UlawMeta]
+
+  /** µ-law WAV parser: the same chunk walk as [[parseWav]] but
+    * validating the G.711 format fields (audioFormat 7, 8 bits,
+    * blockAlign 1) and EXPANDING each companded byte through
+    * [[ulawToLinear]]. `sumSigned` is the sign-sensitive statistic —
+    * an expansion that drops the sign bit or mis-biases still gets
+    * `sumAbs` nearly right but never the signed sum. */
+  def parseUlawWav(id: Long, bytes: Array[Byte]): UlawMeta = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    val bad = UlawMeta(id, 0, 0L, 0L, 0L, 0L, 0L, ok = false)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    var off = 12
+    var sampleRate = 0
+    var fmtSeen = false
+    while (off + 8 <= bytes.length) {
+      val name = tag(off)
+      val size = le32(off + 4).toInt
+      val body = off + 8
+      if (name == "fmt ") {
+        if (size < 16 || body + 16 > bytes.length) return bad
+        if (le16(body) != 7 || le16(body + 2) != 1 ||
+          le16(body + 12) != 1 || le16(body + 14) != 8) return bad
+        sampleRate = le32(body + 4).toInt
+        if (sampleRate <= 0) return bad
+        fmtSeen = true
+      } else if (name == "data") {
+        if (!fmtSeen || body + size > bytes.length) return bad
+        var i = 0
+        var peak = 0L; var sumAbs = 0L; var sumSigned = 0L; var loud = 0L
+        while (i < size) {
+          val s = ulawToLinear(bytes(body + i) & 0xff)
+          val a = math.abs(s).toLong
+          if (a > peak) peak = a
+          sumAbs += a
+          sumSigned += s
+          if (a >= 4096L) loud += 1
+          i += 1
+        }
+        return UlawMeta(id, sampleRate, size.toLong, peak, sumAbs,
+          sumSigned, loud, ok = true)
+      }
+      off = body + size + (size & 1)
+    }
+    bad
+  }
+
+  /** documents table -> synthesized µ-law WAV containers. */
+  def documentsAsUlaw(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import Multimodal.mediaRecordEnc
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        Multimodal.MediaRecord(
+          id, synthesizeUlawWav(id, payload.length), "audio/basic")
+      }
+  }
+
+  /** Partition-batched µ-law decode. */
+  def decodeUlawBatch(
+      records: Dataset[Multimodal.MediaRecord]): Dataset[UlawMeta] =
+    records.mapPartitions { it =>
+      it.map(r => parseUlawWav(r.id, r.media))
+    }
+
   /** documents table -> synthesized WAV containers. */
   def documentsAsWav(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
     val spark = documents.sparkSession

@@ -1682,9 +1682,65 @@ object TextQueries {
       FROM documents GROUP BY 1, 2 ORDER BY width, height
     """.trim))
 
+  /** REAL µ-law (G.711) decode — the telephony companding standard
+    * expanded by exact integer segment/mantissa arithmetic
+    * ([[graft.operators.Codecs.ulawToLinear]]): `u = ~b`, magnitude
+    * `((u&15)·8+132) << ((u>>4)&7)`, bias 132, sign from the top bit.
+    * The oracle replays the expansion with mod/shift SQL over the
+    * synthesized byte recipe; `sum_signed` is the sign-sensitive
+    * check (an expansion that loses the sign bit still lands near the
+    * right `sum_abs`, never the right signed sum). Same
+    * partition-batched seam and 3-row rollup as the PCM family. */
+  val qMultimodalUlaw: Q = Q(
+    "q_multimodal_ulaw",
+    (spark, dir) => graft.operators.Codecs
+      .decodeUlawBatch(graft.operators.Codecs
+        .documentsAsUlaw(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("sampleRate").as("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nSamples")).as("total_samples"),
+        max(col("peak")).as("max_peak"),
+        sum(col("sumAbs")).as("sum_abs"),
+        sum(col("sumSigned")).as("sum_signed"),
+        sum(col("nLoud")).as("n_loud"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("sample_rate")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, 24 + octet_length(encode(text)) % 40 AS n,
+               CAST(8000 * (1 + doc_id % 3) AS INT) AS sr
+        FROM documents),
+      s AS (SELECT doc_id, sr, unnest(range(0, n)) AS i FROM d),
+      e AS (
+        SELECT doc_id, sr, 255 - ((doc_id * 7 + i * 131) % 256) AS u
+        FROM s),
+      v AS (
+        SELECT doc_id, sr,
+               CASE WHEN u // 128 = 1
+                 THEN 132 - (((u % 16) * 8 + 132) << ((u // 16) % 8))
+                 ELSE (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+               END AS smp
+        FROM e),
+      p AS (
+        SELECT doc_id, sr, count(*) AS n,
+               max(abs(smp)) AS peak, sum(abs(smp)) AS sum_abs,
+               sum(smp) AS sum_signed,
+               sum(CASE WHEN abs(smp) >= 4096 THEN 1 ELSE 0 END) AS n_loud
+        FROM v GROUP BY 1, 2)
+      SELECT sr AS sample_rate, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_samples,
+             CAST(max(peak) AS BIGINT) AS max_peak,
+             CAST(sum(sum_abs) AS BIGINT) AS sum_abs,
+             CAST(sum(sum_signed) AS BIGINT) AS sum_signed,
+             CAST(sum(n_loud) AS BIGINT) AS n_loud,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM p GROUP BY sr ORDER BY sr
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
-    qMultimodalTranscode,
+    qMultimodalTranscode, qMultimodalUlaw,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

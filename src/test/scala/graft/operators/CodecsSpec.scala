@@ -174,6 +174,34 @@ class CodecsSpec extends AnyFunSuite {
     assert(!Codecs.wavSilenceRuns(1L, bad, 8192).ok)
   }
 
+  // ---------------- µ-law ----------------
+
+  test("ulaw: expansion matches the CCITT reference at the pinned codes") {
+    assert(Codecs.ulawToLinear(0xff) == 0)     // positive zero
+    assert(Codecs.ulawToLinear(0x7f) == 0)     // negative zero
+    assert(Codecs.ulawToLinear(0x00) == -32124) // most negative
+    assert(Codecs.ulawToLinear(0x80) == 32124)  // most positive
+    // sign symmetry: b and b^0x80 decode to negatives of each other
+    for (b <- 0 until 128)
+      assert(Codecs.ulawToLinear(b) == -Codecs.ulawToLinear(b | 0x80))
+    // monotone within the positive half: higher code = smaller magnitude
+    val pos = (0x80 to 0xff).map(Codecs.ulawToLinear)
+    assert(pos.sliding(2).forall(w => w.head >= w.last))
+  }
+
+  test("ulaw: container round-trip and PCM-format rejection") {
+    val m = Codecs.parseUlawWav(4L, Codecs.synthesizeUlawWav(4L, 5))
+    assert(m.ok && m.nSamples == Codecs.ulawSampleCount(5).toLong)
+    val expected = (0 until Codecs.ulawSampleCount(5))
+      .map(i => Codecs.ulawToLinear(Codecs.ulawByte(4L, i.toLong)))
+    assert(m.sumSigned == expected.map(_.toLong).sum)
+    assert(m.peak == expected.map(s => math.abs(s).toLong).max)
+    // a PCM container must be rejected by the µ-law parser and
+    // vice versa — the format field is load-bearing
+    assert(!Codecs.parseUlawWav(4L, Codecs.synthesizeWav(4L, 5)).ok)
+    assert(!Codecs.parseWav(4L, Codecs.synthesizeUlawWav(4L, 5)).ok)
+  }
+
   // ---------------- PNG ----------------
 
   test("png: round-trip through deflate + all five filters reproduces the recipe") {
