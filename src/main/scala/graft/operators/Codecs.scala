@@ -650,6 +650,227 @@ object Codecs {
       it.map(r => parsePng(r.id, r.media))
     }
 
+  // ---------------------------------------------------------------
+  // GIF89a: a REAL LZW codec (variable-width codes, clear/EOI,
+  // LSB-first bit packing, 16-color palette)
+  // ---------------------------------------------------------------
+
+  /** 16-color palette entry c∈{0,1,2} of slot j for document `id`. */
+  def gifPalette(id: Long, j: Int, c: Int): Int =
+    Math.floorMod(id * 5L + 17L * j + 41L * c, 256L).toInt
+
+  /** Palette index of pixel (x, y). */
+  def gifIndex(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(id + 3L * x + 5L * y, 16L).toInt
+
+  def gifWidth(id: Long): Int = (5L + id % 4L).toInt
+  def gifHeight(nBytes: Int): Int = 4 + nBytes % 3
+
+  private final val GifMinCode = 4 // 16-color images
+
+  /** GIF-variant LZW compressor over a palette-index stream:
+    * dictionary of strings → codes, CLEAR emitted first, code width
+    * grows from 5 as the dictionary fills (the `next == 1<<width`
+    * rule, capped at 12), EOI last, LSB-first bit packing. */
+  def lzwCompress(indices: Array[Int]): Array[Byte] = {
+    val clear = 1 << GifMinCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var width = GifMinCode + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[List[Int], Int]
+    var next = eoi + 1
+    emit(clear)
+    var cur: List[Int] = Nil
+    indices.foreach { p =>
+      val ext = p :: cur // reversed-prefix key (cheap prepend)
+      if (cur.isEmpty) cur = ext
+      else if (dict.contains(ext)) cur = ext
+      else {
+        emit(if (cur.tail.isEmpty) cur.head else dict(cur))
+        dict(ext) = next; next += 1
+        if (next == (1 << width) && width < 12) width += 1
+        cur = List(p)
+      }
+    }
+    if (cur.nonEmpty) emit(if (cur.tail.isEmpty) cur.head else dict(cur))
+    emit(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompressor: CLEAR resets, the KwKwK case
+    * (`code == next`) reconstructs prev + prev.head, width grows in
+    * lockstep with the compressor. Returns null on a malformed
+    * stream. */
+  def lzwDecompress(data: Array[Byte], nExpected: Int): Array[Int] = {
+    val clear = 1 << GifMinCode
+    val eoi = clear + 1
+    var width = GifMinCode + 1
+    var bitPos = 0
+    def read(): Int = {
+      if ((bitPos + width + 7) / 8 > data.length) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val bit = bitPos + i
+        if ((data(bit / 8) & (1 << (bit % 8))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val out = new Array[Int](nExpected)
+    var outN = 0
+    var dict = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def reset(): Unit = {
+      width = GifMinCode + 1
+      dict = scala.collection.mutable.ArrayBuffer.tabulate(eoi + 1)(j =>
+        if (j < clear) Array(j) else Array.emptyIntArray)
+    }
+    reset()
+    var prev: Array[Int] = null
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code < 0) return null
+      if (code == clear) { reset(); prev = null }
+      else if (code == eoi) done = true
+      else {
+        val entry: Array[Int] =
+          if (code < dict.length && (code < clear || dict(code).nonEmpty))
+            dict(code)
+          else if (code == dict.length && prev != null) prev :+ prev(0)
+          else return null
+        if (outN + entry.length > nExpected) return null
+        System.arraycopy(entry, 0, out, outN, entry.length); outN += entry.length
+        if (prev != null) {
+          dict += (prev :+ entry(0))
+          // the decoder's dictionary trails the encoder's by one entry,
+          // so it must widen at 2^n - 1 where the encoder widens at 2^n
+          // (the classic GIF-LZW sync rule)
+          if (dict.length == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = entry
+      }
+    }
+    if (outN != nExpected) return null
+    out
+  }
+
+  /** A genuine GIF89a: header, logical screen descriptor, 16-entry
+    * global color table, image descriptor, LZW-compressed index
+    * stream in ≤255-byte sub-blocks, trailer. */
+  def synthesizeGif(id: Long, nBytes: Int): Array[Byte] = {
+    val w = gifWidth(id)
+    val h = gifHeight(nBytes)
+    val idx = Array.tabulate(w * h)(p => gifIndex(id, p % w, p / w))
+    val lzw = lzwCompress(idx)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf3) // GCT present, 8-bit resolution, 16-entry table
+    out.write(0); out.write(0)
+    for (j <- 0 until 16; c <- 0 until 3) out.write(gifPalette(id, j, c))
+    out.write(0x2c) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0) // no local table, not interlaced
+    out.write(GifMinCode)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      out.write(n)
+      out.write(lzw, o, n)
+      o += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF89a decoder: validates the signature, reads the screen
+    * descriptor and global color table, walks to the image
+    * descriptor, reassembles the LZW sub-blocks, LZW-decompresses the
+    * index stream, and maps indices through the palette. Uses the
+    * same [[PixelMeta]] signature as BMP/PNG so the three image
+    * decoders are interchangeable downstream. */
+  def parseGif(id: Long, bytes: Array[Byte]): PixelMeta = {
+    val bad = PixelMeta(id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, ok = false)
+    if (bytes.length < 13 ||
+      new String(bytes, 0, 6, "US-ASCII") != "GIF89a") return bad
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = le16(6)
+    val h = le16(8)
+    val packed = bytes(10) & 0xff
+    if ((packed & 0x80) == 0) return bad // need a global color table
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    if (off + gctSize * 3 > bytes.length) return bad
+    val palette = Array.tabulate(gctSize, 3)((j, c) => bytes(13 + j * 3 + c) & 0xff)
+    off += gctSize * 3
+    // walk to the image descriptor (skip extensions: 0x21 label size-blocks)
+    while (off < bytes.length && (bytes(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      while (off < bytes.length && bytes(off) != 0) off += 1 + (bytes(off) & 0xff)
+      off += 1
+    }
+    if (off + 10 > bytes.length || (bytes(off) & 0xff) != 0x2c) return bad
+    val iw = le16(off + 5); val ih = le16(off + 7)
+    if (iw != w || ih != h || (bytes(off + 9) & 0x80) != 0) return bad
+    off += 10
+    if (off >= bytes.length || (bytes(off) & 0xff) != GifMinCode) return bad
+    off += 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    while (off < bytes.length && bytes(off) != 0) {
+      val n = bytes(off) & 0xff
+      if (off + 1 + n > bytes.length) return bad
+      lzw.write(bytes, off + 1, n)
+      off += 1 + n
+    }
+    val idx = lzwDecompress(lzw.toByteArray, w * h)
+    if (idx == null) return bad
+    var rS, gS, bS, rW, gW, bW = 0L
+    var p = 0
+    while (p < w * h) {
+      val j = idx(p)
+      if (j >= gctSize) return bad
+      val wgt = ((p / w).toLong * w + (p % w) + 1)
+      rS += palette(j)(0); gS += palette(j)(1); bS += palette(j)(2)
+      rW += palette(j)(0) * wgt; gW += palette(j)(1) * wgt
+      bW += palette(j)(2) * wgt
+      p += 1
+    }
+    PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
+  }
+
+  /** documents table -> synthesized GIF containers. */
+  def documentsAsGif(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import Multimodal.mediaRecordEnc
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        Multimodal.MediaRecord(id, synthesizeGif(id, payload.length), "image/gif")
+      }
+  }
+
+  /** Partition-batched GIF decode. */
+  def decodeGifBatch(
+      records: Dataset[Multimodal.MediaRecord]): Dataset[PixelMeta] =
+    records.mapPartitions { it =>
+      it.map(r => parseGif(r.id, r.media))
+    }
+
   /** The TRANSCODE path: the same pixel content as
     * [[documentsAsBmp]] (identical recipe and dimensions) re-encoded
     * as PNG — different container bytes, equal decoded pixels. This

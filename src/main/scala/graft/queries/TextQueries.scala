@@ -1738,9 +1738,70 @@ object TextQueries {
       FROM p GROUP BY sr ORDER BY sr
     """.trim))
 
+  /** REAL GIF89a decode — a genuine LZW dictionary decompressor
+    * ([[graft.operators.Codecs.lzwDecompress]]): variable-width codes
+    * growing 5→12 bits under the classic sync rule (the decoder's
+    * dictionary trails the encoder's by one entry, so it widens at
+    * 2ⁿ−1 where the encoder widens at 2ⁿ), CLEAR/EOI handling, the
+    * KwKwK self-referential case, LSB-first bit unpacking, sub-block
+    * reassembly, and palette indirection through the 16-entry global
+    * color table. The oracle replays the palette and index recipes
+    * arithmetically — it never sees the compressed bits, so the sums
+    * only land if the dictionary reconstruction is exact. Same
+    * raster-weighted signature and rollup as the BMP/PNG decoders. */
+  val qMultimodalGif: Q = Q(
+    "q_multimodal_gif",
+    (spark, dir) => graft.operators.Codecs
+      .decodeGifBatch(graft.operators.Codecs
+        .documentsAsGif(Tables.documents(spark, dir)))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rSum")).as("r_sum"),
+        sum(col("gSum")).as("g_sum"),
+        sum(col("bSum")).as("b_sum"),
+        sum(col("rWsum")).as("r_wsum"),
+        sum(col("gWsum")).as("g_wsum"),
+        sum(col("bWsum")).as("b_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(5 + doc_id % 4 AS INT) AS w,
+               CAST(4 + octet_length(encode(text)) % 3 AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      g AS (
+        SELECT doc_id, w, h, p,
+               (doc_id + 3 * (p % w) + 5 * (p // w)) % 16 AS j
+        FROM px),
+      c AS (
+        SELECT doc_id, w, h,
+               (doc_id * 5 + 17 * j) % 256 AS r,
+               (doc_id * 5 + 17 * j + 41) % 256 AS gg,
+               (doc_id * 5 + 17 * j + 82) % 256 AS b,
+               p + 1 AS wgt
+        FROM g),
+      per AS (
+        SELECT doc_id, w, h,
+               sum(r) AS r_sum, sum(gg) AS g_sum, sum(b) AS b_sum,
+               sum(r * wgt) AS r_wsum, sum(gg * wgt) AS g_wsum,
+               sum(b * wgt) AS b_wsum
+        FROM c GROUP BY 1, 2, 3)
+      SELECT w AS width, h AS height, count(*) AS n_docs,
+             CAST(sum(r_sum) AS BIGINT) AS r_sum,
+             CAST(sum(g_sum) AS BIGINT) AS g_sum,
+             CAST(sum(b_sum) AS BIGINT) AS b_sum,
+             CAST(sum(r_wsum) AS BIGINT) AS r_wsum,
+             CAST(sum(g_wsum) AS BIGINT) AS g_wsum,
+             CAST(sum(b_wsum) AS BIGINT) AS b_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
-    qMultimodalTranscode, qMultimodalUlaw,
+    qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

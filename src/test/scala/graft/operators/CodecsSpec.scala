@@ -202,6 +202,67 @@ class CodecsSpec extends AnyFunSuite {
     assert(!Codecs.parseWav(4L, Codecs.synthesizeUlawWav(4L, 5)).ok)
   }
 
+  // ---------------- GIF / LZW ----------------
+
+  test("lzw: round-trips streams long enough to force code-width growth") {
+    // 600 pseudo-random indices drive the dictionary past 32 and 64
+    // entries, so the 5->6->7 bit width transitions are exercised on
+    // both sides of the classic one-entry-lag sync rule
+    val idx = Array.tabulate(600)(i => ((i * 7919 + i * i * 31) % 16).abs)
+    val back = Codecs.lzwDecompress(Codecs.lzwCompress(idx), idx.length)
+    assert(back != null && back.sameElements(idx))
+  }
+
+  test("lzw: the KwKwK self-referential case round-trips") {
+    // a constant run emits code==next repeatedly (cScSc pattern)
+    val idx = Array.fill(64)(7)
+    val back = Codecs.lzwDecompress(Codecs.lzwCompress(idx), idx.length)
+    assert(back != null && back.sameElements(idx))
+    // and mixed runs
+    val idx2 = Array.tabulate(100)(i => if (i % 10 < 7) 3 else i % 16)
+    val back2 = Codecs.lzwDecompress(Codecs.lzwCompress(idx2), idx2.length)
+    assert(back2 != null && back2.sameElements(idx2))
+  }
+
+  test("gif: container round-trip reproduces palette-mapped pixels") {
+    for (id <- 0L to 5L; nBytes <- Seq(0, 1, 2)) {
+      val m = Codecs.parseGif(id, Codecs.synthesizeGif(id, nBytes))
+      assert(m.ok, s"id=$id must decode")
+      val w = Codecs.gifWidth(id); val h = Codecs.gifHeight(nBytes)
+      assert(m.width == w && m.height == h)
+      val expR = (for (p <- 0 until w * h) yield
+        Codecs.gifPalette(id, Codecs.gifIndex(id, p % w, p / w), 0).toLong).sum
+      val expGW = (for (p <- 0 until w * h) yield
+        Codecs.gifPalette(id, Codecs.gifIndex(id, p % w, p / w), 1).toLong
+          * (p + 1)).sum
+      assert(m.rSum == expR && m.gWsum == expGW,
+        s"id=$id: LZW + palette reconstruction must be exact")
+    }
+  }
+
+  test("gif: an extension block before the image descriptor is skipped") {
+    val good = Codecs.synthesizeGif(2L, 1)
+    val m0 = Codecs.parseGif(2L, good)
+    // splice a Graphic Control Extension after the GCT (offset 13+48)
+    val gce = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val cut = 13 + 48
+    val spliced = good.take(cut) ++ gce ++ good.drop(cut)
+    val m1 = Codecs.parseGif(2L, spliced)
+    assert(m1.ok && m1.rWsum == m0.rWsum && m1.width == m0.width)
+  }
+
+  test("gif: corrupted signature or truncated stream degrades to ok=false") {
+    val good = Codecs.synthesizeGif(3L, 2)
+    val badSig = good.clone(); badSig(4) = '7'.toByte // GIF87a rejected here
+    assert(!Codecs.parseGif(3L, badSig).ok)
+    assert(!Codecs.parseGif(3L, good.take(20)).ok)
+    assert(!Codecs.parseGif(3L, Array[Byte]()).ok)
+    // truncating the LZW data (drop the last sub-block bytes) must fail
+    // cleanly: the decoded index count will not reach w*h
+    val trunc = good.take(good.length - 6) ++ Array[Byte](0, 0x3b)
+    assert(!Codecs.parseGif(3L, trunc).ok)
+  }
+
   // ---------------- PNG ----------------
 
   test("png: round-trip through deflate + all five filters reproduces the recipe") {
