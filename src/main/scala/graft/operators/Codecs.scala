@@ -805,16 +805,38 @@ object Codecs {
     * decoders are interchangeable downstream. */
   def parseGif(id: Long, bytes: Array[Byte]): PixelMeta = {
     val bad = PixelMeta(id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, ok = false)
+    gifDecodeCore(bytes) match {
+      case None => bad
+      case Some((w, h, idx, palette)) =>
+        var rS, gS, bS, rW, gW, bW = 0L
+        var p = 0
+        while (p < w * h) {
+          val j = idx(p)
+          val wgt = ((p / w).toLong * w + (p % w) + 1)
+          rS += palette(j)(0); gS += palette(j)(1); bS += palette(j)(2)
+          rW += palette(j)(0) * wgt; gW += palette(j)(1) * wgt
+          bW += palette(j)(2) * wgt
+          p += 1
+        }
+        PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
+    }
+  }
+
+  /** The shared GIF decode core: header/GCT/descriptor parsing,
+    * sub-block reassembly, LZW decompression, palette validation.
+    * Returns (w, h, indices, palette) or None on malformed input. */
+  private def gifDecodeCore(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int], Array[Array[Int]])] = {
     if (bytes.length < 13 ||
-      new String(bytes, 0, 6, "US-ASCII") != "GIF89a") return bad
+      new String(bytes, 0, 6, "US-ASCII") != "GIF89a") return None
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val w = le16(6)
     val h = le16(8)
     val packed = bytes(10) & 0xff
-    if ((packed & 0x80) == 0) return bad // need a global color table
+    if ((packed & 0x80) == 0) return None // need a global color table
     val gctSize = 2 << (packed & 7)
     var off = 13
-    if (off + gctSize * 3 > bytes.length) return bad
+    if (off + gctSize * 3 > bytes.length) return None
     val palette = Array.tabulate(gctSize, 3)((j, c) => bytes(13 + j * 3 + c) & 0xff)
     off += gctSize * 3
     // walk to the image descriptor (skip extensions: 0x21 label size-blocks)
@@ -823,33 +845,104 @@ object Codecs {
       while (off < bytes.length && bytes(off) != 0) off += 1 + (bytes(off) & 0xff)
       off += 1
     }
-    if (off + 10 > bytes.length || (bytes(off) & 0xff) != 0x2c) return bad
+    if (off + 10 > bytes.length || (bytes(off) & 0xff) != 0x2c) return None
     val iw = le16(off + 5); val ih = le16(off + 7)
-    if (iw != w || ih != h || (bytes(off + 9) & 0x80) != 0) return bad
+    if (iw != w || ih != h || (bytes(off + 9) & 0x80) != 0) return None
     off += 10
-    if (off >= bytes.length || (bytes(off) & 0xff) != GifMinCode) return bad
+    if (off >= bytes.length || (bytes(off) & 0xff) != GifMinCode) return None
     off += 1
     val lzw = new java.io.ByteArrayOutputStream()
     while (off < bytes.length && bytes(off) != 0) {
       val n = bytes(off) & 0xff
-      if (off + 1 + n > bytes.length) return bad
+      if (off + 1 + n > bytes.length) return None
       lzw.write(bytes, off + 1, n)
       off += 1 + n
     }
     val idx = lzwDecompress(lzw.toByteArray, w * h)
-    if (idx == null) return bad
-    var rS, gS, bS, rW, gW, bW = 0L
-    var p = 0
-    while (p < w * h) {
-      val j = idx(p)
-      if (j >= gctSize) return bad
-      val wgt = ((p / w).toLong * w + (p % w) + 1)
-      rS += palette(j)(0); gS += palette(j)(1); bS += palette(j)(2)
-      rW += palette(j)(0) * wgt; gW += palette(j)(1) * wgt
-      bW += palette(j)(2) * wgt
-      p += 1
+    if (idx == null || idx.exists(_ >= gctSize)) return None
+    Some((w, h, idx, palette))
+  }
+
+  /** A perturbed twin of [[synthesizeGif]]: identical except pixel
+    * (0, 0)'s palette index is bumped by one — the "same image,
+    * one-pixel edit" near-duplicate every perceptual-hash dedup must
+    * catch. */
+  def synthesizeGifVariant(id: Long, nBytes: Int): Array[Byte] = {
+    val w = gifWidth(id)
+    val h = gifHeight(nBytes)
+    val idx = Array.tabulate(w * h) { p =>
+      val j = gifIndex(id, p % w, p / w)
+      if (p == 0) (j + 1) % 16 else j
     }
-    PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
+    val lzw = lzwCompress(idx)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf3); out.write(0); out.write(0)
+    for (j <- 0 until 16; c <- 0 until 3) out.write(gifPalette(id, j, c))
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0)
+    out.write(GifMinCode)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      out.write(n); out.write(lzw, o, n); o += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class GifHash(id: Long, variant: Int, hash: Long, ok: Boolean)
+  implicit val gifHashEnc: Encoder[GifHash] = Encoders.product[GifHash]
+
+  /** Difference hash (dHash) over the DECODED pixel grid: bit k set
+    * iff luminance(x, y) > luminance(x+1, y), scanned row-major over
+    * horizontally adjacent pairs (≤ 42 bits for these dims; the
+    * production shape resamples to a fixed 9×8 grid first, which
+    * these tiny fixtures skip). Luminance is the exact integer
+    * r + 2g + b. Computed INSIDE the codec pass — a perceptual-dedup
+    * job hashes at decode time, never re-decoding per comparison. */
+  def gifDHash(id: Long, variant: Int, bytes: Array[Byte]): GifHash =
+    gifDecodeCore(bytes) match {
+      case None => GifHash(id, variant, 0L, ok = false)
+      case Some((w, h, idx, palette)) =>
+        def lum(p: Int): Int = {
+          val c = palette(idx(p))
+          c(0) + 2 * c(1) + c(2)
+        }
+        var hash = 0L
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if (lum(y * w + x) > lum(y * w + x + 1)) hash |= 1L << k
+            k += 1
+            x += 1
+          }
+          y += 1
+        }
+        GifHash(id, variant, hash, ok = true)
+    }
+
+  /** Original + one-pixel-edited GIF per document, dHashed at decode
+    * time — the input to the perceptual near-dup join. */
+  def documentsAsGifHashes(documents: DataFrame): Dataset[GifHash] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Seq(
+            gifDHash(id, 0, synthesizeGif(id, payload.length)),
+            gifDHash(id, 1, synthesizeGifVariant(id, payload.length)))
+        }
+      }
   }
 
   /** documents table -> synthesized GIF containers. */

@@ -1799,9 +1799,83 @@ object TextQueries {
       FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
 
+  /** Perceptual near-duplicate detection over DECODED pixels — the
+    * media twin of the text near-dup family: every document's image
+    * exists as the original GIF and a one-pixel-edited variant
+    * (byte-identical nowhere after LZW recompression), both are
+    * decoded by the real codec and difference-hashed at decode time
+    * ([[graft.operators.Codecs.gifDHash]]: bit k = adjacent-luminance
+    * comparison, exact integer r+2g+b), and the variants are matched
+    * by Hamming distance. A one-pixel edit flips AT MOST one dHash
+    * bit, so every pair lands at Hamming ≤ 1 — the property that
+    * makes dHash a dedup key where the container md5 is useless. The
+    * oracle replays luminance and bit packing arithmetically (lead()
+    * over the generated grid) without seeing any container bytes.
+    * Histogram over Hamming distances; decode failures would surface
+    * as a -1 row the oracle never produces. */
+  val qMultimodalPhash: Q = Q(
+    "q_multimodal_phash",
+    (spark, dir) => {
+      // persisted: both sides of the variant self-join consume the
+      // hash table, and each use would otherwise re-run the
+      // synthesize + LZW decode pass over the corpus
+      val hashes = graft.operators.Codecs
+        .documentsAsGifHashes(Tables.documents(spark, dir)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = hashes.filter(col("variant") === 0)
+        .select(col("id"), col("hash").as("h0"), col("ok").as("ok0"))
+      val b = hashes.filter(col("variant") === 1)
+        .select(col("id"), col("hash").as("h1"), col("ok").as("ok1"))
+      a.join(b, "id")
+        .select(when(col("ok0") && col("ok1"),
+          bit_count(expr("h0 ^ h1"))).otherwise(-1).as("hamming"))
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("hamming"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(5 + doc_id % 4 AS INT) AS w,
+               CAST(4 + octet_length(encode(text)) % 3 AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      g AS (
+        SELECT doc_id, w, p,
+               (doc_id + 3 * (p % w) + 5 * (p // w)) % 16 AS j0
+        FROM px),
+      j AS (
+        SELECT doc_id, w, p, j0,
+               CASE WHEN p = 0 THEN (j0 + 1) % 16 ELSE j0 END AS j1
+        FROM g),
+      l AS (
+        SELECT doc_id, w, p,
+               ((doc_id*5 + 17*j0) % 256) + 2*((doc_id*5 + 17*j0 + 41) % 256)
+                 + ((doc_id*5 + 17*j0 + 82) % 256) AS lum0,
+               ((doc_id*5 + 17*j1) % 256) + 2*((doc_id*5 + 17*j1 + 41) % 256)
+                 + ((doc_id*5 + 17*j1 + 82) % 256) AS lum1
+        FROM j),
+      n AS (
+        SELECT doc_id, w, p, lum0, lum1,
+               lead(lum0) OVER (PARTITION BY doc_id ORDER BY p) AS nl0,
+               lead(lum1) OVER (PARTITION BY doc_id ORDER BY p) AS nl1
+        FROM l),
+      hs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN p % w < w - 1 AND lum0 > nl0
+                 THEN CAST(1 AS BIGINT) << ((p // w) * (w - 1) + (p % w))
+                 ELSE 0 END) AS BIGINT) AS h0,
+               CAST(sum(CASE WHEN p % w < w - 1 AND lum1 > nl1
+                 THEN CAST(1 AS BIGINT) << ((p // w) * (w - 1) + (p % w))
+                 ELSE 0 END) AS BIGINT) AS h1
+        FROM n GROUP BY doc_id)
+      SELECT CAST(bit_count(xor(h0, h1)) AS INT) AS hamming,
+             count(*) AS n_docs
+      FROM hs GROUP BY 1 ORDER BY hamming
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
-    qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif,
+    qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

@@ -263,6 +263,24 @@ class CodecsSpec extends AnyFunSuite {
     assert(!Codecs.parseGif(3L, trunc).ok)
   }
 
+  test("gif dhash: one-pixel edit flips at most one bit; hash is content-stable") {
+    for (id <- 0L to 7L) {
+      val h0 = Codecs.gifDHash(id, 0, Codecs.synthesizeGif(id, 1))
+      val h0again = Codecs.gifDHash(id, 0, Codecs.synthesizeGif(id, 1))
+      val h1 = Codecs.gifDHash(id, 1, Codecs.synthesizeGifVariant(id, 1))
+      assert(h0.ok && h1.ok)
+      assert(h0.hash == h0again.hash, "same content => same dHash")
+      val hamming = java.lang.Long.bitCount(h0.hash ^ h1.hash)
+      assert(hamming <= 1,
+        s"id=$id: a (0,0) pixel edit touches only the bit-0 comparison")
+    }
+    // but the CONTAINERS differ byte-wise (LZW recompression of a
+    // different index stream)
+    val a = Codecs.synthesizeGif(3L, 1)
+    val b = Codecs.synthesizeGifVariant(3L, 1)
+    assert(!java.util.Arrays.equals(a, b))
+  }
+
   // ---------------- PNG ----------------
 
   test("png: round-trip through deflate + all five filters reproduces the recipe") {
