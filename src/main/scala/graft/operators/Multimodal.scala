@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side
   * mechanics — schema, partition-preserving batch processing, the
-  * decode seam — are real; the codec itself is STUBBED (this container
-  * has no image/audio libraries) with a deterministic fake so the
-  * pipeline is testable end-to-end.
+  * decode seam — are real. Since round 7 the codecs behind the seam
+  * are REAL too for every format that needs no external library
+  * ([[Codecs]]: RIFF/WAV PCM, G.711 µ-law, 24-bit BMP, PNG via the
+  * JVM's zlib/CRC32, GIF via a genuine LZW decompressor); only the
+  * formats that genuinely require native libraries absent from this
+  * container (JPEG pixel decode, video frames) remain STUBBED here
+  * with a deterministic fake so their plumbing stays testable end to
+  * end.
   *
   * Scale design: decode runs via `mapPartitions`, so each partition is
   * one codec batch (amortized init, no per-row overhead), metadata-only
