@@ -929,6 +929,144 @@ object Codecs {
         GifHash(id, variant, hash, ok = true)
     }
 
+  // ---------------------------------------------------------------
+  // Animated GIF: multi-frame decode + scene-cut detection
+  // ---------------------------------------------------------------
+
+  def gifFrameCount(id: Long): Int = (2L + id % 3L).toInt
+
+  /** Scene of frame f: one hard cut per document at frame
+    * `1 + id % (k-1)` — the ground truth the detector must recover. */
+  def gifSceneOf(id: Long, f: Int): Int = {
+    val k = gifFrameCount(id)
+    if (f < 1 + (id % (k - 1).toLong).toInt) 0 else 1
+  }
+
+  /** Pixel index of frame f: the base recipe shifted by 100·scene, so
+    * frames within a scene are identical and frames across the cut
+    * differ everywhere. */
+  def gifFrameIndex(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id + 100L * gifSceneOf(id, f) + 3L * x + 5L * y, 16L).toInt
+
+  /** A genuine ANIMATED GIF89a: one global color table, then per frame
+    * a Graphic Control Extension (0x21 0xF9, 4-byte body, delay set)
+    * followed by a full-size image descriptor and its own
+    * LZW-compressed index stream. */
+  def synthesizeAnimatedGif(id: Long, nBytes: Int): Array[Byte] = {
+    val w = gifWidth(id)
+    val h = gifHeight(nBytes)
+    val k = gifFrameCount(id)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf3); out.write(0); out.write(0)
+    for (j <- 0 until 16; c <- 0 until 3) out.write(gifPalette(id, j, c))
+    for (f <- 0 until k) {
+      // Graphic Control Extension (10 cs delay, no transparency)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(10); out.write(0); out.write(0); out.write(0)
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(w & 0xff); out.write(w >> 8)
+      out.write(h & 0xff); out.write(h >> 8)
+      out.write(0)
+      out.write(GifMinCode)
+      val idx = Array.tabulate(w * h)(p => gifFrameIndex(id, f, p % w, p / w))
+      val lzw = lzwCompress(idx)
+      var o = 0
+      while (o < lzw.length) {
+        val n = math.min(255, lzw.length - o)
+        out.write(n); out.write(lzw, o, n); o += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  final case class FrameHash(id: Long, frame: Int, hash: Long, ok: Boolean)
+  implicit val frameHashEnc: Encoder[FrameHash] = Encoders.product[FrameHash]
+
+  /** Multi-frame GIF decoder: walks GCE + image-descriptor blocks to
+    * the trailer, LZW-decodes EVERY frame, and dHashes each at decode
+    * time — the real shape of video frame sampling (decode once,
+    * hash in-pass, ship metadata). Returns one row per frame; a
+    * malformed container yields a single `ok = false` row. */
+  def parseAnimatedGif(id: Long, bytes: Array[Byte]): Seq[FrameHash] = {
+    val bad = Seq(FrameHash(id, -1, 0L, ok = false))
+    if (bytes.length < 13 ||
+      new String(bytes, 0, 6, "US-ASCII") != "GIF89a") return bad
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val w = le16(6)
+    val h = le16(8)
+    val packed = bytes(10) & 0xff
+    if ((packed & 0x80) == 0) return bad
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    if (off + gctSize * 3 > bytes.length) return bad
+    val palette = Array.tabulate(gctSize, 3)((j, c) => bytes(13 + j * 3 + c) & 0xff)
+    off += gctSize * 3
+    val frames = scala.collection.mutable.ArrayBuffer.empty[FrameHash]
+    var frame = 0
+    while (off < bytes.length && (bytes(off) & 0xff) != 0x3b) {
+      if ((bytes(off) & 0xff) == 0x21) {
+        off += 2
+        while (off < bytes.length && bytes(off) != 0) off += 1 + (bytes(off) & 0xff)
+        off += 1
+      } else if ((bytes(off) & 0xff) == 0x2c) {
+        if (off + 10 > bytes.length) return bad
+        val iw = le16(off + 5); val ih = le16(off + 7)
+        if (iw != w || ih != h || (bytes(off + 9) & 0x80) != 0) return bad
+        off += 10
+        if (off >= bytes.length || (bytes(off) & 0xff) != GifMinCode) return bad
+        off += 1
+        val lzw = new java.io.ByteArrayOutputStream()
+        while (off < bytes.length && bytes(off) != 0) {
+          val n = bytes(off) & 0xff
+          if (off + 1 + n > bytes.length) return bad
+          lzw.write(bytes, off + 1, n)
+          off += 1 + n
+        }
+        off += 1 // block terminator
+        val idx = lzwDecompress(lzw.toByteArray, w * h)
+        if (idx == null || idx.exists(_ >= gctSize)) return bad
+        def lum(p: Int): Int = {
+          val c = palette(idx(p)); c(0) + 2 * c(1) + c(2)
+        }
+        var hash = 0L
+        var bit = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if (lum(y * w + x) > lum(y * w + x + 1)) hash |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        frames += FrameHash(id, frame, hash, ok = true)
+        frame += 1
+      } else return bad
+    }
+    if (frames.isEmpty) bad else frames.toSeq
+  }
+
+  /** documents table -> per-frame dHashes of synthesized animated
+    * GIFs (partition-batched decode, 1→N frame fan-out in-partition). */
+  def documentsAsFrameHashes(documents: DataFrame): Dataset[FrameHash] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          parseAnimatedGif(id, synthesizeAnimatedGif(id, payload.length))
+        }
+      }
+  }
+
   /** Original + one-pixel-edited GIF per document, dHashed at decode
     * time — the input to the perceptual near-dup join. */
   def documentsAsGifHashes(documents: DataFrame): Dataset[GifHash] = {

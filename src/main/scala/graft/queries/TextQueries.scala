@@ -1873,9 +1873,102 @@ object TextQueries {
       FROM hs GROUP BY 1 ORDER BY hamming
     """.trim))
 
+  /** Scene-cut detection over REAL multi-frame decode — the video
+    * frame-sampling shape done genuinely: every document becomes an
+    * ANIMATED GIF (per-frame Graphic Control Extensions + image
+    * descriptors, each frame its own LZW stream), the decoder
+    * ([[graft.operators.Codecs.parseAnimatedGif]]) LZW-decodes every
+    * frame and dHashes it in-pass, and consecutive-frame Hamming
+    * distance recovers the one hard cut each clip contains (frames
+    * within a scene are pixel-identical → Hamming 0; across the cut
+    * the recipe shifts everywhere). The oracle rebuilds the two scene
+    * hashes arithmetically and scores the same >4-bit threshold —
+    * including the coincidence case where two scenes happen to hash
+    * alike. Per-frame fan-out happens inside the decode partition
+    * (1→N with no shuffle); the only exchanges are the ≤3-row per-doc
+    * window and the 3-group rollup. */
+  val qMultimodalScenes: Q = Q(
+    "q_multimodal_scenes",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // persisted: the per-frame hash table feeds both the pair window
+      // and the per-doc frame count, each otherwise re-running the
+      // full multi-frame decode
+      val fh = graft.operators.Codecs
+        .documentsAsFrameHashes(Tables.documents(spark, dir)).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy(col("id")).orderBy(col("frame"))
+      val pairs = fh
+        .withColumn("nh", lead(col("hash"), 1).over(w))
+        .filter(col("nh").isNotNull)
+        .select(col("id"), bit_count(expr("hash ^ nh")).as("hamming"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") > 4, 1L).otherwise(0L)).as("n_cuts"),
+          sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_static"))
+      val perDoc = fh.groupBy(col("id"))
+        .agg((max(col("frame")) + 1).cast("long").as("n_frames"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("bad"))
+      perDoc.join(pairs, "id")
+        .groupBy(col("n_frames"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pairs")).as("n_pairs"),
+          sum(col("n_cuts")).as("n_cuts"),
+          sum(col("n_static")).as("n_static"),
+          sum(col("bad")).as("n_bad"))
+        .orderBy(col("n_frames"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(5 + doc_id % 4 AS INT) AS w,
+               CAST(4 + octet_length(encode(text)) % 3 AS INT) AS h,
+               CAST(2 + doc_id % 3 AS INT) AS k
+        FROM documents),
+      px AS (SELECT doc_id, w, h, k, unnest(range(0, w * h)) AS p FROM d),
+      g AS (
+        SELECT doc_id, w, k, p,
+               (doc_id + 3 * (p % w) + 5 * (p // w)) % 16 AS j0,
+               (doc_id + 100 + 3 * (p % w) + 5 * (p // w)) % 16 AS j1
+        FROM px),
+      l AS (
+        SELECT doc_id, w, k, p,
+               ((doc_id*5 + 17*j0) % 256) + 2*((doc_id*5 + 17*j0 + 41) % 256)
+                 + ((doc_id*5 + 17*j0 + 82) % 256) AS lum0,
+               ((doc_id*5 + 17*j1) % 256) + 2*((doc_id*5 + 17*j1 + 41) % 256)
+                 + ((doc_id*5 + 17*j1 + 82) % 256) AS lum1
+        FROM g),
+      n AS (
+        SELECT doc_id, w, k, p, lum0, lum1,
+               lead(lum0) OVER (PARTITION BY doc_id ORDER BY p) AS nl0,
+               lead(lum1) OVER (PARTITION BY doc_id ORDER BY p) AS nl1
+        FROM l),
+      hs AS (
+        SELECT doc_id, any_value(k) AS k,
+               CAST(sum(CASE WHEN p % w < w - 1 AND lum0 > nl0
+                 THEN CAST(1 AS BIGINT) << ((p // w) * (w - 1) + (p % w))
+                 ELSE 0 END) AS BIGINT) AS h0,
+               CAST(sum(CASE WHEN p % w < w - 1 AND lum1 > nl1
+                 THEN CAST(1 AS BIGINT) << ((p // w) * (w - 1) + (p % w))
+                 ELSE 0 END) AS BIGINT) AS h1
+        FROM n GROUP BY doc_id),
+      per AS (
+        SELECT doc_id, k,
+               CAST(bit_count(xor(h0, h1)) AS INT) AS ham
+        FROM hs)
+      SELECT CAST(k AS BIGINT) AS n_frames, count(*) AS n_docs,
+             CAST(sum(k - 1) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN ham > 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+             CAST(sum(k - 2 + CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_static,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY k ORDER BY n_frames
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
+    qMultimodalScenes,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

@@ -281,6 +281,31 @@ class CodecsSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(a, b))
   }
 
+  test("animated gif: every frame decodes; scenes partition the frames") {
+    for (id <- 0L to 6L) {
+      val frames = Codecs.parseAnimatedGif(
+        id, Codecs.synthesizeAnimatedGif(id, 1))
+      val k = Codecs.gifFrameCount(id)
+      assert(frames.length == k && frames.forall(_.ok))
+      assert(frames.map(_.frame) == (0 until k))
+      // frames within a scene are pixel-identical => equal hashes
+      val byScene = frames.groupBy(f => Codecs.gifSceneOf(id, f.frame))
+      byScene.values.foreach { fs =>
+        assert(fs.map(_.hash).distinct.length == 1,
+          s"id=$id: within-scene frames must hash identically")
+      }
+      assert(byScene.size == 2, "each clip contains exactly one cut")
+    }
+  }
+
+  test("animated gif: truncation and bad signature degrade to a bad row") {
+    val good = Codecs.synthesizeAnimatedGif(2L, 0)
+    assert(Codecs.parseAnimatedGif(2L, good.take(30)) ==
+      Seq(Codecs.FrameHash(2L, -1, 0L, ok = false)))
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(!Codecs.parseAnimatedGif(2L, bad).head.ok)
+  }
+
   // ---------------- PNG ----------------
 
   test("png: round-trip through deflate + all five filters reproduces the recipe") {
