@@ -57,13 +57,13 @@ object Dsir {
   }
 
   /** Per-document importance scores off a (frozen or just-built)
-    * ratio table: (doc_id, source, score_ppm). */
+    * ratio table: (doc_id, source, n_toks, score_ppm). */
   def scores(toks: DataFrame, ratio: DataFrame): DataFrame =
     toks.join(broadcast(ratio.select("bucket", "ratio_ppm")), "bucket")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_toks"),
         sum(col("ratio_ppm").cast("decimal(38,0)")).as("s_sum"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("n_toks"),
         expr("cast(s_sum div n_toks as bigint)").as("score_ppm"))
 
   /** The deterministic Bernoulli acceptance gate under a frozen

@@ -1177,9 +1177,77 @@ object CurationQueries {
       FROM drawn GROUP BY source ORDER BY source
     """.trim))
 
+  /** Budget-constrained DSIR selection — the step after scoring: each
+    * source gets a token budget (half its token mass) and greedily
+    * keeps its highest-importance documents until the budget is
+    * spent (ties broken by doc_id, the total order both engines
+    * replay). Reports the per-source funnel: docs, kept docs, kept
+    * tokens vs budget, and the score floor (the lowest admitted
+    * score — the threshold a production selector would freeze and
+    * apply statelessly to the next crawl increment).
+    *
+    * Scale: the greedy prefix is a per-SOURCE ordered cumulative —
+    * a partitioned window, never a global sort. At 100 TB a selector
+    * would run this two-phase (score-histogram to find the threshold,
+    * one filter pass to apply it — the same shape as the decile-edge
+    * ranking in `q_psi_drift`); the direct window here IS the
+    * semantics that phase pair implements. */
+  val qDsirBudget: Q = Q(
+    "q_dsir_budget",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (toks, ratio) = dsirRatios(spark, dir)
+      val scored = graft.operators.Dsir.scores(toks, ratio)
+      val budgets = scored.groupBy(col("source"))
+        .agg(expr("sum(n_toks) div 2").as("budget_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+      scored
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .join(broadcast(budgets), "source")
+        .select(col("source"), col("budget_tokens"), col("n_toks"),
+          col("score_ppm"), (col("cum") <= col("budget_tokens")).as("kept"))
+        .groupBy(col("source"), col("budget_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_toks")).otherwise(0L))
+            .as("kept_tokens"),
+          min(when(col("kept"), col("score_ppm"))).as("score_floor_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""$dsirRatioCte,
+      perdoc AS (
+        SELECT b.doc_id, b.source, count(*) AS n_toks,
+               CAST(sum(CAST(r.ratio_ppm AS HUGEINT)) AS HUGEINT) AS s_sum
+        FROM bk b JOIN ratio r USING (bucket)
+        GROUP BY b.doc_id, b.source),
+      scored AS (
+        SELECT doc_id, source, n_toks,
+               CAST(s_sum // n_toks AS BIGINT) AS score_ppm
+        FROM perdoc),
+      budgets AS (
+        SELECT source, CAST(sum(n_toks) // 2 AS BIGINT) AS budget_tokens
+        FROM scored GROUP BY source),
+      ranked AS (
+        SELECT source, n_toks, score_ppm,
+               sum(n_toks) OVER (PARTITION BY source
+                 ORDER BY score_ppm DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM scored)
+      SELECT r.source, b.budget_tokens, count(*) AS n_docs,
+             CAST(sum(CASE WHEN cum <= b.budget_tokens THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN cum <= b.budget_tokens THEN n_toks ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+             CAST(min(CASE WHEN cum <= b.budget_tokens THEN score_ppm END)
+               AS BIGINT) AS score_floor_ppm
+      FROM ranked r JOIN budgets b USING (source)
+      GROUP BY r.source, b.budget_tokens ORDER BY r.source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
     qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
-    qDsirScore, qDsirResample)
+    qDsirScore, qDsirResample, qDsirBudget)
 }

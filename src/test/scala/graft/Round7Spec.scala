@@ -142,6 +142,19 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("q_dsir_budget: greedy prefix respects the budget and score order") {
+    import spark.implicits._
+    val rows = q("q_dsir_budget").run(spark, dir)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, budget, nDocs, nKept, keptTokens, floor) =>
+      assert(nKept <= nDocs)
+      assert(keptTokens <= budget, "the greedy prefix never overshoots")
+      assert(budget > 0)
+      if (nKept > 0) assert(floor.exists(_ > 0))
+    }
+  }
+
   test("q_weak_labels: handcrafted corpus pins every LF's vote") {
     import spark.implicits._
     // doc 1: 6 tokens (<8 => lf_len -1), no digits (lf_digit +1),
