@@ -602,35 +602,74 @@ object ClassifierQueries {
     * in-row unpivot feeds ONE hash aggregate keyed by the 4-value LF
     * name — map-side combinable, no joins, no windows, output is 4
     * rows regardless of corpus size. */
+  /** Shared per-doc LF votes + majority (engine side): doc_id, source,
+    * v_digit/v_len/v_rep/v_stop, n_posv, n_negv, majority. */
+  private def weakVotes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.Tables
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val nToks = size(toks)
+    val nDig = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    val nStop = size(filter(toks,
+      t => lower(t).isin("the", "and", "of")))
+    val nUniq = size(array_distinct(toks))
+    val vLen = when(nToks >= 40, 1L).when(nToks < 8, -1L).otherwise(0L)
+    val vDig = when(nDig * 10 > length(col("text")), -1L)
+      .when(nDig === 0, 1L).otherwise(0L)
+    val vStop = when(nStop >= 2, 1L).when(nStop === 0, -1L).otherwise(0L)
+    val vRep = when(nUniq * 2 < nToks, -1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), vDig.as("v_digit"),
+        vLen.as("v_len"), vRep.as("v_rep"), vStop.as("v_stop"))
+      .withColumn("n_posv",
+        expr("cast(v_digit = 1 as long) + cast(v_len = 1 as long)" +
+          " + cast(v_rep = 1 as long) + cast(v_stop = 1 as long)"))
+      .withColumn("n_negv",
+        expr("cast(v_digit = -1 as long) + cast(v_len = -1 as long)" +
+          " + cast(v_rep = -1 as long) + cast(v_stop = -1 as long)"))
+      .withColumn("majority",
+        expr("case when v_digit + v_len + v_rep + v_stop > 0 then 1" +
+          " when v_digit + v_len + v_rep + v_stop < 0 then -1 else 0 end"))
+  }
+
+  /** Shared oracle CTE producing the identical per-doc vote table. */
+  private val weakVotesCte: String = """
+      WITH d AS (
+        SELECT doc_id, source, text,
+               string_split_regex(text, '\s+') AS toks,
+               len(text) AS n_chars,
+               len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_dig
+        FROM documents),
+      v AS (
+        SELECT doc_id, source,
+               CASE WHEN n_dig * 10 > n_chars THEN -1
+                    WHEN n_dig = 0 THEN 1 ELSE 0 END AS v_digit,
+               CASE WHEN len(toks) >= 40 THEN 1
+                    WHEN len(toks) < 8 THEN -1 ELSE 0 END AS v_len,
+               CASE WHEN len(list_distinct(toks)) * 2 < len(toks)
+                    THEN -1 ELSE 0 END AS v_rep,
+               CASE WHEN len(list_filter(toks,
+                        x -> lower(x) IN ('the','and','of'))) >= 2 THEN 1
+                    WHEN len(list_filter(toks,
+                        x -> lower(x) IN ('the','and','of'))) = 0 THEN -1
+                    ELSE 0 END AS v_stop
+        FROM d),
+      m AS (
+        SELECT doc_id, source, v_digit, v_len, v_rep, v_stop,
+               CAST(v_digit = 1 AS INT) + CAST(v_len = 1 AS INT)
+                 + CAST(v_rep = 1 AS INT) + CAST(v_stop = 1 AS INT) AS n_posv,
+               CAST(v_digit = -1 AS INT) + CAST(v_len = -1 AS INT)
+                 + CAST(v_rep = -1 AS INT) + CAST(v_stop = -1 AS INT) AS n_negv,
+               CASE WHEN v_digit + v_len + v_rep + v_stop > 0 THEN 1
+                    WHEN v_digit + v_len + v_rep + v_stop < 0 THEN -1
+                    ELSE 0 END AS majority
+        FROM v)"""
+
   val qWeakLabels: Q = Q(
     "q_weak_labels",
     (spark, dir) => {
-      import graft.Tables
-      val toks = graft.operators.TextAnalysis.tokens(col("text"))
-      val nToks = size(toks)
-      val nDig = length(col("text")) -
-        length(regexp_replace(col("text"), "[0-9]", ""))
-      val nStop = size(filter(toks,
-        t => lower(t).isin("the", "and", "of")))
-      val nUniq = size(array_distinct(toks))
-      val vLen = when(nToks >= 40, 1L).when(nToks < 8, -1L).otherwise(0L)
-      val vDig = when(nDig * 10 > length(col("text")), -1L)
-        .when(nDig === 0, 1L).otherwise(0L)
-      val vStop = when(nStop >= 2, 1L).when(nStop === 0, -1L).otherwise(0L)
-      val vRep = when(nUniq * 2 < nToks, -1L).otherwise(0L)
-      val perDoc = Tables.documents(spark, dir)
-        .select(col("doc_id"), vDig.as("v_digit"), vLen.as("v_len"),
-          vRep.as("v_rep"), vStop.as("v_stop"))
-        .withColumn("n_posv",
-          expr("cast(v_digit = 1 as long) + cast(v_len = 1 as long)" +
-            " + cast(v_rep = 1 as long) + cast(v_stop = 1 as long)"))
-        .withColumn("n_negv",
-          expr("cast(v_digit = -1 as long) + cast(v_len = -1 as long)" +
-            " + cast(v_rep = -1 as long) + cast(v_stop = -1 as long)"))
-        .withColumn("majority",
-          expr("case when v_digit + v_len + v_rep + v_stop > 0 then 1" +
-            " when v_digit + v_len + v_rep + v_stop < 0 then -1 else 0 end"))
-      perDoc
+      weakVotes(spark, dir)
         .select(col("n_posv"), col("n_negv"), col("majority"),
           explode(array(
             struct(lit("lf_digit").as("lf"), col("v_digit").as("v")),
@@ -656,37 +695,7 @@ object ClassifierQueries {
             .as("n_against_majority"))
         .orderBy(col("lf"))
     },
-    Some("""
-      WITH d AS (
-        SELECT doc_id, text,
-               string_split_regex(text, '\s+') AS toks,
-               len(text) AS n_chars,
-               len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_dig
-        FROM documents),
-      v AS (
-        SELECT doc_id,
-               CASE WHEN n_dig * 10 > n_chars THEN -1
-                    WHEN n_dig = 0 THEN 1 ELSE 0 END AS v_digit,
-               CASE WHEN len(toks) >= 40 THEN 1
-                    WHEN len(toks) < 8 THEN -1 ELSE 0 END AS v_len,
-               CASE WHEN len(list_distinct(toks)) * 2 < len(toks)
-                    THEN -1 ELSE 0 END AS v_rep,
-               CASE WHEN len(list_filter(toks,
-                        x -> lower(x) IN ('the','and','of'))) >= 2 THEN 1
-                    WHEN len(list_filter(toks,
-                        x -> lower(x) IN ('the','and','of'))) = 0 THEN -1
-                    ELSE 0 END AS v_stop
-        FROM d),
-      m AS (
-        SELECT doc_id, v_digit, v_len, v_rep, v_stop,
-               CAST(v_digit = 1 AS INT) + CAST(v_len = 1 AS INT)
-                 + CAST(v_rep = 1 AS INT) + CAST(v_stop = 1 AS INT) AS n_posv,
-               CAST(v_digit = -1 AS INT) + CAST(v_len = -1 AS INT)
-                 + CAST(v_rep = -1 AS INT) + CAST(v_stop = -1 AS INT) AS n_negv,
-               CASE WHEN v_digit + v_len + v_rep + v_stop > 0 THEN 1
-                    WHEN v_digit + v_len + v_rep + v_stop < 0 THEN -1
-                    ELSE 0 END AS majority
-        FROM v),
+    Some(s"""$weakVotesCte,
       u AS (
         SELECT unnest(['lf_digit','lf_len','lf_rep','lf_stop']) AS lf,
                unnest([v_digit, v_len, v_rep, v_stop]) AS v,
@@ -706,6 +715,96 @@ object ClassifierQueries {
       FROM u GROUP BY lf ORDER BY lf
     """.trim))
 
+  /** Accuracy-weighted label fusion — the data-programming second
+    * step after the `q_weak_labels` audit: each labeling function
+    * earns a weight equal to its agreement rate with the majority
+    * vote (exact ppm over the docs where both it and the majority
+    * commit — the one-step label-model estimate of LF accuracy), and
+    * the fused label is the sign of the weight-weighted vote sum.
+    * Reports the per-source fused keep/drop/abstain funnel against
+    * the plain-majority one — the delta IS what the label model buys
+    * (down-weighting unreliable LFs flips the docs where a weak
+    * voter had out-shouted reliable ones).
+    *
+    * Scale: two corpus passes over the in-row vote columns (one to
+    * estimate the 4 weights — a single 1-row aggregate that
+    * broadcasts back — one to fuse), zero joins wider than the 1-row
+    * weight table, output is per-source. A degenerate LF that never
+    * votes alongside a majority gets weight 0 by the guarded
+    * division, mirrored in the oracle. */
+  val qWeakLabelModel: Q = Q(
+    "q_weak_label_model",
+    (spark, dir) => {
+      val votes = weakVotes(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def wExpr(v: String): org.apache.spark.sql.Column =
+        expr(s"""case when sum(cast($v <> 0 and majority <> 0 as long)) = 0
+          then 0L else sum(cast($v <> 0 and majority <> 0 and $v = majority
+          as long)) * 1000000 div sum(cast($v <> 0 and majority <> 0 as long))
+          end""")
+      val weights = votes.agg(
+        wExpr("v_digit").as("w_digit"), wExpr("v_len").as("w_len"),
+        wExpr("v_rep").as("w_rep"), wExpr("v_stop").as("w_stop"))
+      votes.crossJoin(broadcast(weights))
+        .withColumn("s",
+          expr("v_digit * w_digit + v_len * w_len" +
+            " + v_rep * w_rep + v_stop * w_stop"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s") > 0, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_drop"),
+          sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_abstain"),
+          sum(when(col("majority") > 0, 1L).otherwise(0L))
+            .as("n_keep_majority"),
+          sum(when(expr("sign(s) <> majority"), 1L).otherwise(0L))
+            .as("n_flipped"))
+        .orderBy(col("source"))
+    },
+    Some(s"""$weakVotesCte,
+      w AS (
+        SELECT
+          CASE WHEN sum(CASE WHEN v_digit <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE sum(CASE WHEN v_digit <> 0 AND majority <> 0
+                 AND v_digit = majority THEN 1 ELSE 0 END) * 1000000
+              // sum(CASE WHEN v_digit <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) END AS w_digit,
+          CASE WHEN sum(CASE WHEN v_len <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE sum(CASE WHEN v_len <> 0 AND majority <> 0
+                 AND v_len = majority THEN 1 ELSE 0 END) * 1000000
+              // sum(CASE WHEN v_len <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) END AS w_len,
+          CASE WHEN sum(CASE WHEN v_rep <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE sum(CASE WHEN v_rep <> 0 AND majority <> 0
+                 AND v_rep = majority THEN 1 ELSE 0 END) * 1000000
+              // sum(CASE WHEN v_rep <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) END AS w_rep,
+          CASE WHEN sum(CASE WHEN v_stop <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE sum(CASE WHEN v_stop <> 0 AND majority <> 0
+                 AND v_stop = majority THEN 1 ELSE 0 END) * 1000000
+              // sum(CASE WHEN v_stop <> 0 AND majority <> 0
+                 THEN 1 ELSE 0 END) END AS w_stop
+        FROM m),
+      fused AS (
+        SELECT source, majority,
+               v_digit * w_digit + v_len * w_len
+                 + v_rep * w_rep + v_stop * w_stop AS s
+        FROM m, w)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+             CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_abstain,
+             CAST(sum(CASE WHEN majority > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep_majority,
+             CAST(sum(CASE WHEN sign(s) <> majority THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flipped
+      FROM fused GROUP BY source ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qNbDistill, qRocchio, qStudentsAgree, qConformal,
-    qActiveBatch, qWeakLabels)
+    qActiveBatch, qWeakLabels, qWeakLabelModel)
 }
