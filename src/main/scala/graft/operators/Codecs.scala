@@ -99,6 +99,10 @@ object Codecs {
     while (off + 8 <= bytes.length) {
       val name = tag(off)
       val size = le32(off + 4).toInt
+      // A declared size >= 2^31 sign-extends negative; advancing by it
+      // would stall or move the walk backwards — an infinite loop on
+      // crafted input. Malformed degrades to ok=false, never a hang.
+      if (size < 0) return bad
       val body = off + 8
       if (name == "fmt ") {
         if (size < 16 || body + 16 > bytes.length) return bad
@@ -162,6 +166,7 @@ object Codecs {
     while (off + 8 <= bytes.length) {
       val name = new String(bytes, off, 4, "US-ASCII")
       val size = le32(off + 4).toInt
+      if (size < 0) return AudioRuns(id, 0, 0L, 0L, 0L, ok = false)
       val body = off + 8
       if (name == "data") {
         val n = size / 2
@@ -263,6 +268,7 @@ object Codecs {
     while (off + 8 <= bytes.length) {
       val name = tag(off)
       val size = le32(off + 4).toInt
+      if (size < 0) return bad // see parseWav: sign-extended size = hang
       val body = off + 8
       if (name == "fmt ") {
         if (size < 16 || body + 16 > bytes.length) return bad
@@ -404,9 +410,15 @@ object Codecs {
     val h = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
-    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return bad
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    if (pixelOffset + rowBytes.toLong * h > bytes.length) return bad
+    // pixelOffset is a sign-extending le32 (crafted input can point it
+    // before the headers or negative), and w near 2^31/3 overflows
+    // `w * 3 + 3` into a negative rowBytes that defeats the length
+    // check — so bound both and size rows in Long before touching the
+    // pixel array. 2^20 px per side is far past any honest 24-bit BMP.
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0 ||
+      w > (1 << 20) || h > (1 << 20) || pixelOffset < 54) return bad
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt
+    if (pixelOffset.toLong + rowBytes.toLong * h > bytes.length) return bad
     var rS, gS, bS, rW, gW, bW = 0L
     var y = 0
     while (y < h) {
@@ -695,8 +707,18 @@ object Codecs {
       else if (dict.contains(ext)) cur = ext
       else {
         emit(if (cur.tail.isEmpty) cur.head else dict(cur))
-        dict(ext) = next; next += 1
-        if (next == (1 << width) && width < 12) width += 1
+        if (next == 4096) {
+          // dictionary full: a 13-bit code must never be squeezed into
+          // a 12-bit field — emit CLEAR and restart, the standard
+          // GIF-LZW reset every real encoder performs
+          emit(clear)
+          dict.clear()
+          next = eoi + 1
+          width = GifMinCode + 1
+        } else {
+          dict(ext) = next; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
         cur = List(p)
       }
     }
@@ -750,7 +772,10 @@ object Codecs {
           else return null
         if (outN + entry.length > nExpected) return null
         System.arraycopy(entry, 0, out, outN, entry.length); outN += entry.length
-        if (prev != null) {
+        if (prev != null && dict.length < 4096) {
+          // freeze at 4096 entries (the encoder either CLEARs there —
+          // ours does — or keeps emitting existing codes; both sides
+          // must stop growing in lockstep)
           dict += (prev :+ entry(0))
           // the decoder's dictionary trails the encoder's by one entry,
           // so it must widen at 2^n - 1 where the encoder widens at 2^n

@@ -43,11 +43,24 @@ object Dsir {
         col("is_t"))
 
   /** The importance model: (bucket, n_t, n_r, ratio_ppm) — built once
-    * per corpus, B rows. */
+    * per corpus, exactly B rows. DENSE over all B buckets: a bucket
+    * the reference corpus never observed still gets its add-one-
+    * smoothed zero-count ratio, so under the frozen-model streaming
+    * gate a token hashing to an unseen bucket contributes the
+    * smoothed prior instead of silently vanishing from the score
+    * mean — and a document whose tokens ALL land in unseen buckets
+    * still receives a gate decision rather than dropping out of the
+    * stream with neither keep nor reject. */
   def bucketRatios(toks: DataFrame): DataFrame = {
-    val cnt = toks.groupBy(col("bucket"))
+    val spark = toks.sparkSession
+    val observed = toks.groupBy(col("bucket"))
       .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"),
         count(lit(1)).as("n_r"))
+    val cnt = spark.range(B.toLong).select(col("id").as("bucket"))
+      .join(broadcast(observed), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"))
     val tot = cnt.agg(sum(col("n_t")).as("cap_t"), sum(col("n_r")).as("cap_r"))
     cnt.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_t"), col("n_r"),

@@ -1065,11 +1065,16 @@ object CurationQueries {
         SELECT doc_id, source, ${DedupQueries.chunkSql(0)} % $dsirB AS bucket,
                lang = 'en' AS is_t
         FROM (SELECT doc_id, source, lang, md5(token) AS hx FROM tk)),
-      cnt AS (
+      cnt0 AS (
         SELECT bucket,
                CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
                CAST(count(*) AS BIGINT) AS n_r
         FROM bk GROUP BY bucket),
+      cnt AS ( -- dense over all B buckets, matching Dsir.bucketRatios
+        SELECT CAST(r.range AS BIGINT) AS bucket,
+               CAST(coalesce(c.n_t, 0) AS BIGINT) AS n_t,
+               CAST(coalesce(c.n_r, 0) AS BIGINT) AS n_r
+        FROM range($dsirB) r LEFT JOIN cnt0 c ON r.range = c.bucket),
       tot AS (
         SELECT CAST(sum(n_t) AS BIGINT) AS cap_t,
                CAST(sum(n_r) AS BIGINT) AS cap_r

@@ -392,6 +392,57 @@ class CodecsSpec extends AnyFunSuite {
       "CRC now mismatches OR profile rejects — either way not ok")
   }
 
+  test("wav: a sign-extending (>= 2^31) chunk size rejects instead of hanging") {
+    // craft an unknown chunk whose declared LE32 size is 0xFFFFFFFF:
+    // size.toInt = -1, so 'off = body + size + (size & 1)' would move
+    // the walk BACKWARDS forever without the negative-size guard
+    val good = Codecs.synthesizeWav(2L, 4)
+    val evil = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("LIST".getBytes("US-ASCII")).putInt(0xffffffff)
+    val dataOff = 36 // 12 RIFF + 24 fmt
+    val spliced = good.take(dataOff) ++ evil.array() ++ good.drop(dataOff)
+    assert(!Codecs.parseWav(2L, spliced).ok)
+    assert(!Codecs.wavSilenceRuns(2L, spliced, 8192).ok)
+    val ugood = Codecs.synthesizeUlawWav(2L, 4)
+    val uspliced = ugood.take(dataOff) ++ evil.array() ++ ugood.drop(dataOff)
+    assert(!Codecs.parseUlawWav(2L, uspliced).ok)
+  }
+
+  test("bmp: negative pixel offset and overflowing width reject cleanly") {
+    val good = Codecs.synthesizeBmp(1L, 0)
+    // pixelOffset = 0x80000000 (sign-extends negative)
+    val negOff = good.clone()
+    negOff(10) = 0; negOff(11) = 0; negOff(12) = 0; negOff(13) = 0x80.toByte
+    assert(!Codecs.parseBmp(1L, negOff).ok)
+    // pixelOffset pointing before the headers
+    val lowOff = good.clone(); lowOff(10) = 2
+    assert(!Codecs.parseBmp(1L, lowOff).ok)
+    // width = 0x2AAAAAAB: w * 3 + 3 overflows Int into a negative
+    // rowBytes that would defeat an Int-arithmetic length check
+    val hugeW = good.clone()
+    hugeW(18) = 0xab.toByte; hugeW(19) = 0xaa.toByte
+    hugeW(20) = 0xaa.toByte; hugeW(21) = 0x2a.toByte
+    assert(!Codecs.parseBmp(1L, hugeW).ok)
+    // negative height (top-down BMPs are out of profile) still rejects
+    val negH = good.clone()
+    negH(22) = 0xfd.toByte; negH(23) = 0xff.toByte
+    negH(24) = 0xff.toByte; negH(25) = 0xff.toByte
+    assert(!Codecs.parseBmp(1L, negH).ok)
+  }
+
+  test("lzw: a stream that fills the 4096-entry dictionary round-trips") {
+    // ~40k low-repetition indices drive 'next' past 4096, forcing the
+    // encoder's CLEAR-and-reset; without it, codes >= 4096 would be
+    // truncated into 12-bit fields and the decode would fail
+    val rnd = new scala.util.Random(42)
+    val idx = Array.fill(40000)(rnd.nextInt(16))
+    val compressed = Codecs.lzwCompress(idx)
+    val back = Codecs.lzwDecompress(compressed, idx.length)
+    assert(back != null, "decode must survive a dictionary-full stream")
+    assert(back.sameElements(idx))
+  }
+
   test("bmp: width field is read little-endian at offset 18") {
     // choose an id whose width bump keeps pixel data in range: shrink
     // instead — w=8 (id=4), patch to w=4: rowBytes shrinks, stays valid

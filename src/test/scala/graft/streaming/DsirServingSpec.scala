@@ -71,6 +71,38 @@ class DsirServingSpec extends AnyFunSuite {
     ratio.unpersist()
   }
 
+  test("the frozen model is dense: every document gets a gate decision, " +
+    "even one whose tokens all hash to buckets the reference never saw") {
+    // train on a tiny 2-doc reference corpus — only a handful of the
+    // 256 buckets are observed — then gate foreign documents
+    val ref = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "delta epsilon", "fr", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ratio = graft.operators.Dsir
+      .bucketRatios(graft.operators.Dsir.tokenBuckets(ref)).persist()
+    assert(ratio.count() == graft.operators.Dsir.B.toLong,
+      "the model must cover all B buckets, observed or not")
+    assert(ratio.filter(col("n_r") === 0L).count() > 0,
+      "the tiny reference must leave most buckets unseen")
+    // every unseen bucket carries the add-one-smoothed zero-count ratio
+    val zeroRatios = ratio.filter(col("n_r") === 0L)
+      .select(col("ratio_ppm")).distinct().as[Long].collect()
+    assert(zeroRatios.length == 1 && zeroRatios.head > 0L)
+    // arriving docs built from words absent from the reference: with a
+    // sparse model these produced NO gate row (silent drop); densified,
+    // each must receive an explicit keep/reject decision
+    val arriving = Seq(
+      (10L, "zymurgy quixotic phlogiston", "en", "crawl"),
+      (11L, "alpha zymurgy", "en", "crawl"))
+      .toDF("doc_id", "text", "lang", "source")
+    val decisions = graft.operators.Dsir.gate(arriving, ratio, 2000000L)
+      .select(col("doc_id"), col("kept")).as[(Long, Boolean)].collect().toMap
+    assert(decisions.keySet == Set(10L, 11L),
+      "a dense model emits a decision for every arriving document")
+    ratio.unpersist()
+  }
+
   test("raising the frozen normalizer only rejects more, never accepts more") {
     val docs = graft.Tables.documents(spark, dir)
     val ratio = graft.operators.Dsir
