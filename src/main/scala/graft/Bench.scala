@@ -49,8 +49,16 @@ object Bench {
     // A query that throws must surface in the JSON, not be silently
     // timed as near-zero: a regression that breaks a query would
     // otherwise *improve* the bench total.
+    // Repetitions: same-code full sweeps on this host span ±35% from
+    // ambient load — wide enough to hide a real 1.3x regression under
+    // the 2x gate — so the per-query MINIMUM across SPARK_GRAFT_BENCH_REPS
+    // (default 3) timed passes is the reported figure: the minimum
+    // estimates the ambient-free cost, and two consecutive reported
+    // sweeps agree where single passes do not.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val times = (1 to 2).map { _ =>
+    val times = (1 to reps).map { _ =>
       val rep = ordered.map { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()

@@ -298,37 +298,12 @@ object Codecs {
     bad
   }
 
-  /** documents table -> synthesized µ-law WAV containers. */
-  def documentsAsUlaw(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        Multimodal.MediaRecord(
-          id, synthesizeUlawWav(id, payload.length), "audio/basic")
-      }
-  }
-
   /** Partition-batched µ-law decode. */
   def decodeUlawBatch(
       records: Dataset[Multimodal.MediaRecord]): Dataset[UlawMeta] =
     records.mapPartitions { it =>
       it.map(r => parseUlawWav(r.id, r.media))
     }
-
-  /** documents table -> synthesized WAV containers. */
-  def documentsAsWav(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        Multimodal.MediaRecord(id, synthesizeWav(id, payload.length), "audio/wav")
-      }
-  }
 
   /** Partition-batched audio decode (the [[Multimodal.decodeBatch]]
     * seam, real codec). */
@@ -437,18 +412,6 @@ object Codecs {
       y += 1
     }
     PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
-  }
-
-  /** documents table -> synthesized BMP containers. */
-  def documentsAsBmp(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        Multimodal.MediaRecord(id, synthesizeBmp(id, payload.length), "image/bmp")
-      }
   }
 
   /** Partition-batched pixel decode (the real-codec seam). */
@@ -642,18 +605,6 @@ object Codecs {
       y += 1
     }
     PixelMeta(id, w, h, rS, gS, bS, rW, gW, bW, ok = true)
-  }
-
-  /** documents table -> synthesized PNG containers. */
-  def documentsAsPng(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        Multimodal.MediaRecord(id, synthesizePng(id, payload.length), "image/png")
-      }
   }
 
   /** Partition-batched PNG decode (the real-codec seam). */
@@ -1078,48 +1029,6 @@ object Codecs {
     if (frames.isEmpty) bad else frames.toSeq
   }
 
-  /** documents table -> per-frame dHashes of synthesized animated
-    * GIFs (partition-batched decode, 1→N frame fan-out in-partition). */
-  def documentsAsFrameHashes(documents: DataFrame): Dataset[FrameHash] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, payload) =>
-          parseAnimatedGif(id, synthesizeAnimatedGif(id, payload.length))
-        }
-      }
-  }
-
-  /** Original + one-pixel-edited GIF per document, dHashed at decode
-    * time — the input to the perceptual near-dup join. */
-  def documentsAsGifHashes(documents: DataFrame): Dataset[GifHash] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, payload) =>
-          Seq(
-            gifDHash(id, 0, synthesizeGif(id, payload.length)),
-            gifDHash(id, 1, synthesizeGifVariant(id, payload.length)))
-        }
-      }
-  }
-
-  /** documents table -> synthesized GIF containers. */
-  def documentsAsGif(documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        Multimodal.MediaRecord(id, synthesizeGif(id, payload.length), "image/gif")
-      }
-  }
-
   /** Partition-batched GIF decode. */
   def decodeGifBatch(
       records: Dataset[Multimodal.MediaRecord]): Dataset[PixelMeta] =
@@ -1127,23 +1036,21 @@ object Codecs {
       it.map(r => parseGif(r.id, r.media))
     }
 
-  /** The TRANSCODE path: the same pixel content as
-    * [[documentsAsBmp]] (identical recipe and dimensions) re-encoded
-    * as PNG — different container bytes, equal decoded pixels. This
-    * is the in-partition transcode job shape: decode-free here
-    * because the recipe is the source of truth, but the encode is the
-    * real [[encodePng]] (filters + zlib + CRC). */
-  def documentsAsTranscodedPng(
-      documents: DataFrame): Dataset[Multimodal.MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    import Multimodal.mediaRecordEnc
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        val png = encodePng(id, bmpWidth(id), bmpHeight(payload.length),
-          bmpChannel(id, _, _, _))
-        Multimodal.MediaRecord(id, png, "image/png")
-      }
-  }
+  /** Partition-batched decode-time dHash over stored GIF containers
+    * ([[MediaArtifact]] formats `gif` / `gif_variant`) — a perceptual-
+    * dedup job hashes at decode time, never re-decoding per
+    * comparison. */
+  def dHashBatch(records: Dataset[Multimodal.MediaRecord],
+      variant: Int): Dataset[GifHash] =
+    records.mapPartitions { it =>
+      it.map(r => gifDHash(r.id, variant, r.media))
+    }
+
+  /** Partition-batched multi-frame decode + per-frame dHash over
+    * stored animated GIFs (1→N frame fan-out in-partition). */
+  def frameHashBatch(
+      records: Dataset[Multimodal.MediaRecord]): Dataset[FrameHash] =
+    records.mapPartitions { it =>
+      it.flatMap(r => parseAnimatedGif(r.id, r.media))
+    }
 }

@@ -17,6 +17,31 @@ object IvfArtifact {
   def path(dir: String, numCentroids: Int, iterations: Int): String =
     s"${Artifacts.path(dir, "embeddings", "ivf")}_c${numCentroids}_i$iterations"
 
+  /** Corpus-sized centroid count — the standard IVF sizing rule
+    * C ∝ √N (cells and per-cell list lengths grow together, so probe
+    * cost stays ~√N either way), clamped to [8, 4096]. One knob: the
+    * production entry points below derive C from the corpus instead
+    * of taking a literal, and `IvfRecallSpec` holds the recall@5
+    * contract at two scale factors so a resize can never silently
+    * trade recall away. The registry verify queries still pin C = 8:
+    * their DuckDB oracles replay the exact integer-quantized k-means,
+    * so the constant must appear verbatim in both engines' text. */
+  def autoCentroids(n: Long): Int =
+    math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** The auto-sized C for this corpus (one count, scan-only). */
+  def autoFor(spark: SparkSession, dir: String): Int =
+    autoCentroids(Tables.embeddings(spark, dir).count())
+
+  /** Auto-sized index accessors — C = [[autoCentroids]](corpus size). */
+  def centroidsAuto(spark: SparkSession, dir: String,
+                    iterations: Int = 2): DataFrame =
+    centroids(spark, dir, autoFor(spark, dir), iterations)
+
+  def invertedAuto(spark: SparkSession, dir: String,
+                   iterations: Int = 2): DataFrame =
+    inverted(spark, dir, autoFor(spark, dir), iterations)
+
   /** Force a (re)build: Lloyd-refined centroids `(cell, cvec, cnrm)`
     * and the inverted list `(vec_id, cell, embedding, nrm)`. */
   def materialize(spark: SparkSession, dir: String,

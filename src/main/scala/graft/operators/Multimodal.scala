@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * decode seam — are real. Since round 7 the codecs behind the seam
   * are REAL too for every format that needs no external library
   * ([[Codecs]]: RIFF/WAV PCM, G.711 µ-law, 24-bit BMP, PNG via the
-  * JVM's zlib/CRC32, GIF via a genuine LZW decompressor); only the
-  * formats that genuinely require native libraries absent from this
-  * container (JPEG pixel decode, video frames) remain STUBBED here
-  * with a deterministic fake so their plumbing stays testable end to
-  * end.
+  * JVM's zlib/CRC32, GIF via a genuine LZW decompressor; [[Jpeg]]:
+  * a from-scratch T.81 baseline codec since round 8); only video
+  * frame extraction (container demux + inter-frame codecs) remains
+  * STUBBED here with a deterministic fake so its plumbing stays
+  * testable end to end. Since round 8 the containers live in a
+  * materialized parquet `binary` column ([[MediaArtifact]]) instead
+  * of being synthesized inside each query.
   *
   * Scale design: decode runs via `mapPartitions`, so each partition is
   * one codec batch (amortized init, no per-row overhead), metadata-only
@@ -30,10 +32,12 @@ object Multimodal {
   implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val mediaMetaEnc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
 
-  /** STUB — a real deployment plugs the codec in here (e.g. javax
-    * ImageIO / ffmpeg bindings). Deterministic fake: dimensions derived
-    * from the byte length, so tests and oracles can verify the
-    * surrounding plumbing exactly. */
+  /** STUB for formats without a real codec in this repo (video
+    * frames; arbitrary blobs) — a real deployment plugs ffmpeg
+    * bindings in here. Image formats do NOT go through this: BMP,
+    * PNG, GIF ([[Codecs]]) and JPEG ([[Jpeg]]) have genuine decoders.
+    * Deterministic fake: dimensions derived from the byte length, so
+    * tests and oracles can verify the surrounding plumbing exactly. */
   def decodeStub(bytes: Array[Byte]): (Int, Int) =
     (64 + (bytes.length % 512), 64 + (bytes.length % 384))
 
@@ -123,18 +127,6 @@ object Multimodal {
       }
     }
 
-  /** Wrap the documents table as a fake media table (text bytes as the
-    * opaque blob) — the testdata has no true binary column, so this is
-    * the stand-in used by tests and the verify query. */
-  def documentsAsMedia(documents: DataFrame): Dataset[MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(
-      col("doc_id").as("id"),
-      col("text").cast("binary").as("media"),
-      lit("text/plain").as("mime")).as[MediaRecord]
-  }
-
   /** Deterministic media CONTAINERS with REAL format headers: the
     * payload bytes are wrapped in a genuine PNG signature + IHDR
     * (big-endian dims), GIF89a logical-screen descriptor
@@ -205,18 +197,6 @@ object Multimodal {
   final case class SniffResult(
       id: Long, declared: String, sniffed: String, width: Int, height: Int)
   implicit val sniffResultEnc: Encoder[SniffResult] = Encoders.product[SniffResult]
-
-  /** Container records with real headers from the documents table. */
-  def documentsAsContainers(documents: DataFrame): Dataset[MediaRecord] = {
-    val spark = documents.sparkSession
-    import spark.implicits._
-    documents.select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, payload) =>
-        val (bytes, declared) = wrapWithHeader(id, payload)
-        MediaRecord(id, bytes, declared)
-      }
-  }
 
   /** Partition-batched sniff pass (same seam as [[decodeBatch]]). */
   def sniffBatch(records: Dataset[MediaRecord]): Dataset[SniffResult] =

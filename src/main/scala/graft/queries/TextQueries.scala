@@ -97,14 +97,24 @@ object TextQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Shared reader for the materialized media table — every
+    * multimodal query consumes STORED parquet binary blobs
+    * ([[graft.operators.MediaArtifact]]) rather than bytes it just
+    * synthesized, so the family exercises real binary-column IO with
+    * partition pruning on the format directory. */
+  private def media(spark: org.apache.spark.sql.SparkSession, dir: String,
+      format: String) =
+    graft.operators.MediaArtifact.records(spark, dir, format)
+
   /** Multimodal decode plumbing: opaque binary column -> typed metadata
     * via partition-batched decode (stubbed codec, real Spark mechanics:
-    * mapPartitions over a typed Dataset). The oracle reproduces the
-    * deterministic stub arithmetic. */
+    * mapPartitions over a typed Dataset reading a stored parquet blob
+    * column). The oracle reproduces the deterministic stub
+    * arithmetic. */
   val qMultimodalDecode: Q = Q(
     "q_multimodal_decode",
     (spark, dir) => Multimodal
-      .decodeBatch(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .decodeBatch(media(spark, dir, "plain"))
       .toDF()
       .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
         col("contentHash").as("content_hash"), col("width"), col("height"))
@@ -132,7 +142,7 @@ object TextQueries {
   val qMultimodalSniff: Q = Q(
     "q_multimodal_sniff",
     (spark, dir) => Multimodal
-      .sniffBatch(Multimodal.documentsAsContainers(Tables.documents(spark, dir)))
+      .sniffBatch(media(spark, dir, "container"))
       .toDF()
       .groupBy(col("declared"), col("sniffed"))
       .agg(count(lit(1)).as("n_docs"),
@@ -276,7 +286,7 @@ object TextQueries {
   val qMultimodalFeatures: Q = Q(
     "q_multimodal_features",
     (spark, dir) => Multimodal
-      .extractFeatures(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .extractFeatures(media(spark, dir, "plain"))
       .toDF()
       .select(col("id").as("doc_id"), col("f0"), col("f1"), col("f2"), col("f3"))
       .orderBy(col("doc_id")),
@@ -300,7 +310,7 @@ object TextQueries {
   val qMultimodalFrames: Q = Q(
     "q_multimodal_frames",
     (spark, dir) => Multimodal
-      .sampleFrames(Multimodal.documentsAsMedia(Tables.documents(spark, dir)))
+      .sampleFrames(media(spark, dir, "plain"))
       .toDF()
       .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
         col("frameOffset").as("frame_offset"), col("frameHash").as("frame_hash"))
@@ -391,7 +401,7 @@ object TextQueries {
   val qMultimodalResize: Q = Q(
     "q_multimodal_resize",
     (spark, dir) => Multimodal
-      .resizeBatch(Multimodal.documentsAsMedia(Tables.documents(spark, dir)), 224)
+      .resizeBatch(media(spark, dir, "plain"), 224)
       .toDF()
       .select(col("id").as("doc_id"), col("width"), col("height"),
         col("outWidth").as("out_width"), col("outHeight").as("out_height"))
@@ -1420,8 +1430,7 @@ object TextQueries {
   val qMultimodalAudio: Q = Q(
     "q_multimodal_audio",
     (spark, dir) => graft.operators.Codecs
-      .decodeWavBatch(graft.operators.Codecs
-        .documentsAsWav(Tables.documents(spark, dir)))
+      .decodeWavBatch(media(spark, dir, "wav"))
       .toDF()
       .groupBy(col("sampleRate").as("sample_rate"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1473,8 +1482,7 @@ object TextQueries {
   val qMultimodalPixels: Q = Q(
     "q_multimodal_pixels",
     (spark, dir) => graft.operators.Codecs
-      .decodeBmpBatch(graft.operators.Codecs
-        .documentsAsBmp(Tables.documents(spark, dir)))
+      .decodeBmpBatch(media(spark, dir, "bmp"))
       .toDF()
       .groupBy(col("width"), col("height"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1531,8 +1539,7 @@ object TextQueries {
   val qMultimodalPng: Q = Q(
     "q_multimodal_png",
     (spark, dir) => graft.operators.Codecs
-      .decodePngBatch(graft.operators.Codecs
-        .documentsAsPng(Tables.documents(spark, dir)))
+      .decodePngBatch(media(spark, dir, "png"))
       .toDF()
       .groupBy(col("width"), col("height"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1587,8 +1594,7 @@ object TextQueries {
   val qMultimodalAudioRuns: Q = Q(
     "q_multimodal_audio_runs",
     (spark, dir) => graft.operators.Codecs
-      .wavRunsBatch(graft.operators.Codecs
-        .documentsAsWav(Tables.documents(spark, dir)), thr = 8192)
+      .wavRunsBatch(media(spark, dir, "wav"), thr = 8192)
       .toDF()
       .groupBy(col("sampleRate").as("sample_rate"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1648,11 +1654,10 @@ object TextQueries {
   val qMultimodalTranscode: Q = Q(
     "q_multimodal_transcode",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
       val sig = Seq("width", "height", "rSum", "gSum", "bSum",
         "rWsum", "gWsum", "bWsum")
-      val bmpRecs = graft.operators.Codecs.documentsAsBmp(docs)
-      val pngRecs = graft.operators.Codecs.documentsAsTranscodedPng(docs)
+      val bmpRecs = media(spark, dir, "bmp")
+      val pngRecs = media(spark, dir, "png_from_bmp")
       val bmpHash = bmpRecs.toDF()
         .select(col("id"), md5(col("media")).as("bmp_md5"))
       val pngHash = pngRecs.toDF()
@@ -1694,8 +1699,7 @@ object TextQueries {
   val qMultimodalUlaw: Q = Q(
     "q_multimodal_ulaw",
     (spark, dir) => graft.operators.Codecs
-      .decodeUlawBatch(graft.operators.Codecs
-        .documentsAsUlaw(Tables.documents(spark, dir)))
+      .decodeUlawBatch(media(spark, dir, "ulaw"))
       .toDF()
       .groupBy(col("sampleRate").as("sample_rate"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1752,8 +1756,7 @@ object TextQueries {
   val qMultimodalGif: Q = Q(
     "q_multimodal_gif",
     (spark, dir) => graft.operators.Codecs
-      .decodeGifBatch(graft.operators.Codecs
-        .documentsAsGif(Tables.documents(spark, dir)))
+      .decodeGifBatch(media(spark, dir, "gif"))
       .toDF()
       .groupBy(col("width"), col("height"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1816,15 +1819,14 @@ object TextQueries {
   val qMultimodalPhash: Q = Q(
     "q_multimodal_phash",
     (spark, dir) => {
-      // persisted: both sides of the variant self-join consume the
-      // hash table, and each use would otherwise re-run the
-      // synthesize + LZW decode pass over the corpus
-      val hashes = graft.operators.Codecs
-        .documentsAsGifHashes(Tables.documents(spark, dir)).toDF()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = hashes.filter(col("variant") === 0)
+      // both variants come from STORED containers (the artifact's gif
+      // and gif_variant partitions — each side prunes to its own
+      // partition directory), dHashed at decode time
+      val a = graft.operators.Codecs
+        .dHashBatch(media(spark, dir, "gif"), 0).toDF()
         .select(col("id"), col("hash").as("h0"), col("ok").as("ok0"))
-      val b = hashes.filter(col("variant") === 1)
+      val b = graft.operators.Codecs
+        .dHashBatch(media(spark, dir, "gif_variant"), 1).toDF()
         .select(col("id"), col("hash").as("h1"), col("ok").as("ok1"))
       a.join(b, "id")
         .select(when(col("ok0") && col("ok1"),
@@ -1893,9 +1895,9 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       // persisted: the per-frame hash table feeds both the pair window
       // and the per-doc frame count, each otherwise re-running the
-      // full multi-frame decode
+      // full multi-frame decode over the stored containers
       val fh = graft.operators.Codecs
-        .documentsAsFrameHashes(Tables.documents(spark, dir)).toDF()
+        .frameHashBatch(media(spark, dir, "gif_anim")).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("id")).orderBy(col("frame"))
       val pairs = fh
@@ -1965,10 +1967,114 @@ object TextQueries {
       FROM per GROUP BY k ORDER BY n_frames
     """.trim))
 
+  /** REAL JPEG decode — a from-scratch T.81 baseline codec
+    * ([[graft.operators.Jpeg]]): marker walk, canonical Huffman
+    * decoding from the DHT bit-length counts, DC prediction, zigzag
+    * run/size AC expansion, dequantization, and a full 8×8 IDCT.
+    * The stored containers ([[graft.operators.MediaArtifact]] format
+    * `jpeg`) are grayscale images of even-valued FLAT 8×8 blocks —
+    * the one configuration a lossy codec reproduces exactly (DC-only
+    * blocks, Q(0,0) = 16, even level-shifted values; see the Jpeg
+    * Scaladoc) — so the DuckDB oracle replays the DECODED pixels
+    * arithmetically while the decode exercises the real entropy and
+    * transform path. `n_nongray` pins the grayscale contract
+    * (r = g = b on every pixel); textured/color behavior is pinned in
+    * JpegCodecSpec against the JDK's independent ImageIO codec.
+    * Partition-batched decode over the pruned `jpeg` partition,
+    * ≤6-group rollup. */
+  val qMultimodalJpeg: Q = Q(
+    "q_multimodal_jpeg",
+    (spark, dir) => graft.operators.Jpeg
+      .decodeJpegBatch(media(spark, dir, "jpeg"))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rSum")).as("y_sum"),
+        sum(col("rWsum")).as("y_wsum"),
+        sum(when(col("rSum") === col("gSum") &&
+          col("gSum") === col("bSum"), 0L).otherwise(1L)).as("n_nongray"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+               CAST(8 * (1 + octet_length(encode(text)) % 2) AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      c AS (
+        SELECT doc_id, w, h,
+               2 * ((doc_id * 5 + 11 * ((p % w) // 8)
+                 + 23 * ((p // w) // 8)) % 128) AS v,
+               p + 1 AS wgt
+        FROM px),
+      per AS (
+        SELECT doc_id, w, h, sum(v) AS s, sum(v * wgt) AS sw
+        FROM c GROUP BY 1, 2, 3)
+      SELECT w AS width, h AS height, count(*) AS n_docs,
+             CAST(sum(s) AS BIGINT) AS y_sum,
+             CAST(sum(sw) AS BIGINT) AS y_wsum,
+             CAST(0 AS BIGINT) AS n_nongray,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
+
+  /** Media-lake catalog — the metadata-only rollup every blob store
+    * serves without touching a single media page: per-(format, mime)
+    * document counts plus byte mass for the formats whose container
+    * size is an arithmetic function of the source (the compressed
+    * formats report 0 — their size depends on deflate/LZW/Huffman
+    * output, which the oracle cannot replay). `format` is the
+    * artifact's PARTITION column and `n_bytes` is stored beside the
+    * blob, so the scan reads no `media` bytes at all —
+    * MediaArtifactSpec pins the pruned ReadSchema in the plan. */
+  val qMediaCatalog: Q = Q(
+    "q_media_catalog",
+    (spark, dir) => graft.operators.MediaArtifact.table(spark, dir)
+      .groupBy(col("format"), col("mime"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("format").isin(
+          "plain", "container", "wav", "ulaw", "bmp"),
+          col("n_bytes")).otherwise(0L)).as("known_bytes"))
+      .orderBy(col("format"), col("mime")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id AS id, octet_length(encode(text)) AS len
+        FROM documents),
+      rows AS (
+        SELECT 'plain' AS format, 'text/plain' AS mime,
+               CAST(len AS BIGINT) AS kb FROM d
+        UNION ALL
+        SELECT 'container',
+               CASE WHEN id % 7 = 0 THEN 'image/png'
+                 ELSE CASE id % 3 WHEN 0 THEN 'image/png'
+                   WHEN 1 THEN 'image/gif' ELSE 'image/jpeg' END END,
+               CAST(len + CASE id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10
+                 ELSE 11 END AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'wav', 'audio/wav',
+               CAST(44 + 2 * (32 + len % 64) AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'ulaw', 'audio/basic',
+               CAST(44 + 24 + len % 40 AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'bmp', 'image/bmp',
+               CAST(54 + ((4 + id % 5) * 3 + 3) // 4 * 4
+                 * (3 + len % 4) AS BIGINT) FROM d
+        UNION ALL SELECT 'png', 'image/png', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'png_from_bmp', 'image/png', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'gif', 'image/gif', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'gif_variant', 'image/gif', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'gif_anim', 'image/gif', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d)
+      SELECT format, mime, count(*) AS n_docs,
+             CAST(sum(kb) AS BIGINT) AS known_bytes
+      FROM rows GROUP BY 1, 2 ORDER BY format, mime
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
-    qMultimodalScenes,
+    qMultimodalScenes, qMultimodalJpeg, qMediaCatalog,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

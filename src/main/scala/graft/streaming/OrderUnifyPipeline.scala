@@ -136,10 +136,39 @@ object OrderUnifyPipeline {
   def detailsAsVariant(events: Dataset[OrderEvent]): DataFrame =
     events.withColumn("details", try_parse_json(col("orderDetails")))
 
+  /** True iff the session runs the RocksDB state-store provider —
+    * the documented production deployment (BASELINE.md: ≈3.3× the
+    * HDFS-provider throughput at 100k keys) and an OSS prerequisite
+    * for `transformWithState`. */
+  def rocksDbEnabled(spark: SparkSession): Boolean =
+    spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDBStateStoreProvider"))
+
   /** G1-G9 — the stateful unify step: shuffle by orderId (≙ the
     * reference's repartition topic, `OrderProjectionTopology.java:57-59`)
-    * then buffer/merge/flush with processing-time timeouts. */
+    * then buffer/merge/flush with processing-time timeouts.
+    *
+    * DEFAULT implementation: [[OrderUnifyTws]] (`transformWithState`,
+    * explicit per-key timers — timeout cost tracks EXPIRED keys)
+    * whenever the session runs the RocksDB provider; sessions on the
+    * default HDFS provider fall back to [[unifyFmgws]], whose
+    * processing-time timeout scan touches the whole store every
+    * micro-batch — fine at demo scale, the bottleneck at 100k+ live
+    * keys (BASELINE.md table), and the same pathology as the
+    * reference's 1 s full-store punctuation scan
+    * (`OrderProjectionTransformer.java:91`). Both share the pure
+    * [[OrderUnify]] logic, so semantics are identical
+    * (OrderUnifyTwsSpec pins the equivalence). */
   def unify(events: Dataset[OrderEvent],
+            bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
+    if (rocksDbEnabled(events.sparkSession))
+      OrderUnifyTws.unify(events, bufferMillis)
+    else unifyFmgws(events, bufferMillis)
+
+  /** The `flatMapGroupsWithState` implementation — the Spark-3-
+    * compatible fallback (works on any state-store provider). */
+  def unifyFmgws(events: Dataset[OrderEvent],
             bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
     events
       .groupByKey(_.orderId)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{OrderUnifyPipeline, OrderUnifyTws, SourceRecord}
+import graft.streaming.{OrderUnifyPipeline, SourceRecord}
 
 /** Streaming throughput soak: drives N complete order lifecycles
   * (3 events each: created/placed/cancelled, distinct keys) through
@@ -18,10 +18,13 @@ import graft.streaming.{OrderUnifyPipeline, OrderUnifyTws, SourceRecord}
   * The reference deployment's implied load is ~3 events/s
   * (BASELINE.md); this records the same pipeline's capacity headroom
   * at local[32]. Run:
-  * `sbt "runMain graft.tools.StreamSoak [lifecycles] [fmgws|tws]"` —
-  * the second arg selects the stateful implementation
-  * (flatMapGroupsWithState, the default, or transformWithState with
-  * explicit timers on the RocksDB provider).
+  * `sbt "runMain graft.tools.StreamSoak [lifecycles] [tws|fmgws]"` —
+  * the second arg selects the stateful implementation:
+  * transformWithState with explicit timers on the RocksDB provider
+  * (the default — timeout cost tracks expired keys, ≈3.3× faster at
+  * 100k keys), or flatMapGroupsWithState on the HDFS provider (the
+  * Spark-3-compatible fallback, whose per-batch timeout scan touches
+  * the whole store).
   */
 object StreamSoak {
 
@@ -40,7 +43,7 @@ object StreamSoak {
 
   def main(args: Array[String]): Unit = {
     val lifecycles = args.headOption.map(_.toInt).getOrElse(100000)
-    val impl = args.lift(1).getOrElse("fmgws")
+    val impl = args.lift(1).getOrElse("tws")
     require(impl == "fmgws" || impl == "tws", s"unknown impl '$impl'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val ckpt = java.nio.file.Files
@@ -62,11 +65,9 @@ object StreamSoak {
 
     val bufferMillis = 2000L
     val input = MemoryStream[SourceRecord]
-    val out =
-      if (impl == "tws")
-        OrderUnifyTws.unify(
-          OrderUnifyPipeline.parseAndCanonicalize(input.toDF()), bufferMillis)
-      else OrderUnifyPipeline.projections(input.toDF(), bufferMillis)
+    // projections() auto-dispatches: RocksDB session -> TWS,
+    // HDFS-provider session -> FMGWS
+    val out = OrderUnifyPipeline.projections(input.toDF(), bufferMillis)
     val query = out.writeStream
       .format("memory").queryName("soak").outputMode("append")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))

@@ -45,6 +45,36 @@ class IvfRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("auto-sized index (C ∝ √N): recall@5 holds at two scale factors") {
+    // the one-knob contract: IvfArtifact.autoCentroids sizes C from
+    // the corpus, and probing a fixed FRACTION of cells (¼) keeps
+    // recall@5 above the floor at both corpus sizes — a resize that
+    // silently trades recall away fails here, not in production
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val emb = graft.Tables.embeddings(spark, d)
+      val n = emb.count()
+      val c = IvfArtifact.autoCentroids(n)
+      assert(c >= 8 && c <= 4096 && c <= n)
+      val (cents, inv) = Similarity.ivfIndex(emb, c, iterations = 2)
+      val invP = inv.persist()
+      val kk = 5
+      // probing EVERY cell makes IVF exhaustive = brute-force truth
+      val truth = resultSet(
+        Similarity.ivfSearchIndexed(cents, invP, qMin, qMax, kk, probes = c))
+      val probes = math.max(2, c / 4)
+      val found = resultSet(
+        Similarity.ivfSearchIndexed(cents, invP, qMin, qMax, kk, probes))
+      val r = recall(found, truth)
+      info(f"$d: N=$n C=$c probes=$probes recall@5=$r%.3f")
+      assert(r >= 0.6, f"$d: recall@5 $r%.3f below floor (C=$c, probes=$probes)")
+      invP.unpersist()
+    }
+    // the knob itself: √N with the clamps
+    assert(IvfArtifact.autoCentroids(4) == 8)
+    assert(IvfArtifact.autoCentroids(10000) == 100)
+    assert(IvfArtifact.autoCentroids(100000000L) == 4096)
+  }
+
   test("Lloyd refinement preserves the partition invariant (every vector in one cell)") {
     val emb = graft.Tables.embeddings(spark, dir)
     val n = emb.count()

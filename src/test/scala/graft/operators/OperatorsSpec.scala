@@ -200,8 +200,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("multimodal decodeBatch: stub metadata + content hash") {
-    val docs = Seq((7L, "hello")).toDF("doc_id", "text")
-    val meta = Multimodal.decodeBatch(Multimodal.documentsAsMedia(docs)).collect().head
+    val recs = spark.createDataset(Seq(Multimodal.MediaRecord(
+      7L, "hello".getBytes("UTF-8"), "text/plain")))(Multimodal.mediaRecordEnc)
+    val meta = Multimodal.decodeBatch(recs).collect().head
     assert(meta.id == 7L && meta.nBytes == 5L)
     assert(meta.contentHash == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
     assert(meta.width == 64 + 5 && meta.height == 64 + 5)

@@ -18,10 +18,10 @@ class MediaStreamSpec extends AnyFunSuite {
 
   test("streamed GIF decode equals batch decode under uneven batching") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.operators.{Codecs, Multimodal}
-    val docs = graft.Tables.documents(spark, dir)
-    val records = Codecs.documentsAsGif(docs).collect()
-    val expected = Codecs.decodeGifBatch(Codecs.documentsAsGif(docs))
+    import graft.operators.{Codecs, MediaArtifact, Multimodal}
+    val records = MediaArtifact.records(spark, dir, "gif").collect()
+    val expected = Codecs
+      .decodeGifBatch(MediaArtifact.records(spark, dir, "gif"))
       .collect().map(m => m.id -> m).toMap
 
     val input = MemoryStream[(Long, Array[Byte], String)]

@@ -69,4 +69,85 @@ class RestartRecoverySpec extends AnyFunSuite {
     Store.upsert(Seq("a" -> 999L), replayedId)
     assert(Store.counts.toMap == before, "replayed batch was double-applied")
   }
+
+  test("poison record under failFast kills the query; restarting the same " +
+    "checkpoint in permissive mode drains it with no duplicate emissions") {
+    // the reference's crash semantics (serde/JsonDeserializer.java:27-31)
+    // followed by the operational recovery every on-call runbook
+    // prescribes: flip to null-and-filter, restart from the checkpoint,
+    // let the drop metric account for the poison record
+    def evJson(id: String, typ: String): String =
+      s"""{"order-id":"$id","type":"$typ","timestamp":"2024-08-16T15:51:19.799Z","order_details":{"d":1}}"""
+    val ckpt = graft.TestSpark.checkpointDir + "/poison-recovery"
+    val emitted = TrieMap.empty[String, Long] // orderId -> emissions seen
+    val appliedBatches = TrieMap.empty[Long, Boolean]
+    val input = MemoryStream[SourceRecord]
+
+    // with FMGWS processing-time timeouts pending, processAllAvailable
+    // can block indefinitely (see OrderUnifyStreamSpec's harness note)
+    // — poll observable state against a deadline instead
+    def until(deadlineMs: Long)(done: => Boolean): Unit = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!done && System.currentTimeMillis() < end) Thread.sleep(200)
+    }
+
+    def start(failFast: Boolean) =
+      OrderUnifyPipeline
+        .projections(input.toDF(), bufferMillis = 500L, failFast = failFast)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ProjectionResult],
+            batchId: Long) =>
+          val ids = df.collect().map(_.orderId)
+          if (appliedBatches.putIfAbsent(batchId, true).isEmpty)
+            ids.foreach(id =>
+              emitted.updateWith(id)(c => Some(c.getOrElse(0L) + 1L)))
+        }
+        .start()
+
+    // epoch 1: a clean lifecycle flows through strict mode
+    val q1 = start(failFast = true)
+    try {
+      input.addData(Seq(
+        SourceRecord("ord-ok", evJson("ord-ok", "created"), "order-created", 0L),
+        SourceRecord("ord-ok", evJson("ord-ok", "placed"), "order-placed", 1L),
+        SourceRecord("ord-ok", evJson("ord-ok", "cancelled"), "order-cancelled", 2L)))
+      until(30000L)(emitted.contains("ord-ok"))
+      assert(emitted.toMap == Map("ord-ok" -> 1L))
+      // epoch 2: poison + a second complete lifecycle -> strict mode
+      // must kill the query before committing the batch
+      input.addData(Seq(
+        SourceRecord("poison", "{definitely not json", "order-created", 3L),
+        SourceRecord("ord-2", evJson("ord-2", "created"), "order-created", 4L),
+        SourceRecord("ord-2", evJson("ord-2", "placed"), "order-placed", 5L),
+        SourceRecord("ord-2", evJson("ord-2", "cancelled"), "order-cancelled", 6L)))
+      until(30000L)(q1.exception.isDefined)
+      assert(q1.exception.isDefined,
+        "strict mode must fail the query on the poison record")
+      val messages = Iterator.iterate(q1.exception.get: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString.toLowerCase).mkString("\n")
+      assert(messages.contains("malformed"),
+        s"expected the FAILFAST parse error, got:\n$messages")
+    } finally q1.stop()
+    assert(emitted.toMap == Map("ord-ok" -> 1L),
+      "the failed epoch must not have emitted anything")
+
+    // restart the SAME checkpoint in permissive mode: the uncommitted
+    // epoch replays, the poison record drops (metric accounts for it),
+    // ord-2 completes, ord-ok does NOT re-emit
+    val q2 = start(failFast = false)
+    try {
+      until(30000L)(emitted.contains("ord-2"))
+      val dropped = q2.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_parse")))
+        .map(_.getAs[Long]("dropped")).sum
+      assert(dropped >= 1L, "the poison record must surface in the drop metric")
+      Thread.sleep(1000) // settle: catch late duplicate emission
+    } finally q2.stop()
+    assert(emitted.toMap == Map("ord-ok" -> 1L, "ord-2" -> 1L),
+      s"exactly-once across the crash-restart: ${emitted.toMap}")
+  }
 }
