@@ -35,12 +35,18 @@ object MediaArtifact {
   /** All materialized formats (one row per document per format). */
   val Formats: Seq[String] = Seq(
     "plain", "container", "wav", "ulaw", "bmp", "png", "png_from_bmp",
-    "gif", "gif_variant", "gif_anim", "jpeg")
+    "gif", "gif_variant", "gif_anim", "jpeg", "avi")
 
-  def path(dir: String): String = Artifacts.path(dir, "documents", "media")
+  /** Bump when the layout or format set changes: the data fingerprint
+    * keys on documents.parquet only, so a code-side schema evolution
+    * must version the path or a stale artifact would be served. */
+  private val LayoutVersion = 2
+
+  def path(dir: String): String =
+    Artifacts.path(dir, "documents", s"media_v$LayoutVersion")
 
   /** Force a (re)build: one pass over documents, one partitioned
-    * write. 11 container synths per doc, all in-partition. */
+    * write. 12 container synths per doc, all in-partition. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
     import spark.implicits._
@@ -66,7 +72,8 @@ object MediaArtifact {
           row("gif", "image/gif", Codecs.synthesizeGif(id, n)),
           row("gif_variant", "image/gif", Codecs.synthesizeGifVariant(id, n)),
           row("gif_anim", "image/gif", Codecs.synthesizeAnimatedGif(id, n)),
-          row("jpeg", "image/jpeg", Jpeg.synthesizeJpeg(id, n)))
+          row("jpeg", "image/jpeg", Jpeg.synthesizeJpeg(id, n)),
+          row("avi", "video/x-msvideo", Video.synthesizeMjpegAvi(id, n)))
       }
     }
     rows.toDF().write.mode("overwrite").partitionBy("format")

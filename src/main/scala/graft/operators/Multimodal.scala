@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * decode seam — are real. Since round 7 the codecs behind the seam
   * are REAL too for every format that needs no external library
   * ([[Codecs]]: RIFF/WAV PCM, G.711 µ-law, 24-bit BMP, PNG via the
-  * JVM's zlib/CRC32, GIF via a genuine LZW decompressor; [[Jpeg]]:
-  * a from-scratch T.81 baseline codec since round 8); only video
-  * frame extraction (container demux + inter-frame codecs) remains
-  * STUBBED here with a deterministic fake so its plumbing stays
-  * testable end to end. Since round 8 the containers live in a
-  * materialized parquet `binary` column ([[MediaArtifact]]) instead
-  * of being synthesized inside each query.
+  * JVM's zlib/CRC32, GIF via a genuine LZW decompressor; [[Jpeg]]: a
+  * from-scratch T.81 baseline codec; [[Video]]: an AVI demuxer over
+  * Motion-JPEG frames — all round 8); only inter-frame video codecs
+  * (H.264 etc.) remain STUBBED here with a deterministic fake so
+  * their plumbing stays testable end to end. Since round 8 the
+  * containers live in a materialized parquet `binary` column
+  * ([[MediaArtifact]]) instead of being synthesized inside each
+  * query.
   *
   * Scale design: decode runs via `mapPartitions`, so each partition is
   * one codec batch (amortized init, no per-row overhead), metadata-only
@@ -110,11 +111,12 @@ object Multimodal {
       }
     }
 
-  /** STUB frame sampler (a real deployment seeks the container's
-    * keyframes): 1-3 frames by byte length, evenly-spaced offsets, a
-    * per-frame content hash. The 1→N explode is the real mechanics —
-    * video rows fan out to frame rows inside the partition, no
-    * shuffle. */
+  /** STUB frame sampler for opaque/inter-frame-coded blobs (a real
+    * deployment seeks the container's keyframes): 1-3 frames by byte
+    * length, evenly-spaced offsets, a per-frame content hash. The 1→N
+    * explode is the real mechanics — video rows fan out to frame rows
+    * inside the partition, no shuffle. The REAL path for MJPG-in-AVI
+    * is [[Video.decodeFramesBatch]] (genuine demux + JPEG decode). */
   def sampleFrames(records: Dataset[MediaRecord]): Dataset[FrameMeta] =
     records.mapPartitions { it =>
       it.flatMap { r =>

@@ -2065,16 +2065,153 @@ object TextQueries {
         UNION ALL SELECT 'gif', 'image/gif', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'gif_variant', 'image/gif', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'gif_anim', 'image/gif', CAST(0 AS BIGINT) FROM d
-        UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d)
+        UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'avi', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d)
       SELECT format, mime, count(*) AS n_docs,
              CAST(sum(kb) AS BIGINT) AS known_bytes
       FROM rows GROUP BY 1, 2 ORDER BY format, mime
     """.trim))
 
+  /** REAL video frame decode — a from-scratch AVI (RIFF) demuxer over
+    * Motion-JPEG frames ([[graft.operators.Video]]): the stored
+    * containers carry genuine AVI structure (`avih`/`strh`/`strf`
+    * headers, `LIST('movi')` with one `00dc` chunk per frame), the
+    * demuxer walks it by little-endian declared sizes, and every
+    * frame's bytes go through the real T.81 JPEG decoder. Per-
+    * dimension rollup of decoded per-frame pixel sums and raster-
+    * weighted sums; frames are grayscale even-valued flat blocks (the
+    * exact-decode profile) so the oracle replays the DECODED pixels
+    * arithmetically. Demux + decode happen once per clip inside the
+    * partition; frame rows fan out 1→N with no shuffle. */
+  val qVideoFrames: Q = Q(
+    "q_video_frames",
+    (spark, dir) => graft.operators.Video
+      .decodeFramesBatch(media(spark, dir, "avi"))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        sum(col("ySum")).as("y_sum"),
+        sum(col("yWsum")).as("y_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+               CAST(8 * (1 + octet_length(encode(text)) % 2) AS INT) AS h,
+               CAST(2 + doc_id % 3 AS INT) AS k
+        FROM documents),
+      fr AS (SELECT doc_id, w, h, k, unnest(range(0, k)) AS f FROM d),
+      sc AS (
+        SELECT doc_id, w, h, f,
+               CASE WHEN f < 1 + doc_id % (k - 1) THEN 0 ELSE 1 END AS scene
+        FROM fr),
+      px AS (SELECT doc_id, w, h, f, scene, unnest(range(0, w * h)) AS p
+             FROM sc),
+      c AS (
+        SELECT doc_id, w, h, f,
+               2 * ((doc_id * 5 + 100 * scene + 11 * ((p % w) // 8)
+                 + 23 * ((p // w) // 8)) % 128) AS v,
+               p + 1 AS wgt
+        FROM px),
+      per AS (
+        SELECT doc_id, w, h, f, sum(v) AS s, sum(v * wgt) AS sw
+        FROM c GROUP BY 1, 2, 3, 4)
+      SELECT w AS width, h AS height,
+             count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
+             CAST(sum(s) AS BIGINT) AS y_sum,
+             CAST(sum(sw) AS BIGINT) AS y_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
+
+  /** Scene-cut detection over REAL video — the multi-frame curation
+    * job done genuinely end to end: demux the stored AVI, JPEG-decode
+    * every frame, compare consecutive frames' decoded-pixel
+    * signatures (plain + raster-weighted sums), and recover the one
+    * hard cut each clip contains. Frames within a scene are
+    * pixel-identical → both signatures equal; across the cut the
+    * recipe shifts everywhere. The oracle rebuilds the per-frame
+    * signatures arithmetically and scores the same comparison. The
+    * only exchanges are the ≤3-row per-clip window and the rollup. */
+  val qVideoScenes: Q = Q(
+    "q_video_scenes",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // persisted: the frame table feeds both the pair window and the
+      // per-clip frame count, each otherwise re-running demux + decode
+      val fh = graft.operators.Video
+        .decodeFramesBatch(media(spark, dir, "avi")).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = Window.partitionBy(col("id")).orderBy(col("frame"))
+      val pairs = fh
+        .withColumn("ns", lead(col("ySum"), 1).over(w))
+        .withColumn("nw", lead(col("yWsum"), 1).over(w))
+        .filter(col("ns").isNotNull)
+        .select(col("id"),
+          (col("ySum") =!= col("ns") || col("yWsum") =!= col("nw")).as("cut"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+          sum(when(col("cut"), 0L).otherwise(1L)).as("n_static"))
+      val perDoc = fh.groupBy(col("id"))
+        .agg((max(col("frame")) + 1).cast("long").as("n_frames"),
+          sum(when(col("ok"), 0L).otherwise(1L)).as("bad"))
+      perDoc.join(pairs, "id")
+        .groupBy(col("n_frames"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pairs")).as("n_pairs"),
+          sum(col("n_cuts")).as("n_cuts"),
+          sum(col("n_static")).as("n_static"),
+          sum(col("bad")).as("n_bad"))
+        .orderBy(col("n_frames"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+               CAST(8 * (1 + octet_length(encode(text)) % 2) AS INT) AS h,
+               CAST(2 + doc_id % 3 AS INT) AS k
+        FROM documents),
+      fr AS (SELECT doc_id, w, h, k, unnest(range(0, k)) AS f FROM d),
+      sc AS (
+        SELECT doc_id, w, h, k, f,
+               CASE WHEN f < 1 + doc_id % (k - 1) THEN 0 ELSE 1 END AS scene
+        FROM fr),
+      px AS (SELECT doc_id, w, h, k, f, scene, unnest(range(0, w * h)) AS p
+             FROM sc),
+      c AS (
+        SELECT doc_id, k, f,
+               2 * ((doc_id * 5 + 100 * scene + 11 * ((p % w) // 8)
+                 + 23 * ((p // w) // 8)) % 128) AS v,
+               p + 1 AS wgt
+        FROM px),
+      per AS (
+        SELECT doc_id, any_value(k) AS k, f,
+               sum(v) AS s, sum(v * wgt) AS sw
+        FROM c GROUP BY doc_id, f),
+      pairs AS (
+        SELECT doc_id, k, s, sw,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY f) AS ns,
+               lead(sw) OVER (PARTITION BY doc_id ORDER BY f) AS nsw
+        FROM per),
+      agg AS (
+        SELECT doc_id, any_value(k) AS k, count(*) AS n_pairs,
+               sum(CASE WHEN s <> ns OR sw <> nsw THEN 1 ELSE 0 END) AS n_cuts,
+               sum(CASE WHEN s = ns AND sw = nsw THEN 1 ELSE 0 END) AS n_static
+        FROM pairs WHERE ns IS NOT NULL GROUP BY doc_id)
+      SELECT CAST(k AS BIGINT) AS n_frames, count(*) AS n_docs,
+             CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+             CAST(sum(n_cuts) AS BIGINT) AS n_cuts,
+             CAST(sum(n_static) AS BIGINT) AS n_static,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM agg GROUP BY k ORDER BY n_frames
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
-    qMultimodalScenes, qMultimodalJpeg, qMediaCatalog,
+    qMultimodalScenes, qMultimodalJpeg, qMediaCatalog, qVideoFrames,
+    qVideoScenes,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
