@@ -83,10 +83,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // measurement-noise transparency: per-query max/min across reps —
+    // a reader can tell a real regression (stable across reps) from
+    // ambient jitter (wide spread) without a second full sweep
+    val spreads = ordered.map { q =>
+      val vs = times.map(_(q.name))
+      q.name -> (if (vs.min <= 0) 1.0 else vs.max / vs.min)
+    }
+    val noisy = spreads.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val errJson = failures.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":${failures.size},"failed":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":${failures.size},"reps":$reps,"noisiest":$noisy,"failed":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     // The driver keeps only a tail of captured stdout; the full
     // per-query line (~2 KB for 79 queries) can start mid-JSON in that
     // tail, so the LAST line printed must be compact enough to always

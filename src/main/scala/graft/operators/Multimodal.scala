@@ -193,7 +193,35 @@ object Multimodal {
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
       (bytes(2) & 0xff) == 0xff)
       ("image/jpeg", -1, -1)
-    else ("application/octet-stream", -1, -1)
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F') {
+      val kind = new String(bytes, 8, 4, "US-ASCII")
+      if (kind == "AVI ") {
+        // header-only walk to the avih chunk for the frame dimensions
+        // (dwWidth/dwHeight at body offsets 32/36) — no frame bytes read
+        def le32(o: Int): Int =
+          (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+            ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+        var off = 12
+        var w = -1; var h = -1
+        var guard = 0
+        while (w < 0 && off + 8 <= bytes.length && guard < 64) {
+          val tag4 = new String(bytes, off, 4, "US-ASCII")
+          val size = le32(off + 4)
+          if (size < 0 || off + 8 + size > bytes.length) { off = bytes.length }
+          else if (tag4 == "LIST") off += 12 // descend into the list body
+          else {
+            if (tag4 == "avih" && size >= 40) {
+              w = le32(off + 8 + 32); h = le32(off + 8 + 36)
+            }
+            off += 8 + size + (size & 1)
+          }
+          guard += 1
+        }
+        ("video/x-msvideo", w, h)
+      } else if (kind == "WAVE") ("audio/wav", -1, -1)
+      else ("application/octet-stream", -1, -1)
+    } else ("application/octet-stream", -1, -1)
   }
 
   final case class SniffResult(

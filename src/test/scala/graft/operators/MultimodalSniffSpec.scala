@@ -21,6 +21,23 @@ class MultimodalSniffSpec extends AnyFunSuite {
     assert(Multimodal.sniff(jpg) == (("image/jpeg", -1, -1)))
   }
 
+  test("RIFF containers sniff to AVI (with avih dimensions) or WAVE") {
+    val avi = Video.synthesizeMjpegAvi(4L, payload.length)
+    assert(Multimodal.sniff(avi) ==
+      (("video/x-msvideo", Video.aviWidth(4L), Video.aviHeight(payload.length))))
+    val wav = Codecs.synthesizeWav(4L, payload.length)
+    assert(Multimodal.sniff(wav) == (("audio/wav", -1, -1)))
+    // a RIFF with an unknown form type degrades to octet-stream
+    val alien = avi.clone(); alien(8) = 'X'.toByte
+    assert(Multimodal.sniff(alien)._1 == "application/octet-stream")
+    // a crafted negative chunk size inside the header walk must not
+    // hang or read out of bounds — dims degrade, format stays AVI
+    val evil = avi.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // hdrl LIST size = -1
+    assert(Multimodal.sniff(evil)._1 == "video/x-msvideo")
+  }
+
   test("a corrupted magic byte degrades to octet-stream, never throws") {
     val (png, _) = Multimodal.wrapWithHeader(0L, payload)
     val broken = png.clone(); broken(1) = 'Q'.toByte

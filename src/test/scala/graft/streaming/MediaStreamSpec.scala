@@ -51,6 +51,41 @@ class MediaStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed video demux+decode equals batch (1-to-N frame fan-out per micro-batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{MediaArtifact, Multimodal, Video}
+    val records = MediaArtifact.records(spark, dir, "avi").collect()
+    val expected = Video
+      .decodeFramesBatch(MediaArtifact.records(spark, dir, "avi"))
+      .collect().map(f => (f.id, f.frame) -> f).toMap
+
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val acc = scala.collection.mutable.Map.empty[(Long, Int), Video.VideoFrame]
+    val q = input.toDF().toDF("id", "media", "mime")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        val ds = batch.as[(Long, Array[Byte], String)]
+          .map { case (id, media, mime) => Multimodal.MediaRecord(id, media, mime) }(
+            Multimodal.mediaRecordEnc)
+        Video.decodeFramesBatch(ds).collect()
+          .foreach(f => acc.synchronized { acc((f.id, f.frame)) = f })
+      }
+      .start()
+    try {
+      val rows = records.map(r => (r.id, r.media, r.mime)).toSeq
+      input.addData(rows.take(7))
+      q.processAllAvailable()
+      input.addData(rows.drop(7))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(acc.size == expected.size)
+    expected.foreach { case (key, f) =>
+      assert(acc(key) == f, s"clip/frame $key: streamed decode must equal batch")
+    }
+  }
+
   test("a corrupt container in the stream degrades to ok=false, not a crash") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Codecs, Multimodal}
