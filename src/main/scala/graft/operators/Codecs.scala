@@ -558,7 +558,13 @@ object Codecs {
     }
     if (w <= 0 || h <= 0 || idat.size() == 0) return bad
     val bpp = 3
-    val raw = new Array[Byte](h * (1 + w * bpp))
+    // size the scanline buffer in Long and bound it by the deflate
+    // stream's maximum expansion (~1032:1) — a crafted IHDR with a
+    // valid CRC must not allocate gigabytes before inflate fails
+    val rawLen = h.toLong * (1L + w.toLong * bpp)
+    if (rawLen > Int.MaxValue ||
+      rawLen > idat.size().toLong * 1040L + 65536L) return bad
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val got =
@@ -808,6 +814,10 @@ object Codecs {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val w = le16(6)
     val h = le16(8)
+    // bound the index buffer: w*h near 65535^2 overflows Int (a
+    // negative-size allocation throw), and no honest stream is larger
+    // than its LZW payload can express
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
     val packed = bytes(10) & 0xff
     if ((packed & 0x80) == 0) return None // need a global color table
     val gctSize = 2 << (packed & 7)
@@ -976,6 +986,8 @@ object Codecs {
     def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     val w = le16(6)
     val h = le16(8)
+    // same index-buffer bound as the single-frame decoder
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return bad
     val packed = bytes(10) & 0xff
     if ((packed & 0x80) == 0) return bad
     val gctSize = 2 << (packed & 7)

@@ -493,6 +493,7 @@ object Jpeg {
             val sampling = bytes(o + 1) & 0xff
             if (sampling != 0x11) return null // profile: 4:4:4 only
             compQ(c) = bytes(o + 2) & 0x0f
+            if (compQ(c) > 3) return null // table slots are 0..3
           }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
@@ -521,6 +522,7 @@ object Jpeg {
           for (c <- 0 until ns) {
             compDc(c) = (bytes(body + 2 + 2 * c) & 0xff) >> 4
             compAc(c) = bytes(body + 2 + 2 * c) & 0x0f
+            if (compDc(c) > 3 || compAc(c) > 3) return null
           }
           scanStart = pos + 2 + len
         case 0xdd => return null // DRI: restart intervals out of profile
@@ -536,6 +538,14 @@ object Jpeg {
 
     val blocksX = (w + 7) / 8
     val blocksY = (h + 7) / 8
+    // a baseline scan costs >= ~6 bits per block per component (DC
+    // category code + EOB), so a container too small to hold its
+    // declared dimensions is malformed — reject BEFORE allocating
+    // block planes (a 300-byte file claiming 65536x65536 would
+    // otherwise allocate gigabytes). The 2-bits-per-block bound is
+    // loose enough to never reject a legitimate stream.
+    val entropyBytes = (bytes.length - scanStart).toLong
+    if (blocksX.toLong * blocksY * nComp > entropyBytes * 4L) return null
     val br = new BitReader(bytes, scanStart)
     val dcPred = new Array[Int](nComp)
     // decoded component planes at block resolution
