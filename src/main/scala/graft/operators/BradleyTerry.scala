@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley-Terry pairwise-preference strength fitting — the model an
+  * RLHF/preference-data pipeline runs over duel outcomes (annotator
+  * A/B choices, model-vs-model win records) to turn win counts into
+  * item strengths. Fitted with Hunter's MM iteration
+  * (w_i ← W_i / Σ_{j≠i} n_ij / (w_i + w_j)), which monotonically
+  * increases the likelihood each round.
+  *
+  * Log-free and engine-portable by the repo's standard trick: a FIXED
+  * iteration count with every update in exact integer arithmetic —
+  * strengths live in ppm (S = 10⁶), each MM term is one BIGINT
+  * floor-division `n_ij·S² div (w_i + w_j)`, and the update is
+  * `W_i·S² div Σ terms` — so Spark and DuckDB derive bit-identical
+  * strengths with no transcendental in sight (unlike the usual
+  * logit-space fit). Magnitudes: n·S² ≤ 10⁴·10¹² = 10¹⁶, inside
+  * BIGINT.
+  *
+  * Scale: duels reduce to one (winner, loser) count aggregate — the
+  * only corpus-sized pass; everything after operates on the
+  * item×item win matrix (items = a small vocabulary: models,
+  * annotator cohorts, content classes), which broadcasts. Each MM
+  * round is two broadcast joins + one hash aggregate over that tiny
+  * matrix, NOT over the corpus — at 100 TB of duel logs the iteration
+  * cost is unchanged. */
+object BradleyTerry {
+
+  val S = 1000000L
+
+  /** Fit strengths from a win-count table `(winner, loser, n)`.
+    * Returns `(item, n_wins, n_games, strength_ppm)` after `iters`
+    * exact-integer MM rounds from a flat start (every strength = S).
+    * Items with zero wins converge toward 0; `greatest(·, 1)` guards
+    * the all-zero pair denominator. */
+  def strengths(wins: DataFrame, iters: Int): DataFrame = {
+    val games = wins
+      .select(col("winner").as("i"), col("loser").as("j"), col("n"))
+      .unionAll(wins.select(col("loser").as("i"), col("winner").as("j"),
+        col("n")))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+    val wTot = wins.groupBy(col("winner").as("i")).agg(sum(col("n")).as("w"))
+    var cur = games.select(col("i")).distinct()
+      .select(col("i"), lit(S).as("s"))
+    for (_ <- 0 until iters) {
+      val a = cur.select(col("i"), col("s").as("si"))
+      val b = cur.select(col("i").as("j"), col("s").as("sj"))
+      cur = games
+        .join(broadcast(a), "i").join(broadcast(b), "j")
+        .withColumn("term",
+          expr(s"n * ${S * S} div greatest(si + sj, 1)"))
+        .groupBy(col("i")).agg(sum(col("term")).as("d"))
+        .join(broadcast(wTot), Seq("i"), "left")
+        .select(col("i"),
+          expr(s"coalesce(w, 0) * ${S * S} div d").as("s"))
+    }
+    val nGames = games.groupBy(col("i")).agg(sum(col("n")).as("n_games"))
+    cur.join(broadcast(nGames), "i")
+      .join(broadcast(wTot), Seq("i"), "left")
+      .select(col("i").as("item"),
+        coalesce(col("w"), lit(0L)).as("n_wins"),
+        col("n_games"),
+        col("s").as("strength_ppm"))
+  }
+}

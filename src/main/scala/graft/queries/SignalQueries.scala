@@ -617,6 +617,101 @@ object SignalQueries {
       ORDER BY n_occ DESC, tok
     """.trim))
 
+  /** Bradley-Terry preference strengths — the RLHF-pipeline step that
+    * turns pairwise duel outcomes into item strengths
+    * ([[graft.operators.BradleyTerry]]: Hunter's MM iteration, every
+    * update an exact BIGINT floor-division in ppm, so a fixed 2-round
+    * fit is bit-identical across engines with no logit in sight).
+    * Duels derive deterministically from the event stream: each
+    * user's consecutive event pairs (by event_id) with differing
+    * types compete, the higher `value` wins (ties to the
+    * lexicographically smaller type). Reports per-type wins, games,
+    * and fitted strength — the leaderboard a preference-data audit
+    * reads before trusting its label source.
+    *
+    * Scale: one corpus pass (the per-user lead window — partitioned,
+    * never global) reduces duels to a types×types win matrix; both MM
+    * rounds are broadcast joins + hash aggregates over that tiny
+    * matrix, so iteration cost is independent of corpus size. */
+  val qPrefBradleyTerry: Q = Q(
+    "q_pref_bradley_terry",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val seq0 = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("nt", lead(col("event_type"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+      val firstWins = col("value") > col("nv") ||
+        (col("value") === col("nv") && col("event_type") < col("nt"))
+      val wins = seq0
+        .select(when(firstWins, col("event_type")).otherwise(col("nt"))
+          .as("winner"),
+          when(firstWins, col("nt")).otherwise(col("event_type"))
+            .as("loser"))
+        .groupBy(col("winner"), col("loser"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.BradleyTerry.strengths(wins, iters = 2)
+        .select(col("item").as("event_type"), col("n_wins"),
+          col("n_games"), col("strength_ppm"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type, value,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nt,
+               lead(value) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nv
+        FROM events),
+      duels AS (
+        SELECT CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN event_type ELSE nt END AS winner,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN nt ELSE event_type END AS loser
+        FROM seq WHERE nt IS NOT NULL AND nt <> event_type),
+      wins AS (
+        SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+        FROM duels GROUP BY 1, 2),
+      games AS (
+        SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+          SELECT winner AS i, loser AS j, n FROM wins
+          UNION ALL SELECT loser AS i, winner AS j, n FROM wins)
+        GROUP BY 1, 2),
+      wtot AS (SELECT winner AS i, CAST(sum(n) AS BIGINT) AS w
+               FROM wins GROUP BY 1),
+      it0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS s FROM games),
+      it1 AS (
+        SELECT g.i,
+               CAST(coalesce(any_value(w.w), 0) * 1000000000000
+                 // sum(g.n * 1000000000000 // greatest(a.s + b.s, 1))
+                 AS BIGINT) AS s
+        FROM games g
+        JOIN it0 a ON a.i = g.i JOIN it0 b ON b.i = g.j
+        LEFT JOIN wtot w ON w.i = g.i
+        GROUP BY g.i),
+      it2 AS (
+        SELECT g.i,
+               CAST(coalesce(any_value(w.w), 0) * 1000000000000
+                 // sum(g.n * 1000000000000 // greatest(a.s + b.s, 1))
+                 AS BIGINT) AS s
+        FROM games g
+        JOIN it1 a ON a.i = g.i JOIN it1 b ON b.i = g.j
+        LEFT JOIN wtot w ON w.i = g.i
+        GROUP BY g.i),
+      ng AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_games
+             FROM games GROUP BY 1)
+      SELECT it2.i AS event_type,
+             CAST(coalesce(wtot.w, 0) AS BIGINT) AS n_wins,
+             ng.n_games, it2.s AS strength_ppm
+      FROM it2 JOIN ng ON ng.i = it2.i
+      LEFT JOIN wtot ON wtot.i = it2.i
+      ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness)
+    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness,
+    qPrefBradleyTerry)
 }
