@@ -64,4 +64,49 @@ object BradleyTerry {
         col("n_games"),
         col("s").as("strength_ppm"))
   }
+
+  /** Intransitivity audit over a win-count table: one row with
+    * `(n_pairs, n_ties, n_cyclic_triples)` — majority-direction edges
+    * per unordered pair, then directed 3-cycles (a beats b beats c
+    * beats a), each counted once via its smallest-item rotation. A
+    * cycle-heavy corpus cannot be represented by any single-strength
+    * model, whatever the fit. The pair/edge tables are items²-sized
+    * (broadcast), so the triple join never touches the duel corpus. */
+  def intransitivity(wins: DataFrame): DataFrame = {
+    val w1 = wins.select(col("winner").as("i"), col("loser").as("j"),
+      col("n"))
+    val pairs = w1
+      .unionAll(w1.select(col("j").as("i"), col("i").as("j"),
+        lit(0L).as("n")))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_ij"))
+      .join(
+        w1.select(col("j").as("i"), col("i").as("j"), col("n").as("m"))
+          .unionAll(w1.select(col("i"), col("j"), lit(0L).as("m")))
+          .filter(col("i") < col("j"))
+          .groupBy(col("i"), col("j")).agg(sum(col("m")).as("n_ji")),
+        Seq("i", "j"), "full")
+      .select(col("i"), col("j"),
+        coalesce(col("n_ij"), lit(0L)).as("n_ij"),
+        coalesce(col("n_ji"), lit(0L)).as("n_ji"))
+    val edges = pairs
+      .filter(col("n_ij") =!= col("n_ji"))
+      .select(
+        when(col("n_ij") > col("n_ji"), col("i")).otherwise(col("j"))
+          .as("src"),
+        when(col("n_ij") > col("n_ji"), col("j")).otherwise(col("i"))
+          .as("dst"))
+    val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = edges.select(col("src").as("c"), col("dst").as("a2"))
+    val cyc = e1.join(e2, "b").join(e3, "c")
+      .filter(col("a2") === col("a"))
+      // each 3-cycle appears once per rotation; anchor on the
+      // smallest item so it is counted exactly once
+      .filter(col("a") < col("b") && col("a") < col("c"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("n_ij") === col("n_ji"), 1L).otherwise(0L))
+        .as("n_ties"))
+      .crossJoin(broadcast(cyc.agg(count(lit(1)).as("n_cyclic_triples"))))
+  }
 }

@@ -633,32 +633,34 @@ object SignalQueries {
     * never global) reduces duels to a types×types win matrix; both MM
     * rounds are broadcast joins + hash aggregates over that tiny
     * matrix, so iteration cost is independent of corpus size. */
-  val qPrefBradleyTerry: Q = Q(
-    "q_pref_bradley_terry",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-      val seq0 = Tables.events(spark, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"))
-        .withColumn("nt", lead(col("event_type"), 1).over(w))
-        .withColumn("nv", lead(col("value"), 1).over(w))
-        .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
-      val firstWins = col("value") > col("nv") ||
-        (col("value") === col("nv") && col("event_type") < col("nt"))
-      val wins = seq0
-        .select(when(firstWins, col("event_type")).otherwise(col("nt"))
-          .as("winner"),
-          when(firstWins, col("nt")).otherwise(col("event_type"))
-            .as("loser"))
-        .groupBy(col("winner"), col("loser"))
-        .agg(count(lit(1)).as("n"))
-      graft.operators.BradleyTerry.strengths(wins, iters = 2)
-        .select(col("item").as("event_type"), col("n_wins"),
-          col("n_games"), col("strength_ppm"))
-        .orderBy(col("event_type"))
-    },
-    Some("""
+  /** Engine-side duel derivation shared by the preference queries:
+    * each user's consecutive event pairs (by event_id) with differing
+    * types compete, the higher `value` wins (ties to the smaller
+    * type). One partitioned lead window — never a global sort. */
+  private def eventDuelWins(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val seq0 = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("nt", lead(col("event_type"), 1).over(w))
+      .withColumn("nv", lead(col("value"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+    val firstWins = col("value") > col("nv") ||
+      (col("value") === col("nv") && col("event_type") < col("nt"))
+    seq0
+      .select(when(firstWins, col("event_type")).otherwise(col("nt"))
+        .as("winner"),
+        when(firstWins, col("nt")).otherwise(col("event_type"))
+          .as("loser"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Shared oracle CTE chain: duels → win matrix → two exact-integer
+    * MM rounds (see [[graft.operators.BradleyTerry]]). */
+  private val btCte: String = """
       WITH seq AS (
         SELECT user_id, event_type, value,
                lead(event_type) OVER (PARTITION BY user_id
@@ -702,7 +704,17 @@ object SignalQueries {
         LEFT JOIN wtot w ON w.i = g.i
         GROUP BY g.i),
       ng AS (SELECT i, CAST(sum(n) AS BIGINT) AS n_games
-             FROM games GROUP BY 1)
+             FROM games GROUP BY 1)"""
+
+  val qPrefBradleyTerry: Q = Q(
+    "q_pref_bradley_terry",
+    (spark, dir) =>
+      graft.operators.BradleyTerry
+        .strengths(eventDuelWins(spark, dir), iters = 2)
+        .select(col("item").as("event_type"), col("n_wins"),
+          col("n_games"), col("strength_ppm"))
+        .orderBy(col("event_type")),
+    Some(s"""$btCte
       SELECT it2.i AS event_type,
              CAST(coalesce(wtot.w, 0) AS BIGINT) AS n_wins,
              ng.n_games, it2.s AS strength_ppm
@@ -711,7 +723,108 @@ object SignalQueries {
       ORDER BY event_type
     """.trim))
 
+  /** Bradley-Terry CALIBRATION — the fit-quality audit: for every
+    * ordered pair, the model's predicted win probability
+    * (`s_i·10⁶ div (s_i + s_j)`, exact ppm off the fitted strengths)
+    * against the observed win rate (`wins·10⁶ div games`). A
+    * preference pipeline reads this table to see WHERE the
+    * single-strength model fails (intransitive triples, context
+    * effects) before trusting it to label new pairs. Everything exact
+    * integer, so the comparison is engine-portable by construction.
+    *
+    * Scale: strengths come from the same broadcastable win matrix;
+    * this adds one join of two tiny tables — no additional corpus
+    * pass at all beyond the shared duel reduction. */
+  val qPrefCalibration: Q = Q(
+    "q_pref_calibration",
+    (spark, dir) => {
+      val wins = eventDuelWins(spark, dir)
+      val s = graft.operators.BradleyTerry.strengths(wins, iters = 2)
+        .select(col("item"), col("strength_ppm"))
+      val games = wins
+        .select(col("winner").as("i"), col("loser").as("j"), col("n"))
+        .unionAll(wins.select(col("loser").as("i"),
+          col("winner").as("j"), col("n")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n_games"))
+      games
+        .join(wins.select(col("winner").as("i"), col("loser").as("j"),
+          col("n").as("n_wins")), Seq("i", "j"), "left")
+        .join(broadcast(s.select(col("item").as("i"),
+          col("strength_ppm").as("si"))), "i")
+        .join(broadcast(s.select(col("item").as("j"),
+          col("strength_ppm").as("sj"))), "j")
+        .select(col("i").as("event_type"), col("j").as("opponent"),
+          col("n_games"),
+          coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+          expr("si * 1000000 div greatest(si + sj, 1)")
+            .as("predicted_ppm"),
+          expr("coalesce(n_wins, 0) * 1000000 div n_games")
+            .as("observed_ppm"))
+        .orderBy(col("event_type"), col("opponent"))
+    },
+    Some(s"""$btCte,
+      obs AS (
+        SELECT g.i, g.j, g.n AS n_games,
+               CAST(coalesce(w.n, 0) AS BIGINT) AS n_wins
+        FROM games g
+        LEFT JOIN wins w ON w.winner = g.i AND w.loser = g.j)
+      SELECT o.i AS event_type, o.j AS opponent, o.n_games, o.n_wins,
+             CAST(a.s * 1000000 // greatest(a.s + b.s, 1) AS BIGINT)
+               AS predicted_ppm,
+             CAST(o.n_wins * 1000000 // o.n_games AS BIGINT)
+               AS observed_ppm
+      FROM obs o
+      JOIN it2 a ON a.i = o.i JOIN it2 b ON b.i = o.j
+      ORDER BY event_type, opponent
+    """.trim))
+
+  /** Preference INTRANSITIVITY — the structural check that decides
+    * whether a single-strength model (Bradley-Terry) can represent
+    * the duel data at all: majority-direction edges per unordered
+    * pair, then the count of cyclic triples (a beats b beats c beats
+    * a in the majority). A cycle-heavy preference corpus needs
+    * context features, not a better scalar fit — this is the audit
+    * that says so before the model is trusted. Ties (equal wins both
+    * ways) are reported and excluded from cycle counting.
+    *
+    * Scale: everything after the shared duel reduction operates on
+    * the pair matrix (items² rows for a small item vocabulary) — the
+    * triple enumeration is over items³ of a BROADCAST-sized table,
+    * never over duels. */
+  val qPrefIntransitivity: Q = Q(
+    "q_pref_intransitivity",
+    (spark, dir) => graft.operators.BradleyTerry
+      .intransitivity(eventDuelWins(spark, dir)),
+    Some(s"""$btCte,
+      pr AS (
+        SELECT i, j,
+               CAST(sum(CASE WHEN dir = 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_ij,
+               CAST(sum(CASE WHEN dir = 0 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_ji
+        FROM (
+          SELECT winner AS i, loser AS j, n, 1 AS dir FROM wins
+            WHERE winner < loser
+          UNION ALL
+          SELECT loser AS i, winner AS j, n, 0 AS dir FROM wins
+            WHERE loser < winner)
+        GROUP BY i, j),
+      edges AS (
+        SELECT CASE WHEN n_ij > n_ji THEN i ELSE j END AS src,
+               CASE WHEN n_ij > n_ji THEN j ELSE i END AS dst
+        FROM pr WHERE n_ij <> n_ji),
+      cyc AS (
+        SELECT 1 FROM edges e1
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e2.dst = e3.src AND e3.dst = e1.src
+        WHERE e1.src < e2.src AND e1.src < e3.src)
+      SELECT (SELECT count(*) FROM pr) AS n_pairs,
+             (SELECT CAST(coalesce(sum(CASE WHEN n_ij = n_ji THEN 1
+                ELSE 0 END), 0) AS BIGINT) FROM pr) AS n_ties,
+             (SELECT count(*) FROM cyc) AS n_cyclic_triples
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness,
-    qPrefBradleyTerry)
+    qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity)
 }

@@ -52,6 +52,28 @@ class BradleyTerrySpec extends AnyFunSuite {
       s"equal 1-1 records, but d played the stronger schedule: $s")
   }
 
+  test("intransitivity: rock-paper-scissors counts exactly one cyclic triple") {
+    def audit(wins: Seq[(String, String, Long)]): (Long, Long, Long) = {
+      val r = BradleyTerry
+        .intransitivity(wins.toDF("winner", "loser", "n"))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // r beats s, s beats p, p beats r: one majority cycle
+    assert(audit(Seq(("r", "s", 3L), ("s", "p", 3L), ("p", "r", 3L))) ==
+      ((3L, 0L, 1L)))
+    // reverse one majority edge: transitive, zero cycles
+    assert(audit(Seq(("r", "s", 3L), ("s", "p", 3L), ("r", "p", 3L))) ==
+      ((3L, 0L, 0L)))
+    // a tied pair drops out of cycle counting and is reported
+    assert(audit(Seq(("r", "s", 2L), ("s", "r", 2L), ("s", "p", 3L),
+      ("p", "r", 3L))) == ((3L, 1L, 0L)))
+    // two overlapping cycles among 4 items count separately:
+    // a>b>c>a and a>b>d>a share the edge a>b
+    assert(audit(Seq(("a", "b", 2L), ("b", "c", 2L), ("c", "a", 2L),
+      ("b", "d", 2L), ("d", "a", 2L))) == ((5L, 0L, 2L)))
+  }
+
   test("wins/games accounting matches the duel table") {
     val out = BradleyTerry
       .strengths(Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L))
