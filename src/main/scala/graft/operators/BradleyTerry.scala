@@ -36,12 +36,23 @@ object BradleyTerry {
     * Items with zero wins converge toward 0; `greatest(·, 1)` guards
     * the all-zero pair denominator. */
   def strengths(wins: DataFrame, iters: Int): DataFrame = {
+    // PERSIST the duel-reduction outputs: `games` and `wTot` are tiny
+    // (items²/items rows) but their LINEAGE is the corpus-sized duel
+    // reduction — without caching, every MM round re-evaluates them
+    // (twice per round via the a/b self-joins) plus once more for
+    // nGames, turning the advertised one-corpus-pass into ~6+ full
+    // window scans. With the cache, the corpus is read exactly once
+    // per input DataFrame and every round iterates over the in-memory
+    // matrix. (Callers composing further over the same `wins` should
+    // persist it too — see qPrefCalibration.)
     val games = wins
       .select(col("winner").as("i"), col("loser").as("j"), col("n"))
       .unionAll(wins.select(col("loser").as("i"), col("winner").as("j"),
         col("n")))
       .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wTot = wins.groupBy(col("winner").as("i")).agg(sum(col("n")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cur = games.select(col("i")).distinct()
       .select(col("i"), lit(S).as("s"))
     for (_ <- 0 until iters) {

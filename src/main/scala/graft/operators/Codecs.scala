@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** REAL pure-JVM media codecs behind the [[Multimodal]] decode seam.
   *
-  * The container has no image/audio libraries, so formats that need
-  * one (PNG/JPEG pixel data, MP3, H.264) stay behind
-  * [[Multimodal.decodeStub]]. But two production formats need NOTHING
-  * beyond byte arithmetic, so their decode path is genuine end to end:
+  * The container has no image/audio libraries, so every codec here is
+  * written from its public spec in pure JVM byte arithmetic. PNG
+  * (round 7, CRC-verified inflate) lives below; baseline JPEG
+  * (round 8, ITU T.81) lives in [[Jpeg]]; AVI/MJPEG and AVI/MS-RLE8
+  * video in [[Video]]. Only codecs that genuinely require native
+  * decoders (H.264-class inter-frame video, MP3) remain behind
+  * [[Multimodal.decodeStub]]. The two formats that started the family
+  * need NOTHING beyond byte arithmetic, so their decode path has been
+  * genuine end to end since round 6:
   *
   *  - RIFF/WAVE PCM: chunk-walking parser (magic validation, little-
   *    endian chunk sizes, `fmt ` field extraction, int16 sample

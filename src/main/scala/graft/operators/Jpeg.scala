@@ -485,7 +485,13 @@ object Jpeg {
           if ((bytes(body) & 0xff) != 8) return null
           h = u16(body + 1); w = u16(body + 3)
           nComp = bytes(body + 5) & 0xff
+          // Cap total pixels (like the GIF/BMP decoders): a crafted
+          // SOF0 with w=h=65536 would pass per-axis checks but make
+          // blocksX*blocksY*64 overflow Int to a 0-length plane (AIOOBE
+          // on the first MCU), and w=h=32768 would attempt an ~8.6 GB
+          // allocation — both violate the never-throw decode contract.
           if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) ||
+            w.toLong * h > (1L << 24) ||
             (nComp != 1 && nComp != 3) ||
             bodyLen < 6 + 3 * nComp) return null
           for (c <- 0 until nComp) {

@@ -930,6 +930,82 @@ object Similarity {
     topKByRoundedCos(scored, k, "cos", "rnk")
   }
 
+  /** Deterministic fixed-round NN-DESCENT (Dong, Moses & Li 2011
+    * shape) — the graph-based ANN family member (the recall/latency
+    * point HNSW-class production vector search ships): iteratively
+    * refine a kNN graph by proposing each node's neighbors' neighbors
+    * and keeping the best k by exact cosine. Classic NN-descent is
+    * randomized; this formulation is engine-portably deterministic —
+    * a FIXED round count, rounded-cosine ordering with vec_id
+    * tie-break, and a deterministic init — so a DuckDB oracle can
+    * unroll the identical rounds.
+    *
+    * Init = `initEdges` (the materialized in-cell IVF kNN graph,
+    * [[graft.operators.KnnEdgesArtifact]]) ∪ a deterministic
+    * HASH-SCATTER lattice: node q proposes `(q + ((q mod N)²+1 mod N)·i
+    * + i²·104729) mod N` for i = 1..scatterDegree. The scatter matters
+    * twice over: the in-cell graph is CLOSED under neighbor
+    * propagation (every neighbor of an in-cell neighbor lies in the
+    * same cell), so descent from it alone could never discover a
+    * cross-cell true neighbor; and a LOCAL lattice (e.g. a vec_id
+    * ring) stays lattice-shaped for ~log₂(k) rounds because top-k
+    * keeps every candidate until the propagation horizon exceeds k —
+    * the scatter plays the role the paper's random init does, with
+    * the quadratic term de-correlating the stride per node (mod-N
+    * squaring keeps every term inside BIGINT at any corpus size).
+    *
+    * Each round: B = g ∪ reverse(g) (general-neighbor set), candidate
+    * pairs = {(q, w) : q→b, b→w in B} ∪ current edges, exact-cosine
+    * score, keep top-k per node via the bounded heap aggregate. Per
+    * round the candidate count is ≤ N·(2k)² by construction (|B(v)| ≤
+    * 2k) — never all-pairs; the scoring join ships ids, not vectors,
+    * until the two corpus hash-joins attach (embedding, nrm). Build
+    * the graph at a k ABOVE query-time needs and let consumers read a
+    * rank prefix (the [[KnnEdgesArtifact]] convention): the descent's
+    * convergence rate rises steeply with graph degree. NnDescentSpec
+    * pins recall@5 ≥ the in-cell graph AND ≥ an IVF 2-probe search on
+    * the same corpus, plus determinism. */
+  def nnDescent(embeddings: DataFrame, initEdges: DataFrame, k: Int,
+                rounds: Int, scatterDegree: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N is the scatter modulus — one scalar count, not a data collect
+    val n = corpus.count()
+    val iArr = (1 to scatterDegree).map(_.toLong).toArray
+    val scatter = corpus
+      .select(col("vec_id").as("qid"), explode(lit(iArr)).as("i"))
+      .withColumn("h", pmod(col("qid"), lit(n)))
+      .select(col("qid"),
+        pmod(col("qid") + pmod(col("h") * col("h") + 1, lit(n)) * col("i")
+          + col("i") * col("i") * lit(104729L), lit(n)).as("vec_id"))
+      .filter(col("qid") =!= col("vec_id"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(corpus.select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"), col("nrm").as("qnrm")), "qid")
+      .join(corpus, "vec_id")
+      .select(col("qid"), col("vec_id"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
+          .as("cos"))
+    val init = initEdges.select(col("qid"), col("vec_id"))
+      .unionAll(scatter).distinct()
+    var g = topKByRoundedCos(score(init), k, "cos", "rnk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val e = g.select(col("qid"), col("vec_id"))
+      val b = e.unionAll(e.select(col("vec_id").as("qid"),
+        col("qid").as("vec_id"))).distinct()
+      val cand = b.as("x").join(b.as("y"),
+          col("x.vec_id") === col("y.qid"))
+        .select(col("x.qid").as("qid"), col("y.vec_id").as("vec_id"))
+        .filter(col("qid") =!= col("vec_id"))
+        .unionAll(e)
+        .distinct()
+      g = topKByRoundedCos(score(cand), k, "cos", "rnk")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    g
+  }
+
   def labelNoiseAudit(knnEdges: DataFrame, labels: DataFrame): DataFrame = {
     val perVec = knnEdges
       .join(labels.withColumnRenamed("label", "nb_label"), "vec_id")

@@ -1250,9 +1250,77 @@ object CurationQueries {
       GROUP BY r.source, b.budget_tokens ORDER BY r.source
     """.trim))
 
+  /** Exact substring dedup at SPAN granularity — the production form
+    * of the public "deduplicating training data" result:
+    * `q_dedup_substring` reports a duplicated-10-gram FRACTION per
+    * doc; this emits the per-doc REMOVE-SPAN manifest a trim pass
+    * actually applies. A position's 10-gram is duplicated when it
+    * also appears in at least one OTHER document; consecutive
+    * duplicated positions merge into one span (the date-minus-rank
+    * island trick, same as `q_streaks`), reported as token offsets
+    * `[span_start, span_end]` (span_end = last duplicated position +
+    * 9, the end of its 10-gram).
+    *
+    * Scale shape: the df table is one aggregate on the shingle key
+    * and the dup filter is a window over the SAME single exchange —
+    * no pair generation anywhere (linear in total shingle
+    * occurrences, like `q_dedup_substring`); the island window is
+    * per-doc. DedupSpansSpec pins exact adjacent-shingle merging. */
+  val qDedupSubstringSpans: Q = Q(
+    "q_dedup_substring_spans",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 10
+      val pos = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.shingles(col("text"), n))
+            .as(Seq("pos", "shingle")))
+      val w = Window.partitionBy(col("shingle"))
+      val dup = pos
+        .withColumn("df", size(collect_set(col("doc_id")).over(w)))
+        .filter(col("df") >= 2)
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      dup
+        .withColumn("isl", col("pos") - row_number().over(wd))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + n - 1).cast("long").as("span_end"),
+          count(lit(1)).as("n_shingles"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_shingles"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      ix AS (
+        SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 9)) AS i
+        FROM toks WHERE len(tl) >= 10),
+      pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(tl[i:i+9], ' ') AS shingle
+        FROM ix),
+      dft AS (
+        SELECT shingle, count(DISTINCT doc_id) AS df FROM pos
+        GROUP BY shingle),
+      dup AS (
+        SELECT p.doc_id, p.pos FROM pos p JOIN dft d USING (shingle)
+        WHERE d.df >= 2),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS isl
+        FROM dup)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 9 AS BIGINT) AS span_end,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM runs GROUP BY doc_id, isl
+      ORDER BY doc_id, span_start
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
     qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
-    qDsirScore, qDsirResample, qDsirBudget)
+    qDsirScore, qDsirResample, qDsirBudget, qDedupSubstringSpans)
 }

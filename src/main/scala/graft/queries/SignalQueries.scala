@@ -738,7 +738,11 @@ object SignalQueries {
   val qPrefCalibration: Q = Q(
     "q_pref_calibration",
     (spark, dir) => {
+      // persisted: the duel reduction feeds the BT fit AND the
+      // observed-rate joins below — without the cache each consumer
+      // re-runs the corpus-sized per-user lead window
       val wins = eventDuelWins(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val s = graft.operators.BradleyTerry.strengths(wins, iters = 2)
         .select(col("item"), col("strength_ppm"))
       val games = wins
@@ -824,7 +828,157 @@ object SignalQueries {
              (SELECT count(*) FROM cyc) AS n_cyclic_triples
     """.trim))
 
+  /** Annotator-cohort ratings shared by the agreement queries: the
+    * same per-user duel window, with annotator = `user_id % 3` (three
+    * rating cohorts) and the item = the unordered type pair. Each
+    * cohort's rating for an item is its MAJORITY duel direction
+    * (0 = the lower type wins; ties to 0, the lexicographically
+    * smaller winner — same convention as the duel derivation). One
+    * corpus pass; the ratings table is cohorts × type-pairs. */
+  private def annotatorRatings(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val seq0 = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("nt", lead(col("event_type"), 1).over(w))
+      .withColumn("nv", lead(col("value"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+    val firstWins = col("value") > col("nv") ||
+      (col("value") === col("nv") && col("event_type") < col("nt"))
+    val duels = seq0.select(
+      pmod(col("user_id"), lit(3)).cast("int").as("annot"),
+      when(firstWins, col("event_type")).otherwise(col("nt")).as("winner"),
+      when(firstWins, col("nt")).otherwise(col("event_type")).as("loser"))
+    val oriented = duels.select(col("annot"),
+        when(col("winner") < col("loser"), col("winner"))
+          .otherwise(col("loser")).as("i"),
+        when(col("winner") < col("loser"), col("loser"))
+          .otherwise(col("winner")).as("j"),
+        when(col("winner") < col("loser"), 1L).otherwise(0L).as("iw"))
+      .groupBy(col("annot"), col("i"), col("j"))
+      .agg(sum(col("iw")).as("n_ij"),
+        sum(lit(1L) - col("iw")).as("n_ji"))
+    oriented.select(col("annot"),
+      concat_ws("|", col("i"), col("j")).as("item"),
+      when(col("n_ij") >= col("n_ji"), 0).otherwise(1).as("rating"))
+  }
+
+  /** Shared oracle CTE chain for the agreement queries: duels with the
+    * annotator cohort, majority-direction ratings per (cohort, pair). */
+  private val ratingsCte: String = """
+      WITH seq AS (
+        SELECT user_id, event_type, value,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nt,
+               lead(value) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nv
+        FROM events),
+      duels AS (
+        SELECT user_id % 3 AS annot,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN event_type ELSE nt END AS winner,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN nt ELSE event_type END AS loser
+        FROM seq WHERE nt IS NOT NULL AND nt <> event_type),
+      pr AS (
+        SELECT annot,
+               CASE WHEN winner < loser THEN winner ELSE loser END AS i,
+               CASE WHEN winner < loser THEN loser ELSE winner END AS j,
+               CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_ij,
+               CAST(sum(CASE WHEN winner < loser THEN 0 ELSE 1 END)
+                 AS BIGINT) AS n_ji
+        FROM duels GROUP BY 1, 2, 3),
+      rt AS (
+        SELECT CAST(annot AS INT) AS annot, concat(i, '|', j) AS item,
+               CASE WHEN n_ij >= n_ji THEN 0 ELSE 1 END AS rating
+        FROM pr)"""
+
+  /** Cohen's kappa per annotator-cohort pair — the rater-consistency
+    * audit ([[graft.operators.Agreement.cohenKappaPairs]]): exact ppm
+    * observed / chance / chance-corrected agreement over the items
+    * both cohorts rated. The oracle replays the marginal-agreement
+    * arithmetic including the truncate-toward-zero signed division. */
+  val qPrefKappa: Q = Q(
+    "q_pref_kappa",
+    (spark, dir) => graft.operators.Agreement
+      .cohenKappaPairs(annotatorRatings(spark, dir)),
+    Some(s"""$ratingsCte,
+      pairs AS (
+        SELECT a.annot AS annot_a, b.annot AS annot_b,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN a.rating = b.rating THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(sum(CASE WHEN a.rating = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m0a,
+               CAST(sum(CASE WHEN b.rating = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m0b,
+               CAST(sum(CASE WHEN a.rating = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m1a,
+               CAST(sum(CASE WHEN b.rating = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m1b
+        FROM rt a JOIN rt b ON a.item = b.item AND a.annot < b.annot
+        GROUP BY 1, 2),
+      pp AS (
+        SELECT annot_a, annot_b, n_items, n_agree,
+               CAST(n_agree * 1000000 // n_items AS BIGINT) AS po_ppm,
+               CAST((m0a * m0b + m1a * m1b) * 1000000
+                 // (n_items * n_items) AS BIGINT) AS pe_ppm
+        FROM pairs)
+      SELECT annot_a, annot_b, n_items, n_agree, po_ppm, pe_ppm,
+             CAST(CASE WHEN po_ppm >= pe_ppm
+               THEN (po_ppm - pe_ppm) * 1000000
+                 // greatest(1000000 - pe_ppm, 1)
+               ELSE -((pe_ppm - po_ppm) * 1000000
+                 // greatest(1000000 - pe_ppm, 1))
+             END AS BIGINT) AS kappa_ppm
+      FROM pp ORDER BY annot_a, annot_b
+    """.trim))
+
+  /** Fleiss' kappa across the 3-cohort panel
+    * ([[graft.operators.Agreement.fleissKappa]]): chance-corrected
+    * panel agreement over the type pairs every cohort rated — exact
+    * integer ppm throughout, replayed by the oracle. */
+  val qPrefFleiss: Q = Q(
+    "q_pref_fleiss",
+    (spark, dir) => graft.operators.Agreement
+      .fleissKappa(annotatorRatings(spark, dir), nRaters = 3),
+    Some(s"""$ratingsCte,
+      per_item AS (
+        SELECT item,
+               CAST(count(*) AS BIGINT) AS nr,
+               CAST(sum(CASE WHEN rating = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN rating = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1
+        FROM rt GROUP BY item),
+      full_panel AS (SELECT * FROM per_item WHERE nr = 3),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(n0 * n0 + n1 * n1 - 3) AS BIGINT) AS pnum,
+               CAST(sum(n0) AS BIGINT) AS s0,
+               CAST(sum(n1) AS BIGINT) AS s1
+        FROM full_panel),
+      pp AS (
+        SELECT n_items,
+               CAST(pnum * 1000000 // (n_items * 6) AS BIGINT) AS pbar_ppm,
+               CAST((s0 * s0 + s1 * s1) * 1000000
+                 // (9 * n_items * n_items) AS BIGINT) AS pe_ppm
+        FROM agg)
+      SELECT CAST(3 AS BIGINT) AS n_raters, n_items, pbar_ppm, pe_ppm,
+             CAST(CASE WHEN pbar_ppm >= pe_ppm
+               THEN (pbar_ppm - pe_ppm) * 1000000
+                 // greatest(1000000 - pe_ppm, 1)
+               ELSE -((pe_ppm - pbar_ppm) * 1000000
+                 // greatest(1000000 - pe_ppm, 1))
+             END AS BIGINT) AS fleiss_kappa_ppm
+      FROM pp
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness,
-    qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity)
+    qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
+    qPrefKappa, qPrefFleiss)
 }

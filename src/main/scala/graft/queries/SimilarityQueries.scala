@@ -2160,6 +2160,106 @@ object SimilarityQueries {
       FROM tb ORDER BY side, rnk
     """.trim))
 
+  /** Graph-based ANN: deterministic fixed-round NN-DESCENT over the
+    * materialized kNN-edge artifact ∪ a hash-scatter lattice
+    * ([[graft.operators.Similarity.nnDescent]] — see its Scaladoc for
+    * why the scattered init is load-bearing). Three refinement
+    * rounds at graph degree 10 (consumers read a rank prefix, the
+    * artifact convention); the oracle unrolls the identical
+    * candidate-propose / exact-score / top-k rounds. Recall@5 ≥ the
+    * in-cell graph AND an IVF 2-probe search is pinned in
+    * NnDescentSpec; per-round candidates are bounded by N·(2k)². */
+  val qEmbedNndescent: Q = {
+    val k = 10
+    val roundCtes = (1 to 3).map { r =>
+      s"""
+      b$r AS MATERIALIZED (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT qid, vec_id FROM g${r - 1}
+          UNION ALL SELECT vec_id AS qid, qid AS vec_id FROM g${r - 1})),
+      cand$r AS MATERIALIZED (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT x.qid AS qid, y.vec_id AS vec_id
+          FROM b$r x JOIN b$r y ON x.vec_id = y.qid
+          WHERE x.qid <> y.vec_id
+          UNION ALL SELECT qid, vec_id FROM g${r - 1})),
+      s$r AS MATERIALIZED (
+        SELECT c.qid, c.vec_id, ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM cand$r c
+        JOIN embeddings a ON a.vec_id = c.qid
+        JOIN embeddings b ON b.vec_id = c.vec_id),
+      g$r AS MATERIALIZED (
+        SELECT qid, vec_id, cos, rnk FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM s$r)
+        WHERE rnk <= $k)"""
+    }.mkString(",")
+    Q(
+      "q_embed_nndescent",
+      (spark, dir) => graft.operators.Similarity.nnDescent(
+          Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          graft.operators.KnnEdgesArtifact.edges(spark, dir)
+            .select(col("qid"), col("vec_id")),
+          k = k, rounds = 3, scatterDegree = 10)
+        .orderBy(col("qid"), col("rnk")),
+      Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      cpair AS MATERIALIZED (
+        SELECT fa.vec_id AS qid, fb.vec_id AS vec_id,
+               ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM final_asg fa JOIN final_asg fb
+          ON fa.cell = fb.cell AND fa.vec_id <> fb.vec_id
+        JOIN embeddings a ON a.vec_id = fa.vec_id
+        JOIN embeddings b ON b.vec_id = fb.vec_id),
+      incell AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM cpair)
+        WHERE rnk <= ${graft.operators.KnnEdgesArtifact.K}),
+      nv AS (SELECT count(*) AS n FROM embeddings),
+      scatter AS (
+        SELECT qid, vec_id FROM (
+          SELECT e.vec_id AS qid,
+                 (e.vec_id
+                   + (((e.vec_id % nv.n) * (e.vec_id % nv.n) + 1) % nv.n)
+                     * dd.i
+                   + dd.i * dd.i * 104729) % nv.n AS vec_id
+          FROM embeddings e, nv,
+               (SELECT unnest(generate_series(1, 10)) AS i) dd)
+        WHERE qid <> vec_id),
+      init AS MATERIALIZED (
+        SELECT DISTINCT qid, vec_id FROM (
+          SELECT qid, vec_id FROM incell
+          UNION ALL SELECT qid, vec_id FROM scatter)),
+      s0 AS MATERIALIZED (
+        SELECT i.qid, i.vec_id, ${cosOf("a.embedding", "b.embedding")} AS cos
+        FROM init i
+        JOIN embeddings a ON a.vec_id = i.qid
+        JOIN embeddings b ON b.vec_id = i.vec_id),
+      g0 AS MATERIALIZED (
+        SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM s0)
+        WHERE rnk <= $k),
+      $roundCtes
+      SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM g3
+      ORDER BY qid, rnk
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -2169,5 +2269,5 @@ object SimilarityQueries {
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
-    qEmbedAlignUniform)
+    qEmbedAlignUniform, qEmbedNndescent)
 }

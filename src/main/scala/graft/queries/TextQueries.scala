@@ -1908,17 +1908,10 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("hamming") > 4, 1L).otherwise(0L)).as("n_cuts"),
           sum(when(col("hamming") === 0, 1L).otherwise(0L)).as("n_static"))
-      val perDoc = fh.groupBy(col("id"))
-        .agg((max(col("frame")) + 1).cast("long").as("n_frames"),
-          sum(when(col("ok"), 0L).otherwise(1L)).as("bad"))
-      perDoc.join(pairs, "id")
-        .groupBy(col("n_frames"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_pairs")).as("n_pairs"),
-          sum(col("n_cuts")).as("n_cuts"),
-          sum(col("n_static")).as("n_static"),
-          sum(col("bad")).as("n_bad"))
-        .orderBy(col("n_frames"))
+      // shared rollup — LEFT-joins pairs so a degraded clip (single
+      // ok=false row, no pairs) surfaces with bad > 0 instead of being
+      // dropped (see [[graft.operators.Video.frameSceneRollup]])
+      graft.operators.Video.frameSceneRollup(fh, pairs)
     },
     Some("""
       WITH d AS (
@@ -1967,9 +1960,68 @@ object TextQueries {
       FROM per GROUP BY k ORDER BY n_frames
     """.trim))
 
-  /** REAL JPEG decode — a from-scratch T.81 baseline codec
-    * ([[graft.operators.Jpeg]]): marker walk, canonical Huffman
-    * decoding from the DHT bit-length counts, DC prediction, zigzag
+  /** REAL INTER-FRAME video decode — MS-RLE8 in AVI
+    * ([[graft.operators.Video.decodeRleFrames]], `biCompression = 1`):
+    * the keyframe paints the bitmap, every later frame delta-jumps to
+    * one 4-line band and repaints ONLY it, so frame N's pixels outside
+    * the band are frame N−1's — the decoder must carry state across
+    * frames (the dependency class the H.264 stub used to hide). Runs,
+    * absolute-mode literals, EOL/EOF/delta escapes and the strf
+    * palette are all read from the stored container; the oracle
+    * replays the last-patch-wins closed form per pixel. Partition-
+    * pruned `avi_rle` scan, in-partition sequential decode, ≤6-group
+    * rollup. RleCodecSpec pins the inter-frame dependency and
+    * CodecFuzzSpec hardens the opcode walk. */
+  val qVideoRleFrames: Q = Q(
+    "q_video_rle_frames",
+    (spark, dir) => graft.operators.Video
+      .decodeRleFramesBatch(media(spark, dir, "avi_rle"))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        sum(col("ySum")).as("y_sum"),
+        sum(col("yWsum")).as("y_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(8 + (doc_id % 3) * 4 AS INT) AS w,
+               CAST(8 + (octet_length(encode(text)) % 2) * 4 AS INT) AS h,
+               CAST(3 + doc_id % 3 AS INT) AS k
+        FROM documents),
+      fr AS (SELECT doc_id, w, h, h // 4 AS bands, unnest(range(0, k)) AS f
+             FROM d),
+      px AS (SELECT doc_id, w, h, bands, f, unnest(range(0, w * h)) AS p
+             FROM fr),
+      c AS (
+        SELECT doc_id, w, h, bands, f,
+               p % w AS x, p // w AS l, (p // w) // 4 AS b
+        FROM px),
+      v AS (
+        SELECT doc_id, w, h, f, x, l,
+               f - (((f - b) % bands + bands) % bands) AS m
+        FROM c),
+      idx AS (
+        SELECT doc_id, w, h, f,
+               CASE WHEN m >= 1
+                 THEN (doc_id * 3 + 7 * m + 5 * (x // 4) + 11 * l + 31) % 200
+                 ELSE (doc_id * 3 + 5 * (x // 4) + 11 * l) % 200
+               END AS iv,
+               ((h - 1 - l) * w + x + 1) AS wgt
+        FROM v),
+      per AS (
+        SELECT doc_id, w, h, f,
+               sum((3 * iv + 7) % 256) AS s,
+               sum(((3 * iv + 7) % 256) * wgt) AS sw
+        FROM idx GROUP BY 1, 2, 3, 4)
+      SELECT w AS width, h AS height,
+             count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
+             CAST(sum(s) AS BIGINT) AS y_sum,
+             CAST(sum(sw) AS BIGINT) AS y_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
+    """.trim))
     * run/size AC expansion, dequantization, and a full 8×8 IDCT.
     * The stored containers ([[graft.operators.MediaArtifact]] format
     * `jpeg`) are grayscale images of even-valued FLAT 8×8 blocks —
@@ -2154,17 +2206,10 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
           sum(when(col("cut"), 0L).otherwise(1L)).as("n_static"))
-      val perDoc = fh.groupBy(col("id"))
-        .agg((max(col("frame")) + 1).cast("long").as("n_frames"),
-          sum(when(col("ok"), 0L).otherwise(1L)).as("bad"))
-      perDoc.join(pairs, "id")
-        .groupBy(col("n_frames"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_pairs")).as("n_pairs"),
-          sum(col("n_cuts")).as("n_cuts"),
-          sum(col("n_static")).as("n_static"),
-          sum(col("bad")).as("n_bad"))
-        .orderBy(col("n_frames"))
+      // shared rollup — LEFT-joins pairs so a degraded clip (single
+      // ok=false row, no pairs) surfaces with bad > 0 instead of being
+      // dropped (see [[graft.operators.Video.frameSceneRollup]])
+      graft.operators.Video.frameSceneRollup(fh, pairs)
     },
     Some("""
       WITH d AS (
@@ -2211,7 +2256,7 @@ object TextQueries {
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
     qMultimodalScenes, qMultimodalJpeg, qMediaCatalog, qVideoFrames,
-    qVideoScenes,
+    qVideoScenes, qVideoRleFrames,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

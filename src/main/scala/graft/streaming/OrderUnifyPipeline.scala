@@ -159,12 +159,32 @@ object OrderUnifyPipeline {
     * reference's 1 s full-store punctuation scan
     * (`OrderProjectionTransformer.java:91`). Both share the pure
     * [[OrderUnify]] logic, so semantics are identical
-    * (OrderUnifyTwsSpec pins the equivalence). */
+    * (OrderUnifyTwsSpec pins the equivalence).
+    *
+    * CHECKPOINT COMPATIBILITY: the two implementations write
+    * DIFFERENT state formats, so the dispatch is part of a query's
+    * checkpoint identity. Restarting an existing checkpoint after
+    * flipping `spark.sql.streaming.stateStore.providerClass` would
+    * silently swap the stateful operator on the same checkpoint and
+    * fail (or corrupt) state restore. Operators resuming a checkpoint
+    * across a provider change must pin the path the checkpoint was
+    * created with via `impl` ("tws" | "fmgws"); "auto" (the default)
+    * is safe for new checkpoints and for restarts under an unchanged
+    * provider. UnifyImplPinSpec pins the override dispatch. */
   def unify(events: Dataset[OrderEvent],
-            bufferMillis: Long = OrderUnify.DefaultBufferMillis): Dataset[ProjectionResult] =
-    if (rocksDbEnabled(events.sparkSession))
-      OrderUnifyTws.unify(events, bufferMillis)
-    else unifyFmgws(events, bufferMillis)
+            bufferMillis: Long = OrderUnify.DefaultBufferMillis,
+            impl: String = "auto"): Dataset[ProjectionResult] =
+    impl match {
+      case "tws"   => OrderUnifyTws.unify(events, bufferMillis)
+      case "fmgws" => unifyFmgws(events, bufferMillis)
+      case "auto" =>
+        if (rocksDbEnabled(events.sparkSession))
+          OrderUnifyTws.unify(events, bufferMillis)
+        else unifyFmgws(events, bufferMillis)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unify impl must be auto|tws|fmgws, got '$other'")
+    }
 
   /** The `flatMapGroupsWithState` implementation — the Spark-3-
     * compatible fallback (works on any state-store provider). */
