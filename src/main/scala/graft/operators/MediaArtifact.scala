@@ -35,25 +35,21 @@ object MediaArtifact {
   /** All materialized formats (one row per document per format). */
   val Formats: Seq[String] = Seq(
     "plain", "container", "wav", "ulaw", "bmp", "png", "png_from_bmp",
-    "gif", "gif_variant", "gif_anim", "jpeg", "avi")
+    "gif", "gif_variant", "gif_anim", "jpeg", "avi", "avi_rle")
 
   /** Bump when the layout or format set changes: the data fingerprint
     * keys on documents.parquet only, so a code-side schema evolution
-    * must version the path or a stale artifact would be served. */
-  private val LayoutVersion = 2
+    * must version the path or a stale artifact would be served.
+    * v3: + avi_rle (MS-RLE8 inter-frame video, round 9). */
+  private val LayoutVersion = 3
 
   def path(dir: String): String =
     Artifacts.path(dir, "documents", s"media_v$LayoutVersion")
 
-  /** Force a (re)build: one pass over documents, one partitioned
-    * write. 12 container synths per doc, all in-partition. */
-  def materialize(spark: SparkSession, dir: String): String = synchronized {
-    val p = path(dir)
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"), col("text").cast("binary"))
-      .as[(Long, Array[Byte])]
-    val rows = docs.mapPartitions { it =>
+  /** All 13 container synths for one batch of documents `(id, text
+    * bytes)` — shared by the full build and the append path. */
+  private def mediaRows(docs: Dataset[(Long, Array[Byte])]): Dataset[MediaRow] =
+    docs.mapPartitions { it =>
       it.flatMap { case (id, payload) =>
         val n = payload.length
         def row(fmt: String, mime: String, bytes: Array[Byte]) =
@@ -73,12 +69,42 @@ object MediaArtifact {
           row("gif_variant", "image/gif", Codecs.synthesizeGifVariant(id, n)),
           row("gif_anim", "image/gif", Codecs.synthesizeAnimatedGif(id, n)),
           row("jpeg", "image/jpeg", Jpeg.synthesizeJpeg(id, n)),
-          row("avi", "video/x-msvideo", Video.synthesizeMjpegAvi(id, n)))
+          row("avi", "video/x-msvideo", Video.synthesizeMjpegAvi(id, n)),
+          row("avi_rle", "video/x-msvideo", Video.synthesizeRle8Avi(id, n)))
       }
-    }
-    rows.toDF().write.mode("overwrite").partitionBy("format")
+    }(mediaRowEnc)
+
+  /** Force a (re)build: one pass over documents, one partitioned
+    * write. 13 container synths per doc, all in-partition. */
+  def materialize(spark: SparkSession, dir: String): String = synchronized {
+    val p = path(dir)
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    mediaRows(docs).toDF().write.mode("overwrite").partitionBy("format")
       .parquet(s"$p/media")
     p
+  }
+
+  /** INCREMENTAL build: synthesize media rows for `newDocs`
+    * (`doc_id, text`) ONLY and append them into the artifact at
+    * `root` — at 100 TB an arriving source partition prices one
+    * synth-and-append over ITS rows, not a 13-format rebuild of the
+    * whole lake. Parquet append adds new files inside each `format=`
+    * partition directory; every pre-existing file is untouched
+    * byte-for-byte (MediaIncrementSpec pins both: old files
+    * unmodified, and full-rebuild value equality). Caller owns the
+    * root and dedup of re-sent ids (append is at-least-once, exactly
+    * like a production media lake's ingest contract). */
+  def appendDocs(spark: SparkSession, root: String,
+      newDocs: org.apache.spark.sql.DataFrame): Unit = synchronized {
+    import spark.implicits._
+    val docs = newDocs
+      .select(col("doc_id").as("id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    mediaRows(docs).toDF().write.mode("append").partitionBy("format")
+      .parquet(s"$root/media")
   }
 
   private def ensure(spark: SparkSession, dir: String): String = {

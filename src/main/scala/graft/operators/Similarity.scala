@@ -51,6 +51,16 @@ object Similarity {
     * and the zero-padded vec_id makes string tie order = numeric. */
   private def topKByRoundedCos(scored: DataFrame, k: Int, valName: String,
       rankName: String): DataFrame =
+    topKByRoundedCosUnsorted(scored, k, valName, rankName)
+      .orderBy(col("qid"), col(rankName))
+
+  /** [[topKByRoundedCos]] without the final global sort — for
+    * intermediate results inside iterative builds (NN-descent rounds,
+    * artifact writes), where a range-partitioned sort per round is
+    * pure stage-latency waste; consumers that need presentation order
+    * sort once at the end. */
+  private def topKByRoundedCosUnsorted(scored: DataFrame, k: Int,
+      valName: String, rankName: String): DataFrame =
     scored
       .select(col("qid"),
         floor(col(valName) * 1e6 + 0.5).cast("long").as("score"),
@@ -61,7 +71,6 @@ object Similarity {
       .select(col("qid"), col("col.item").cast("long").as("vec_id"),
         round(col("col.score").cast("double") / 1e6, 6).as(valName),
         (col("pos") + 1).cast("int").as(rankName))
-      .orderBy(col("qid"), col(rankName))
 
   /** Bottom-k twin for exact-integer distances (PQ asymmetric
     * distance): negate into the max-heap aggregate, negate back out. */
@@ -988,22 +997,85 @@ object Similarity {
           .as("cos"))
     val init = initEdges.select(col("qid"), col("vec_id"))
       .unionAll(scatter).distinct()
-    var g = topKByRoundedCos(score(init), k, "cos", "rnk")
+    // rounds use the UNSORTED top-k (a per-round global sort is pure
+    // stage latency) and skip a distinct on B — duplicate candidates
+    // are collapsed once by the single cand-level distinct
+    var g = topKByRoundedCosUnsorted(score(init), k, "cos", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) {
       val e = g.select(col("qid"), col("vec_id"))
       val b = e.unionAll(e.select(col("vec_id").as("qid"),
-        col("qid").as("vec_id"))).distinct()
+        col("qid").as("vec_id")))
       val cand = b.as("x").join(b.as("y"),
           col("x.vec_id") === col("y.qid"))
         .select(col("x.qid").as("qid"), col("y.vec_id").as("vec_id"))
         .filter(col("qid") =!= col("vec_id"))
         .unionAll(e)
         .distinct()
-      g = topKByRoundedCos(score(cand), k, "cos", "rnk")
+      g = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     g
+  }
+
+  /** Deterministic BEAM search over a materialized kNN graph — the
+    * query path a graph-ANN index (HNSW-class) exists for: start at a
+    * fixed entry node, take `hops` fixed expansion rounds (frontier ∪
+    * its graph neighbors, scored against the query, keep the best
+    * `beam`), and answer with the top-k over everything visited.
+    * Classic best-first search terminates data-dependently; the fixed
+    * hop count is what makes this engine-portably deterministic and
+    * DuckDB-replayable (the oracle unrolls the identical hops).
+    *
+    * Scale shape: the edge table is the only corpus-proportional
+    * input and it arrives PRE-BUILT ([[graft.operators
+    * .NndGraphArtifact]]); per query, each hop touches ≤ beam·(2K+1)
+    * candidate IDs (the symmetrized degree bound), scored via one
+    * broadcast of the tiny query side and one hash join against the
+    * corpus for vectors — per-query cost is independent of N, which
+    * is the entire point of a graph index. GraphSearchSpec pins
+    * recall vs brute force, beam monotonicity, and determinism. */
+  def graphBeamSearch(embeddings: DataFrame, edges: DataFrame,
+      qMinId: Long, qMaxId: Long, k: Int, beam: Int, hops: Int,
+      entry: Long): DataFrame = {
+    val corpus = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val e0 = edges.select(col("qid").as("src"), col("vec_id").as("dst"))
+    val bsym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(broadcast(queries), "qid")
+      .join(corpus, col("node") === corpus("vec_id"))
+      .select(col("qid"), col("node"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
+          .as("cos"))
+    var frontier = queries.select(col("qid"), lit(entry).as("node"))
+    var seen = frontier
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionAll(frontier.join(bsym, col("node") === col("src"))
+          .select(col("qid"), col("dst").as("node")))
+        .filter(col("node") =!= col("qid"))
+        .distinct()
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("node"))
+      frontier = score(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seen = seen.unionAll(cand).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    topKByRoundedCos(
+      score(seen).select(col("qid"), col("node").as("vec_id"), col("cos")),
+      k, "cos", "rnk")
   }
 
   def labelNoiseAudit(knnEdges: DataFrame, labels: DataFrame): DataFrame = {

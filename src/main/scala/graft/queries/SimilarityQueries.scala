@@ -2169,8 +2169,13 @@ object SimilarityQueries {
     * candidate-propose / exact-score / top-k rounds. Recall@5 ≥ the
     * in-cell graph AND an IVF 2-probe search is pinned in
     * NnDescentSpec; per-round candidates are bounded by N·(2k)². */
-  val qEmbedNndescent: Q = {
-    val k = 10
+  /** Shared WITH-chain body replaying the NN-descent graph build
+    * (Lloyd cells -> in-cell top-5 -> scatter init -> 3 rounds), ends
+    * at `g3(qid, vec_id, cos, rnk)` — used by the build-step oracle
+    * and the beam-search oracle. Every multiply-referenced CTE is
+    * MATERIALIZED (DuckDB 1.0 otherwise inlines them exponentially). */
+  private val nndGraphCtes: String = {
+    val k = graft.operators.NndGraphArtifact.K
     val roundCtes = (1 to 3).map { r =>
       s"""
       b$r AS MATERIALIZED (
@@ -2196,16 +2201,7 @@ object SimilarityQueries {
           FROM s$r)
         WHERE rnk <= $k)"""
     }.mkString(",")
-    Q(
-      "q_embed_nndescent",
-      (spark, dir) => graft.operators.Similarity.nnDescent(
-          Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-          graft.operators.KnnEdgesArtifact.edges(spark, dir)
-            .select(col("qid"), col("vec_id")),
-          k = k, rounds = 3, scatterDegree = 10)
-        .orderBy(col("qid"), col("rnk")),
-      Some(s"""
-      WITH ${lloydCte(8, 2)},
+    s"""${lloydCte(8, 2)},
       final_asg AS (
         SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell,
@@ -2254,8 +2250,92 @@ object SimilarityQueries {
                    ORDER BY cos DESC, vec_id) AS rnk
           FROM s0)
         WHERE rnk <= $k),
-      $roundCtes
+      $roundCtes""".trim
+  }
+
+  val qEmbedNndescent: Q = Q(
+    "q_embed_nndescent",
+    (spark, dir) => {
+      graft.operators.NndGraphArtifact.materialize(spark, dir)
+      graft.operators.NndGraphArtifact.edges(spark, dir)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""
+      WITH $nndGraphCtes
       SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM g3
+      ORDER BY qid, rnk
+    """.trim))
+
+  /** BEAM search over the materialized NN-descent graph — the online
+    * query path of the graph-ANN tier
+    * ([[graft.operators.Similarity.graphBeamSearch]]): queries 8..15
+    * walk 4 fixed hops from entry node 0 at beam width 4 and answer
+    * top-3 over everything visited. Per-query cost is bounded by
+    * beam x symmetrized-degree per hop — independent of corpus size,
+    * which is what a graph index buys. The oracle replays the graph
+    * build AND the identical hop expansion. Recall/monotonicity/
+    * determinism pinned in GraphSearchSpec. */
+  val qEmbedGraphSearch: Q = {
+    val (beam, hops) = (4, 4)
+    val hopCtes = (1 to hops).map { r =>
+      s"""
+      gc$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM f${r - 1}
+          UNION ALL
+          SELECT f.qid, b.dst AS node
+          FROM f${r - 1} f JOIN bsym b ON b.src = f.node)
+        WHERE node <> qid),
+      sc$r AS MATERIALIZED (
+        SELECT c.qid, c.node, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM gc$r c
+        JOIN bq q ON q.qid = c.qid
+        JOIN embeddings e ON e.vec_id = c.node),
+      f$r AS MATERIALIZED (
+        SELECT qid, node FROM (
+          SELECT qid, node,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS rn
+          FROM sc$r)
+        WHERE rn <= $beam),
+      seen$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM seen${r - 1}
+          UNION ALL SELECT qid, node FROM gc$r))"""
+    }.mkString(",")
+    Q(
+      "q_embed_graph_search",
+      (spark, dir) => graft.operators.Similarity.graphBeamSearch(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        graft.operators.NndGraphArtifact.edges(spark, dir)
+          .select(col("qid"), col("vec_id")),
+        qMinId = 8, qMaxId = 16, k = 3, beam = beam, hops = hops,
+        entry = 0L),
+      Some(s"""
+      WITH $nndGraphCtes,
+      bsym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT qid AS src, vec_id AS dst FROM g3
+          UNION ALL SELECT vec_id AS src, qid AS dst FROM g3)),
+      bq AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 16),
+      f0 AS (SELECT qid, CAST(0 AS BIGINT) AS node FROM bq),
+      seen0 AS (SELECT qid, node FROM f0),
+      $hopCtes,
+      fin AS (
+        SELECT s.qid, s.node AS vec_id,
+               ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM seen$hops s
+        JOIN bq q ON q.qid = s.qid
+        JOIN embeddings e ON e.vec_id = s.node)
+      SELECT qid, vec_id, cos, CAST(rnk AS INT) AS rnk FROM (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk
+        FROM fin)
+      WHERE rnk <= 3
       ORDER BY qid, rnk
     """.trim))
   }
@@ -2269,5 +2349,5 @@ object SimilarityQueries {
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
-    qEmbedAlignUniform, qEmbedNndescent)
+    qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch)
 }

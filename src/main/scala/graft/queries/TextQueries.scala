@@ -2022,6 +2022,10 @@ object TextQueries {
              CAST(0 AS BIGINT) AS n_bad
       FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
+
+  /** REAL JPEG decode — a from-scratch T.81 baseline codec
+    * ([[graft.operators.Jpeg]]): marker walk, canonical Huffman
+    * decoding from the DHT bit-length counts, DC prediction, zigzag
     * run/size AC expansion, dequantization, and a full 8×8 IDCT.
     * The stored containers ([[graft.operators.MediaArtifact]] format
     * `jpeg`) are grayscale images of even-valued FLAT 8×8 blocks —
@@ -2118,7 +2122,8 @@ object TextQueries {
         UNION ALL SELECT 'gif_variant', 'image/gif', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'gif_anim', 'image/gif', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d
-        UNION ALL SELECT 'avi', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d)
+        UNION ALL SELECT 'avi', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'avi_rle', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d)
       SELECT format, mime, count(*) AS n_docs,
              CAST(sum(kb) AS BIGINT) AS known_bytes
       FROM rows GROUP BY 1, 2 ORDER BY format, mime

@@ -75,6 +75,11 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => Video.decodeFrames(7L, b))
   }
 
+  test("rle8 avi demux + inter-frame decode survives 3000 corruptions") {
+    fuzz("avi-rle", Video.synthesizeRle8Avi(7L, 23), 3000)(
+      b => Video.decodeRleFrames(7L, b))
+  }
+
   test("sniff survives 3000 corruptions of every container kind") {
     val goods = Seq(
       Multimodal.wrapWithHeader(0L, "payload bytes".getBytes("UTF-8"))._1,

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Beam-search-over-graph pins for [[Similarity.graphBeamSearch]]:
+  * answers must be real neighbors (recall vs brute force above the
+  * entry-only baseline), a wider beam can only improve the best
+  * found cosine (candidate superset), and the walk is deterministic. */
+class GraphSearchSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val (qMin, qMax, k) = (8L, 16L, 3)
+
+  private lazy val vecs: Map[Long, Array[Float]] =
+    graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def search(beam: Int, hops: Int) =
+    Similarity.graphBeamSearch(
+      graft.Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+      NndGraphArtifact.edges(spark, dir).select("qid", "vec_id"),
+      qMin, qMax, k, beam, hops, entry = 0L)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+  test("beam search finds real neighbors: recall@3 above the hop-0 baseline") {
+    val truth = (qMin until qMax).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (v, ev) => (v, cos(vecs(q), ev)) }
+        .sortBy { case (v, c) => (-c, v) }.take(k).map(_._1).toSet
+    }.toMap
+    val found = search(beam = 4, hops = 4)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = truth.map { case (q, t) =>
+      (found.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+    }.sum / truth.size
+    // hop-0 baseline: the entry node alone (recall is ~0 unless node 0
+    // happens to be a true neighbor)
+    val base = truth.map { case (_, t) =>
+      (Set(0L) & t).size.toDouble / t.size }.sum / truth.size
+    info(f"recall@3: beam-search=$recall%.3f entry-only=$base%.3f")
+    assert(recall > base)
+    assert(recall >= 0.5, f"graph walk should reach most true neighbors: $recall%.3f")
+  }
+
+  test("wider beam only improves the best found cosine per query") {
+    def best(beam: Int): Map[Long, Double] =
+      search(beam, hops = 4).filter(_._4 == 1)
+        .map(r => r._1 -> r._3).toMap
+    val (b2, b8) = (best(2), best(8))
+    b2.foreach { case (q, c2) =>
+      assert(b8(q) >= c2, s"query $q: beam 8 found worse best than beam 2")
+    }
+  }
+
+  test("k results per query, no self-results, deterministic") {
+    val a = search(beam = 4, hops = 4)
+    val byQ = a.groupBy(_._1)
+    assert(byQ.keySet == (qMin until qMax).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == k && !rows.exists(_._2 == q))
+    }
+    val b = search(beam = 4, hops = 4)
+    assert(a.sortBy(r => (r._1, r._4)).toSeq == b.sortBy(r => (r._1, r._4)).toSeq)
+  }
+}
