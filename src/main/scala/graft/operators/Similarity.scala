@@ -1049,13 +1049,20 @@ object Similarity {
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def score(cand: DataFrame): DataFrame = cand
-      .join(broadcast(queries), "qid")
-      .join(corpus, col("node") === corpus("vec_id"))
+    // the candidate side is ≤ beam·(2K+1)·|queries| rows — BROADCAST
+    // it (with the query vectors attached) against the persisted
+    // corpus, so scoring never exchanges the corpus (a sort-merge
+    // join here costs 2 exchanges + sorts per hop for ~700 rows)
+    def score(cand: DataFrame): DataFrame = corpus
+      .join(broadcast(cand.join(broadcast(queries), "qid")),
+        col("node") === corpus("vec_id"))
       .select(col("qid"), col("node"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
           .as("cos"))
     var frontier = queries.select(col("qid"), lit(entry).as("node"))
+    // `seen` accumulates as a lazy unionAll; ONE distinct before the
+    // final scoring (a per-hop distinct on it is shuffle-count waste —
+    // the frontier cut is what needs dedup, and cand has its own)
     var seen = frontier
     for (_ <- 1 to hops) {
       val cand = frontier
@@ -1063,6 +1070,7 @@ object Similarity {
           .select(col("qid"), col("dst").as("node")))
         .filter(col("node") =!= col("qid"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("node"))
       frontier = score(cand)
@@ -1070,11 +1078,11 @@ object Similarity {
         .filter(col("rn") <= beam)
         .select(col("qid"), col("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      seen = seen.unionAll(cand).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seen = seen.unionAll(cand)
     }
     topKByRoundedCos(
-      score(seen).select(col("qid"), col("node").as("vec_id"), col("cos")),
+      score(seen.distinct())
+        .select(col("qid"), col("node").as("vec_id"), col("cos")),
       k, "cos", "rnk")
   }
 

@@ -73,6 +73,44 @@ class FileTopicsE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("TWS default path through the contract: RocksDB session, file source -> unify -> sink") {
+    // the production-default dispatch (transformWithState/RocksDB)
+    // driven by the same file-backed Kafka contract — S1..S5 on the
+    // path a real deployment runs
+    val rocks = graft.TestSpark.spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = tmp("ftopics-tws")
+    val ckpt = s"${graft.TestSpark.checkpointDir}/ftopics-tws"
+    Seq("created", "placed", "cancelled").foreach { t =>
+      FileTopics.append(root, s"order-$t", 2,
+        (1 to 3).map(i => (s"tws-$i", evJson(s"tws-$i", t))))
+    }
+    val src = FileTopics.source(rocks, root,
+      graft.streaming.OrderUnifyPipeline.sourceTopics)
+    val q = graft.streaming.OrderUnifyPipeline
+      .projections(src, bufferMillis = 800)
+      .select(col("orderId").as("key"), col("payloadJson").as("value"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        FileTopics.sinkBatch(root, "order-projection", 2)(df)
+      }
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def sunk(): Set[String] =
+        (0 until 2).flatMap(p => FileTopics
+          .readRange(root, "order-projection", p, 0L, Long.MaxValue)
+          .map(_._1)).toSet
+      while (sunk().size < 3 && q.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      q.exception.foreach(e => fail(s"query died: ${e.cause}", e))
+      assert(sunk() == Set("tws-1", "tws-2", "tws-3"))
+    } finally q.stop()
+  }
+
   test("full pipeline through the contract: 3 topics -> unify -> sink topic, kill and resume") {
     val root = tmp("ftopics-pipe")
     val ckpt = s"${graft.TestSpark.checkpointDir}/ftopics-pipe"
