@@ -405,6 +405,40 @@ object Dedup {
     * df-join back to per-doc shingles is linear in total shingle
     * occurrences (no pair generation anywhere). A skew-hot shingle
     * only widens one aggregate cell, not a join fan-out. */
+  /** Exact substring dedup at SPAN granularity: the per-doc
+    * REMOVE-SPAN manifest a trim pass applies. A position's n-gram is
+    * duplicated when it appears in >= minDf documents (distinct-doc
+    * df, same definition as [[duplicatedNgramStats]]); consecutive
+    * duplicated positions merge into one `(doc_id, span_start,
+    * span_end, n_shingles)` span via the island trick (span_end =
+    * last duplicated position + n - 1, token offsets).
+    *
+    * Scale shape: df is ONE shingle-keyed window over a single
+    * exchange (no aggregate-then-join-back, no pair generation —
+    * linear in total shingle occurrences); the island/run window is
+    * per-doc. Spans of one doc are disjoint and non-adjacent by
+    * construction (DedupSpansSpec pins exact merging). */
+  def duplicatedSpans(documents: DataFrame, n: Int = 10,
+                      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = spread(documents, "doc_id").select(col("doc_id"),
+      posexplode(TextAnalysis.shingles(col("text"), n))
+        .as(Seq("pos", "shingle")))
+    val w = Window.partitionBy(col("shingle"))
+    val dup = pos
+      .withColumn("df", size(collect_set(col("doc_id")).over(w)))
+      .filter(col("df") >= minDf)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("isl", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"))
+  }
+
   def duplicatedNgramStats(documents: DataFrame, n: Int = 10,
                            minDf: Int = 2): DataFrame = {
     // df as a window count over ONE exchange on the shingle key —

@@ -1268,28 +1268,9 @@ object CurationQueries {
     * per-doc. DedupSpansSpec pins exact adjacent-shingle merging. */
   val qDedupSubstringSpans: Q = Q(
     "q_dedup_substring_spans",
-    (spark, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val n = 10
-      val pos = Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.shingles(col("text"), n))
-            .as(Seq("pos", "shingle")))
-      val w = Window.partitionBy(col("shingle"))
-      val dup = pos
-        .withColumn("df", size(collect_set(col("doc_id")).over(w)))
-        .filter(col("df") >= 2)
-      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      dup
-        .withColumn("isl", col("pos") - row_number().over(wd))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("pos")).cast("long").as("span_start"),
-          (max(col("pos")) + n - 1).cast("long").as("span_end"),
-          count(lit(1)).as("n_shingles"))
-        .select(col("doc_id"), col("span_start"), col("span_end"),
-          col("n_shingles"))
-        .orderBy(col("doc_id"), col("span_start"))
-    },
+    (spark, dir) => Dedup
+      .duplicatedSpans(Tables.documents(spark, dir), n = 10, minDf = 2)
+      .orderBy(col("doc_id"), col("span_start")),
     Some("""
       WITH toks AS (
         SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
@@ -1318,9 +1299,81 @@ object CurationQueries {
       ORDER BY doc_id, span_start
     """.trim))
 
+  /** APPLY the remove-span manifest — the trim pass itself, priced:
+    * per source, how many docs get trimmed and what token share the
+    * spans remove (`removed_ppm`, exact integer). Spans of one doc
+    * are disjoint by construction, so removed tokens = Σ (end − start
+    * + 1) with no interval union needed. This is the number a corpus
+    * owner reads to decide whether substring dedup is worth a
+    * re-shard: one spans pass + one token-count pass, joined on
+    * doc_id, then a ≤|sources|-row rollup. */
+  val qDedupSubstringApply: Q = Q(
+    "q_dedup_substring_apply",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val removed = Dedup.duplicatedSpans(docs, n = 10, minDf = 2)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("removed"))
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(removed, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("removed") > 0, 1L).otherwise(0L)).as("docs_trimmed"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
+        .withColumn("removed_ppm",
+          expr("tokens_removed * 1000000 div tokens_total"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tl FROM documents),
+      ix AS (
+        SELECT doc_id, tl, unnest(generate_series(1, len(tl) - 9)) AS i
+        FROM toks WHERE len(tl) >= 10),
+      pos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(tl[i:i+9], ' ') AS shingle
+        FROM ix),
+      dft AS (
+        SELECT shingle, count(DISTINCT doc_id) AS df FROM pos
+        GROUP BY shingle),
+      dup AS (
+        SELECT p.doc_id, p.pos FROM pos p JOIN dft d USING (shingle)
+        WHERE d.df >= 2),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS isl
+        FROM dup),
+      spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+        FROM runs GROUP BY doc_id, isl),
+      rm AS (
+        SELECT doc_id,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS removed
+        FROM spans GROUP BY doc_id),
+      base AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split_regex(d.text, '\s+')) AS BIGINT)
+                 AS n_tokens,
+               rm.removed
+        FROM documents d LEFT JOIN rm ON rm.doc_id = d.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_trimmed,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+             CAST(sum(coalesce(removed, 0)) AS BIGINT) AS tokens_removed,
+             CAST(sum(coalesce(removed, 0)) * 1000000 // sum(n_tokens)
+               AS BIGINT) AS removed_ppm
+      FROM base GROUP BY source ORDER BY source
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
     qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
-    qDsirScore, qDsirResample, qDsirBudget, qDedupSubstringSpans)
+    qDsirScore, qDsirResample, qDsirBudget, qDedupSubstringSpans,
+    qDedupSubstringApply)
 }
