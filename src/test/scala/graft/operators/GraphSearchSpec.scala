@@ -66,6 +66,20 @@ class GraphSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("scoring never shuffles the corpus: broadcast joins only, no sort-merge") {
+    // the 100TB-shape decision pinned mechanically: candidates (tiny)
+    // broadcast against the persisted corpus — a regression to a
+    // sort-merge join would re-exchange the embedding table per hop
+    val plan = Similarity.graphBeamSearch(
+        graft.Tables.embeddings(spark, dir).select("vec_id", "embedding"),
+        NndGraphArtifact.edges(spark, dir).select("qid", "vec_id"),
+        qMin, qMax, k, beam = 4, hops = 4, entry = 0L)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus-side exchange regressed into the beam-walk scoring")
+  }
+
   test("k results per query, no self-results, deterministic") {
     val a = search(beam = 4, hops = 4)
     val byQ = a.groupBy(_._1)
