@@ -1086,6 +1086,70 @@ object Similarity {
       k, "cos", "rnk")
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019 shape — the
+    * bitext-mining scorer LASER-class parallel-corpus pipelines ship):
+    * a raw cosine threshold over-accepts in dense "hub" regions and
+    * under-accepts in sparse ones, so each candidate pair (x, y) is
+    * scored by its cosine RELATIVE to both sides' neighborhood
+    * density — margin(x,y) = cos(x,y) / ((avgₖNN(x) + avgₖNN(y)) / 2)
+    * — and accepted above a ratio threshold. Here over a deterministic
+    * parity split of one corpus (side A = even vec_id, B = odd),
+    * candidates blocked by the Lloyd cells of the prebuilt IVF
+    * artifact (in-cell cross-parity pairs only — never all-pairs),
+    * and everything in exact integers: cosines in micro units, the
+    * neighborhood averages as floor-divisions, the margin in ppm — so
+    * the DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: one in-cell cross join bounded by cell size (the
+    * same bound every in-cell family member carries), two bounded
+    * windows over it (per-A and per-B candidate lists), one broadcast
+    * join of the tiny per-side averages. */
+  def marginPairs(inverted: DataFrame, k: Int,
+      thresholdPpm: Long): DataFrame = {
+    val inv = Partitioning.spreadBy(inverted, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = inv.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val b = inv.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val pairs = a.as("a").join(b.as("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vid"),
+        floor(pairCos(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")) * 1e6 + 0.5).cast("long")
+          .as("cos_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every division is SIGN-SAFE (truncate toward zero): cosines can
+    // be negative, and Spark's `div` truncates where DuckDB's `//`
+    // floors — factoring the sign out makes both engines identical
+    val sAvg = "CASE WHEN sum(cos_micro) >= 0" +
+      " THEN sum(cos_micro) div count(1)" +
+      " ELSE -((-sum(cos_micro)) div count(1)) END"
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_micro").desc, col("vid"))
+    val fwd = pairs.withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid"))
+      .agg(expr(sAvg).as("avg_f"),
+        max(when(col("rn") === 1, col("vid"))).as("best_vid"),
+        max(when(col("rn") === 1, col("cos_micro"))).as("best_cos"))
+    val wb = Window.partitionBy(col("vid"))
+      .orderBy(col("cos_micro").desc, col("qid"))
+    val bwd = pairs.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .groupBy(col("vid"))
+      .agg(expr(sAvg).as("avg_b"))
+    val denom = "greatest(CASE WHEN avg_f + avg_b >= 0" +
+      " THEN (avg_f + avg_b) div 2" +
+      " ELSE -((-(avg_f + avg_b)) div 2) END, 1)"
+    fwd.join(broadcast(bwd), col("best_vid") === col("vid"))
+      .select(col("qid"), col("best_vid").as("match_vid"),
+        col("best_cos").as("cos_micro"),
+        expr(s"""CASE WHEN best_cos >= 0
+                 |  THEN (best_cos * 1000000) div $denom
+                 |  ELSE -(((-best_cos) * 1000000) div $denom)
+                 |END""".stripMargin).as("margin_ppm"))
+      .withColumn("accepted", col("margin_ppm") >= thresholdPpm)
+      .orderBy(col("qid"))
+  }
+
   def labelNoiseAudit(knnEdges: DataFrame, labels: DataFrame): DataFrame = {
     val perVec = knnEdges
       .join(labels.withColumnRenamed("label", "nb_label"), "vec_id")

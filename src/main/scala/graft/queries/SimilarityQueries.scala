@@ -2340,6 +2340,82 @@ object SimilarityQueries {
     """.trim))
   }
 
+  /** Margin-based pair mining (the bitext/parallel-pair scorer —
+    * [[graft.operators.Similarity.marginPairs]]): each even-id
+    * vector's best odd-id in-cell match, scored by cosine RELATIVE to
+    * both sides' k-NN neighborhood density and accepted above a 1.05
+    * ratio — the density correction that stops hub regions from
+    * flooding a raw-cosine threshold. Candidates blocked by the
+    * prebuilt IVF cells (never all-pairs); cosines in micro units,
+    * averages and the margin as sign-safe integer divisions the
+    * oracle replays exactly. */
+  val qEmbedBitextMargin: Q = Q(
+    "q_embed_bitext_margin",
+    (spark, dir) => graft.operators.Similarity.marginPairs(
+      graft.operators.IvfArtifact.inverted(spark, dir, 8, 2),
+      k = 3, thresholdPpm = 1050000L),
+    Some(s"""
+      WITH ${lloydCte(8, 2)},
+      final_asg AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM embeddings e, cents2 c)
+        WHERE rn = 1),
+      xp AS MATERIALIZED (
+        SELECT fa.vec_id AS qid, fb.vec_id AS vid,
+               CAST(floor(${cosOf("a.embedding", "b.embedding")} * 1000000
+                 + 0.5) AS BIGINT) AS cos_micro
+        FROM final_asg fa JOIN final_asg fb ON fa.cell = fb.cell
+        JOIN embeddings a ON a.vec_id = fa.vec_id
+        JOIN embeddings b ON b.vec_id = fb.vec_id
+        WHERE fa.vec_id % 2 = 0 AND fb.vec_id % 2 = 1),
+      fr AS (
+        SELECT qid, vid, cos_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos_micro DESC, vid) AS rn
+        FROM xp),
+      fwd AS (
+        SELECT qid,
+               CAST(CASE WHEN sum(cos_micro) >= 0
+                 THEN sum(cos_micro) // count(*)
+                 ELSE -((-sum(cos_micro)) // count(*)) END AS BIGINT)
+                 AS avg_f,
+               max(CASE WHEN rn = 1 THEN vid END) AS best_vid,
+               max(CASE WHEN rn = 1 THEN cos_micro END) AS best_cos
+        FROM fr WHERE rn <= 3 GROUP BY qid),
+      br AS (
+        SELECT qid, vid, cos_micro,
+               row_number() OVER (PARTITION BY vid
+                 ORDER BY cos_micro DESC, qid) AS rn
+        FROM xp),
+      bwd AS (
+        SELECT vid,
+               CAST(CASE WHEN sum(cos_micro) >= 0
+                 THEN sum(cos_micro) // count(*)
+                 ELSE -((-sum(cos_micro)) // count(*)) END AS BIGINT)
+                 AS avg_b
+        FROM br WHERE rn <= 3 GROUP BY vid),
+      sc AS (
+        SELECT f.qid, f.best_vid AS match_vid, f.best_cos AS cos_micro,
+               greatest(CASE WHEN f.avg_f + b.avg_b >= 0
+                 THEN (f.avg_f + b.avg_b) // 2
+                 ELSE -((-(f.avg_f + b.avg_b)) // 2) END, 1) AS denom,
+               f.best_cos AS bc
+        FROM fwd f JOIN bwd b ON b.vid = f.best_vid)
+      SELECT qid, match_vid, cos_micro,
+             CAST(CASE WHEN bc >= 0
+               THEN (bc * 1000000) // denom
+               ELSE -(((-bc) * 1000000) // denom) END AS BIGINT)
+               AS margin_ppm,
+             CAST(CASE WHEN bc >= 0
+               THEN (bc * 1000000) // denom
+               ELSE -(((-bc) * 1000000) // denom) END AS BIGINT)
+               >= 1050000 AS accepted
+      FROM sc ORDER BY qid
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -2349,5 +2425,6 @@ object SimilarityQueries {
     qEmbedOodScore, qTextCosineKnn, qRankFusion, qEmbedEffRank,
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
-    qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch)
+    qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch,
+    qEmbedBitextMargin)
 }
