@@ -68,12 +68,19 @@ object BradleyTerry {
           expr(s"coalesce(w, 0) * ${S * S} div d").as("s"))
     }
     val nGames = games.groupBy(col("i")).agg(sum(col("n")).as("n_games"))
-    cur.join(broadcast(nGames), "i")
+    val res = cur.join(broadcast(nGames), "i")
       .join(broadcast(wTot), Seq("i"), "left")
       .select(col("i").as("item"),
         coalesce(col("w"), lit(0L)).as("n_wins"),
         col("n_games"),
         col("s").as("strength_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (items-row) fit, then drop the duel-reduction
+    // caches so repeated fits in one session don't accumulate blocks
+    res.count()
+    games.unpersist()
+    wTot.unpersist()
+    res
   }
 
   /** Intransitivity audit over a win-count table: one row with

@@ -408,16 +408,25 @@ object Dedup {
   /** Exact substring dedup at SPAN granularity: the per-doc
     * REMOVE-SPAN manifest a trim pass applies. A position's n-gram is
     * duplicated when it appears in >= minDf documents (distinct-doc
-    * df, same definition as [[duplicatedNgramStats]]); consecutive
-    * duplicated positions merge into one `(doc_id, span_start,
-    * span_end, n_shingles)` span via the island trick (span_end =
-    * last duplicated position + n - 1, token offsets).
+    * df, same definition as [[duplicatedNgramStats]]); duplicated
+    * positions whose covered token intervals `[pos, pos+n-1]` overlap
+    * or abut merge into one `(doc_id, span_start, span_end,
+    * n_shingles)` span — a new island starts only when the gap to the
+    * previous duplicated position exceeds n (lag + running-sum of
+    * break flags; span_end = last duplicated position + n - 1, token
+    * offsets). The plain pos-minus-rank island trick is WRONG here:
+    * two duplicated positions at gap 1..n-1 would emit two
+    * OVERLAPPING spans and a trim pass summing span lengths would
+    * double-count the overlap.
     *
     * Scale shape: df is ONE shingle-keyed window over a single
     * exchange (no aggregate-then-join-back, no pair generation —
-    * linear in total shingle occurrences); the island/run window is
+    * linear in total shingle occurrences); the island/run windows are
     * per-doc. Spans of one doc are disjoint and non-adjacent by
-    * construction (DedupSpansSpec pins exact merging). */
+    * construction — consecutive spans satisfy next.span_start >
+    * prev.span_end + 1 — so removed tokens = Σ(end − start + 1)
+    * exactly (DedupSpansSpec pins merging at gaps 0, 1..n-1, n, and
+    * > n). */
   def duplicatedSpans(documents: DataFrame, n: Int = 10,
                       minDf: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -430,7 +439,11 @@ object Dedup {
       .filter(col("df") >= minDf)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dup
-      .withColumn("isl", col("pos") - row_number().over(wd))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > n, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + n - 1).cast("long").as("span_end"),

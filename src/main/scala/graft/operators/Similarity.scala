@@ -999,9 +999,14 @@ object Similarity {
       .unionAll(scatter).distinct()
     // rounds use the UNSORTED top-k (a per-round global sort is pure
     // stage latency) and skip a distinct on B — duplicate candidates
-    // are collapsed once by the single cand-level distinct
+    // are collapsed once by the single cand-level distinct. Each
+    // round's graph is MATERIALIZED (count) before the previous
+    // round's cache is dropped — same total work (every round runs
+    // exactly once either way), but cached blocks no longer
+    // accumulate across rounds and repeated artifact builds.
     var g = topKByRoundedCosUnsorted(score(init), k, "cos", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count()
     for (_ <- 1 to rounds) {
       val e = g.select(col("qid"), col("vec_id"))
       val b = e.unionAll(e.select(col("vec_id").as("qid"),
@@ -1012,9 +1017,15 @@ object Similarity {
         .filter(col("qid") =!= col("vec_id"))
         .unionAll(e)
         .distinct()
-      g = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
+      val next = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      g.unpersist()
+      g = next
     }
+    // the final graph is fully cached by the count above, so the
+    // corpus cache can go — lineage only re-runs if g is evicted
+    corpus.unpersist()
     g
   }
 
@@ -1038,6 +1049,15 @@ object Similarity {
   def graphBeamSearch(embeddings: DataFrame, edges: DataFrame,
       qMinId: Long, qMaxId: Long, k: Int, beam: Int, hops: Int,
       entry: Long): DataFrame = {
+    // Self-matches are excluded hop-by-hop (`node =!= qid` on every
+    // candidate cut) but the SEED (qid, entry) is scored as-is; an
+    // entry inside the query range would return itself at rank 1
+    // while every other self-match is excluded. Rather than silently
+    // dropping that query's walk, reject the inconsistent call.
+    require(entry < qMinId || entry >= qMaxId,
+      s"entry node $entry must lie outside the query id range " +
+        s"[$qMinId, $qMaxId) — a query's own id as seed would be the " +
+        "only self-match not excluded")
     val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = corpus
@@ -1062,8 +1082,13 @@ object Similarity {
     var frontier = queries.select(col("qid"), lit(entry).as("node"))
     // `seen` accumulates as a lazy unionAll; ONE distinct before the
     // final scoring (a per-hop distinct on it is shuffle-count waste —
-    // the frontier cut is what needs dedup, and cand has its own)
+    // the frontier cut is what needs dedup, and cand has its own).
+    // Per-hop cands stay cached until the final scoring consumes them
+    // through `seen`; frontiers are dropped as soon as the next hop's
+    // frontier is materialized, and everything is released once the
+    // (tiny, k·|queries|-row) answer is cached.
     var seen = frontier
+    val cands = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (_ <- 1 to hops) {
       val cand = frontier
         .unionAll(frontier.join(bsym, col("node") === col("src"))
@@ -1071,19 +1096,178 @@ object Similarity {
         .filter(col("node") =!= col("qid"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cands += cand
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("node"))
-      frontier = score(cand)
+      val nextFrontier = score(cand)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("node"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nextFrontier.count()
+      if (frontier.storageLevel.useMemory || frontier.storageLevel.useDisk)
+        frontier.unpersist()
+      frontier = nextFrontier
       seen = seen.unionAll(cand)
     }
-    topKByRoundedCos(
+    val res = topKByRoundedCos(
       score(seen.distinct())
         .select(col("qid"), col("node").as("vec_id"), col("cos")),
       k, "cos", "rnk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    frontier.unpersist()
+    cands.foreach(_.unpersist())
+    bsym.unpersist()
+    corpus.unpersist()
+    res
+  }
+
+  /** Incremental NN-descent graph maintenance — APPEND a vector batch
+    * into a stored kNN graph without rebuilding it (the same gap
+    * `q_dedup_incremental` closes for the dedup family: production
+    * vector search ingests continuously; a full
+    * [[NndGraphArtifact]]-style rebuild per batch is a non-starter).
+    * Deterministic and engine-replayable, like every iterative
+    * operator here:
+    *
+    *  1. LOCATE: each new vector walks `hops` fixed beam-search
+    *     rounds over the EXISTING graph from `entry` (the
+    *     [[graphBeamSearch]] expansion, queries = the batch) — the
+    *     visited set seeds its candidate list.
+    *  2. NEW-NEW: batch pairs sharing a visited node become mutual
+    *     candidates (blocked on the visited node — never batch²).
+    *  3. SEED EDGES: each new node's list = top-k over (visited ∪
+    *     new-new), exact cosine.
+    *  4. LOCAL DESCENT: `localRounds` NN-descent rounds restricted to
+    *     the batch side (candidates = neighbors-of-neighbors through
+    *     base ∪ new edges, both directions) refine the new lists;
+    *     old lists are not consulted for updates during descent.
+    *  5. BACK-EDGES: an old node named in a new node's FINAL list
+    *     gains that new node as an edge and re-ranks WITHOUT
+    *     truncation — no old edge is ever evicted between rebuilds
+    *     (evicting here breaks graph connectivity and measurably
+    *     drops old queries' recall; the ≤|batch| extra degree per
+    *     touched node is reconciled by the next periodic full
+    *     rebuild). Every OTHER old node's rows pass through untouched
+    *     — bit-identical, no re-rank, no shuffle.
+    *
+    * Scale shape: per batch node the locate cost is beam·(2K+1) per
+    * hop (corpus-independent, the graph-index property); back-edge
+    * re-ranks touch ≤ batch·k old nodes; local-round candidates are
+    * ≤ |batch|·(2K)². The only corpus-shaped operations are the
+    * hash joins that attach vectors and the one anti-join splitting
+    * untouched rows. NnDescentAppendSpec pins untouched-row
+    * identity, top-k-exactness of touched re-ranks, and that
+    * appending does not hurt old queries' recall. */
+  def nnDescentAppend(embeddings: DataFrame, baseEdges: DataFrame,
+      batchMinId: Long, k: Int, beam: Int, hops: Int, entry: Long,
+      localRounds: Int): DataFrame = {
+    require(entry < batchMinId,
+      s"entry node $entry must be an existing (pre-batch) graph node")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = prepared(embeddings).persist(lvl)
+    val batchQ = corpus.filter(col("vec_id") >= batchMinId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val base = baseEdges.select(col("qid"), col("vec_id"), col("cos"),
+      col("rnk")).persist(lvl)
+    val e0 = base.select(col("qid").as("src"), col("vec_id").as("dst"))
+    val bsym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    // candidate lists are batch-bounded: broadcast them (query vectors
+    // attached) against the persisted corpus — scoring never exchanges
+    // the corpus, exactly the graphBeamSearch discipline
+    def scoreBatch(cand: DataFrame): DataFrame = corpus
+      .join(broadcast(cand.join(broadcast(batchQ), "qid")),
+        col("node") === corpus("vec_id"))
+      .select(col("qid"), col("node").as("vec_id"),
+        pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
+          .as("cos"))
+    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // Iteration frames are localCheckpoint'ed (eager): each hop/round
+    // re-references the previous frame several times, and a deep
+    // iterative plan re-expanded per reference blows up at ANALYSIS
+    // time — truncating the lineage keeps the optimizer's work O(1)
+    // per round (blocks are freed by the context cleaner when the
+    // frames go out of scope).
+    // 1. locate: fixed beam walk over the base graph
+    var frontier = batchQ.select(col("qid"), lit(entry).as("node"))
+    var seen = frontier
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .unionAll(frontier.join(bsym, col("node") === col("src"))
+          .select(col("qid"), col("dst").as("node")))
+        .distinct()
+        .persist(lvl)
+      toRelease += cand
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      frontier = scoreBatch(cand)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("vec_id").as("node"))
+        .localCheckpoint(true)
+      seen = seen.unionAll(cand)
+    }
+    val seenD = seen.distinct().localCheckpoint(true)
+    toRelease.foreach(_.unpersist())
+    toRelease.clear()
+    // 2. new-new candidates, blocked on the shared visited node
+    val nn = seenD.as("a").join(seenD.as("b"),
+        col("a.node") === col("b.node") && col("a.qid") =!= col("b.qid"))
+      .select(col("a.qid").as("qid"), col("b.qid").as("node"))
+    // 3. seed edge lists for the batch
+    var newEdges = topKByRoundedCosUnsorted(
+      scoreBatch(seenD.unionAll(nn).distinct()), k, "cos", "rnk")
+      .localCheckpoint(true)
+    // 4. bounded local descent over the batch side of base ∪ new
+    for (_ <- 1 to localRounds) {
+      val u = base.select(col("qid"), col("vec_id"))
+        .unionAll(newEdges.select(col("qid"), col("vec_id")))
+      // B restricted to src ∈ batch: out-edges plus reversed in-edges
+      val hop1 = u.filter(col("qid") >= batchMinId)
+        .unionAll(u.filter(col("vec_id") >= batchMinId)
+          .select(col("vec_id").as("qid"), col("qid").as("vec_id")))
+      val mids = hop1.select(col("vec_id").as("mid")).distinct()
+      val hop2 = u.join(broadcast(mids), col("qid") === col("mid"))
+        .select(col("qid"), col("vec_id"))
+        .unionAll(u.join(broadcast(mids), col("vec_id") === col("mid"))
+          .select(col("vec_id").as("qid"), col("qid").as("vec_id")))
+      val cand = hop1.as("x").join(hop2.as("y"),
+          col("x.vec_id") === col("y.qid"))
+        .select(col("x.qid").as("qid"), col("y.vec_id").as("node"))
+        .filter(col("qid") =!= col("node"))
+        .unionAll(newEdges.select(col("qid"), col("vec_id").as("node")))
+        .distinct()
+      newEdges = topKByRoundedCosUnsorted(scoreBatch(cand), k, "cos", "rnk")
+        .localCheckpoint(true)
+    }
+    // 5. back-edges off the FINAL new lists: old nodes a new node
+    // points at GAIN that edge and re-rank without truncation (no
+    // eviction); everyone else passes through bit-identically
+    val oldCand = newEdges.filter(col("vec_id") < batchMinId)
+      .select(col("vec_id").as("qid"), col("qid").as("vec_id"),
+        col("cos"))
+    val touched = oldCand.select(col("qid")).distinct()
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val updatedTouched = base
+      .join(touched, Seq("qid"), "left_semi")
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .unionAll(oldCand)
+      .withColumn("rnk", row_number().over(wRank).cast("int"))
+    val untouched = base.join(touched, Seq("qid"), "left_anti")
+    val res = untouched
+      .unionAll(updatedTouched)
+      .unionAll(newEdges)
+      .persist(lvl)
+    res.count()
+    bsym.unpersist()
+    base.unpersist()
+    corpus.unpersist()
+    res
   }
 
   /** Margin-based pair mining (Artetxe & Schwenk 2019 shape — the
@@ -1139,7 +1323,7 @@ object Similarity {
     val denom = "greatest(CASE WHEN avg_f + avg_b >= 0" +
       " THEN (avg_f + avg_b) div 2" +
       " ELSE -((-(avg_f + avg_b)) div 2) END, 1)"
-    fwd.join(broadcast(bwd), col("best_vid") === col("vid"))
+    val res = fwd.join(broadcast(bwd), col("best_vid") === col("vid"))
       .select(col("qid"), col("best_vid").as("match_vid"),
         col("best_cos").as("cos_micro"),
         expr(s"""CASE WHEN best_cos >= 0
@@ -1148,6 +1332,14 @@ object Similarity {
                  |END""".stripMargin).as("margin_ppm"))
       .withColumn("accepted", col("margin_ppm") >= thresholdPpm)
       .orderBy(col("qid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (≤ |A|-row) answer, then release the
+    // corpus-sized intermediates — cached blocks must not accumulate
+    // across bench sweeps and repeated calls
+    res.count()
+    pairs.unpersist()
+    inv.unpersist()
+    res
   }
 
   def labelNoiseAudit(knnEdges: DataFrame, labels: DataFrame): DataFrame = {

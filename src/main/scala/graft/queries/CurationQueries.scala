@@ -1255,11 +1255,13 @@ object CurationQueries {
     * `q_dedup_substring` reports a duplicated-10-gram FRACTION per
     * doc; this emits the per-doc REMOVE-SPAN manifest a trim pass
     * actually applies. A position's 10-gram is duplicated when it
-    * also appears in at least one OTHER document; consecutive
-    * duplicated positions merge into one span (the date-minus-rank
-    * island trick, same as `q_streaks`), reported as token offsets
-    * `[span_start, span_end]` (span_end = last duplicated position +
-    * 9, the end of its 10-gram).
+    * also appears in at least one OTHER document; duplicated
+    * positions whose covered 10-token intervals overlap or abut merge
+    * into one span (a new island only when the position gap exceeds
+    * 10 — lag + running break-flag sum, NOT the plain pos-minus-rank
+    * trick, which would emit overlapping spans for gaps 1..9),
+    * reported as token offsets `[span_start, span_end]` (span_end =
+    * last duplicated position + 9, the end of its 10-gram).
     *
     * Scale shape: the df table is one aggregate on the shingle key
     * and the dup filter is a window over the SAME single exchange —
@@ -1287,11 +1289,17 @@ object CurationQueries {
       dup AS (
         SELECT p.doc_id, p.pos FROM pos p JOIN dft d USING (shingle)
         WHERE d.df >= 2),
+      brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                   (PARTITION BY doc_id ORDER BY pos) > 10
+                 THEN 1 ELSE 0 END AS brk
+        FROM dup),
       runs AS (
         SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                 AS isl
-        FROM dup)
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM brks)
       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
              CAST(max(pos) + 9 AS BIGINT) AS span_end,
              CAST(count(*) AS BIGINT) AS n_shingles
@@ -1342,11 +1350,17 @@ object CurationQueries {
       dup AS (
         SELECT p.doc_id, p.pos FROM pos p JOIN dft d USING (shingle)
         WHERE d.df >= 2),
+      brks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER
+                   (PARTITION BY doc_id ORDER BY pos) > 10
+                 THEN 1 ELSE 0 END AS brk
+        FROM dup),
       runs AS (
         SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                 AS isl
-        FROM dup),
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM brks),
       spans AS (
         SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
         FROM runs GROUP BY doc_id, isl),

@@ -2416,6 +2416,165 @@ object SimilarityQueries {
       FROM sc ORDER BY qid
     """.trim))
 
+  /** Incremental graph-ANN maintenance
+    * ([[graft.operators.Similarity.nnDescentAppend]]): the last 8
+    * vectors arrive as an append batch against the stored NN-descent
+    * graph RESTRICTED to the other nodes (the post-deletion /
+    * pre-ingest state an index actually sits in), and are integrated
+    * without a rebuild — beam-locate seeding (3 hops, beam 4, entry
+    * 0), shared-visited-node new-new blocking, top-k seed lists, one
+    * local NN-descent round over the batch side, then NON-EVICTING
+    * back-edge inserts into only the old nodes a new node's final
+    * list points at (evicting old edges breaks connectivity and drops
+    * old queries' recall; the next rebuild reconciles the ≤|batch|
+    * extra degree). Output is
+    * the append DELTA manifest: every (qid, vec_id, rnk) row not in
+    * the base graph — i.e. what an incremental index writer would
+    * persist. The oracle replays the artifact build AND the identical
+    * append steps; untouched-row identity and recall preservation are
+    * pinned in NnDescentAppendSpec. */
+  val qEmbedGraphAppend: Q = {
+    val (beam, hops, localRounds) = (4, 3, 1)
+    val k = graft.operators.NndGraphArtifact.K
+    val hopCtes = (1 to hops).map { r =>
+      s"""
+      agc$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM af${r - 1}
+          UNION ALL
+          SELECT f.qid, b.dst AS node
+          FROM af${r - 1} f JOIN absym b ON b.src = f.node)),
+      asc$r AS MATERIALIZED (
+        SELECT c.qid, c.node, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM agc$r c
+        JOIN abq q ON q.qid = c.qid
+        JOIN embeddings e ON e.vec_id = c.node),
+      af$r AS MATERIALIZED (
+        SELECT qid, node FROM (
+          SELECT qid, node,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS rn
+          FROM asc$r)
+        WHERE rn <= $beam),
+      aseen$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM aseen${r - 1}
+          UNION ALL SELECT qid, node FROM agc$r))"""
+    }.mkString(",")
+    Q(
+      "q_embed_graph_append",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+        val m = emb.agg(max(col("vec_id"))).head().getLong(0) - 7
+        val baseE = graft.operators.NndGraphArtifact.edges(spark, dir)
+          .filter(col("qid") < m && col("vec_id") < m)
+          .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
+        graft.operators.Similarity
+          .nnDescentAppend(emb, baseE, m, k = k, beam = beam, hops = hops,
+            entry = 0L, localRounds = localRounds)
+          .join(baseE, Seq("qid", "vec_id", "rnk"), "left_anti")
+          .select(col("qid"), col("vec_id"), col("cos"), col("rnk"),
+            (col("qid") >= m).as("is_new_node"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+      WITH $nndGraphCtes,
+      sp AS (SELECT max(vec_id) - 7 AS m FROM embeddings),
+      abase AS MATERIALIZED (
+        SELECT qid, vec_id, cos, rnk FROM g3
+        WHERE qid < (SELECT m FROM sp) AND vec_id < (SELECT m FROM sp)),
+      absym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT qid AS src, vec_id AS dst FROM abase
+          UNION ALL SELECT vec_id AS src, qid AS dst FROM abase)),
+      abq AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        WHERE vec_id >= (SELECT m FROM sp)),
+      af0 AS (SELECT qid, CAST(0 AS BIGINT) AS node FROM abq),
+      aseen0 AS (SELECT qid, node FROM af0),
+      $hopCtes,
+      annx AS (
+        SELECT DISTINCT a.qid AS qid, b.qid AS node
+        FROM aseen$hops a JOIN aseen$hops b
+          ON a.node = b.node AND a.qid <> b.qid),
+      acand0 AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM aseen$hops
+          UNION ALL SELECT qid, node FROM annx)),
+      as0x AS MATERIALIZED (
+        SELECT c.qid, c.node, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM acand0 c
+        JOIN abq q ON q.qid = c.qid
+        JOIN embeddings e ON e.vec_id = c.node),
+      ane0 AS MATERIALIZED (
+        SELECT qid, node AS vec_id, cos, rnk FROM (
+          SELECT qid, node, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS rnk
+          FROM as0x)
+        WHERE rnk <= $k),
+      au AS MATERIALIZED (
+        SELECT qid, vec_id FROM abase
+        UNION ALL SELECT qid, vec_id FROM ane0),
+      ahop1 AS MATERIALIZED (
+        SELECT qid, vec_id FROM au WHERE qid >= (SELECT m FROM sp)
+        UNION ALL
+        SELECT vec_id AS qid, qid AS vec_id FROM au
+        WHERE vec_id >= (SELECT m FROM sp)),
+      amids AS (SELECT DISTINCT vec_id AS mid FROM ahop1),
+      ahop2 AS MATERIALIZED (
+        SELECT u.qid, u.vec_id FROM au u JOIN amids m ON u.qid = m.mid
+        UNION ALL
+        SELECT u.vec_id AS qid, u.qid AS vec_id
+        FROM au u JOIN amids m ON u.vec_id = m.mid),
+      acand1 AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT x.qid AS qid, y.vec_id AS node
+          FROM ahop1 x JOIN ahop2 y ON x.vec_id = y.qid
+          WHERE x.qid <> y.vec_id
+          UNION ALL SELECT qid, vec_id AS node FROM ane0)),
+      as1x AS MATERIALIZED (
+        SELECT c.qid, c.node, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM acand1 c
+        JOIN abq q ON q.qid = c.qid
+        JOIN embeddings e ON e.vec_id = c.node),
+      ane1 AS MATERIALIZED (
+        SELECT qid, node AS vec_id, cos, rnk FROM (
+          SELECT qid, node, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS rnk
+          FROM as1x)
+        WHERE rnk <= $k),
+      aoldc AS (
+        SELECT vec_id AS qid, qid AS vec_id, cos FROM ane1
+        WHERE vec_id < (SELECT m FROM sp)),
+      atouched AS (SELECT DISTINCT qid FROM aoldc),
+      aupd AS MATERIALIZED (
+        SELECT qid, vec_id, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS rnk
+        FROM (
+          SELECT b.qid, b.vec_id, b.cos
+          FROM abase b JOIN atouched t ON t.qid = b.qid
+          UNION ALL SELECT qid, vec_id, cos FROM aoldc)),
+      aunt AS MATERIALIZED (
+        SELECT b.qid, b.vec_id, b.cos, b.rnk
+        FROM abase b LEFT JOIN atouched t ON t.qid = b.qid
+        WHERE t.qid IS NULL),
+      aall AS (
+        SELECT qid, vec_id, cos, rnk FROM aunt
+        UNION ALL SELECT qid, vec_id, cos, rnk FROM aupd
+        UNION ALL SELECT qid, vec_id, cos, rnk FROM ane1)
+      SELECT a.qid, a.vec_id, a.cos, CAST(a.rnk AS INT) AS rnk,
+             a.qid >= (SELECT m FROM sp) AS is_new_node
+      FROM aall a LEFT JOIN abase b
+        ON b.qid = a.qid AND b.vec_id = a.vec_id AND b.rnk = a.rnk
+      WHERE b.qid IS NULL
+      ORDER BY a.qid, a.rnk
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -2426,5 +2585,5 @@ object SimilarityQueries {
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
     qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch,
-    qEmbedBitextMargin)
+    qEmbedBitextMargin, qEmbedGraphAppend)
 }

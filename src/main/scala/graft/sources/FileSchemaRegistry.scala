@@ -81,8 +81,17 @@ object FileSchemaRegistry {
     }
     next.properties.foreach { np =>
       prevProps.get(np.name).foreach { pp =>
-        if (np.typ != pp.typ)
-          out += s"property '${np.name}' changed type ${pp.typ.getOrElse("any")} -> ${np.typ.getOrElse("any")}"
+        // dropping a type constraint (Some -> None) only LOOSENS the
+        // schema — every previously-valid document still validates —
+        // so it is BACKWARD compatible; flag only a changed type or a
+        // newly-added constraint (None -> Some, a tightening)
+        (pp.typ, np.typ) match {
+          case (Some(pt), Some(nt)) if pt != nt =>
+            out += s"property '${np.name}' changed type $pt -> $nt"
+          case (None, Some(nt)) =>
+            out += s"property '${np.name}' added type constraint $nt (tightening)"
+          case _ => ()
+        }
         if (np.pattern.nonEmpty && np.pattern != pp.pattern)
           out += s"property '${np.name}' tightened its pattern"
       }

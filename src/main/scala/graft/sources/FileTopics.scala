@@ -48,15 +48,21 @@ object FileTopics {
   /** Kafka's routing invariant: same key ⇒ same partition. Stable
     * FNV-1a over the key's UTF-8 bytes (documented, engine-neutral —
     * NOT Kafka's murmur2; the contract is the invariant, not the
-    * specific hash). */
-  def partitionFor(key: String, numPartitions: Int): Int = {
-    var h = 0x811c9dc5
-    key.getBytes("UTF-8").foreach { b => h = (h ^ (b & 0xff)) * 0x01000193 }
-    Math.floorMod(h, numPartitions)
-  }
+    * specific hash). Delegates to the single static loop behind the
+    * codegen'd [[graft.functions.FnvPartition]] sink expression, so
+    * producer-side and sink-side routing can never diverge. A null
+    * key (permitted by Kafka's record contract) routes like the empty
+    * key — deterministically, never an NPE. */
+  def partitionFor(key: String, numPartitions: Int): Int =
+    graft.functions.FnvPartition.compute(
+      if (key == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      numPartitions)
 
+  // null keys encode as the empty string (the log format has no null
+  // marker; a null-keyed record degrades to empty-keyed, same routing)
   private def enc(s: String): String =
-    java.net.URLEncoder.encode(s, "UTF-8")
+    java.net.URLEncoder.encode(if (s == null) "" else s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
@@ -137,15 +143,19 @@ object FileTopics {
     * retry, key-routed partitions): call from `foreachBatch`. Rows
     * are routed to their partition on executors (one exchange on the
     * partition id — no driver collect) and each partition file has
-    * exactly one writer per batch. */
+    * exactly one writer per batch. Routing is the native codegen'd
+    * [[graft.functions.FnvPartition]] Column expression — the sink
+    * projection stays inside whole-stage codegen (no per-row Scala
+    * UDF), and null keys route like the empty key instead of NPE-ing. */
   def sinkBatch(root: String, topic: String, numPartitions: Int)(
       batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val keyCol = col("key").cast("string")
     val routed = batch
-      .select(col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"))
-      .withColumn("p", udf((k: String) => partitionFor(k, numPartitions))
-        .apply(col("key")))
+      .select(keyCol.as("key"), col("value").cast("string").as("value"),
+        ColumnShim.column(graft.functions.FnvPartition(
+          ColumnShim.expression(keyCol), numPartitions)).as("p"))
       .repartition(numPartitions, col("p"))
     routed.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       it.toSeq.groupBy(_.getInt(2)).foreach { case (p, rows) =>

@@ -92,6 +92,33 @@ class FileSchemaRegistrySpec extends AnyFunSuite {
     assert(FileSchemaRegistry.register(root, "t", loosened).version == 2)
   }
 
+  test("BACKWARD gate: dropping a type constraint (loosening) is compatible; adding one (tightening) is not") {
+    val root = tmp()
+    FileSchemaRegistry.register(root, "loosen", v1)
+    // v2 drops `index`'s type constraint entirely — every document
+    // valid under v1 is still valid, so this must REGISTER
+    val dropped = """{
+      "type": "object",
+      "properties": {
+        "email": {"type": "string", "pattern": "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+$"},
+        "index": {},
+        "price": {"type": "string", "pattern": "^XXX \\d+\\.\\d{6}$"}
+      },
+      "required": ["email", "index", "price"],
+      "additionalProperties": false
+    }"""
+    val r = FileSchemaRegistry.register(root, "loosen", dropped)
+    assert(r.version == 2, "Some -> None type drop is a legal BACKWARD evolution")
+    // and the reverse direction — adding a type where the latest has
+    // none — is a TIGHTENING and must be rejected (a distinct schema,
+    // not v1, so the idempotency path cannot swallow it)
+    val ex = intercept[FileSchemaRegistry.IncompatibleSchemaException] {
+      FileSchemaRegistry.register(root, "loosen",
+        dropped.replace("\"index\": {}", "\"index\": {\"type\": \"number\"}"))
+    }
+    assert(ex.violations.exists(_.contains("added type constraint")))
+  }
+
   test("producer-side enforcement: only schema-valid records reach the topic; evolution widens") {
     val reg = tmp(); val topics = tmp()
     FileSchemaRegistry.register(reg, "transactions", v1)
