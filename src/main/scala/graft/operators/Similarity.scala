@@ -1064,63 +1064,127 @@ object Similarity {
       .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"))
-    val e0 = edges.select(col("qid").as("src"), col("vec_id").as("dst"))
-    val bsym = e0
-      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val bsym = symmetrizedEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the candidate side is ≤ beam·(2K+1)·|queries| rows — BROADCAST
-    // it (with the query vectors attached) against the persisted
-    // corpus, so scoring never exchanges the corpus (a sort-merge
-    // join here costs 2 exchanges + sorts per hop for ~700 rows)
+    val res = beamWalk(corpus, bsym, queries, k, beam, hops, entry)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    bsym.unpersist()
+    corpus.unpersist()
+    res
+  }
+
+  private def symmetrizedEdges(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("qid").as("src"), col("vec_id").as("dst"))
+    e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Shared fixed-hop beam-walk core of [[graphBeamSearch]] and the
+    * serving path: `queries` is any `(qid, qvec, qnrm)` set (corpus
+    * members or external arrivals). The candidate side is ≤
+    * beam·(2K+1)·|queries| rows — BROADCAST it (query vectors
+    * attached) against the corpus, so scoring never exchanges the
+    * corpus (a sort-merge join here costs 2 exchanges + sorts per hop
+    * for ~700 rows). Hop frames are localCheckpoint'ed: each hop
+    * re-references the previous frame, and the final scoring
+    * references every hop's candidates — truncated lineage keeps plan
+    * analysis O(1) per hop and leaves no persist bookkeeping behind
+    * (serving calls this once per micro-batch). */
+  /** Materialize a (small) frame and restart its lineage from the
+    * cached rows — like `localCheckpoint`, but the resulting scan
+    * carries NO rewritten constraints. (`LogicalRDD`'s constraint
+    * rewriting references pre-checkpoint attribute ids and throws
+    * `key not found: node#N` when the plan is re-analyzed inside a
+    * streaming `foreachBatch`; a plain RDD-backed frame sidesteps
+    * that.) Blocks are freed by the context cleaner when the frame
+    * goes out of scope. */
+  private def snapshot(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  private def beamWalk(corpus: DataFrame, bsym: DataFrame,
+      queries: DataFrame, k: Int, beam: Int, hops: Int,
+      entry: Long): DataFrame = {
     def score(cand: DataFrame): DataFrame = corpus
       .join(broadcast(cand.join(broadcast(queries), "qid")),
         col("node") === corpus("vec_id"))
       .select(col("qid"), col("node"),
         pairCos(col("qvec"), col("embedding"), col("qnrm"), col("nrm"))
           .as("cos"))
+    // the seed frontier is checkpointed as well: it appears as a
+    // union child both in hop 1's candidates and in `seen`, and
+    // Union's constraint rewriting trips over shared attribute ids
+    // when the query side comes from a streaming micro-batch
     var frontier = queries.select(col("qid"), lit(entry).as("node"))
+      .transform(snapshot)
     // `seen` accumulates as a lazy unionAll; ONE distinct before the
     // final scoring (a per-hop distinct on it is shuffle-count waste —
-    // the frontier cut is what needs dedup, and cand has its own).
-    // Per-hop cands stay cached until the final scoring consumes them
-    // through `seen`; frontiers are dropped as soon as the next hop's
-    // frontier is materialized, and everything is released once the
-    // (tiny, k·|queries|-row) answer is cached.
+    // the frontier cut is what needs dedup, and cand has its own)
     var seen = frontier
-    val cands = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (_ <- 1 to hops) {
+      // expansion checkpointed separately: a union whose children
+      // share the frontier's attribute ids trips Union's constraint
+      // rewriting when the query side is a streaming micro-batch
+      val expanded = frontier.join(bsym, col("node") === col("src"))
+        .select(col("qid"), col("dst").as("node"))
+        .transform(snapshot)
       val cand = frontier
-        .unionAll(frontier.join(bsym, col("node") === col("src"))
-          .select(col("qid"), col("dst").as("node")))
+        .unionAll(expanded)
         .filter(col("node") =!= col("qid"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cands += cand
+        .transform(snapshot)
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("node"))
-      val nextFrontier = score(cand)
+      frontier = score(cand)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("node"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nextFrontier.count()
-      if (frontier.storageLevel.useMemory || frontier.storageLevel.useDisk)
-        frontier.unpersist()
-      frontier = nextFrontier
+        .transform(snapshot)
       seen = seen.unionAll(cand)
     }
-    val res = topKByRoundedCos(
+    topKByRoundedCos(
       score(seen.distinct())
         .select(col("qid"), col("node").as("vec_id"), col("cos")),
       k, "cos", "rnk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    frontier.unpersist()
-    cands.foreach(_.unpersist())
-    bsym.unpersist()
-    corpus.unpersist()
-    res
+  }
+
+  /** A FROZEN graph-ANN index for the serving path: the prepared
+    * corpus and the symmetrized edge table, both persisted once at
+    * freeze time so every arriving micro-batch pays only its own
+    * beam walk — the same frozen-model `foreachBatch` convention the
+    * NB / DSIR / conformal tiers use. Call [[FrozenGraphIndex.close]]
+    * when retiring the index. */
+  final case class FrozenGraphIndex private[operators] (
+      corpus: DataFrame, bsym: DataFrame, k: Int, beam: Int, hops: Int,
+      entry: Long) {
+    def close(): Unit = { bsym.unpersist(); corpus.unpersist() }
+  }
+
+  def freezeGraphIndex(embeddings: DataFrame, edges: DataFrame, k: Int,
+      beam: Int, hops: Int, entry: Long): FrozenGraphIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = prepared(embeddings).persist(lvl)
+    val bsym = symmetrizedEdges(edges).persist(lvl)
+    corpus.count(); bsym.count()
+    FrozenGraphIndex(corpus, bsym, k, beam, hops, entry)
+  }
+
+  /** Serve one micro-batch of query vectors `(qid, embedding)`
+    * against a frozen graph index — the `foreachBatch` body of an ANN
+    * serving stream. Per query the work is beam·(2K+1) per hop,
+    * independent of corpus size; arrival batching cannot change a
+    * result (the index is frozen and the walk is deterministic), so
+    * streamed top-k equals the batch top-k for the same query set —
+    * pinned in GraphServingSpec. Queries whose qid equals a corpus
+    * node id follow the batch path's self-exclusion. */
+  def graphServeBatch(ix: FrozenGraphIndex, batch: DataFrame): DataFrame = {
+    val queries = batch.select(col("qid"), col("embedding").as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
+    beamWalk(ix.corpus, ix.bsym, queries, ix.k, ix.beam, ix.hops, ix.entry)
   }
 
   /** Incremental NN-descent graph maintenance — APPEND a vector batch
