@@ -1091,20 +1091,7 @@ object Similarity {
     * references every hop's candidates — truncated lineage keeps plan
     * analysis O(1) per hop and leaves no persist bookkeeping behind
     * (serving calls this once per micro-batch). */
-  /** Materialize a (small) frame and restart its lineage from the
-    * cached rows — like `localCheckpoint`, but the resulting scan
-    * carries NO rewritten constraints. (`LogicalRDD`'s constraint
-    * rewriting references pre-checkpoint attribute ids and throws
-    * `key not found: node#N` when the plan is re-analyzed inside a
-    * streaming `foreachBatch`; a plain RDD-backed frame sidesteps
-    * that.) Blocks are freed by the context cleaner when the frame
-    * goes out of scope. */
-  private def snapshot(df: DataFrame): DataFrame = {
-    val rdd = df.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
-    df.sparkSession.createDataFrame(rdd, df.schema)
-  }
+  private def snapshot(df: DataFrame): DataFrame = Frames.snapshot(df)
 
   private def beamWalk(corpus: DataFrame, bsym: DataFrame,
       queries: DataFrame, k: Int, beam: Int, hops: Int,

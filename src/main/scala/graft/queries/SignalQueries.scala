@@ -436,6 +436,116 @@ object SignalQueries {
       })
   }
 
+  /** Shared oracle WITH-chain replaying the
+    * [[graft.operators.BpeVocabArtifact]] build: word-frequency
+    * reduction, padded symbol representation, then `rounds` unrolled
+    * merge rounds — ends at `r<rounds>(w, repr, f)` with each round's
+    * winning pair in `p<i>`. Multiply-referenced CTEs MATERIALIZED
+    * (DuckDB otherwise re-inlines the round chain exponentially). */
+  private def bpeVocabCtes(rounds: Int): String = {
+    def roundSql(i: Int): String = s"""
+      p$i AS MATERIALIZED (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+          SELECT f, unnest([tl[j] || ' ' || tl[j+1]
+                            FOR j IN generate_series(1, len(tl) - 1)]) AS pair
+          FROM (SELECT f, string_split(trim(r${i - 1}.repr), '  ') AS tl
+                FROM r${i - 1})
+          WHERE len(tl) >= 2)
+        GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+      r$i AS MATERIALIZED (
+        SELECT w, replace(repr,
+                 ' ' || replace((SELECT pair FROM p$i), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM p$i), ' ', '') || ' ') AS repr,
+               f
+        FROM r${i - 1})"""
+    s"""words AS (
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      r0 AS MATERIALIZED (
+        SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+                 AS repr, f
+        FROM words),
+      ${(1 to rounds).map(roundSql).mkString(",")}"""
+  }
+
+  /** The tokenizer-vocabulary BUILD step run as the registered
+    * artifact query: [[graft.operators.BpeVocabArtifact]] induces
+    * 8 BPE merge rules from the corpus word-frequency table (the
+    * N-round generalization of `q_bpe_merges`' 3-round demo) and
+    * stores every word's decomposition under the learned rules for
+    * `q_fertility_learned` to consume. Output is the merge table.
+    * Each round is vocab-sized — corpus size enters once, in the
+    * word-count reduction. */
+  val qBpeVocab: Q = Q(
+    "q_bpe_vocab",
+    (spark, dir) => {
+      graft.operators.BpeVocabArtifact.materialize(spark, dir)
+      graft.operators.BpeVocabArtifact.merges(spark, dir)
+        .select(col("merge_rank"), col("pair"), col("merged"), col("cnt"))
+        .orderBy(col("merge_rank"))
+    },
+    Some(s"""
+      WITH ${bpeVocabCtes(graft.operators.BpeVocabArtifact.Rounds)}
+      SELECT merge_rank, pair, replace(pair, ' ', '') AS merged, cnt FROM (
+        ${(1 to graft.operators.BpeVocabArtifact.Rounds).map(i =>
+          s"SELECT $i AS merge_rank, pair, cnt FROM p$i")
+          .mkString(" UNION ALL ")})
+      ORDER BY merge_rank
+    """.trim))
+
+  /** Tokenizer fertility under the LEARNED vocabulary — the actual
+    * which-languages-does-MY-tokenizer-tax table (`q_tokenizer_
+    * fertility` measures a fixed regex heuristic; this measures the
+    * tokenizer `q_bpe_vocab` just built): per language, whitespace
+    * words, subword tokens under the learned merges, and the exact
+    * integer fertility/compression ratios. One (lang, word) aggregate
+    * joined to the vocab-sized artifact — the corpus is never
+    * re-tokenized per language. */
+  val qFertilityLearned: Q = Q(
+    "q_fertility_learned",
+    (spark, dir) => {
+      val reprs = graft.operators.BpeVocabArtifact.reprs(spark, dir)
+        .select(col("w"), col("n_symbols"))
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("fl"))
+        .join(reprs, "w")
+        .groupBy(col("lang"))
+        .agg(sum(col("fl")).as("n_words"),
+          sum(col("fl") * col("n_symbols")).as("subword_tokens"),
+          sum(col("fl") * length(col("w")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("subword_tokens"),
+          col("n_chars"),
+          expr("subword_tokens * 1000000 div n_words").as("fertility_micros"),
+          expr("n_chars * 1000000 div subword_tokens")
+            .as("chars_per_subword_micros"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ${bpeVocabCtes(graft.operators.BpeVocabArtifact.Rounds)},
+      nsym AS (
+        SELECT w, CAST(len(string_split(trim(repr), '  ')) AS BIGINT)
+                 AS n_symbols
+        FROM r${graft.operators.BpeVocabArtifact.Rounds}),
+      wl AS (
+        SELECT lang, w, count(*) AS fl FROM (
+          SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY lang, w)
+      SELECT lang, CAST(sum(fl) AS BIGINT) AS n_words,
+             CAST(sum(fl * n_symbols) AS BIGINT) AS subword_tokens,
+             CAST(sum(fl * len(w)) AS BIGINT) AS n_chars,
+             CAST(sum(fl * n_symbols) * 1000000 // sum(fl) AS BIGINT)
+               AS fertility_micros,
+             CAST(sum(fl * len(w)) * 1000000 // sum(fl * n_symbols) AS BIGINT)
+               AS chars_per_subword_micros
+      FROM wl JOIN nsym USING (w)
+      GROUP BY lang ORDER BY lang
+    """.trim))
+
   /** Unseen-species estimation per source, one step past
     * [[qTextHapax]]'s observed shares: how much vocabulary the sample
     * has NOT seen yet. Chao1 (bias-corrected: V + F1(F1−1)/(2(F2+1)),
@@ -978,7 +1088,8 @@ object SignalQueries {
     """.trim))
 
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
-    qTextHapax, qBpeMerges, qChaoRichness, qTextHeaps, qTextBurstiness,
+    qTextHapax, qBpeMerges, qBpeVocab, qFertilityLearned,
+    qChaoRichness, qTextHeaps, qTextBurstiness,
     qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
     qPrefKappa, qPrefFleiss)
 }
