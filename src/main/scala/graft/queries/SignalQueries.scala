@@ -1087,9 +1087,130 @@ object SignalQueries {
       FROM pp
     """.trim))
 
+  /** Preference-pair EXPORT manifest — the DPO prep step: the
+    * preference family measures (strengths, calibration,
+    * intransitivity, agreement); this EMITS the training artifact
+    * those measurements gate. One row per kept duel instance:
+    * chosen/rejected with the Bradley-Terry margin (the model's win
+    * probability for chosen, exact ppm off the shared 2-round fit),
+    * the observed rater-agreement weight for that ordered pair
+    * (wins·10⁶ div games), with exact DEDUP (first duel per rater ×
+    * ordered pair wins, the G2 discipline) and EVAL-CONTAMINATION
+    * screening composed in (raters with user_id % 10 = 0 are the
+    * held-out eval panel; any training duel whose CONTEXT pair — the
+    * two events' `props.k` values — was also judged by an eval rater
+    * is anti-joined out, the `q_corpus_prep` pattern applied to
+    * preference data).
+    *
+    * Scale: one per-rater lead window (the shared duel pass), one
+    * vocab-sized BT fit, broadcast joins for margins/agreement, and
+    * an anti-join against the (small, distinct) eval context set —
+    * nothing pairwise, nothing collected. */
+  val qPrefPairsExport: Q = Q(
+    "q_pref_pairs_export",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val seq2 = Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("nt", lead(col("event_type"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .withColumn("k2", lead(col("k"), 1).over(w))
+        .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+      val firstWins = col("value") > col("nv") ||
+        (col("value") === col("nv") && col("event_type") < col("nt"))
+      val inst = seq2.select(col("user_id"), col("event_id"), col("k"),
+        col("k2"),
+        when(firstWins, col("event_type")).otherwise(col("nt")).as("chosen"),
+        when(firstWins, col("nt")).otherwise(col("event_type"))
+          .as("rejected"))
+      val train = inst.filter(pmod(col("user_id"), lit(10)) =!= 0)
+      val evalCtx = inst.filter(pmod(col("user_id"), lit(10)) === 0)
+        .select(col("k"), col("k2")).distinct()
+      val wd = Window.partitionBy(col("user_id"), col("chosen"),
+        col("rejected")).orderBy(col("event_id"))
+      val deduped = train.withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1).drop("rn")
+      val screened = deduped.join(broadcast(evalCtx), Seq("k", "k2"),
+        "left_anti")
+      val wins = eventDuelWins(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = graft.operators.BradleyTerry.strengths(wins, iters = 2)
+        .select(col("item"), col("strength_ppm"))
+      val games = wins
+        .select(col("winner").as("i"), col("loser").as("j"), col("n"))
+        .unionAll(wins.select(col("loser").as("i"),
+          col("winner").as("j"), col("n")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("ng"))
+      val agr = wins.join(games,
+          wins("winner") === games("i") && wins("loser") === games("j"))
+        .select(col("winner").as("chosen"), col("loser").as("rejected"),
+          expr("n * 1000000 div ng").as("agreement_ppm"))
+      screened
+        .join(broadcast(s.select(col("item").as("chosen"),
+          col("strength_ppm").as("sc"))), "chosen")
+        .join(broadcast(s.select(col("item").as("rejected"),
+          col("strength_ppm").as("sr"))), "rejected")
+        .join(broadcast(agr), Seq("chosen", "rejected"))
+        .select(col("user_id"), col("event_id"), col("chosen"),
+          col("rejected"), col("k"), col("k2"),
+          expr("sc * 1000000 div greatest(sc + sr, 1)").as("margin_ppm"),
+          col("agreement_ppm"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(s"""$btCte,
+      seq2 AS (
+        SELECT user_id, event_id, event_type, value,
+               CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+                 AS k,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nt,
+               lead(value) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS nv,
+               lead(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                 AS BIGINT)) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS k2
+        FROM events),
+      inst AS (
+        SELECT user_id, event_id, k, k2,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN event_type ELSE nt END AS chosen,
+               CASE WHEN value > nv OR (value = nv AND event_type < nt)
+                 THEN nt ELSE event_type END AS rejected
+        FROM seq2 WHERE nt IS NOT NULL AND nt <> event_type),
+      train AS (SELECT * FROM inst WHERE user_id % 10 <> 0),
+      evalctx AS (
+        SELECT DISTINCT k, k2 FROM inst WHERE user_id % 10 = 0),
+      dd AS (
+        SELECT user_id, event_id, k, k2, chosen, rejected FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, chosen,
+            rejected ORDER BY event_id) AS rn
+          FROM train)
+        WHERE rn = 1),
+      scr AS (
+        SELECT d.* FROM dd d LEFT JOIN evalctx e
+          ON e.k = d.k AND e.k2 = d.k2
+        WHERE e.k IS NULL),
+      agr AS (
+        SELECT w.winner AS chosen, w.loser AS rejected,
+               CAST(w.n * 1000000 // g.n AS BIGINT) AS agreement_ppm
+        FROM wins w JOIN games g ON g.i = w.winner AND g.j = w.loser)
+      SELECT s.user_id, s.event_id, s.chosen, s.rejected, s.k, s.k2,
+             CAST(a.s * 1000000 // greatest(a.s + b.s, 1) AS BIGINT)
+               AS margin_ppm,
+             agr.agreement_ppm
+      FROM scr s
+      JOIN it2 a ON a.i = s.chosen
+      JOIN it2 b ON b.i = s.rejected
+      JOIN agr ON agr.chosen = s.chosen AND agr.rejected = s.rejected
+      ORDER BY s.user_id, s.event_id
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qBpeVocab, qFertilityLearned,
     qChaoRichness, qTextHeaps, qTextBurstiness,
     qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
-    qPrefKappa, qPrefFleiss)
+    qPrefKappa, qPrefFleiss, qPrefPairsExport)
 }
