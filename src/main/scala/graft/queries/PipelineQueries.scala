@@ -471,10 +471,129 @@ object PipelineQueries {
       FROM range(0, 1000) t(i) ORDER BY id
     """.trim))
 
+  /** EVENT-TIME unify, batch analog ([[graft.streaming
+    * .OrderUnifyEventTime]] is the streaming form): per key, the first
+    * event's EVENT time anchors a fixed window `[t, t+W)`; the next
+    * window anchors at the first event AT/AFTER the previous deadline
+    * (the G7-ET reseed) — NOT a tumbling bucket, and inexpressible
+    * with one window function because each anchor depends on the
+    * previous one. Solved with the engine's fixed-round convention:
+    * anchor rounds unroll (anchorᵢ₊₁ = min ts ≥ anchorᵢ + W per key,
+    * 16 rounds cover the 30-day corpus at W = 2 days — the round count
+    * is span/W-bounded, INDEPENDENT of row count, so the unroll is the
+    * plannable knob exactly like the Lloyd/BPE loops). Every event
+    * then lands in exactly one window by construction (the next anchor
+    * IS the first event past the deadline), and per (key, window) the
+    * projection analog reports size, the priority-ordered required
+    * types present, and completeness (G3/G4).
+    *
+    * Scale: each anchor round is one per-key aggregate over the
+    * events ≥ the previous anchor (anchors are |keys|-sized,
+    * broadcastable); the assignment join fans out ≤ anchors-per-key
+    * and filters to exactly one window. */
+  val qUnifyEventTime: Q = {
+    val W = 172800000000L // 2 days in micros
+    val rounds = 16
+    Q(
+      "q_unify_event_time",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsm"),
+            col("event_type"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        var cur = graft.operators.Frames.snapshot(
+          ev.groupBy(col("user_id")).agg(min(col("tsm")).as("a"))
+            .withColumn("grp", lit(1)))
+        val anchors = scala.collection.mutable.ListBuffer(cur)
+        for (i <- 2 to rounds) {
+          cur = graft.operators.Frames.snapshot(
+            ev.join(broadcast(cur.select(col("user_id"), col("a").as("pa"))),
+                "user_id")
+              .filter(col("tsm") >= col("pa") + W)
+              .groupBy(col("user_id")).agg(min(col("tsm")).as("a"))
+              .withColumn("grp", lit(i)))
+          anchors += cur
+        }
+        val anch = anchors.reduce(_ unionAll _)
+        val asg = ev.join(broadcast(anch), "user_id")
+          .filter(col("tsm") >= col("a") && col("tsm") < col("a") + W)
+        val req = asg
+          .filter(col("event_type").isin(graft.operators.Unify.requiredTypes: _*))
+          .select(col("user_id"), col("grp"), col("event_type"))
+          .distinct()
+          .withColumn("priority",
+            graft.operators.Unify.priorityOf(col("event_type")))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(sort_array(collect_list(struct(col("priority"),
+            col("event_type")))).as("evs"))
+          .select(col("user_id"), col("grp"),
+            concat_ws(",", transform(col("evs"), e => e("event_type")))
+              .as("type_seq"),
+            (size(col("evs")) === graft.operators.Unify.requiredTypes.size)
+              .as("complete"))
+        asg.groupBy(col("user_id"), col("grp"))
+          .agg(min(col("a")).as("grp_start_micros"),
+            count(lit(1)).as("n_events"))
+          .join(req, Seq("user_id", "grp"), "left")
+          .select(col("user_id"), col("grp"), col("grp_start_micros"),
+            col("n_events"),
+            coalesce(col("type_seq"), lit("")).as("type_seq"),
+            coalesce(col("complete"), lit(false)).as("complete"))
+          .orderBy(col("user_id"), col("grp"))
+      },
+      Some {
+        val roundCtes = (2 to rounds).map { i =>
+          s"""
+      a$i AS MATERIALIZED (
+        SELECT e.user_id, min(e.tsm) AS a, $i AS grp
+        FROM ev e JOIN a${i - 1} p ON p.user_id = e.user_id
+        WHERE e.tsm >= p.a + $W
+        GROUP BY e.user_id)"""
+        }.mkString(",")
+        s"""
+      WITH ev AS MATERIALIZED (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tsm, event_type
+        FROM events),
+      a1 AS MATERIALIZED (
+        SELECT user_id, min(tsm) AS a, 1 AS grp FROM ev GROUP BY user_id),
+      $roundCtes,
+      anch AS (${(1 to rounds).map(i => s"SELECT * FROM a$i")
+          .mkString(" UNION ALL ")}),
+      asg AS MATERIALIZED (
+        SELECT e.user_id, n.grp, n.a, e.tsm, e.event_type
+        FROM ev e JOIN anch n ON n.user_id = e.user_id
+         AND e.tsm >= n.a AND e.tsm < n.a + $W),
+      req AS (
+        SELECT user_id, grp,
+               string_agg(event_type, ',' ORDER BY priority, event_type)
+                 AS type_seq,
+               count(*) = 3 AS complete
+        FROM (
+          SELECT DISTINCT user_id, grp, event_type,
+                 CASE event_type WHEN 'signup' THEN 10
+                      WHEN 'purchase' THEN 20 WHEN 'click' THEN 30
+                      ELSE 1000 END AS priority
+          FROM asg
+          WHERE event_type IN ('signup', 'purchase', 'click'))
+        GROUP BY user_id, grp)
+      SELECT g.user_id, g.grp, g.a AS grp_start_micros,
+             g.n_events, coalesce(r.type_seq, '') AS type_seq,
+             coalesce(r.complete, false) AS complete
+      FROM (
+        SELECT user_id, grp, min(a) AS a, CAST(count(*) AS BIGINT)
+               AS n_events
+        FROM asg GROUP BY user_id, grp) g
+      LEFT JOIN req r ON r.user_id = g.user_id AND r.grp = g.grp
+      ORDER BY g.user_id, g.grp
+    """.trim
+      })
+  }
+
   def all: Seq[Q] = Seq(
     qScanEvents, qJsonExtract, qTsRoundtrip, qCanonicalizeType,
     qFilterNonnull, qRegexFilter, qRouteByType, qUnionAll,
     qDedupFirstWins, qCompleteGroups, qPrioritySort, qProjectionPayload,
     qIncompleteDropped, qFanoutExplode, qSchemaValidate, qJsonSchemaGeneric,
-    qVariantDetails, qSynthGen)
+    qVariantDetails, qSynthGen, qUnifyEventTime)
 }
