@@ -127,14 +127,22 @@ object FileTopics {
 
   /** The reader: a streaming DataFrame with the Kafka source's
     * projection (`key, value, topic, seq`) — drop-in for
-    * [[graft.streaming.OrderUnifyPipeline.kafkaSource]]'s output. */
-  def source(spark: SparkSession, root: String, topics: Seq[String]): DataFrame = {
+    * [[graft.streaming.OrderUnifyPipeline.kafkaSource]]'s output.
+    * `startingOffsets` (the canonical [[FileTopicsOffset]] JSON, e.g.
+    * a value carried out of a stopped query's checkpoint by
+    * [[graft.streaming.StateMigration]]) positions a FRESH checkpoint
+    * at those offsets — the Kafka source's `startingOffsets` contract;
+    * ignored on resume because Spark then feeds the checkpointed
+    * offset back through `deserializeOffset`. */
+  def source(spark: SparkSession, root: String, topics: Seq[String],
+             startingOffsets: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.readStream
+    val rd = spark.readStream
       .format(classOf[FileTopicsProvider].getName)
       .option("root", root)
       .option("topics", topics.mkString(","))
-      .load()
+    startingOffsets.foreach(j => rd.option("startingOffsets", j))
+    rd.load()
       .select(col("key"), col("value"), col("topic"),
         col("offset").as("seq"))
   }
@@ -209,10 +217,12 @@ class FileTopicsProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new FileTopicsTable(properties.get("root"),
-      properties.get("topics").split(",").toSeq)
+      properties.get("topics").split(",").toSeq,
+      Option(properties.get("startingOffsets")))
 }
 
-private[sources] class FileTopicsTable(root: String, topics: Seq[String])
+private[sources] class FileTopicsTable(root: String, topics: Seq[String],
+    startingOffsets: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"file-topics($root)"
   override def schema(): StructType = FileTopics.Schema
@@ -223,18 +233,21 @@ private[sources] class FileTopicsTable(root: String, topics: Seq[String])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FileTopics.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FileTopicsMicroBatchStream(root, topics)
+          new FileTopicsMicroBatchStream(root, topics, startingOffsets)
       }
     }
 }
 
 private[sources] class FileTopicsMicroBatchStream(root: String,
-    topics: Seq[String]) extends MicroBatchStream {
+    topics: Seq[String], startingOffsets: Option[String] = None)
+    extends MicroBatchStream {
 
   override def latestOffset(): Offset =
     FileTopicsOffset(FileTopics.latestOffsets(root, topics))
 
-  override def initialOffset(): Offset = FileTopicsOffset(Map.empty)
+  override def initialOffset(): Offset =
+    startingOffsets.map(FileTopicsOffset.parse)
+      .getOrElse(FileTopicsOffset(Map.empty))
 
   override def deserializeOffset(json: String): Offset =
     FileTopicsOffset.parse(json)

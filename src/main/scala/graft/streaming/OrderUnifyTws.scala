@@ -50,6 +50,13 @@ class OrderUnifyProcessor(bufferMillis: Long)
     out.iterator
   }
 
+  /** Migration seeding ([[OrderUnifyInitProcessor]]): write a carried
+    * buffer and re-register its deadline timer. */
+  private[streaming] def seed(p: PendingOrder, timerAt: Long): Unit = {
+    pending.update(p)
+    getHandle.registerTimer(timerAt)
+  }
+
   override def handleExpiredTimer(
       orderId: String,
       timerValues: TimerValues,
@@ -64,6 +71,40 @@ class OrderUnifyProcessor(bufferMillis: Long)
   }
 }
 
+/** [[OrderUnifyProcessor]] plus the initial-state hook — the landing
+  * side of the FMGWS→TWS checkpoint migration
+  * ([[StateMigration]]): each migrated key's buffer is written into
+  * the TWS value state and its FIXED deadline re-registered as an
+  * explicit timer (clamped one tick ahead if already past, so a
+  * stale-at-cutover buffer flushes on the first batch exactly as the
+  * old implementation's pending timeout would have). */
+class OrderUnifyInitProcessor(bufferMillis: Long)
+    extends StatefulProcessorWithInitialState[
+      String, OrderEvent, ProjectionResult, PendingOrder] {
+
+  private val inner = new OrderUnifyProcessor(bufferMillis)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    inner.setHandle(getHandle)
+    inner.init(outputMode, timeMode)
+  }
+
+  override def handleInitialState(orderId: String, initial: PendingOrder,
+      timerValues: TimerValues): Unit = {
+    inner.seed(initial,
+      math.max(initial.deadlineEpochMillis,
+        timerValues.getCurrentProcessingTimeInMs() + 1L))
+  }
+
+  override def handleInputRows(orderId: String, rows: Iterator[OrderEvent],
+      timerValues: TimerValues): Iterator[ProjectionResult] =
+    inner.handleInputRows(orderId, rows, timerValues)
+
+  override def handleExpiredTimer(orderId: String, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ProjectionResult] =
+    inner.handleExpiredTimer(orderId, timerValues, expiredTimerInfo)
+}
+
 object OrderUnifyTws {
   /** Drop-in alternative to [[OrderUnifyPipeline.unify]]. */
   def unify(events: Dataset[OrderEvent],
@@ -75,5 +116,24 @@ object OrderUnifyTws {
         new OrderUnifyProcessor(bufferMillis),
         TimeMode.ProcessingTime(),
         OutputMode.Append())
+  }
+
+  /** [[unify]] with migrated initial state (see [[StateMigration]]):
+    * `initial` is the (orderId, PendingOrder) set lifted out of a
+    * stopped FMGWS checkpoint. */
+  def unifyWithInitialState(events: Dataset[OrderEvent],
+      initial: Dataset[(String, PendingOrder)],
+      bufferMillis: Long = OrderUnify.DefaultBufferMillis)
+      : Dataset[ProjectionResult] = {
+    implicit val resultEnc = OrderUnifyPipeline.resultEnc
+    implicit val pendingEnc = OrderUnifyPipeline.pendingEnc
+    implicit val stringEnc = OrderUnifyPipeline.stringEnc
+    events
+      .groupByKey(_.orderId)(OrderUnifyPipeline.stringEnc)
+      .transformWithState(
+        new OrderUnifyInitProcessor(bufferMillis),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 }
