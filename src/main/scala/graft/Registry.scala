@@ -31,6 +31,7 @@ object Registry {
       graft.queries.AnalyticsQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.DedupQueries.all ++
+      graft.queries.SuffixQueries.all ++
       graft.queries.SimilarityQueries.all ++
       graft.queries.CurationQueries.all ++
       graft.queries.PlanningQueries.all ++

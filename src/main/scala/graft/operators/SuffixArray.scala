@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed suffix-array construction by prefix doubling — the
+  * exact-substring dedup primitive of the public "Deduplicating
+  * Training Data Makes Language Models Better" pipeline (Lee et al.
+  * 2022, whose ExactSubstr tool is suffix-array based), built the way
+  * distributed-memory SA construction is published (Flick & Aluru,
+  * SC'15): O(log maxLen) rounds, each round a co-partitioned
+  * self-join plus one distributed sort-and-scan re-ranking.
+  *
+  * The array is over each document's first-`maxLen`-character WINDOW:
+  * the suffix at `(doc_id, pos)` is `window.substring(pos)` (window
+  * semantics — a production pass widens the window or strides it in
+  * overlapping blocks; the algorithm is unchanged). Positions are
+  * ranked by their suffix's first `2^k` characters at level `k`;
+  * level `k+1` keys are the pair `(rank_k(pos), rank_k(pos + 2^k))`
+  * with `-1` padding when the suffix ends inside the comparison span
+  * (so a suffix that is a proper prefix of another sorts FIRST, the
+  * lexicographic rule). After `ceil(log2(maxLen))` rounds the rank is
+  * the suffix-array rank; two positions share a final rank iff their
+  * window suffixes are identical — identical INCLUDING length,
+  * because padding makes a shorter remainder key strictly smaller.
+  *
+  * The re-ranking step deliberately avoids a partition-less
+  * `dense_rank` window (a single-task bottleneck at corpus scale —
+  * the shape `PlanAuditSpec` forbids): distinct keys go through a
+  * range-partitioned distributed sort + two-pass ordinal scan
+  * (`sortBy` + `zipWithIndex`), the sort+scan primitive of the
+  * distributed SA literature. The ordinal of a distinct key depends
+  * only on the total key order — never on partition boundaries — so
+  * the ranks are deterministic.
+  *
+  * Scale shape per round: one equality join on `(doc_id, pos)` (both
+  * sides identically partitioned), one `distinct` on the pair key,
+  * one range sort + scan over DISTINCT keys (≤ corpus positions, and
+  * strictly shrinking relative entropy each round), one hash join
+  * back. Everything is linear in corpus characters per round with a
+  * log(maxLen) round count; no step funnels through one partition.
+  *
+  * Character semantics: positions index Unicode code points
+  * (`substr`/`length` count code points in both Spark and DuckDB) and
+  * round 0 ranks by code point (`ascii` returns the code point of the
+  * first character in both engines), so the Spark plan and the DuckDB
+  * oracle order suffixes identically with no collation dependence.
+  */
+object SuffixArray {
+
+  /** Character positions of the first `maxLen` code points of each
+    * doc: `(doc_id, pos, code)`, `pos` 0-based, `code` the code
+    * point. One narrow explode — no shuffle. */
+  def positions(documents: DataFrame, maxLen: Int): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        least(length(col("text")), lit(maxLen)).as("n"))
+      .withColumn("pos", explode(sequence(lit(0), col("n") - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        ascii(col("text").substr(col("pos") + 1, lit(1))).cast("long")
+          .as("code"))
+
+  /** Dense 0-based ordinal rank of DISTINCT `(k1, k2)` keys via
+    * distributed range sort + two-pass scan: `rank` = number of
+    * distinct keys strictly smaller = `dense_rank() - 1`. Input rows
+    * must already be distinct. Deterministic — the ordinal is a
+    * property of the total order, not of partition boundaries. */
+  private def ordinalRank(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val ranked = keys.select(col("k1"), col("k2")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case ((k1, k2), i) => Row(k1, k2, i) }
+    spark.createDataFrame(ranked, StructType(Seq(
+      StructField("k1", LongType, nullable = false),
+      StructField("k2", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
+  }
+
+  /** One doubling round: rank by first `2 * off` chars given ranks by
+    * first `off` chars. `prev`: `(doc_id, pos, rank)`. */
+  private def doubleRound(prev: DataFrame, off: Int): DataFrame = {
+    val shifted = prev.select(col("doc_id"),
+      (col("pos") - off).as("pos"), col("rank").as("k2"))
+    val paired = prev.as("a")
+      .join(shifted.as("b"), Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("rank").as("k1"),
+        coalesce(col("k2"), lit(-1L)).as("k2"))
+    paired
+      .join(ordinalRank(paired.select("k1", "k2").distinct()),
+        Seq("k1", "k2"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+  }
+
+  /** All rank levels `0 .. ceil(log2(maxLen))`. `levels(k)`:
+    * `(doc_id, pos, rank)` ranked by the first `2^k` characters.
+    * `maxLen` must be a power of two.
+    *
+    * Each level is eagerly `localCheckpoint`ed, not merely persisted:
+    * every level's plan references the previous level TWICE (the two
+    * join sides of the pairing), so an un-truncated lineage doubles
+    * per round — 2^rounds copies of the round-0 plan by the last
+    * level, which blows analysis/codegen heap long before any data
+    * does (the iterative-frame rule of [[Clusters]] / NN-descent). */
+  def rankLevels(documents: DataFrame, maxLen: Int): Seq[DataFrame] = {
+    require(maxLen >= 2 && Integer.bitCount(maxLen) == 1,
+      s"maxLen must be a power of two, got $maxLen")
+    val pos = positions(documents, maxLen)
+    val r0 = pos
+      .join(ordinalRank(
+          pos.select(col("code").as("k1"), lit(-1L).as("k2")).distinct()),
+        pos("code") === col("k1"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+      .localCheckpoint(true)
+    val rounds = Integer.numberOfTrailingZeros(maxLen)
+    (1 to rounds).scanLeft(r0) { (prev, k) =>
+      doubleRound(prev, 1 << (k - 1)).localCheckpoint(true)
+    }
+  }
+
+  /** The suffix array (truncated at `maxLen` chars): positions with
+    * their final rank, plus the doc's truncated suffix length. Ties
+    * (identical `maxLen`-suffixes) share a rank. */
+  def suffixArray(documents: DataFrame, maxLen: Int): DataFrame = {
+    val levels = rankLevels(documents, maxLen)
+    withSuffixLen(documents, levels.last, maxLen)
+  }
+
+  private def withSuffixLen(documents: DataFrame, ranks: DataFrame,
+                            maxLen: Int): DataFrame =
+    ranks.join(
+        documents.select(col("doc_id"),
+          least(length(col("text")), lit(maxLen)).cast("long").as("n")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("rank"),
+        (col("n") - col("pos")).as("suffix_len"))
+
+  /** Longest repeated substrings, group-level: one row per
+    * rank-adjacency in the (truncated) suffix array with the exact
+    * longest-common-prefix length. Two families:
+    *
+    *  - EQUAL final rank (identical truncated suffixes): lcp = the
+    *    common truncated suffix length; the emitted pair is the two
+    *    lexicographically-smallest `(doc_id, pos)` members.
+    *  - CONSECUTIVE final ranks `r, r+1` (dense ranks — adjacency is
+    *    a join on `rank_b = rank_a + 1`, no global sequence window):
+    *    lcp computed by the classic greedy rank-table walk — for
+    *    level `k = K..0`, if the level-`k` ranks of both suffixes
+    *    shifted by the running lcp agree, advance by `2^k`. Because
+    *    all members of a rank group share the same truncated suffix,
+    *    the representative choice cannot change the lcp.
+    *
+    * The maximum lcp over all suffix pairs is attained at an adjacent
+    * pair in suffix order (the classic SA result), so the top rows
+    * ARE the corpus's longest repeated substrings (capped at
+    * `maxLen`; the greedy walk can overshoot into the padding only
+    * when both remainders are identical, so capping by the shorter
+    * remaining length is exact). Per-pair cost: K+1 rank lookups —
+    * linear in rank boundaries, never quadratic in positions. */
+  def longestRepeated(documents: DataFrame, maxLen: Int): DataFrame = {
+    val levels = rankLevels(documents, maxLen)
+    val sa = withSuffixLen(documents, levels.last, maxLen)
+      .localCheckpoint(true)
+
+    // representatives: per final rank, the two smallest (doc,pos)
+    // members + the shortest member suffix length. Group size = the
+    // multiplicity of one exact duplicated suffix — bounded by the
+    // duplicate cluster size, not the corpus.
+    val reps = sa
+      .groupBy(col("rank"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("m1"),
+        slice(sort_array(collect_list(struct(col("doc_id"), col("pos")))),
+          2, 1).as("m2s"),
+        count(lit(1)).as("members"),
+        min(col("suffix_len")).as("min_len"))
+      .localCheckpoint(true)
+
+    // family 1: identical truncated suffixes — lcp = shared length.
+    val equalPairs = reps.filter(col("members") >= 2)
+      .select(col("m1.doc_id").as("doc_a"), col("m1.pos").as("pos_a"),
+        element_at(col("m2s"), 1).getField("doc_id").as("doc_b"),
+        element_at(col("m2s"), 1).getField("pos").as("pos_b"),
+        col("min_len").as("lcp"))
+
+    // family 2: consecutive ranks — greedy LCP walk over the levels.
+    val adj = reps.as("x")
+      .join(reps.as("y"), col("y.rank") === col("x.rank") + 1)
+      .select(col("x.m1.doc_id").as("doc_a"), col("x.m1.pos").as("pos_a"),
+        col("y.m1.doc_id").as("doc_b"), col("y.m1.pos").as("pos_b"),
+        least(col("x.min_len"), col("y.min_len")).as("cap"),
+        lit(0L).as("lcp"))
+    // each walk step is checkpointed too: the running-lcp CASE nests
+    // once per level and the frontier chains 8 joins otherwise.
+    val walked = levels.indices.reverse.foldLeft(adj) { (front, k) =>
+      val lk = levels(k)
+      val ra = lk.select(col("doc_id").as("__da"),
+        col("pos").as("__pa"), col("rank").as("__ra"))
+      val rb = lk.select(col("doc_id").as("__db"),
+        col("pos").as("__pb"), col("rank").as("__rb"))
+      front
+        .join(ra, col("doc_a") === col("__da") &&
+          col("pos_a") + col("lcp") === col("__pa"), "left")
+        .join(rb, col("doc_b") === col("__db") &&
+          col("pos_b") + col("lcp") === col("__pb"), "left")
+        .withColumn("lcp",
+          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+            col("lcp") + (1L << k)).otherwise(col("lcp")))
+        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+        .localCheckpoint(true)
+    }
+    val adjPairs = walked
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        least(col("lcp"), col("cap")).as("lcp"))
+
+    equalPairs.unionByName(adjPairs)
+  }
+}

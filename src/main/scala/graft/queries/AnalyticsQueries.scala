@@ -1995,7 +1995,97 @@ object AnalyticsQueries {
       FROM dg, t ORDER BY d
     """.trim))
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex-paper estimator):
+    * with n samples per problem of which c pass, pass@k =
+    * 1 − C(n−c,k)/C(n,k), computed as the falling-factorial ratio
+    * ff(n−c,k)/ff(n,k) so no binomial ever materializes. Fixed n = 20
+    * samples per problem (the standard protocol — and what keeps the
+    * integer arithmetic exact: ff(20,10)·10^6 < 2^63): each user_id
+    * is a "problem", its first 20 events by time the samples, and
+    * `purchase` the pass criterion. Problems with fewer than 20
+    * events are excluded (the estimator is undefined below k).
+    * When n−c < k some falling-factorial term is zero, so the plain
+    * product already yields pass@k = 1 — no special-casing. Exact
+    * integer ppm end-to-end; the mean over problems is an integer
+    * division.
+    *
+    * Scale shape: one per-user window (first 20), one per-user
+    * aggregate, then a 1-row rollup unpivoted to the three k rows —
+    * everything past the scan moves O(problems) rows. */
+  val qEvalPassk: Q = {
+    val ks = Seq(1, 5, 10)
+    // Π_{i=0..k-1}(x - i) as SQL over column c with x = 20 - c
+    def ffSql(k: Int): String =
+      (0 until k).map(i => s"(20 - c - $i)").mkString(" * ")
+    val ff20 = ks.map(k => k -> (0 until k)
+      .map(i => 20L - i).product).toMap
+    Q(
+      "q_eval_passk",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val perProb = Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (col("event_type") === "purchase").as("pass"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("c"))
+          .filter(col("n") === 20)
+        val ppm = ks.foldLeft(perProb) { (df, k) =>
+          df.withColumn(s"ppm$k",
+            expr(s"1000000 - (1000000 * (${ffSql(k)})) div ${ff20(k)}"))
+        }
+        ppm.groupBy()
+          .agg(count(lit(1)).as("n_problems"),
+            ks.flatMap(k => Seq(
+              sum(col(s"ppm$k")).as(s"s$k"),
+              min(col(s"ppm$k")).as(s"mn$k"),
+              max(col(s"ppm$k")).as(s"mx$k"))): _*)
+          .selectExpr("n_problems",
+            s"stack(${ks.size}, " + ks.map(k =>
+              s"$k, s$k div n_problems, mn$k, mx$k").mkString(", ") +
+              ") as (k, mean_passk_ppm, min_ppm, max_ppm)")
+          .select(col("k").cast("long").as("k"), col("n_problems"),
+            col("mean_passk_ppm"), col("min_ppm"), col("max_ppm"))
+          .orderBy(col("k"))
+      },
+      Some(s"""
+      WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      prob AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c
+        FROM ranked WHERE rn <= 20 GROUP BY user_id),
+      p AS (SELECT * FROM prob WHERE n = 20),
+      ppm AS (
+        SELECT user_id,
+               ${ks.map(k => s"1000000 - (1000000 * (${ffSql(k)})) " +
+                 s"// ${ff20(k)} AS ppm$k").mkString(",\n               ")}
+        FROM p),
+      agg AS (
+        SELECT count(*) AS n_problems,
+               ${ks.map(k => s"CAST(sum(ppm$k) AS BIGINT) AS s$k, " +
+                 s"CAST(min(ppm$k) AS BIGINT) AS mn$k, " +
+                 s"CAST(max(ppm$k) AS BIGINT) AS mx$k")
+                 .mkString(",\n               ")}
+        FROM ppm)
+      ${ks.map(k =>
+        s"SELECT CAST($k AS BIGINT) AS k, n_problems, " +
+        s"CAST(s$k // n_problems AS BIGINT) AS mean_passk_ppm, " +
+        s"mn$k AS min_ppm, mx$k AS max_ppm FROM agg")
+        .mkString("\n      UNION ALL\n      ")}
+      ORDER BY k
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(
+    qEvalPassk,
     qBenford,
     qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
     qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,

@@ -1384,10 +1384,87 @@ object CurationQueries {
       FROM base GROUP BY source ORDER BY source
     """.trim))
 
+  /** Padding-waste audit for length-bucketed BATCHING — the other
+    * half of the window-layout story: `q_seq_pack` packs documents
+    * into fixed training windows; this prices the inference/eval-time
+    * alternative of padding each sequence to its batch bucket's
+    * width. Three public bucketing strategies over the per-doc token
+    * count, all computed in one scan:
+    *   - `pow2`   — pad to the next power of two (dynamic-shape
+    *                bucketing as deployed by XLA-style compilers);
+    *   - `lin64`  — pad to the next multiple of 64 (fixed-stride
+    *                buckets);
+    *   - `max`    — pad every sequence to the corpus max (the naive
+    *                single-shape batch).
+    * Per strategy: total real tokens, total padded slots, the waste
+    * share in exact ppm, and the bucket count (distinct shapes — the
+    * recompilation cost axis). The `max` strategy needs the global
+    * max: a 1-row aggregate broadcast back, never a global window.
+    *
+    * Scale shape: per-doc token counts ride one scan; each strategy is
+    * an integer expression per row + one rollup; `n_buckets` is a
+    * distinct over ≤ log2(maxlen) / (maxlen/64) values. */
+  val qBatchPadWaste: Q = Q(
+    "q_batch_pad_waste",
+    (spark, dir) => {
+      val d = Tables.documents(spark, dir)
+        .select(TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      // next power of two ≥ n, integer-exact: 1 << bitlength(n-1).
+      // (2^ceil(log2(n)) in doubles is a cross-engine hazard: a log
+      // ratio that lands at 6.0000000000000005 ceils to 7.)
+      val toks = d
+        .withColumn("pow2",
+          expr("case when n_tokens <= 1 then cast(1 as bigint) else " +
+            "shiftleft(cast(1 as bigint), length(bin(n_tokens - 1))) end"))
+        .withColumn("lin64", expr("((n_tokens + 63) div 64) * 64"))
+      val mx = toks.agg(max(col("n_tokens")).as("mx"))
+      val withMax = toks.crossJoin(broadcast(mx))
+      withMax.select(
+          expr("stack(3, 'pow2', pow2, 'lin64', lin64, 'max', mx)")
+            .as(Seq("strategy", "padded")),
+          col("n_tokens"))
+        .groupBy(col("strategy"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("padded")).as("padded_slots"),
+          countDistinct(col("padded")).as("n_buckets"))
+        .withColumn("waste_ppm",
+          expr("(padded_slots - tokens) * 1000000 div padded_slots"))
+        .orderBy(col("strategy"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      t AS (
+        SELECT n_tokens,
+               CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) << length(bin(n_tokens - 1))
+               END AS pow2,
+               ((n_tokens + 63) // 64) * 64 AS lin64,
+               (SELECT max(n_tokens) FROM d) AS mx
+        FROM d),
+      s AS (
+        SELECT 'pow2' AS strategy, n_tokens, pow2 AS padded FROM t
+        UNION ALL
+        SELECT 'lin64', n_tokens, lin64 FROM t
+        UNION ALL
+        SELECT 'max', n_tokens, mx FROM t)
+      SELECT strategy, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             CAST(sum(padded) AS BIGINT) AS padded_slots,
+             CAST(count(DISTINCT padded) AS BIGINT) AS n_buckets,
+             CAST((sum(padded) - sum(n_tokens)) * 1000000
+               // sum(padded) AS BIGINT) AS waste_ppm
+      FROM s GROUP BY strategy ORDER BY strategy
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
     qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
     qDsirScore, qDsirResample, qDsirBudget, qDedupSubstringSpans,
-    qDedupSubstringApply)
+    qDedupSubstringApply, qBatchPadWaste)
 }
