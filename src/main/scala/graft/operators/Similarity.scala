@@ -293,6 +293,58 @@ object Similarity {
       .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("cell"))
 
+  /** Incremental IVF maintenance — the centroid-index sibling of
+    * [[nnDescentAppend]]: the last `batchSize` vectors arrive as an
+    * append batch against an index whose centroids were Lloyd-trained
+    * on the BASE corpus only and are FROZEN (re-training on every
+    * ingest batch is exactly what a production vector index avoids —
+    * it would invalidate all stored assignments). Batch vectors take
+    * the same in-row nearest-centroid assignment the base took
+    * ([[assignCells]]: broadcast centroid array, no shuffle), and the
+    * output is the per-cell maintenance manifest: base/new/total
+    * occupancy, the batch's share of each cell in exact ppm, and the
+    * `needs_split` rebalance flag (cell > 2× the mean post-append
+    * load — the trigger a cell-splitting compactor runs on).
+    *
+    * Scale shape: centroid training is the existing bounded Lloyd
+    * loop on the base; both assignments are pure scans; everything
+    * downstream is O(cells). The append path adds ZERO shuffles over
+    * the batch beyond its one occupancy aggregate. */
+  def ivfAppend(embeddings: DataFrame, numCentroids: Int,
+                iterations: Int, batchSize: Int): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    // split boundary + corpus size: one scalar aggregate, the
+    // established append-batch convention of the incremental family
+    val head = emb.agg(max(col("vec_id")).as("mx"),
+      count(lit(1)).as("n")).head()
+    val m = head.getLong(0) - (batchSize - 1)
+    val nAll = head.getLong(1)
+    val base = prepared(emb.filter(col("vec_id") < m))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = prepared(emb.filter(col("vec_id") >= m))
+    val cents = lloydFromCorpus(base, numCentroids, iterations)
+    val nBase = assignCells(base, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val nNew = assignCells(batch, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    val occ = cents.select(col("cell"))
+      .join(nBase, Seq("cell"), "left")
+      .join(nNew, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+    occ
+      .withColumn("new_share_ppm",
+        when(col("n_total") > 0,
+          expr("n_new * 1000000 div n_total")).otherwise(lit(0L)))
+      .withColumn("needs_split",
+        col("n_total") * numCentroids > lit(2L * nAll))
+      .select(col("cell"), col("n_base"), col("n_new"), col("n_total"),
+        col("new_share_ppm"), col("needs_split"))
+      .orderBy(col("cell"))
+  }
+
   /** IVF search: query vectors look only inside their `probes` nearest
     * cells — the join on `cell` is what makes ANN sub-linear; the
     * searched fraction is ~probes/C of the corpus instead of all of it.

@@ -628,7 +628,214 @@ object GraphQueries {
       ORDER BY brand
     """.trim))
 
+  /** Louvain-style community DETECTION (one level, synchronous local
+    * moves — the distributed Louvain variant: every node re-evaluates
+    * its community simultaneously per round, which is what a
+    * data-parallel engine can do deterministically; classic Louvain's
+    * sequential sweep has no parallel analog). `q_graph_modularity`
+    * SCORES a given partition; this one finds it. Three fixed rounds:
+    * each node v considers its neighbors' communities plus its own
+    * and takes the argmax of the modularity gain, compared in EXACT
+    * integers — ΔQ(v→c) ∝ k_{v,c}/m − d_v·Σtot_c/(2m²), scaled by 2m²
+    * to `2m·k_{v,c} − d_v·Σtot'_c` (Σtot'_c excludes v itself when
+    * c is v's current community, the standard leave-before-evaluate
+    * rule); ties break to the lower community id. Unconstrained
+    * synchronous moves OSCILLATE (two connected singletons adopt each
+    * other's community forever — the known failure of parallel local
+    * moves), so rounds alternate move eligibility by node-id parity
+    * (round i lets only `node % 2 = i % 2` move — the 2-coloring
+    * symmetry break of the distributed-Louvain literature; a swap
+    * needs both endpoints moving at once, which parity forbids).
+    * Output is the
+    * (metric, value) signature: community count, largest community,
+    * singleton count, intra-community edges, the partition's
+    * modularity in nanos (same arithmetic as `q_graph_modularity`),
+    * and per-round move counts (monotone convergence evidence).
+    *
+    * Scale shape per round: one Σdegree aggregate keyed by community,
+    * one neighbor-community count keyed by (node, community) — both
+    * linear in edges; the argmax is a `min(struct)` aggregate per
+    * node, never a window; community totals join on the community
+    * key (shuffle, not broadcast — community count is unbounded).
+    * Round frames are localCheckpoint'ed (iterative-plan rule). */
+  val qGraphLouvain: Q = {
+    val rounds = 3
+    Q(
+      "q_graph_louvain",
+      (spark, dir) => {
+        val e = edges(spark, dir)
+        val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val mEdges = e.count()
+        var comm = deg.select(col("node"), col("node").as("comm"))
+          .localCheckpoint(true)
+        val movedCounts = Seq.newBuilder[Long]
+        for (i <- 1 to rounds) {
+          val cur = comm.select(col("node"), col("comm").as("ccur"))
+          val tot = comm.join(deg, Seq("node"))
+            .groupBy(col("comm").as("c")).agg(sum(col("d")).as("tot"))
+          val kvc = sym
+            .join(comm.select(col("node").as("dst"), col("comm").as("c")),
+              Seq("dst"))
+            .groupBy(col("src").as("node"), col("c"))
+            .agg(count(lit(1)).as("kv"))
+          // candidate set = neighbor communities ∪ {current}; when the
+          // current community is also a neighbor community it appears
+          // twice — max(kv) keeps the real neighbor count over the 0
+          val cand = kvc
+            .unionByName(cur.select(col("node"), col("ccur").as("c"),
+              lit(0L).as("kv")))
+            .groupBy(col("node"), col("c")).agg(max(col("kv")).as("kv"))
+          val next = cand
+            .join(deg, Seq("node")).join(cur, Seq("node"))
+            .join(tot, Seq("c"))
+            .select(col("node"),
+              struct(
+                (lit(-2L) * mEdges * col("kv") + col("d") *
+                  (col("tot") - when(col("c") === col("ccur"), col("d"))
+                    .otherwise(lit(0L)))).as("negscore"),
+                col("c")).as("sc"))
+            .groupBy(col("node")).agg(min(col("sc")).as("best"))
+            .join(cur, Seq("node"))
+            .select(col("node"),
+              when(pmod(col("node"), lit(2L)) === (i % 2),
+                col("best").getField("c")).otherwise(col("ccur"))
+                .as("comm"))
+            .localCheckpoint(true)
+          movedCounts += next.join(cur, Seq("node"))
+            .filter(col("comm") =!= col("ccur")).count()
+          comm = next
+        }
+        val lab = e
+          .join(comm.select(col("node").as("pa"), col("comm").as("ca")),
+            Seq("pa"))
+          .join(comm.select(col("node").as("pb"), col("comm").as("cb")),
+            Seq("pb"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val eC = lab.filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+        val dC = comm.join(deg, Seq("node"))
+          .groupBy(col("comm").as("c")).agg(sum(col("d")).as("d_c"))
+        val qNanos = dC.join(eC, Seq("c"), "left")
+          .select((expr(s"coalesce(e_c, 0) * 1000000000 div $mEdges")
+            - floor(col("d_c").cast("double") * col("d_c")
+              / (lit(4.0) * mEdges.toDouble * mEdges.toDouble) * lit(1e9))
+              .cast("long")).as("contrib"))
+          .agg(sum(col("contrib")).as("v"))
+          .select(lit("q_nanos").as("metric"), col("v").as("value"))
+        val sizes = comm.groupBy(col("comm"))
+          .agg(count(lit(1)).as("sz"))
+        val shape = sizes.agg(
+            count(lit(1)).as("n_communities"),
+            max(col("sz")).as("max_size"),
+            sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singletons"))
+          .selectExpr("stack(3, 'n_communities', n_communities, " +
+            "'max_size', max_size, 'singletons', singletons) " +
+            "as (metric, value)")
+        val intra = lab.filter(col("ca") === col("cb"))
+          .agg(count(lit(1)).as("v"))
+          .select(lit("intra_edges").as("metric"), col("v").as("value"))
+        val moved = movedCounts.result().zipWithIndex.map { case (n, i) =>
+          (s"moved_r${i + 1}", n)
+        }
+        val spark2 = comm.sparkSession
+        import spark2.implicits._
+        shape.unionByName(intra).unionByName(qNanos)
+          .unionByName(moved.toDF("metric", "value"))
+          .orderBy(col("metric"))
+      },
+      Some {
+        val roundCtes = (1 to rounds).map { i =>
+          s"""
+      tot$i AS MATERIALIZED (
+        SELECT c.comm AS c, CAST(sum(d.d) AS BIGINT) AS tot
+        FROM c${i - 1} c JOIN deg d USING (node) GROUP BY c.comm),
+      kvc$i AS (
+        SELECT s.src AS node, c.comm AS c, CAST(count(*) AS BIGINT) AS kv
+        FROM sym s JOIN c${i - 1} c ON c.node = s.dst
+        GROUP BY s.src, c.comm),
+      cand$i AS (
+        SELECT node, c, max(kv) AS kv FROM (
+          SELECT node, c, kv FROM kvc$i
+          UNION ALL
+          SELECT node, comm AS c, CAST(0 AS BIGINT) AS kv FROM c${i - 1})
+        GROUP BY node, c),
+      sc$i AS (
+        SELECT a.node, a.c,
+               2 * mm.m * a.kv - d.d *
+                 (t.tot - CASE WHEN a.c = cu.comm THEN d.d ELSE 0 END)
+                 AS score
+        FROM cand$i a
+        JOIN deg d USING (node)
+        JOIN c${i - 1} cu ON cu.node = a.node
+        JOIN tot$i t ON t.c = a.c, mm),
+      c$i AS MATERIALIZED (
+        SELECT b.node,
+               CASE WHEN b.node % 2 = ${i % 2} THEN b.c ELSE p.comm END
+                 AS comm
+        FROM (
+          SELECT node, c FROM (
+            SELECT node, c, row_number() OVER (PARTITION BY node
+              ORDER BY score DESC, c) AS rn
+            FROM sc$i)
+          WHERE rn = 1) b
+        JOIN c${i - 1} p USING (node)),
+      mv$i AS (
+        SELECT CAST(count(*) AS BIGINT) AS v
+        FROM c$i a JOIN c${i - 1} b USING (node)
+        WHERE a.comm <> b.comm)"""
+        }.mkString(",")
+        s"""
+      WITH $edgesCte,
+      sym AS MATERIALIZED (
+        SELECT pa AS src, pb AS dst FROM e
+        UNION ALL SELECT pb, pa FROM e),
+      deg AS MATERIALIZED (
+        SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      c0 AS MATERIALIZED (SELECT node, node AS comm FROM deg),$roundCtes,
+      lab AS MATERIALIZED (
+        SELECT e.pa, e.pb, ca.comm AS ca, cb.comm AS cb
+        FROM e
+        JOIN c$rounds ca ON ca.node = e.pa
+        JOIN c$rounds cb ON cb.node = e.pb),
+      ec AS (
+        SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_c
+        FROM lab WHERE ca = cb GROUP BY ca),
+      dc AS (
+        SELECT c.comm AS c, CAST(sum(d.d) AS BIGINT) AS d_c
+        FROM c$rounds c JOIN deg d USING (node) GROUP BY c.comm),
+      qn AS (
+        SELECT CAST(sum(
+          coalesce(ec.e_c, 0) * 1000000000 // mm.m
+          - CAST(floor(CAST(dc.d_c AS DOUBLE) * dc.d_c
+              / (4.0 * CAST(mm.m AS DOUBLE) * mm.m) * 1e9) AS BIGINT))
+          AS BIGINT) AS v
+        FROM dc LEFT JOIN ec USING (c), mm),
+      sizes AS (
+        SELECT comm, CAST(count(*) AS BIGINT) AS sz
+        FROM c$rounds GROUP BY comm)
+      SELECT 'intra_edges' AS metric,
+             CAST(count(*) AS BIGINT) AS value FROM lab WHERE ca = cb
+      UNION ALL SELECT 'max_size', max(sz) FROM sizes
+      UNION ALL SELECT 'n_communities', CAST(count(*) AS BIGINT) FROM sizes
+      UNION ALL SELECT 'singletons',
+        CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM sizes
+      UNION ALL SELECT 'q_nanos', v FROM qn
+      ${(1 to rounds).map(i =>
+          s"UNION ALL SELECT 'moved_r$i', v FROM mv$i").mkString("\n      ")}
+      ORDER BY metric
+    """.trim
+      })
+  }
+
   def all: Seq[Q] = Seq(qGraphEdgesBuild, qGraphDegree, qGraphTriangles,
     qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore,
-    qGraphClustering, qGraphAssortativity, qGraphBfs, qGraphModularity)
+    qGraphClustering, qGraphAssortativity, qGraphBfs, qGraphModularity,
+    qGraphLouvain)
 }

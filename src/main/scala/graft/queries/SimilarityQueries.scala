@@ -87,9 +87,10 @@ object SimilarityQueries {
     * then the cell mean over integer-millionth-quantized components
     * cast to float — bit-identical centroids on both engines. Ends at
     * table `cents$iterations(cell, cvec)`. */
-  private def lloydCte(c: Int, iterations: Int): String = {
+  private def lloydCte(c: Int, iterations: Int,
+                       from: String = "embeddings"): String = {
     val parts = Seq.newBuilder[String]
-    parts += s"cents0 AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < $c)"
+    parts += s"cents0 AS (SELECT vec_id AS cell, embedding AS cvec FROM $from WHERE vec_id < $c)"
     for (i <- 1 to iterations) {
       parts += s"""
       asg$i AS (
@@ -97,13 +98,13 @@ object SimilarityQueries {
           SELECT e.vec_id, c.cell,
                  row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
-          FROM embeddings e, cents${i - 1} c)
+          FROM $from e, cents${i - 1} c)
         WHERE rn = 1),
       qv$i AS (
         SELECT a.cell,
                unnest([{'pos': i, 'qv': CAST(floor(e.embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT)}
                        FOR i IN generate_series(1, len(e.embedding))], recursive := true)
-        FROM embeddings e JOIN asg$i a USING (vec_id)),
+        FROM $from e JOIN asg$i a USING (vec_id)),
       cents$i AS (
         SELECT cell, list(CAST(mv AS FLOAT) ORDER BY pos) AS cvec FROM (
           SELECT cell, pos, sum(qv) / (1000000.0 * count(*)) AS mv
@@ -2575,6 +2576,60 @@ object SimilarityQueries {
     """.trim))
   }
 
+  /** Incremental IVF maintenance
+    * ([[graft.operators.Similarity.ivfAppend]]): the last 8 vectors
+    * arrive against an index whose 8 Lloyd-refined centroids were
+    * trained on the BASE corpus and are frozen (re-training per
+    * ingest batch would invalidate every stored assignment); output
+    * is the per-cell maintenance manifest — base/new/total occupancy,
+    * the batch's share in exact ppm, and the `needs_split` rebalance
+    * flag (post-append load > 2× the mean cell load). The oracle
+    * replays the base-restricted Lloyd loop and both assignments. */
+  val qEmbedIvfAppend: Q = Q(
+    "q_embed_ivf_append",
+    (spark, dir) => Similarity.ivfAppend(Tables.embeddings(spark, dir),
+      numCentroids = 8, iterations = 2, batchSize = 8),
+    Some(s"""
+      WITH mm AS (
+        SELECT max(vec_id) - 7 AS m, 2 * count(*) AS thr FROM embeddings),
+      base AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e, mm
+        WHERE e.vec_id < mm.m),
+      batch AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e, mm
+        WHERE e.vec_id >= mm.m),
+      ${lloydCte(8, 2, "base")},
+      ab AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM base e, cents2 c)
+        WHERE rn = 1),
+      an AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${cosOf("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+          FROM batch e, cents2 c)
+        WHERE rn = 1),
+      nb AS (SELECT cell, count(*) AS n_base FROM ab GROUP BY cell),
+      nn AS (SELECT cell, count(*) AS n_new FROM an GROUP BY cell),
+      occ AS (
+        SELECT c.cell,
+               CAST(coalesce(nb.n_base, 0) AS BIGINT) AS n_base,
+               CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new,
+               CAST(coalesce(nb.n_base, 0) + coalesce(nn.n_new, 0)
+                 AS BIGINT) AS n_total
+        FROM cents2 c LEFT JOIN nb USING (cell) LEFT JOIN nn USING (cell))
+      SELECT cell, n_base, n_new, n_total,
+             CAST(CASE WHEN n_total > 0
+               THEN n_new * 1000000 // n_total ELSE 0 END AS BIGINT)
+               AS new_share_ppm,
+             n_total * 8 > (SELECT thr FROM mm) AS needs_split
+      FROM occ ORDER BY cell
+    """.trim))
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -2585,5 +2640,5 @@ object SimilarityQueries {
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
     qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch,
-    qEmbedBitextMargin, qEmbedGraphAppend)
+    qEmbedBitextMargin, qEmbedGraphAppend, qEmbedIvfAppend)
 }

@@ -73,4 +73,25 @@ class GraphSpec extends AnyFunSuite {
     assert(nEdges >= 1)
     assert(r >= -1.0 && r <= 1.0)
   }
+
+  test("q_graph_louvain: detected partition beats singletons; accounting") {
+    import spark.implicits._
+    val m = q("q_graph_louvain").run(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val nNodes = q("q_graph_degree").run(spark, dir)
+      .agg(sum(col("n_nodes"))).head().getLong(0)
+    val nEdges = q("q_graph_degree").run(spark, dir)
+      .agg(sum(col("degree") * col("n_nodes"))).head().getLong(0) / 2
+    // all-singletons has strictly negative modularity, so finding ANY
+    // structure means q > 0; intra edges and sizes must account
+    assert(m("q_nanos") > 0L, s"no structure found: $m")
+    assert(m("intra_edges") >= 1L && m("intra_edges") <= nEdges)
+    assert(m("max_size") >= 2L)
+    assert(m("singletons") < m("n_communities"))
+    assert(m("n_communities") < nNodes, "nothing merged")
+    Seq("moved_r1", "moved_r2", "moved_r3").foreach { k =>
+      assert(m(k) >= 0L && m(k) <= nNodes)
+    }
+    assert(m("moved_r1") > 0L, "round 1 must move the mergeable nodes")
+  }
 }
