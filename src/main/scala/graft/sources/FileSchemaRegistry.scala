@@ -71,6 +71,15 @@ object FileSchemaRegistry {
   def latest(root: String, subject: String): Option[Registered] =
     versions(root, subject).lastOption.flatMap(get(root, subject, _))
 
+  /** Global-id lookup across all subjects (the `GET /schemas/ids/{id}`
+    * backing). Linear over the registry's few documents — control
+    * plane, never data plane. */
+  def byId(root: String, id: Int): Option[Registered] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory).map(_.getName).sorted
+      .flatMap(s => versions(root, s).flatMap(v => get(root, s, v)))
+      .find(_.id == id)
+
   /** BACKWARD-compatibility violations of `next` against `prev`
     * (empty = compatible). */
   def backwardViolations(prev: ObjectSchema, next: ObjectSchema): Seq[String] = {
