@@ -546,6 +546,150 @@ object SignalQueries {
       GROUP BY lang ORDER BY lang
     """.trim))
 
+  /** Shared oracle WITH-chain replaying the
+    * [[graft.operators.UnigramVocabArtifact]] build: word-frequency
+    * reduction, candidate substring scores, then TWO Viterbi passes
+    * (forward DP unrolled to `MaxLen` rounds, backtrack unrolled the
+    * same way) with the hard-EM score re-estimation between them —
+    * ends at `usage2(piece, c)` (the learned vocabulary) and
+    * `segs2(w, f, piece, step)` (the learned decompositions).
+    * Multiply-referenced CTEs MATERIALIZED (DuckDB otherwise
+    * re-inlines the round chain exponentially). */
+  private def unigramCtes: String = {
+    import graft.operators.UnigramVocabArtifact.{B, MaxLen, PieceMax}
+    def fwd(p: Int, j: Int): String = s"""
+      s${p}_$j AS MATERIALIZED (
+        SELECT w, f, $j AS pos, cost, bl FROM (
+          SELECT d.w, d.f, d.cost + $B - v.c AS cost, $j - d.pos AS bl,
+                 row_number() OVER (PARTITION BY d.w
+                   ORDER BY d.cost + $B - v.c, $j - d.pos) AS rn
+          FROM d${p}_${j - 1} d
+          JOIN vc$p v ON v.piece = substr(d.w, d.pos + 1, $j - d.pos)
+          WHERE len(d.w) >= $j AND d.pos >= ${j - PieceMax})
+        WHERE rn = 1),
+      d${p}_$j AS MATERIALIZED (
+        SELECT w, f, pos, cost FROM d${p}_${j - 1}
+        UNION ALL SELECT w, f, pos, cost FROM s${p}_$j)"""
+    def bwd(p: Int, t: Int): String = s"""
+      b${p}_$t AS MATERIALIZED (
+        SELECT b.w, b.f, substr(b.w, b.pos - k.bl + 1, k.bl) AS piece,
+               $t AS step, b.pos - k.bl AS pos
+        FROM b${p}_${t - 1} b
+        JOIN back$p k ON k.w = b.w AND k.pos = b.pos
+        WHERE b.pos > 0)"""
+    def pass(p: Int): String = s"""
+      d${p}_0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM words),
+      ${(1 to MaxLen).map(fwd(p, _)).mkString(",")},
+      back$p AS (${(1 to MaxLen)
+        .map(j => s"SELECT w, pos, bl FROM s${p}_$j")
+        .mkString(" UNION ALL ")}),
+      b${p}_0 AS (SELECT w, f, len(w) AS pos FROM words),
+      ${(1 to MaxLen).map(bwd(p, _)).mkString(",")},
+      segs$p AS (${(1 to MaxLen)
+        .map(t => s"SELECT w, f, piece, step FROM b${p}_$t")
+        .mkString(" UNION ALL ")}),
+      usage$p AS MATERIALIZED (
+        SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM segs$p GROUP BY piece)"""
+    s"""words AS MATERIALIZED (
+        SELECT w, count(*) AS f FROM (
+          SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+        WHERE len(w) > 0 AND len(w) <= $MaxLen GROUP BY w),
+      vc1 AS MATERIALIZED (
+        SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT f, substr(w, i, L) AS piece
+          FROM words, generate_series(1, $PieceMax) t(L),
+               generate_series(1, $MaxLen) s(i)
+          WHERE i + L - 1 <= len(w))
+        GROUP BY piece),
+      ${pass(1)},
+      chars AS (
+        SELECT DISTINCT substr(w, i, 1) AS piece
+        FROM words, generate_series(1, $MaxLen) s(i) WHERE i <= len(w)),
+      vc2 AS MATERIALIZED (
+        SELECT piece, CAST(coalesce(u.c, 0) AS BIGINT) AS c
+        FROM chars LEFT JOIN usage1 u USING (piece)
+        UNION ALL SELECT piece, c FROM usage1 WHERE len(piece) > 1),
+      ${pass(2)}"""
+  }
+
+  /** The unigram-LM tokenizer BUILD step run as the registered
+    * artifact query: [[graft.operators.UnigramVocabArtifact]] learns
+    * the SentencePiece-unigram-family vocabulary — candidate
+    * substring scores, exact-integer Viterbi segmentation of the
+    * word-frequency table, one hard-EM re-estimation round, then a
+    * re-segmentation under the re-estimated scores. Output is the
+    * learned vocabulary with usage counts; `q_fertility_unigram`
+    * consumes the stored decompositions. Corpus size enters once (the
+    * word reduction); every DP round is distinct-word-table-sized. */
+  val qUnigramVocab: Q = Q(
+    "q_unigram_vocab",
+    (spark, dir) => {
+      graft.operators.UnigramVocabArtifact.materialize(spark, dir)
+      graft.operators.UnigramVocabArtifact.vocab(spark, dir)
+        .orderBy(col("c").desc, col("piece"))
+    },
+    Some(s"""
+      WITH $unigramCtes
+      SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, c
+      FROM usage2 ORDER BY c DESC, piece
+    """.trim))
+
+  /** Tokenizer fertility under the LEARNED unigram vocabulary — the
+    * unigram twin of [[qFertilityLearned]], so the two standard
+    * subword families can be compared per language on identical
+    * metrics. Words outside the DP domain (longer than `MaxLen`;
+    * none in this corpus) take the documented one-char-per-piece
+    * fallback via the LEFT join. One (lang, word) aggregate joined to
+    * the vocab-sized artifact — the corpus is never re-segmented per
+    * language. */
+  val qFertilityUnigram: Q = Q(
+    "q_fertility_unigram",
+    (spark, dir) => {
+      val reprs = graft.operators.UnigramVocabArtifact.reprs(spark, dir)
+        .select(col("w"), col("n_pieces"))
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("fl"))
+        .join(reprs, Seq("w"), "left")
+        .select(col("lang"), col("fl"), col("w"),
+          coalesce(col("n_pieces"), length(col("w")).cast("long"))
+            .as("np"))
+        .groupBy(col("lang"))
+        .agg(sum(col("fl")).as("n_words"),
+          sum(col("fl") * col("np")).as("subword_tokens"),
+          sum(col("fl") * length(col("w")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("subword_tokens"),
+          col("n_chars"),
+          expr("subword_tokens * 1000000 div n_words").as("fertility_micros"),
+          expr("n_chars * 1000000 div subword_tokens")
+            .as("chars_per_subword_micros"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH $unigramCtes,
+      nsym AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+        FROM segs2 GROUP BY w),
+      wl AS (
+        SELECT lang, w, count(*) AS fl FROM (
+          SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY lang, w)
+      SELECT lang, CAST(sum(fl) AS BIGINT) AS n_words,
+             CAST(sum(fl * coalesce(n_pieces, len(w))) AS BIGINT)
+               AS subword_tokens,
+             CAST(sum(fl * len(w)) AS BIGINT) AS n_chars,
+             CAST(sum(fl * coalesce(n_pieces, len(w))) * 1000000 // sum(fl)
+               AS BIGINT) AS fertility_micros,
+             CAST(sum(fl * len(w)) * 1000000
+               // sum(fl * coalesce(n_pieces, len(w))) AS BIGINT)
+               AS chars_per_subword_micros
+      FROM wl LEFT JOIN nsym USING (w)
+      GROUP BY lang ORDER BY lang
+    """.trim))
+
   /** Unseen-species estimation per source, one step past
     * [[qTextHapax]]'s observed shares: how much vocabulary the sample
     * has NOT seen yet. Chao1 (bias-corrected: V + F1(F1−1)/(2(F2+1)),
@@ -1210,6 +1354,7 @@ object SignalQueries {
 
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qBpeVocab, qFertilityLearned,
+    qUnigramVocab, qFertilityUnigram,
     qChaoRichness, qTextHeaps, qTextBurstiness,
     qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
     qPrefKappa, qPrefFleiss, qPrefPairsExport)
