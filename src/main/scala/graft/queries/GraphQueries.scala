@@ -834,8 +834,131 @@ object GraphQueries {
       })
   }
 
+  /** Bounded-hop Brandes betweenness from the K=8 highest-degree
+    * hubs — the centrality the family lacked: degree says how
+    * CONNECTED a part is, PageRank how ENDORSED, betweenness how much
+    * it BROKERS (lies on shortest paths between others). The exact
+    * algorithm is Brandes 2001; this is the standard sampled +
+    * hop-bounded estimator (K sources, H=4 hops) every distributed
+    * implementation ships, with the two Brandes passes run as
+    * fixed-round frame algebra: FORWARD, per source, 4 frontier
+    * rounds accumulate shortest-path counts σ (new layer = frontier ⋈
+    * edges, σ summed over predecessors, anti-joined against earlier
+    * layers); BACKWARD, 3 rounds accumulate the dependency δ(v) =
+    * Σ_w σ_v·(1 + δ(w))/σ_w down the BFS DAG in exact integer ppm
+    * (floor per edge term, identical order both engines). Per round
+    * the work is K × |edge artifact| — linear, never all-pairs; the
+    * oracle unrolls the identical rounds. Output: top 20 brokers by
+    * accumulated dependency. */
+  val qGraphBetweenness: Q = {
+    val K = 8; val H = 4
+    Q(
+      "q_graph_betweenness",
+      (spark, dir) => {
+        import graft.operators.Frames
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val e = edges(spark, dir)
+        val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+          .persist(lvl)
+        val seeds = sym.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("degree"))
+          .orderBy(col("degree").desc, col("node")).limit(K)
+          .select(col("node").as("s"))
+        // forward: per-source BFS layers carrying path counts σ
+        val l0 = Frames.snapshot(seeds.select(col("s"),
+          col("s").as("node"), lit(0).as("dist"), lit(1L).as("sigma")))
+        var layers = Vector(l0)
+        var frontier = l0
+        for (h <- 1 to H) {
+          val seen = layers.map(_.select(col("s"), col("node")))
+            .reduce(_ unionAll _)
+          val next = Frames.snapshot(
+            frontier.join(sym, frontier("node") === sym("src"))
+              .select(col("s"), col("dst").as("n2"), col("sigma"))
+              .groupBy(col("s"), col("n2"))
+              .agg(sum(col("sigma")).as("sigma"))
+              .join(seen.select(col("s"), col("node").as("n2")),
+                Seq("s", "n2"), "left_anti")
+              .select(col("s"), col("n2").as("node"), lit(h).as("dist"),
+                col("sigma")))
+          layers = layers :+ next
+          frontier = next
+        }
+        // backward: dependency δ in exact ppm down the BFS DAG
+        var deltaNext = layers(H).select(col("s"), col("node"),
+          lit(0L).as("delta_ppm"))
+        val contribs = Vector.newBuilder[org.apache.spark.sql.DataFrame]
+        for (h <- (H - 1) to 1 by -1) {
+          val lv = layers(h).select(col("s"), col("node").as("v"),
+            col("sigma").as("sv"))
+          val lw = layers(h + 1).select(col("s"), col("node").as("wn"),
+            col("sigma").as("sw"))
+            .join(deltaNext.select(col("s"), col("node").as("wn"),
+              col("delta_ppm").as("dw")), Seq("s", "wn"))
+          val agg = lv.join(sym, lv("v") === sym("src"))
+            .select(col("s"), col("v"), col("sv"), col("dst").as("wn"))
+            .join(lw, Seq("s", "wn"))
+            .select(col("s"), col("v"),
+              expr("sv * (1000000 + dw) div sw").as("c"))
+            .groupBy(col("s"), col("v")).agg(sum(col("c")).as("d"))
+          val d = Frames.snapshot(
+            lv.select(col("s"), col("v"))
+              .join(agg, Seq("s", "v"), "left")
+              .select(col("s"), col("v").as("node"),
+                coalesce(col("d"), lit(0L)).as("delta_ppm")))
+          contribs += d
+          deltaNext = d
+        }
+        contribs.result().reduce(_ unionAll _)
+          .groupBy(col("node")).agg(sum(col("delta_ppm")).as("bc_ppm"))
+          .orderBy(col("bc_ppm").desc, col("node")).limit(20)
+      },
+      Some {
+        def fwd(h: Int): String = s"""
+      l$h AS MATERIALIZED (
+        SELECT s, node, $h AS dist, sigma FROM (
+          SELECT f.s, y.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+          FROM l${h - 1} f JOIN sym y ON y.src = f.node
+          GROUP BY f.s, y.dst) q
+        WHERE NOT EXISTS (SELECT 1 FROM lall${h - 1} p
+                          WHERE p.s = q.s AND p.node = q.node)),
+      lall$h AS MATERIALIZED (
+        SELECT s, node FROM lall${h - 1}
+        UNION ALL SELECT s, node FROM l$h)"""
+        def bwd(h: Int): String = s"""
+      d$h AS MATERIALIZED (
+        SELECT v.s, v.node,
+               CAST(coalesce(sum(v.sigma * (1000000 + dn.delta_ppm)
+                 // lw.sigma), 0) AS BIGINT) AS delta_ppm
+        FROM l$h v
+        LEFT JOIN sym y ON y.src = v.node
+        LEFT JOIN l${h + 1} lw ON lw.s = v.s AND lw.node = y.dst
+        LEFT JOIN d${h + 1} dn ON dn.s = v.s AND dn.node = y.dst
+        GROUP BY v.s, v.node)"""
+        s"""
+      WITH $edgesCte,
+      sym AS (SELECT pa AS src, pb AS dst FROM e
+              UNION ALL SELECT pb, pa FROM e),
+      deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src),
+      seeds AS (SELECT node AS s FROM deg
+                ORDER BY degree DESC, node LIMIT $K),
+      l0 AS (SELECT s, s AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+             FROM seeds),
+      lall0 AS (SELECT s, node FROM l0),
+      ${(1 to H).map(fwd).mkString(",")},
+      d$H AS (SELECT s, node, CAST(0 AS BIGINT) AS delta_ppm FROM l$H),
+      ${((H - 1) to 1 by -1).map(bwd).mkString(",")}
+      SELECT node, CAST(sum(delta_ppm) AS BIGINT) AS bc_ppm FROM (
+        ${(1 to (H - 1)).map(h => s"SELECT node, delta_ppm FROM d$h")
+          .mkString(" UNION ALL ")})
+      GROUP BY node ORDER BY bc_ppm DESC, node LIMIT 20
+    """.trim
+      })
+  }
+
   def all: Seq[Q] = Seq(qGraphEdgesBuild, qGraphDegree, qGraphTriangles,
     qGraphPagerank, qGraphComponents, qGraphJaccard, qGraphKcore,
     qGraphClustering, qGraphAssortativity, qGraphBfs, qGraphModularity,
-    qGraphLouvain)
+    qGraphLouvain, qGraphBetweenness)
 }

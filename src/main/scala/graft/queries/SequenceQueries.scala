@@ -1183,8 +1183,148 @@ object SequenceQueries {
       WHERE r.rn = n.n ORDER BY r.event_type
     """.trim))
 
+  /** The split-gain expression shared by both binary-segmentation
+    * levels (and both engines): splitting segment `[a, b]` at `k`
+    * removes `T²/n − L²/nl − R²/nr` of within-segment SSE (the Σx²
+    * term cancels in the difference, so only prefix SUMS enter).
+    * Emitted as exact milli-units over the common denominator —
+    * BIGINT-safe while `1000·T²·nl·nr` stays under 2⁶³ (a 30-day
+    * window holds ~1.4e6 events/day before that bound bites; at
+    * production scale the series is per-(source, window) partitioned
+    * and each partition is this size). Alias contract: `g` = segment
+    * row (level, a, b), `m` = candidate split row of the prefix
+    * table, `pa`/`pb` = prefix rows at `a−1` / `b`. */
+  private def binsegGainSql: String =
+    """(1000 * ((m.s - pa.s) * (m.s - pa.s) * (g.b - m.i) * (g.b - g.a + 1)
+        + (pb.s - m.s) * (pb.s - m.s) * (m.i - g.a + 1) * (g.b - g.a + 1)
+        - (pb.s - pa.s) * (pb.s - pa.s) * (m.i - g.a + 1) * (g.b - m.i)))
+       // ((m.i - g.a + 1) * (g.b - m.i) * (g.b - g.a + 1))"""
+
+  /** One binary-segmentation level as oracle SQL: best split of each
+    * segment in `seg(level, a, b)`, ties broken earliest-split. */
+  private def binsegBestSql(name: String, seg: String): String = s"""
+      $name AS MATERIALIZED (
+        SELECT level, a, b, a_day, b_day, split_day, k, nl, nr,
+               gain_milli, 1000 * l // nl AS mean_left_milli,
+               1000 * r // nr AS mean_right_milli
+        FROM (
+          SELECT g.level, g.a, g.b, da.day AS a_day, pb.day AS b_day,
+                 m.day AS split_day, m.i AS k,
+                 m.i - g.a + 1 AS nl, g.b - m.i AS nr,
+                 m.s - pa.s AS l, pb.s - m.s AS r,
+                 $binsegGainSql AS gain_milli,
+                 row_number() OVER (PARTITION BY g.a, g.b
+                   ORDER BY $binsegGainSql DESC, m.i) AS rn
+          FROM $seg g
+          JOIN pfx m ON m.i >= g.a AND m.i < g.b
+          JOIN pfxz pa ON pa.i = g.a - 1
+          JOIN pfx pb ON pb.i = g.b
+          JOIN pfx da ON da.i = g.a)
+        WHERE rn = 1)"""
+
+  /** Binary-segmentation changepoint detection over the daily event
+    * series — the structural-break FITTER beside the drift DETECTOR:
+    * CUSUM (`q_cusum_drift`) says a shift exists; this locates the
+    * best split (max between-segment SSE reduction) and recurses once
+    * into each half — the standard depth-2 binary segmentation, the
+    * greedy front-end every changepoint pipeline (PELT et al.) starts
+    * from. The corpus collapses to the DAY-DOMAIN series (30 rows) in
+    * one aggregate; every candidate evaluation reads two prefix-sum
+    * lookups, gains are exact integer milli-units (the Σx² terms
+    * cancel in the gain, so no squares of raw values are ever
+    * summed), and ties break earliest-split — both engines replay the
+    * identical argmax. Output: the level-1 split plus the best split
+    * of each resulting half (a half shorter than 2 days yields no
+    * row). Global window + inequality joins run on the
+    * construction-bounded day table only. */
+  val qChangepointBinseg: Q = Q(
+    "q_changepoint_binseg",
+    (spark, dir) => {
+      val daily = Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pfx = daily.select(col("day"),
+        row_number().over(Window.orderBy(col("day"))).as("i"),
+        sum(col("x")).over(w).as("s"))
+      val pfxz = pfx.select(col("i"), col("s"))
+        .unionByName(spark.range(1).select(lit(0).as("i"), lit(0L).as("s")))
+      val nRow = daily.agg(count(lit(1)).cast("int").as("n"))
+
+      def bestOf(segs: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val cands = segs
+          .join(broadcast(pfx.select(col("i").as("k"), col("s").as("sm"),
+            col("day").as("split_day"))),
+            col("k") >= col("a") && col("k") < col("b"))
+          .join(broadcast(pfxz.select(col("i").as("ia"), col("s").as("sa"))),
+            col("ia") === col("a") - 1)
+          .join(broadcast(pfx.select(col("i").as("ib"), col("s").as("sb"),
+            col("day").as("b_day"))), col("ib") === col("b"))
+          .join(broadcast(pfx.select(col("i").as("iaa"), col("day").as("a_day"))),
+            col("iaa") === col("a"))
+          .select(col("level"), col("a"), col("b"), col("a_day"), col("b_day"),
+            col("split_day"), col("k"),
+            (col("k") - col("a") + 1).as("nl"), (col("b") - col("k")).as("nr"),
+            (col("sm") - col("sa")).as("l"), (col("sb") - col("sm")).as("r"),
+            expr("""(1000 * ((sm - sa) * (sm - sa) * (b - k) * (b - a + 1)
+                    + (sb - sm) * (sb - sm) * (k - a + 1) * (b - a + 1)
+                    - (sb - sa) * (sb - sa) * (k - a + 1) * (b - k)))
+                   div ((k - a + 1) * (b - k) * (b - a + 1))""")
+              .as("gain_milli"))
+        cands
+          .groupBy(col("level"), col("a"), col("b"), col("a_day"), col("b_day"))
+          .agg(min(struct((-col("gain_milli")).as("ng"), col("k").as("k"),
+            col("split_day").as("split_day"), col("nl").as("nl"),
+            col("nr").as("nr"), col("l").as("l"), col("r").as("r"))).as("m"))
+          .select(col("level"), col("a"), col("b"), col("a_day"), col("b_day"),
+            col("m.split_day").as("split_day"), col("m.k").as("k"),
+            col("m.nl").as("nl"), col("m.nr").as("nr"),
+            (-col("m.ng")).as("gain_milli"),
+            expr("1000 * m.l div m.nl").as("mean_left_milli"),
+            expr("1000 * m.r div m.nr").as("mean_right_milli"))
+      }
+
+      val seg1 = nRow.select(lit(1).as("level"), lit(1).as("a"), col("n").as("b"))
+      val best1 = graft.operators.Frames.snapshot(bestOf(seg1))
+      val seg2 = best1.select(lit(2).as("level"), lit(1).as("a"), col("k").as("b"))
+        .unionByName(best1.crossJoin(broadcast(nRow))
+          .select(lit(2).as("level"), (col("k") + 1).as("a"), col("n").as("b")))
+      val best2 = bestOf(seg2)
+      best1.unionByName(best2)
+        .select(col("level"), col("a_day"), col("b_day"), col("split_day"),
+          col("nl").cast("long").as("n_left"), col("nr").cast("long").as("n_right"),
+          col("gain_milli"), col("mean_left_milli"), col("mean_right_milli"))
+        .orderBy(col("level"), col("a_day"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1),
+      pfx AS MATERIALIZED (
+        SELECT day, CAST(row_number() OVER (ORDER BY day) AS INT) AS i,
+               CAST(sum(x) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS s
+        FROM daily),
+      pfxz AS (SELECT i, s FROM pfx UNION ALL SELECT 0, CAST(0 AS BIGINT)),
+      seg1 AS (SELECT 1 AS level, 1 AS a,
+                      (SELECT CAST(count(*) AS INT) FROM daily) AS b),
+      ${binsegBestSql("best1", "seg1")},
+      seg2 AS (SELECT 2 AS level, 1 AS a, k AS b FROM best1
+               UNION ALL
+               SELECT 2, k + 1, (SELECT CAST(count(*) AS INT) FROM daily)
+               FROM best1),
+      ${binsegBestSql("best2", "seg2")}
+      SELECT level, a_day, b_day, split_day,
+             CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+             gain_milli, mean_left_milli, mean_right_milli
+      FROM (SELECT * FROM best1 UNION ALL SELECT * FROM best2)
+      ORDER BY level, a_day
+    """.trim))
+
   def all: Seq[Q] = Seq(qGapFill, qStreaks, qNtileFeatures, qDailyBacklog,
     qEventEwma, qMarkovStationary, qDowSeasonality, qAttribution,
     qCusumDrift, qTheilSen, qMannKendall, qSurvivalKm, qEventCondEntropy,
-    qBrokenStick, qSeasonalDecompose, qAcf, qHoltTrend)
+    qBrokenStick, qSeasonalDecompose, qAcf, qHoltTrend, qChangepointBinseg)
 }

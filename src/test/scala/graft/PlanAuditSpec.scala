@@ -52,10 +52,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_profile_kanon / q_profile_ldiv take a total over their band
     // histogram — ≤4 rows by construction (the band domain), never the
     // user rows.
+    // q_changepoint_binseg prefix-sums the calendar-bounded day table
+    // (the q_cusum_drift input shape), never the event rows.
     val allowed = Set("q_corpus_mixture", "q_text_bm25", "q_zipf_fit",
       "q_daily_backlog", "q_cusum_drift", "q_theil_sen", "q_survival_km",
       "q_sample_priority", "q_quantile_norm", "q_broken_stick",
-      "q_seasonal_decompose", "q_profile_kanon", "q_profile_ldiv")
+      "q_seasonal_decompose", "q_profile_kanon", "q_profile_ldiv",
+      "q_changepoint_binseg")
     val offenders = Registry.all.filterNot(q => allowed(q.name)).flatMap { q =>
       val lines = q.run(spark, dir).queryExecution.executedPlan
         .toString.linesIterator.toVector
