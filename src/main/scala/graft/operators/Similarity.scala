@@ -1051,14 +1051,16 @@ object Similarity {
       .unionAll(scatter).distinct()
     // rounds use the UNSORTED top-k (a per-round global sort is pure
     // stage latency) and skip a distinct on B — duplicate candidates
-    // are collapsed once by the single cand-level distinct. Each
-    // round's graph is MATERIALIZED (count) before the previous
-    // round's cache is dropped — same total work (every round runs
-    // exactly once either way), but cached blocks no longer
-    // accumulate across rounds and repeated artifact builds.
+    // are collapsed once by the single cand-level distinct. Cache
+    // hygiene WITHOUT per-round barriers: every round persists, ONE
+    // count at the end materializes the whole chain (each round's
+    // cache fills as the cascade passes through it — a per-round
+    // count() was measured at +4 s of pure job-scheduling latency for
+    // identical work), and only then do the intermediate rounds and
+    // the corpus unpersist. The returned final round stays cached.
     var g = topKByRoundedCosUnsorted(score(init), k, "cos", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    g.count()
+    val intermediates = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
       val e = g.select(col("qid"), col("vec_id"))
       val b = e.unionAll(e.select(col("vec_id").as("qid"),
@@ -1069,14 +1071,12 @@ object Similarity {
         .filter(col("qid") =!= col("vec_id"))
         .unionAll(e)
         .distinct()
-      val next = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
+      intermediates += g
+      g = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      g.unpersist()
-      g = next
     }
-    // the final graph is fully cached by the count above, so the
-    // corpus cache can go — lineage only re-runs if g is evicted
+    g.count()
+    intermediates.result().foreach(_.unpersist())
     corpus.unpersist()
     g
   }

@@ -159,8 +159,14 @@ object SuffixArray {
     * when both remainders are identical, so capping by the shorter
     * remaining length is exact). Per-pair cost: K+1 rank lookups —
     * linear in rank boundaries, never quadratic in positions. */
-  def longestRepeated(documents: DataFrame, maxLen: Int): DataFrame = {
-    val levels = rankLevels(documents, maxLen)
+  def longestRepeated(documents: DataFrame, maxLen: Int): DataFrame =
+    longestRepeated(documents, rankLevels(documents, maxLen), maxLen)
+
+  /** As above, over PRE-BUILT rank levels (the [[SuffixArtifact]]
+    * consumer path — the walk reads every level, so storing the rank
+    * table saves the whole doubling construction per consumer). */
+  def longestRepeated(documents: DataFrame, levels: Seq[DataFrame],
+      maxLen: Int): DataFrame = {
     val sa = withSuffixLen(documents, levels.last, maxLen)
       .localCheckpoint(true)
 

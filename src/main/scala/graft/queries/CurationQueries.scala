@@ -1461,10 +1461,129 @@ object CurationQueries {
       FROM s GROUP BY strategy ORDER BY strategy
     """.trim))
 
+  /** Per-document PROVENANCE manifest — the data card a training job
+    * (or an audit) reads for EVERY document, kept or dropped: source,
+    * language, token mass, quality score, duplicate-cluster size, the
+    * eval-contamination share, and the pipeline's verdict with the
+    * FIRST failing rule as the drop reason (`q_corpus_prep` emits the
+    * per-source rollup of the kept side; this emits the row-level
+    * ledger including everything that fell out and WHY, in the
+    * pipeline's precedence order: eval_source → low_quality →
+    * duplicate → contaminated → kept). Later stages are never
+    * evaluated for earlier drops — exactly like the pipeline —
+    * so duplicate-cluster sizes exist only inside the quality-passing
+    * pool and contamination only for dedup survivors. One scan for
+    * scoring, one fp aggregate, one shingle pass over survivors
+    * against the broadcast eval artifact; the manifest is
+    * corpus-sized, written not collected. */
+  val qProvenanceManifest: Q = Q(
+    "q_provenance_manifest",
+    (spark, dir) => {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inPool = col("source") =!= "src0" && col("quality") >= 0.64
+      val clusters = base.filter(inPool)
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("csize"), min(col("doc_id")).as("keep_id"))
+      val withDup = base.join(clusters, Seq("fp"), "left")
+      val evalSh = broadcast(graft.operators.EvalSetArtifact
+        .shingles(spark, dir).withColumn("in_eval", lit(1L)))
+      val contam = base.filter(inPool)
+        .join(clusters, Seq("fp"))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.shingles(col("text"))))
+            .as("shingle"))
+        .join(evalSh, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("in_eval"), lit(0L))).as("n_contam"))
+      withDup.join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+          col("quality"),
+          when(inPool, col("csize")).otherwise(lit(0L))
+            .as("dup_cluster_size"),
+          when(inPool && col("doc_id") === col("keep_id"),
+            expr("coalesce(n_contam, 0) * 1000000 div coalesce(n_sh, 1)"))
+            .otherwise(lit(0L)).as("contam_ppm"),
+          when(col("source") === "src0", lit("eval_source"))
+            .when(col("quality") < 0.64, lit("low_quality"))
+            .when(col("doc_id") =!= col("keep_id"), lit("duplicate"))
+            .when(coalesce(col("n_contam"), lit(0L)).cast("double") /
+              coalesce(col("n_sh"), lit(1L)) >= 0.5, lit("contaminated"))
+            .otherwise(lit("kept")).as("status"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, source, lang, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                     (1.0 - CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+                        AS DOUBLE) / len(toks)) * 0.3 +
+                     (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                       * 0.4,
+                     6) AS quality,
+               md5(trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS fp
+        FROM (SELECT doc_id, source, lang, text,
+                     string_split_regex(text, '\s+') AS toks
+              FROM documents)),
+      clusters AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS csize,
+               min(doc_id) AS keep_id
+        FROM base WHERE source <> 'src0' AND quality >= 0.64
+        GROUP BY fp),
+      dsh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM (SELECT b.doc_id, string_split_regex(b.text, '\s+') AS tl
+              FROM base b JOIN clusters c ON b.fp = c.fp
+              WHERE b.source <> 'src0' AND b.quality >= 0.64
+                AND b.doc_id = c.keep_id)
+        WHERE len(tl) >= 5),
+      esh AS (
+        SELECT DISTINCT unnest(list_distinct(
+                 [array_to_string(tl[i:i+4], ' ')
+                  FOR i IN generate_series(1, len(tl) - 4)])) AS shingle
+        FROM (SELECT string_split_regex(text, '\s+') AS tl FROM documents
+              WHERE source = 'src0')
+        WHERE len(tl) >= 5),
+      ctm AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM esh)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+        FROM dsh GROUP BY doc_id)
+      SELECT b.doc_id, b.source, b.lang, b.n_tokens, b.quality,
+             CASE WHEN b.source <> 'src0' AND b.quality >= 0.64
+                  THEN c.csize ELSE 0 END AS dup_cluster_size,
+             CASE WHEN b.source <> 'src0' AND b.quality >= 0.64
+                       AND b.doc_id = c.keep_id
+                  THEN coalesce(m.n_contam, 0) * 1000000
+                       // coalesce(m.n_sh, 1)
+                  ELSE 0 END AS contam_ppm,
+             CASE WHEN b.source = 'src0' THEN 'eval_source'
+                  WHEN b.quality < 0.64 THEN 'low_quality'
+                  WHEN b.doc_id <> c.keep_id THEN 'duplicate'
+                  WHEN CAST(coalesce(m.n_contam, 0) AS DOUBLE)
+                       / coalesce(m.n_sh, 1) >= 0.5 THEN 'contaminated'
+                  ELSE 'kept' END AS status
+      FROM base b
+      LEFT JOIN clusters c USING (fp)
+      LEFT JOIN ctm m ON m.doc_id = b.doc_id
+      ORDER BY b.doc_id
+    """.trim))
+
   val all: Seq[Q] = Seq(qSketchCms, qDedupSubstring, qSamplePerGroup,
     qSampleWeightedK, qTextVocab, qCorpusDiff, qTextOov, qCorpusGini,
     qBoilerplateSpans, qZipfFit, qSketchHll, qSketchQuantile, qAqpSum,
     qSketchHllOverlap, qSamplePriority, qMixtureReweight, qSeqPack,
     qDsirScore, qDsirResample, qDsirBudget, qDedupSubstringSpans,
-    qDedupSubstringApply, qBatchPadWaste)
+    qDedupSubstringApply, qBatchPadWaste, qProvenanceManifest)
 }

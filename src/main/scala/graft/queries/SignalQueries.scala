@@ -555,60 +555,60 @@ object SignalQueries {
     * `segs2(w, f, piece, step)` (the learned decompositions).
     * Multiply-referenced CTEs MATERIALIZED (DuckDB otherwise
     * re-inlines the round chain exponentially). */
-  private def unigramCtes: String = {
+  private def unigramCtes(px: String = ""): String = {
     import graft.operators.UnigramVocabArtifact.{B, MaxLen, PieceMax}
     def fwd(p: Int, j: Int): String = s"""
-      s${p}_$j AS MATERIALIZED (
+      s${px}${p}_$j AS MATERIALIZED (
         SELECT w, f, $j AS pos, cost, bl FROM (
           SELECT d.w, d.f, d.cost + $B - v.c AS cost, $j - d.pos AS bl,
                  row_number() OVER (PARTITION BY d.w
                    ORDER BY d.cost + $B - v.c, $j - d.pos) AS rn
-          FROM d${p}_${j - 1} d
-          JOIN vc$p v ON v.piece = substr(d.w, d.pos + 1, $j - d.pos)
+          FROM d${px}${p}_${j - 1} d
+          JOIN ${px}vc$p v ON v.piece = substr(d.w, d.pos + 1, $j - d.pos)
           WHERE len(d.w) >= $j AND d.pos >= ${j - PieceMax})
         WHERE rn = 1),
-      d${p}_$j AS MATERIALIZED (
-        SELECT w, f, pos, cost FROM d${p}_${j - 1}
-        UNION ALL SELECT w, f, pos, cost FROM s${p}_$j)"""
+      d${px}${p}_$j AS MATERIALIZED (
+        SELECT w, f, pos, cost FROM d${px}${p}_${j - 1}
+        UNION ALL SELECT w, f, pos, cost FROM s${px}${p}_$j)"""
     def bwd(p: Int, t: Int): String = s"""
-      b${p}_$t AS MATERIALIZED (
+      b${px}${p}_$t AS MATERIALIZED (
         SELECT b.w, b.f, substr(b.w, b.pos - k.bl + 1, k.bl) AS piece,
                $t AS step, b.pos - k.bl AS pos
-        FROM b${p}_${t - 1} b
-        JOIN back$p k ON k.w = b.w AND k.pos = b.pos
+        FROM b${px}${p}_${t - 1} b
+        JOIN ${px}back$p k ON k.w = b.w AND k.pos = b.pos
         WHERE b.pos > 0)"""
     def pass(p: Int): String = s"""
-      d${p}_0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM words),
+      d${px}${p}_0 AS (SELECT w, f, 0 AS pos, CAST(0 AS BIGINT) AS cost FROM ${px}words),
       ${(1 to MaxLen).map(fwd(p, _)).mkString(",")},
-      back$p AS (${(1 to MaxLen)
-        .map(j => s"SELECT w, pos, bl FROM s${p}_$j")
+      ${px}back$p AS (${(1 to MaxLen)
+        .map(j => s"SELECT w, pos, bl FROM s${px}${p}_$j")
         .mkString(" UNION ALL ")}),
-      b${p}_0 AS (SELECT w, f, len(w) AS pos FROM words),
+      b${px}${p}_0 AS (SELECT w, f, len(w) AS pos FROM ${px}words),
       ${(1 to MaxLen).map(bwd(p, _)).mkString(",")},
-      segs$p AS (${(1 to MaxLen)
-        .map(t => s"SELECT w, f, piece, step FROM b${p}_$t")
+      ${px}segs$p AS (${(1 to MaxLen)
+        .map(t => s"SELECT w, f, piece, step FROM b${px}${p}_$t")
         .mkString(" UNION ALL ")}),
-      usage$p AS MATERIALIZED (
-        SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM segs$p GROUP BY piece)"""
-    s"""words AS MATERIALIZED (
+      ${px}usage$p AS MATERIALIZED (
+        SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM ${px}segs$p GROUP BY piece)"""
+    s"""${px}words AS MATERIALIZED (
         SELECT w, count(*) AS f FROM (
           SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
         WHERE len(w) > 0 AND len(w) <= $MaxLen GROUP BY w),
-      vc1 AS MATERIALIZED (
+      ${px}vc1 AS MATERIALIZED (
         SELECT piece, CAST(sum(f) AS BIGINT) AS c FROM (
           SELECT f, substr(w, i, L) AS piece
-          FROM words, generate_series(1, $PieceMax) t(L),
+          FROM ${px}words, generate_series(1, $PieceMax) t(L),
                generate_series(1, $MaxLen) s(i)
           WHERE i + L - 1 <= len(w))
         GROUP BY piece),
       ${pass(1)},
-      chars AS (
+      ${px}chars AS (
         SELECT DISTINCT substr(w, i, 1) AS piece
-        FROM words, generate_series(1, $MaxLen) s(i) WHERE i <= len(w)),
-      vc2 AS MATERIALIZED (
+        FROM ${px}words, generate_series(1, $MaxLen) s(i) WHERE i <= len(w)),
+      ${px}vc2 AS MATERIALIZED (
         SELECT piece, CAST(coalesce(u.c, 0) AS BIGINT) AS c
-        FROM chars LEFT JOIN usage1 u USING (piece)
-        UNION ALL SELECT piece, c FROM usage1 WHERE len(piece) > 1),
+        FROM ${px}chars LEFT JOIN ${px}usage1 u USING (piece)
+        UNION ALL SELECT piece, c FROM ${px}usage1 WHERE len(piece) > 1),
       ${pass(2)}"""
   }
 
@@ -629,7 +629,7 @@ object SignalQueries {
         .orderBy(col("c").desc, col("piece"))
     },
     Some(s"""
-      WITH $unigramCtes
+      WITH ${unigramCtes()}
       SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len, c
       FROM usage2 ORDER BY c DESC, piece
     """.trim))
@@ -668,7 +668,7 @@ object SignalQueries {
         .orderBy(col("lang"))
     },
     Some(s"""
-      WITH $unigramCtes,
+      WITH ${unigramCtes()},
       nsym AS (
         SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
         FROM segs2 GROUP BY w),
@@ -688,6 +688,79 @@ object SignalQueries {
                AS chars_per_subword_micros
       FROM wl LEFT JOIN nsym USING (w)
       GROUP BY lang ORDER BY lang
+    """.trim))
+
+  /** BPE vs unigram head-to-head on identical per-language metrics —
+    * the table a tokenizer decision actually reads: both learned
+    * artifacts joined to ONE (lang, word) aggregate, exact integer
+    * fertility for each family, the delta, and the per-language
+    * winner. The oracle replays BOTH builds in one statement (the BPE
+    * merge chain plus the `u_`-prefixed unigram DP chain), so the two
+    * tokenizer pipelines compose under a single parity hash. */
+  val qTokenizerDuel: Q = Q(
+    "q_tokenizer_duel",
+    (spark, dir) => {
+      val bpe = graft.operators.BpeVocabArtifact.reprs(spark, dir)
+        .select(col("w"), col("n_symbols"))
+      val uni = graft.operators.UnigramVocabArtifact.reprs(spark, dir)
+        .select(col("w"), col("n_pieces"))
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("fl"))
+        .join(bpe, Seq("w"), "left").join(uni, Seq("w"), "left")
+        .select(col("lang"), col("fl"),
+          coalesce(col("n_symbols"), length(col("w")).cast("long")).as("nb"),
+          coalesce(col("n_pieces"), length(col("w")).cast("long")).as("nu"))
+        .groupBy(col("lang"))
+        .agg(sum(col("fl")).as("n_words"),
+          sum(col("fl") * col("nb")).as("bpe_tokens"),
+          sum(col("fl") * col("nu")).as("uni_tokens"))
+        .select(col("lang"), col("n_words"), col("bpe_tokens"),
+          col("uni_tokens"),
+          expr("bpe_tokens * 1000000 div n_words").as("bpe_fertility_micros"),
+          expr("uni_tokens * 1000000 div n_words").as("uni_fertility_micros"),
+          expr("""bpe_tokens * 1000000 div n_words
+                  - uni_tokens * 1000000 div n_words""").as("delta_micros"),
+          when(col("bpe_tokens") < col("uni_tokens"), lit("bpe"))
+            .when(col("uni_tokens") < col("bpe_tokens"), lit("unigram"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH ${bpeVocabCtes(graft.operators.BpeVocabArtifact.Rounds)},
+      ${unigramCtes("u_")},
+      bsym AS (
+        SELECT w, CAST(len(string_split(trim(repr), '  ')) AS BIGINT)
+                 AS n_symbols
+        FROM r${graft.operators.BpeVocabArtifact.Rounds}),
+      usym AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+        FROM u_segs2 GROUP BY w),
+      wl AS (
+        SELECT lang, w, count(*) AS fl FROM (
+          SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+          FROM documents)
+        WHERE len(w) > 0 GROUP BY lang, w),
+      jd AS (
+        SELECT lang, fl,
+               coalesce(b.n_symbols, len(w)) AS nb,
+               coalesce(u.n_pieces, len(w)) AS nu
+        FROM wl LEFT JOIN bsym b USING (w) LEFT JOIN usym u USING (w)),
+      ag AS (
+        SELECT lang, CAST(sum(fl) AS BIGINT) AS n_words,
+               CAST(sum(fl * nb) AS BIGINT) AS bpe_tokens,
+               CAST(sum(fl * nu) AS BIGINT) AS uni_tokens
+        FROM jd GROUP BY lang)
+      SELECT lang, n_words, bpe_tokens, uni_tokens,
+             bpe_tokens * 1000000 // n_words AS bpe_fertility_micros,
+             uni_tokens * 1000000 // n_words AS uni_fertility_micros,
+             bpe_tokens * 1000000 // n_words
+               - uni_tokens * 1000000 // n_words AS delta_micros,
+             CASE WHEN bpe_tokens < uni_tokens THEN 'bpe'
+                  WHEN uni_tokens < bpe_tokens THEN 'unigram'
+                  ELSE 'tie' END AS winner
+      FROM ag ORDER BY lang
     """.trim))
 
   /** Unseen-species estimation per source, one step past
@@ -1354,7 +1427,7 @@ object SignalQueries {
 
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qBpeVocab, qFertilityLearned,
-    qUnigramVocab, qFertilityUnigram,
+    qUnigramVocab, qFertilityUnigram, qTokenizerDuel,
     qChaoRichness, qTextHeaps, qTextBurstiness,
     qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
     qPrefKappa, qPrefFleiss, qPrefPairsExport)
