@@ -940,6 +940,85 @@ object TextQueries {
       FROM per_doc, m GROUP BY source ORDER BY source
     """.trim))
 
+  /** CCNet-style perplexity bucketing — the mixture plan the public
+    * CCNet pipeline (Wenzek et al. 2020) derives from a reference LM:
+    * per LANGUAGE, documents split into terciles by their LM score
+    * (`q_text_lm_score`'s exact-integer bigram model; high average
+    * bigram probability = predictable = "head"), and the standard
+    * keep-plan retains head+middle. Exact terciles via `ntile(3)`
+    * over (lm desc, doc_id) — deterministic total order, identical in
+    * both engines. The window partitions by language: at production
+    * scale the per-language sort is the honest cost of EXACT
+    * quantile bucketing (CCNet itself buckets by quantile); a
+    * threshold-based variant would read cuts off the equidepth
+    * machinery instead. Docs under 2 tokens have no bigrams and fall
+    * outside the plan (no score), same as the reference pipeline. */
+  val qCcnetBuckets: Q = Q(
+    "q_ccnet_buckets",
+    (spark, dir) => {
+      def grams = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.shingles(col("text"), 2)).as("bigram"))
+        .select(col("doc_id"), col("lang"), col("bigram"),
+          substring_index(col("bigram"), " ", 1).as("w1"))
+      val byBigram = grams.groupBy(col("bigram"), col("w1"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val byW1 = byBigram.groupBy(col("w1"))
+        .agg(sum(col("n_bigram")).as("n_w1"))
+      val model = byBigram.join(byW1, "w1")
+        .select(col("bigram"),
+          expr("n_bigram * 1000000000L DIV n_w1").as("p_nanos"))
+      val perDoc = grams.join(model, "bigram")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(p_nanos) DIV count(1)").as("lm_nanos"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("lm_nanos").desc, col("doc_id"))
+      perDoc.withColumn("bucket", ntile(3).over(wb))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(lm_nanos) DIV count(1)").as("avg_nanos"),
+          min(col("lm_nanos")).as("min_nanos"),
+          max(col("lm_nanos")).as("max_nanos"))
+        .withColumn("kept", col("bucket") <= 2)
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(text, '\s+') AS tl
+        FROM documents),
+      grams AS (
+        SELECT doc_id, lang,
+               unnest([array_to_string(tl[i:i+1], ' ')
+                       FOR i IN generate_series(1, len(tl) - 1)]) AS bigram
+        FROM toks WHERE len(tl) >= 2),
+      bg AS (
+        SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+               count(*) AS n_bigram
+        FROM grams GROUP BY bigram),
+      w1m AS (SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1
+              FROM bg GROUP BY w1),
+      model AS (
+        SELECT bigram, n_bigram * 1000000000 // n_w1 AS p_nanos
+        FROM bg JOIN w1m USING (w1)),
+      per_doc AS (
+        SELECT doc_id, lang,
+               CAST(sum(p_nanos) // count(*) AS BIGINT) AS lm_nanos
+        FROM grams JOIN model USING (bigram)
+        GROUP BY doc_id, lang),
+      bucketed AS (
+        SELECT lang, lm_nanos,
+               ntile(3) OVER (PARTITION BY lang
+                 ORDER BY lm_nanos DESC, doc_id) AS bucket
+        FROM per_doc)
+      SELECT lang, CAST(bucket AS INT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(lm_nanos) // count(*) AS BIGINT) AS avg_nanos,
+             min(lm_nanos) AS min_nanos, max(lm_nanos) AS max_nanos,
+             bucket <= 2 AS kept
+      FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """.trim))
+
   /** PMI collocation mining: pointwise mutual information of adjacent
     * token pairs, ln(p(ab) / (p(a)·p(b))) over bigram/unigram corpus
     * frequencies — the classic phrase detector (a high-PMI bigram is a
@@ -2267,7 +2346,7 @@ object TextQueries {
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,
     qTextRollingFp, qMultimodalResize, qSeqlenHistogram, qPackChunks,
     qTextTfidf, qTextBm25, qCorpusPrep, qTextGates, qTextBigrams,
-    qChunkBoundaries, qTextLmScore, qTextPmi, qTokenizerFertility,
+    qChunkBoundaries, qTextLmScore, qCcnetBuckets, qTextPmi, qTokenizerFertility,
     qSourceEntropy, qTextReadability, qTextTopics, qTopicTerms,
     qTopicPurity)
 }
