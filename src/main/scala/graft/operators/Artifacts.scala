@@ -31,4 +31,20 @@ object Artifacts {
     * marker under `root`. */
   def complete(root: String, parts: Seq[String]): Boolean =
     parts.forall(s => new java.io.File(s"$root/$s", "_SUCCESS").exists())
+
+  /** Force-materialize guard for CONCURRENT harnesses. The registered
+    * build-step queries call `materialize` unconditionally so the
+    * bench prices construction honestly — but under Verify's
+    * concurrent batches, an `overwrite` of a complete artifact deletes
+    * parquet files out from under a sibling query mid-scan
+    * (FILE_NOT_EXIST, or worse, a silent partial read). Verify sets
+    * `-Dgraft.artifacts.lazy=true` (it measures correctness, not build
+    * cost), turning a force-build of an already-complete artifact into
+    * a no-op; the fingerprint in [[path]] still guarantees a stale
+    * artifact can never be served. Every `materialize` checks this
+    * INSIDE its `synchronized` block, so the complete() read cannot
+    * race a concurrent build of the same artifact. */
+  def skipBuild(root: String, parts: Seq[String]): Boolean =
+    sys.props.get("graft.artifacts.lazy").contains("true") &&
+      complete(root, parts)
 }

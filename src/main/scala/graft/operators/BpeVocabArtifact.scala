@@ -45,6 +45,7 @@ object BpeVocabArtifact {
     * cost so the bench prices it honestly. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("merges", "reprs"))) return p
     val words = graft.Tables.documents(spark, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)

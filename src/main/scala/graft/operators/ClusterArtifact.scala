@@ -21,6 +21,7 @@ object PairsArtifact {
   def materialize(spark: SparkSession, dir: String,
                   threshold: Double, maxDf: Int): String = synchronized {
     val p = path(dir, threshold, maxDf)
+    if (Artifacts.skipBuild(p, Seq("pairs"))) return p
     Dedup.jaccardPairs(Tables.documents(spark, dir), threshold,
         maxDf = Some(maxDf))
       .write.mode("overwrite").parquet(s"$p/pairs")
@@ -63,6 +64,7 @@ object ClusterArtifact {
   def materialize(spark: SparkSession, dir: String,
                   threshold: Double, maxDf: Int): String = synchronized {
     val p = path(dir, threshold, maxDf)
+    if (Artifacts.skipBuild(p, Seq("labels"))) return p
     Clusters.connectedComponents(
         PairsArtifact.pairs(spark, dir, threshold, maxDf)
           .select(col("da"), col("db")),

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * (round 7, CRC-verified inflate) lives below; baseline JPEG
   * (round 8, ITU T.81) lives in [[Jpeg]]; AVI/MJPEG and AVI/MS-RLE8
   * video in [[Video]]. Only codecs that genuinely require native
-  * decoders (H.264-class inter-frame video, MP3) remain behind
+  * decoders (H.264-class inter-frame video) remain behind
   * [[Multimodal.decodeStub]]. The two formats that started the family
   * need NOTHING beyond byte arithmetic, so their decode path has been
   * genuine end to end since round 6:
@@ -1069,5 +1069,135 @@ object Codecs {
       records: Dataset[Multimodal.MediaRecord]): Dataset[FrameHash] =
     records.mapPartitions { it =>
       it.flatMap(r => parseAnimatedGif(r.id, r.media))
+    }
+
+  // ---------------------------------------------------------------
+  // MP3 (MPEG-1 Audio Layer III): frame-header metadata
+  // ---------------------------------------------------------------
+  // A duration/bitrate audit never decodes audio: MPEG audio streams
+  // self-describe through their 4-byte frame headers (ISO/IEC 11172-3)
+  // — sync word, version/layer bits, bitrate and samplerate table
+  // indices, padding bit — and the frame length follows as
+  // 144 * bitrate / samplerate + padding, so a pure-JVM header walk
+  // yields frame count, CBR/VBR, duration, and bitrate stats over
+  // stored blobs. Full PCM decode (hybrid filterbank + Huffman) is
+  // what stays behind [[Multimodal.decodeStub]]; the frame walk below
+  // is a REAL parser of the real container framing.
+
+  /** MPEG-1 Layer III bitrate table, kbit/s, index 1..14 (0 = free,
+    * 15 = reserved — both rejected by the walk). */
+  private val Mp3BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 samplerate table, Hz, index 0..2 (3 = reserved). */
+  private val Mp3SampleRate: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Samples per MPEG-1 Layer III frame. */
+  val Mp3SamplesPerFrame = 1152
+
+  // Synthesis recipe — deterministic integer functions of
+  // (doc_id, payload length), replayed arithmetically by the oracle.
+  def mp3FrameCount(nBytes: Int): Int = 4 + nBytes % 8
+  def mp3SampleRateIdx(id: Long): Int = (id % 3L).toInt
+  def mp3IsVbr(id: Long): Boolean = id % 2L == 1L
+
+  /** Bitrate table index of frame `f`: fixed for CBR documents,
+    * cycling (guaranteed ≥2 distinct values from frame 0→1) for VBR. */
+  def mp3BitrateIdx(id: Long, f: Int): Int =
+    if (mp3IsVbr(id)) 1 + Math.floorMod(id + 7L * f, 14L).toInt
+    else 1 + Math.floorMod(id, 14L).toInt
+
+  private def mp3PaddingBit(id: Long, f: Int): Int =
+    Math.floorMod(3L * id + f, 2L).toInt
+
+  /** Frame byte length per the spec: `144 * bitrate / samplerate +
+    * padding` (integer division), bitrate in bit/s. */
+  private def mp3FrameLen(bitrateIdx: Int, srIdx: Int, pad: Int): Int =
+    144 * (Mp3BitrateKbps(bitrateIdx) * 1000) / Mp3SampleRate(srIdx) + pad
+
+  /** A canonical MPEG-1 Layer III stream: `mp3FrameCount` back-to-back
+    * frames, each a genuine 4-byte header (sync 0x7FF, version 11 =
+    * MPEG-1, layer 01 = III, no CRC, mono, no emphasis) followed by
+    * deterministic filler to its spec frame length. */
+  def synthesizeMp3(id: Long, nBytes: Int): Array[Byte] = {
+    val frames = mp3FrameCount(nBytes)
+    val srIdx = mp3SampleRateIdx(id)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      val bi = mp3BitrateIdx(id, f)
+      val pad = mp3PaddingBit(id, f)
+      val len = mp3FrameLen(bi, srIdx, pad)
+      // header: AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM
+      // A=sync, B=version(11), C=layer(01), D=protection(1=no CRC),
+      // E=bitrate idx, F=samplerate idx, G=padding, H=private,
+      // I=channel mode (11=mono), rest zero
+      out.write(0xFF)
+      out.write(0xFB) // 111 11 01 1
+      out.write((bi << 4) | (srIdx << 2) | (pad << 1))
+      out.write(0xC0) // mono
+      var j = 4
+      while (j < len) {
+        out.write(Math.floorMod(id + 131L * f + j, 251L).toInt)
+        j += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Frame-walk result: `ok=false` on any malformed framing (lost
+    * sync, reserved bitrate/samplerate index, truncated final frame,
+    * non-MPEG-1-Layer-III header) — corrupt blobs surface as audit
+    * rows, never as exceptions. */
+  final case class Mp3Meta(
+      id: Long, sampleRate: Int, nFrames: Long, durationMs: Long,
+      isCbr: Boolean, minKbps: Int, maxKbps: Int, ok: Boolean)
+
+  implicit val mp3MetaEnc: Encoder[Mp3Meta] = Encoders.product[Mp3Meta]
+
+  /** Walk the frame headers of an MPEG-1 Layer III stream. */
+  def parseMp3(id: Long, bytes: Array[Byte]): Mp3Meta = {
+    def bad = Mp3Meta(id, 0, 0L, 0L, isCbr = false, 0, 0, ok = false)
+    var off = 0
+    var frames = 0L
+    var sr = -1
+    var minK = Int.MaxValue
+    var maxK = Int.MinValue
+    while (off < bytes.length) {
+      if (off + 4 > bytes.length) return bad // truncated header
+      val b0 = bytes(off) & 0xFF
+      val b1 = bytes(off + 1) & 0xFF
+      val b2 = bytes(off + 2) & 0xFF
+      // sync (11 bits) + MPEG-1 (version bits 11) + Layer III (01)
+      if (b0 != 0xFF || (b1 & 0xE0) != 0xE0) return bad
+      if ((b1 & 0x18) != 0x18 || (b1 & 0x06) != 0x02) return bad
+      val bi = (b2 >> 4) & 0x0F
+      val srIdx = (b2 >> 2) & 0x03
+      val pad = (b2 >> 1) & 0x01
+      if (bi == 0 || bi == 15 || srIdx == 3) return bad // reserved
+      val thisSr = Mp3SampleRate(srIdx)
+      if (sr < 0) sr = thisSr
+      else if (sr != thisSr) return bad // samplerate must not change
+      val kbps = Mp3BitrateKbps(bi)
+      minK = math.min(minK, kbps)
+      maxK = math.max(maxK, kbps)
+      val len = mp3FrameLen(bi, srIdx, pad)
+      if (off + len > bytes.length) return bad // truncated frame body
+      off += len
+      frames += 1
+    }
+    if (frames == 0L) bad
+    else Mp3Meta(id, sr, frames,
+      frames * Mp3SamplesPerFrame * 1000L / sr,
+      isCbr = minK == maxK, minK, maxK, ok = true)
+  }
+
+  /** Partition-batched MP3 frame-header walk (the
+    * [[Multimodal.decodeBatch]] seam, real container framing). */
+  def decodeMp3Batch(
+      records: Dataset[Multimodal.MediaRecord]): Dataset[Mp3Meta] =
+    records.mapPartitions { it =>
+      it.map(r => parseMp3(r.id, r.media))
     }
 }

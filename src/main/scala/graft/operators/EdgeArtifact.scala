@@ -61,6 +61,7 @@ object EdgeArtifact {
     * `q_market_basket` a pure artifact consumer. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("edges", "freq", "meta"))) return p
     val baskets = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("okey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))

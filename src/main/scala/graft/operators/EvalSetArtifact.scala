@@ -21,6 +21,7 @@ object EvalSetArtifact {
     * held-out source. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("shingles"))) return p
     Dedup.docShingles(
         Tables.documents(spark, dir).filter(col("source") === "src0"), 5)
       .select(col("shingle")).distinct()

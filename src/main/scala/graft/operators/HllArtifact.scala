@@ -27,6 +27,7 @@ object HllArtifact {
   /** Force a (re)build: `(g, idx, mr)` per-source registers. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("regs"))) return p
     val sh = Tables.documents(spark, dir)
       .select(col("source"),
         explode(TextAnalysis.shingles(col("text"))).as("sh"))

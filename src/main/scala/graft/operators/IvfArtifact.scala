@@ -47,6 +47,7 @@ object IvfArtifact {
   def materialize(spark: SparkSession, dir: String,
                   numCentroids: Int, iterations: Int): String = synchronized {
     val p = path(dir, numCentroids, iterations)
+    if (Artifacts.skipBuild(p, Seq("centroids", "inverted"))) return p
     val (cents, inverted) = Similarity.ivfIndex(
       Tables.embeddings(spark, dir), numCentroids, iterations)
     cents.write.mode("overwrite").parquet(s"$p/centroids")

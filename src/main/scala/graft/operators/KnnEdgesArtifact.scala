@@ -25,6 +25,7 @@ object KnnEdgesArtifact {
     * prices it honestly. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("edges"))) return p
     Similarity.inCellTopK(IvfArtifact.inverted(spark, dir, 8, 2), K)
       .write.mode("overwrite").parquet(s"$p/edges")
     p

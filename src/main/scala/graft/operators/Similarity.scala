@@ -1027,7 +1027,21 @@ object Similarity {
     * pins recall@5 ≥ the in-cell graph AND ≥ an IVF 2-probe search on
     * the same corpus, plus determinism. */
   def nnDescent(embeddings: DataFrame, initEdges: DataFrame, k: Int,
-                rounds: Int, scatterDegree: Int): DataFrame = {
+                rounds: Int, scatterDegree: Int): DataFrame =
+    nnDescent(embeddings, initEdges, k, rounds, scatterDegree,
+      finalize = _.count(): Unit)
+
+  /** As above with the MATERIALIZING ACTION injected: the descent
+    * must run one action before unpersisting its intermediate rounds
+    * (their caches feed the final round), and when the caller's very
+    * next step is itself an action — the artifact's parquet write —
+    * running a separate count() first pays the whole cascade twice at
+    * the job level (round 10 measured the extra pass at ~+4 s on the
+    * registry's #2 query). Passing the write AS the finalizer keeps
+    * the build at exactly one pass, r9's cost, with r10's hygiene. */
+  def nnDescent(embeddings: DataFrame, initEdges: DataFrame, k: Int,
+                rounds: Int, scatterDegree: Int,
+                finalize: DataFrame => Unit): DataFrame = {
     val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N is the scatter modulus — one scalar count, not a data collect
@@ -1052,12 +1066,12 @@ object Similarity {
     // rounds use the UNSORTED top-k (a per-round global sort is pure
     // stage latency) and skip a distinct on B — duplicate candidates
     // are collapsed once by the single cand-level distinct. Cache
-    // hygiene WITHOUT per-round barriers: every round persists, ONE
-    // count at the end materializes the whole chain (each round's
-    // cache fills as the cascade passes through it — a per-round
-    // count() was measured at +4 s of pure job-scheduling latency for
-    // identical work), and only then do the intermediate rounds and
-    // the corpus unpersist. The returned final round stays cached.
+    // hygiene WITHOUT extra passes: every round persists, ONE
+    // finalizing action (the caller's parquet write, or a count)
+    // materializes the whole chain — each round's cache fills as the
+    // cascade passes through it — and only then do the intermediate
+    // rounds and the corpus unpersist. The returned final round stays
+    // cached.
     var g = topKByRoundedCosUnsorted(score(init), k, "cos", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val intermediates = Seq.newBuilder[DataFrame]
@@ -1075,7 +1089,7 @@ object Similarity {
       g = topKByRoundedCosUnsorted(score(cand), k, "cos", "rnk")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    g.count()
+    finalize(g)
     intermediates.result().foreach(_.unpersist())
     corpus.unpersist()
     g

@@ -33,6 +33,7 @@ object NbScoresArtifact {
     * nano log-likelihoods. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("scores"))) return p
     Classify.nbHeldOutScoresFrom(TeacherArtifact.labeled(spark, dir),
         TeacherArtifact.toks(spark, dir))
       .hint("rebalance")
@@ -58,6 +59,7 @@ object RocchioPredsArtifact {
 
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("preds"))) return p
     Classify.rocchioHeldOutFrom(TeacherArtifact.labeled(spark, dir),
         TeacherArtifact.toks(spark, dir), maxVocab = 256)
       .hint("rebalance")

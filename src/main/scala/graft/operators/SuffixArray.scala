@@ -222,4 +222,145 @@ object SuffixArray {
 
     equalPairs.unionByName(adjPairs)
   }
+
+  // ---------------------------------------------------------------
+  // Strided windows — full-document coverage
+  // ---------------------------------------------------------------
+
+  /** Overlapping-block view of the corpus: block `b` of a doc covers
+    * code points `[b*stride, b*stride + window)`, one block per
+    * stride until the doc is exhausted, so EVERY document position
+    * starts a suffix in exactly `ceil(window/stride)` blocks and sees
+    * at least `window - stride` characters of lookahead in the block
+    * whose first `stride` positions it falls in. Block ids are
+    * arithmetic — `bid = doc_id * BlockBase + b` — so global
+    * coordinates need no mapping table: `doc_id = bid / BlockBase`,
+    * `gpos = (bid % BlockBase) * stride + pos`. Output schema matches
+    * `documents` (`doc_id` = bid, `text` = the block slice) so
+    * [[rankLevels]] runs on it unchanged. */
+  def blocks(documents: DataFrame, window: Int, stride: Int): DataFrame =
+    documents
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / stride).cast("int"))).as("blk"))
+      .select((col("doc_id") * BlockBase + col("blk")).as("doc_id"),
+        col("text").substr(col("blk") * stride + 1, lit(window)).as("text"))
+
+  /** Max blocks per document the arithmetic bid supports — docs up to
+    * `BlockBase * stride` code points. */
+  val BlockBase = 1024L
+
+  /** Longest repeated substrings over the STRIDED block suffix array —
+    * repeats anywhere in a document, not just its first-`window`
+    * prefix. Exact for matches up to `window - stride` characters
+    * (every position is guaranteed that much lookahead), opportunistic
+    * up to `window`. The block overlap means one global position
+    * appears as up to `window/stride` suffix copies; the extra copies
+    * cost one constant factor in the doubling and are reconciled here:
+    *
+    *  - rank-group members are deduplicated by GLOBAL coordinates
+    *    (equal rank ⟹ identical truncated suffix INCLUDING length, so
+    *    copies of one global position collapse exactly);
+    *  - pair hits across block seams are canonicalized (unordered
+    *    global pair) and collapsed to their maximum lcp;
+    *  - self-pairs (the short copy of a position adjacent to its own
+    *    long copy) are dropped — by the LCP chain property every
+    *    genuine repeat of length L still surfaces through some
+    *    non-self adjacency with lcp ≥ L.
+    *
+    * `levels` must be the rank levels of [[blocks]] output. Returns
+    * `(doc_a, pos_a, doc_b, pos_b, lcp)` in GLOBAL coordinates. */
+  def longestRepeatedStrided(levels: Seq[DataFrame], window: Int,
+      stride: Int): DataFrame = {
+    val last = levels.last
+    // suffix_len = visible block length - pos; block length is known
+    // from the block's own positions table (max pos + 1), but the
+    // cheap exact form is to re-derive it from the final level itself:
+    // a block's positions are dense 0..len-1, so len = max(pos)+1.
+    val blkLen = last.groupBy(col("doc_id").as("bid"))
+      .agg((max(col("pos")) + 1).as("blen"))
+    val sa = last
+      .join(blkLen, last("doc_id") === blkLen("bid"))
+      .select(col("bid"), col("pos"), col("rank"),
+        (col("blen") - col("pos")).as("suffix_len"),
+        (col("bid") / BlockBase).cast("long").as("gdoc"),
+        (pmod(col("bid"), lit(BlockBase)) * stride + col("pos")).as("gpos"))
+      .localCheckpoint(true)
+
+    // per final rank: distinct global members (sorted), one
+    // representative WITH block coordinates for the LCP walk, and the
+    // group's common truncated-suffix length (identical across
+    // members — equal rank means equal string and length).
+    val reps = sa
+      .groupBy(col("rank"))
+      .agg(
+        sort_array(collect_set(struct(col("gdoc"), col("gpos")))).as("gm"),
+        min(struct(col("gdoc"), col("gpos"), col("bid"), col("pos")))
+          .as("m1"),
+        min(col("suffix_len")).as("len"))
+      .localCheckpoint(true)
+
+    // family 1: ≥2 distinct global members sharing one rank —
+    // identical truncated suffixes; lcp = the shared length.
+    val equalPairs = reps.filter(size(col("gm")) >= 2)
+      .select(element_at(col("gm"), 1).getField("gdoc").as("doc_a"),
+        element_at(col("gm"), 1).getField("gpos").as("pos_a"),
+        element_at(col("gm"), 2).getField("gdoc").as("doc_b"),
+        element_at(col("gm"), 2).getField("gpos").as("pos_b"),
+        col("len").as("lcp"))
+
+    // family 2: consecutive ranks — greedy rank-table walk on BLOCK
+    // coordinates (the levels are keyed by bid), output in GLOBAL ones.
+    val adj = reps.as("x")
+      .join(reps.as("y"), col("y.rank") === col("x.rank") + 1)
+      .select(col("x.m1.gdoc").as("doc_a"), col("x.m1.gpos").as("pos_a"),
+        col("x.m1.bid").as("bid_a"), col("x.m1.pos").as("bpos_a"),
+        col("y.m1.gdoc").as("doc_b"), col("y.m1.gpos").as("pos_b"),
+        col("y.m1.bid").as("bid_b"), col("y.m1.pos").as("bpos_b"),
+        least(col("x.len"), col("y.len")).as("cap"),
+        lit(0L).as("lcp"))
+    val walked = levels.indices.reverse.foldLeft(adj) { (front, k) =>
+      val lk = levels(k)
+      val ra = lk.select(col("doc_id").as("__da"),
+        col("pos").as("__pa"), col("rank").as("__ra"))
+      val rb = lk.select(col("doc_id").as("__db"),
+        col("pos").as("__pb"), col("rank").as("__rb"))
+      front
+        .join(ra, col("bid_a") === col("__da") &&
+          col("bpos_a") + col("lcp") === col("__pa"), "left")
+        .join(rb, col("bid_b") === col("__db") &&
+          col("bpos_b") + col("lcp") === col("__pb"), "left")
+        .withColumn("lcp",
+          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+            col("lcp") + (1L << k)).otherwise(col("lcp")))
+        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+        .localCheckpoint(true)
+    }
+    val adjPairs = walked
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+        least(col("lcp"), col("cap")).as("lcp"))
+
+    // seam reconciliation: drop self-pairs, canonicalize the unordered
+    // global pair, keep the best lcp either seam reported.
+    equalPairs.unionByName(adjPairs)
+      .filter(col("doc_a") =!= col("doc_b") ||
+        col("pos_a") =!= col("pos_b"))
+      .select(
+        when(struct(col("doc_a"), col("pos_a")) <=
+            struct(col("doc_b"), col("pos_b")),
+          struct(col("doc_a").as("d"), col("pos_a").as("p")))
+          .otherwise(struct(col("doc_b").as("d"), col("pos_b").as("p")))
+          .as("lo"),
+        when(struct(col("doc_a"), col("pos_a")) <=
+            struct(col("doc_b"), col("pos_b")),
+          struct(col("doc_b").as("d"), col("pos_b").as("p")))
+          .otherwise(struct(col("doc_a").as("d"), col("pos_a").as("p")))
+          .as("hi"),
+        col("lcp"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(max(col("lcp")).as("lcp"))
+      .select(col("lo.d").as("doc_a"), col("lo.p").as("pos_a"),
+        col("hi.d").as("doc_b"), col("hi.p").as("pos_b"), col("lcp"))
+  }
 }

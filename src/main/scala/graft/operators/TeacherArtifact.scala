@@ -41,6 +41,7 @@ object TeacherArtifact {
     */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("labeled", "toks"))) return p
     val labeled = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.predictedProfile(col("text")).as("actual"),

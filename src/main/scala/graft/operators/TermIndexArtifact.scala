@@ -34,6 +34,7 @@ object TermIndexArtifact {
     */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("kept", "norms"))) return p
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))

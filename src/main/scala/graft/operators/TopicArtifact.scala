@@ -49,6 +49,7 @@ object TopicArtifact {
     */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("assign", "cent"))) return p
     val docs = Tables.documents(spark, dir)
     val kept = tf(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

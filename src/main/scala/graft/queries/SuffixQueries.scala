@@ -27,7 +27,9 @@ object SuffixQueries {
     * duplicated document prefix, which is what the trim/drop decision
     * needs; the window widens by adding rounds, one per doubling). */
   private val MaxLen = graft.operators.SuffixArtifact.MaxLen
-  private val Rounds = 7 // log2(MaxLen)
+  // from the artifact, so a window change can never desync the
+  // oracle's doubling-round CTE chain from the stored levels
+  private val Rounds = graft.operators.SuffixArtifact.Rounds
 
   /** Doubling-round CTE chain `pos, r0 .. r{Rounds}` shared by both
     * oracles. MATERIALIZED: every level is read twice (as both join
@@ -177,5 +179,189 @@ object SuffixQueries {
       ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
     """))
 
-  val all: Seq[Q] = Seq(qSuffixArray, qDedupLrs)
+  // ---------------------------------------------------------------
+  // Strided windows — repeats anywhere in a document
+  // ---------------------------------------------------------------
+
+  private val Window = graft.operators.StridedSuffixArtifact.Window
+  private val Stride = graft.operators.StridedSuffixArtifact.Stride
+  private val BlockBase = graft.operators.SuffixArray.BlockBase
+
+  /** Doubling chain over the strided BLOCK view: same r0..rK rounds,
+    * but `doc_id` carries the arithmetic block id `doc*BlockBase+blk`
+    * and a `blocks` CTE slices the overlapping windows first. */
+  private def stridedCte: String = {
+    val blocks = Seq(
+      s"""blocks AS MATERIALIZED (
+         |  SELECT doc_id * $BlockBase + blk AS doc_id,
+         |         substr(text, CAST(blk * $Stride AS INT) + 1, $Window) AS text
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(0, (length(text) - 1) // $Stride)) AS blk
+         |        FROM documents WHERE length(text) > 0))""".stripMargin,
+      s"""pos AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, length(text))) AS i
+         |        FROM blocks))""".stripMargin,
+      "r0 AS MATERIALIZED (SELECT doc_id, pos, dense_rank() OVER " +
+        "(ORDER BY code) - 1 AS rank FROM pos)") ++
+      (1 to Rounds).flatMap { k =>
+        val off = 1 << (k - 1)
+        Seq(
+          s"""p$k AS (
+             |  SELECT a.doc_id, a.pos, a.rank AS k1, coalesce(b.rank, -1) AS k2
+             |  FROM r${k - 1} a LEFT JOIN r${k - 1} b
+             |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $off)""".stripMargin,
+          s"r$k AS MATERIALIZED (SELECT doc_id, pos, dense_rank() OVER " +
+            s"(ORDER BY k1, k2) - 1 AS rank FROM p$k)")
+      } ++ Seq(
+      // final level with block length, GLOBAL coordinates, suffix_len
+      s"""sa AS MATERIALIZED (
+         |  SELECT r.doc_id AS bid, r.pos, r.rank, b.blen - r.pos AS suffix_len,
+         |         r.doc_id // $BlockBase AS gdoc,
+         |         (r.doc_id % $BlockBase) * $Stride + r.pos AS gpos
+         |  FROM r$Rounds r
+         |  JOIN (SELECT doc_id, max(pos) + 1 AS blen FROM pos GROUP BY doc_id) b
+         |    ON b.doc_id = r.doc_id)""".stripMargin)
+    "WITH " + blocks.mkString(",\n")
+  }
+
+  /** Strided suffix array, smoke-sized: the 100 smallest distinct
+    * (rank, global position) suffix entries — block copies of one
+    * global position collapse via DISTINCT. Registered BUILD STEP of
+    * the strided rank table ([[graft.operators.StridedSuffixArtifact]]);
+    * `q_dedup_lrs_strided` consumes the stored levels. */
+  val qSuffixArrayStrided: Q = Q(
+    "q_suffix_array_strided",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.StridedSuffixArtifact.materialize(spark, dir)
+      graft.operators.StridedSuffixArtifact.last(spark, dir)
+        .select(col("rank").as("sa_rank"),
+          (col("doc_id") / BlockBase).cast("long").as("doc_id"),
+          (pmod(col("doc_id"), lit(BlockBase)) * Stride + col("pos"))
+            .as("pos"))
+        .distinct()
+        .orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+        .limit(100)
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("sa_rank"), col("doc_id"), col("pos"),
+          col("text").substr(col("pos").cast("int") + 1, lit(16)).as("prefix"))
+        .orderBy(col("sa_rank"), col("doc_id"), col("pos"))
+    },
+    Some(stridedCte + s""",
+      top AS (
+        SELECT DISTINCT CAST(rank AS BIGINT) AS sa_rank, gdoc AS doc_id,
+               gpos AS pos
+        FROM sa ORDER BY sa_rank, doc_id, pos LIMIT 100)
+      SELECT t.sa_rank, t.doc_id, t.pos,
+             substr(d.text, CAST(t.pos AS INT) + 1, 16) AS prefix
+      FROM top t JOIN documents d USING (doc_id)
+      ORDER BY sa_rank, doc_id, pos
+    """))
+
+  /** Longest repeated substrings ANYWHERE in each document — the
+    * strided-block answer to the plain `q_dedup_lrs`'s first-128-chars
+    * scope: exact for matches up to ${Stride} chars (guaranteed
+    * in-block lookahead), opportunistic to $Window. Block-copy pair
+    * hits are reconciled to one row per unordered global pair at the
+    * max lcp; self-pairs (two copies of one position) are dropped. */
+  val qDedupLrsStrided: Q = Q(
+    "q_dedup_lrs_strided",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val levels = graft.operators.StridedSuffixArtifact.levels(spark, dir)
+      graft.operators.SuffixArray
+        .longestRepeatedStrided(levels, Window, Stride)
+        .join(broadcast(docs.select(col("doc_id").as("doc_a"),
+          col("text").as("ta"))), Seq("doc_a"))
+        .join(broadcast(docs.select(col("doc_id").as("doc_b"),
+          col("text").as("tb"))), Seq("doc_b"))
+        .filter(col("pos_a") === 0 || col("pos_b") === 0 ||
+          col("ta").substr(col("pos_a").cast("int"), lit(1)) =!=
+            col("tb").substr(col("pos_b").cast("int"), lit(1)))
+        .filter(col("lcp") >= 10)
+        .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
+          col("doc_b"), col("pos_b"))
+        .limit(20)
+        .select(col("lcp"), col("doc_a"), col("pos_a"),
+          col("doc_b"), col("pos_b"),
+          col("ta").substr(col("pos_a").cast("int") + 1,
+            col("lcp").cast("int")).as("snippet"),
+          (col("doc_a") === col("doc_b")).as("same_doc"))
+        .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
+          col("doc_b"), col("pos_b"))
+    },
+    Some(stridedCte + s""",
+      gmem AS MATERIALIZED (
+        SELECT rank, gdoc, gpos,
+               row_number() OVER (PARTITION BY rank
+                 ORDER BY gdoc, gpos) AS rn
+        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
+      m1 AS MATERIALIZED (
+        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
+        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
+                row_number() OVER (PARTITION BY rank
+                  ORDER BY gdoc, gpos, bid, pos) AS rn
+              FROM sa) WHERE rn = 1),
+      eqp AS (
+        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
+               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
+        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
+        JOIN m1 m ON m.rank = a.rank),
+      w${Rounds + 1} AS (
+        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
+               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
+               y.bid AS bid_b, y.pos AS bpos_b,
+               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
+        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
+      (Rounds to 0 by -1).map { k =>
+        s""",
+      w$k AS (
+        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
+               f.bid_b, f.bpos_b, f.cap,
+               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
+                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
+        FROM w${k + 1} f
+        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
+        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
+      }.mkString + s""",
+      allp AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
+        UNION ALL
+        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
+      best AS (
+        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_a ELSE doc_b END AS doc_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_a ELSE pos_b END AS pos_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_b ELSE doc_a END AS doc_b,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_b ELSE pos_a END AS pos_b,
+               max(lcp) AS lcp
+        FROM allp
+        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
+        GROUP BY 1, 2, 3, 4),
+      lm AS (
+        SELECT p.* FROM best p
+        JOIN documents xa ON xa.doc_id = p.doc_a
+        JOIN documents xb ON xb.doc_id = p.doc_b
+        WHERE p.pos_a = 0 OR p.pos_b = 0
+           OR substr(xa.text, CAST(p.pos_a AS INT), 1)
+              <> substr(xb.text, CAST(p.pos_b AS INT), 1)),
+      top AS (
+        SELECT * FROM lm WHERE lcp >= 10
+        ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b LIMIT 20)
+      SELECT t.lcp, t.doc_a, t.pos_a, t.doc_b, t.pos_b,
+             substr(d.text, CAST(t.pos_a AS INT) + 1, CAST(t.lcp AS INT))
+               AS snippet,
+             t.doc_a = t.doc_b AS same_doc
+      FROM top t JOIN documents d ON d.doc_id = t.doc_a
+      ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+    """))
+
+  val all: Seq[Q] =
+    Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided)
 }

@@ -2202,10 +2202,71 @@ object TextQueries {
         UNION ALL SELECT 'gif_anim', 'image/gif', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'avi', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d
-        UNION ALL SELECT 'avi_rle', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d)
+        UNION ALL SELECT 'avi_rle', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d
+        UNION ALL SELECT 'mp3', 'audio/mpeg', CAST(0 AS BIGINT) FROM d)
       SELECT format, mime, count(*) AS n_docs,
              CAST(sum(kb) AS BIGINT) AS known_bytes
       FROM rows GROUP BY 1, 2 ORDER BY format, mime
+    """.trim))
+
+  /** MP3 duration/bitrate audit — a REAL MPEG-1 Layer III FRAME-HEADER
+    * walk ([[graft.operators.Codecs.parseMp3]]) over stored blobs: the
+    * stream self-describes through its 4-byte headers (sync word,
+    * version/layer bits, bitrate/samplerate table indices, padding
+    * bit), and frame length = 144·bitrate/samplerate + padding, so
+    * frame count, CBR/VBR, duration and bitrate stats need no audio
+    * decode at all — the `q_media_catalog` metadata-only pattern
+    * applied INSIDE the container. A walk that misreads the bitrate
+    * table, the padding bit, or a frame length loses sync and
+    * surfaces in `n_bad`; the oracle replays the synthesis recipe's
+    * bitrate arithmetic (never the byte walk — that asymmetry is the
+    * point). Corruption behavior fuzz-pinned in CodecFuzzSpec. */
+  val qAudioMp3Meta: Q = Q(
+    "q_audio_mp3_meta",
+    (spark, dir) => graft.operators.Codecs
+      .decodeMp3Batch(media(spark, dir, "mp3"))
+      .toDF()
+      .groupBy(col("sampleRate").as("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nFrames")).as("n_frames"),
+        sum(col("durationMs")).as("total_ms"),
+        sum(when(col("isCbr"), 1L).otherwise(0L)).as("n_cbr"),
+        min(col("minKbps")).as("min_kbps"),
+        max(col("maxKbps")).as("max_kbps"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("sample_rate")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id AS id, octet_length(encode(text)) AS len
+        FROM documents),
+      base AS (
+        SELECT id, 4 + len % 8 AS f_cnt,
+               CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 ELSE 32000 END AS sr,
+               id % 2 = 1 AS vbr
+        FROM d),
+      fr AS (
+        SELECT id, sr, vbr, f_cnt, unnest(range(0, f_cnt)) AS f
+        FROM base),
+      kb AS (
+        SELECT id, sr, f_cnt,
+               [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 [CASE WHEN vbr THEN 1 + (id + 7*f) % 14
+                       ELSE 1 + id % 14 END] AS kbps
+        FROM fr),
+      per AS (
+        SELECT id, sr, any_value(f_cnt) AS nf,
+               min(kbps) AS mn, max(kbps) AS mx
+        FROM kb GROUP BY id, sr)
+      SELECT CAST(sr AS INT) AS sample_rate, count(*) AS n_docs,
+             CAST(sum(nf) AS BIGINT) AS n_frames,
+             CAST(sum(nf * 1152 * 1000 // sr) AS BIGINT) AS total_ms,
+             CAST(sum(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cbr,
+             CAST(min(mn) AS INT) AS min_kbps,
+             CAST(max(mx) AS INT) AS max_kbps,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY sr ORDER BY sample_rate
     """.trim))
 
   /** REAL video frame decode — a from-scratch AVI (RIFF) demuxer over
@@ -2340,7 +2401,7 @@ object TextQueries {
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
     qMultimodalScenes, qMultimodalJpeg, qMediaCatalog, qVideoFrames,
-    qVideoScenes, qVideoRleFrames,
+    qVideoScenes, qVideoRleFrames, qAudioMp3Meta,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

@@ -70,6 +70,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("jpeg", Jpeg.synthesizeJpeg(7L, 23), 3000)(b => Jpeg.decode(b))
   }
 
+  test("mp3 frame walk survives 3000 corruptions") {
+    fuzz("mp3", Codecs.synthesizeMp3(7L, 23), 3000)(
+      b => Codecs.parseMp3(7L, b))
+  }
+
   test("avi demux + frame decode survives 3000 corruptions") {
     fuzz("avi", Video.synthesizeMjpegAvi(7L, 23), 3000)(
       b => Video.decodeFrames(7L, b))
