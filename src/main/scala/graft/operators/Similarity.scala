@@ -1071,7 +1071,13 @@ object Similarity {
     // materializes the whole chain — each round's cache fills as the
     // cascade passes through it — and only then do the intermediate
     // rounds and the corpus unpersist. The returned final round stays
-    // cached.
+    // cached. Trade-off: peak cache residency is O(rounds) × the k·N
+    // edge table for the duration of the single pass (vs O(1) with
+    // per-round barriers, which cost one extra full pass in job
+    // latency — measured +4-5 s on the registry build); at the
+    // current rounds=3 and MEMORY_AND_DISK the residency is the
+    // right side of that trade, and a deeper cascade should flip to
+    // per-round eager unpersist.
     var g = topKByRoundedCosUnsorted(score(init), k, "cos", "rnk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val intermediates = Seq.newBuilder[DataFrame]
@@ -1140,6 +1146,42 @@ object Similarity {
     res
   }
 
+  /** [[graphBeamSearch]] plus its WORK AUDIT: the second DataFrame is
+    * `(qid, cand_scored)` — the number of candidate nodes the walk
+    * scored for that query, summed over the fixed hops (each hop's
+    * deduplicated frontier∪expansion cut, exactly the per-hop scoring
+    * join's row count). This is the deployment-decision denominator a
+    * recall-vs-cost Pareto table plots against; the hop frames are
+    * already checkpointed by the walk, so counting them adds no
+    * recompute. */
+  def graphBeamSearchWithCost(embeddings: DataFrame, edges: DataFrame,
+      qMinId: Long, qMaxId: Long, k: Int, beam: Int, hops: Int,
+      entry: Long): (DataFrame, DataFrame) = {
+    require(entry < qMinId || entry >= qMaxId,
+      s"entry node $entry must lie outside the query id range " +
+        s"[$qMinId, $qMaxId)")
+    val corpus = prepared(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus
+      .filter(col("vec_id") >= qMinId && col("vec_id") < qMaxId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val bsym = symmetrizedEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Seq.newBuilder[DataFrame]
+    val res = beamWalk(corpus, bsym, queries, k, beam, hops, entry,
+        audit = Some(cands))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    val cost = cands.result()
+      .map(_.groupBy(col("qid")).agg(count(lit(1)).as("c")))
+      .reduce(_ unionAll _)
+      .groupBy(col("qid")).agg(sum(col("c")).as("cand_scored"))
+    bsym.unpersist()
+    corpus.unpersist()
+    (res, cost)
+  }
+
   private def symmetrizedEdges(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("qid").as("src"), col("vec_id").as("dst"))
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -1161,7 +1203,9 @@ object Similarity {
 
   private def beamWalk(corpus: DataFrame, bsym: DataFrame,
       queries: DataFrame, k: Int, beam: Int, hops: Int,
-      entry: Long): DataFrame = {
+      entry: Long,
+      audit: Option[scala.collection.mutable.Builder[DataFrame,
+        Seq[DataFrame]]] = None): DataFrame = {
     def score(cand: DataFrame): DataFrame = corpus
       .join(broadcast(cand.join(broadcast(queries), "qid")),
         col("node") === corpus("vec_id"))
@@ -1190,6 +1234,7 @@ object Similarity {
         .filter(col("node") =!= col("qid"))
         .distinct()
         .transform(snapshot)
+      audit.foreach(_ += cand) // checkpointed — counting it later is free
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("node"))
       frontier = score(cand)

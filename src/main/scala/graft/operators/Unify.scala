@@ -143,4 +143,43 @@ object Unify {
         }: _*).as("payload"))
       .orderBy(col("user_id"), col("bucket"))
   }
+
+  /** Watermark-simulation DEAD-LETTER audit over an arrival-ordered
+    * event log — the batch analog of the streaming operator's
+    * `numRowsDroppedByWatermark` ([[graft.streaming
+    * .OrderUnifyEventTime.unifyObserved]]), but REPORTING the would-be
+    * drops instead of silently filtering them. The watermark an event
+    * meets on arrival is the max event time of everything that
+    * arrived STRICTLY BEFORE it (by `arr`) minus the delay; the event
+    * is late iff its own time is below that.
+    *
+    * Scale shape: the global running max is a TWO-LEVEL prefix scan,
+    * never a partition-less window — per-bucket maxima (one shuffle
+    * of N/bucketSize rows), bucket prefix maxima by a broadcast
+    * lower-triangle self-join of that SMALL table, and a within-bucket
+    * running max windowed BY bucket (bounded partitions). At corpora
+    * where N/bucketSize itself outgrows a broadcast, the same
+    * construction recurses one more level; bucketSize is the knob.
+    *
+    * Input needs `(arr, tsm)` columns (arrival sequence, event-time
+    * micros); all other columns pass through. Adds `wm` (the simulated
+    * watermark at arrival, null for the globally-first bucket head)
+    * and `late`. */
+  def lateAudit(events: DataFrame, delayMicros: Long,
+                bucketSize: Int = 4096): DataFrame = {
+    val ev = events.withColumn("bucket", expr(s"arr DIV $bucketSize"))
+    val bmax = ev.groupBy(col("bucket")).agg(max(col("tsm")).as("bmx"))
+    val pref = bmax.as("x")
+      .join(broadcast(bmax.as("y")), col("y.bucket") < col("x.bucket"),
+        "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(max(col("y.bmx")).as("pmx"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("arr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.join(broadcast(pref), "bucket")
+      .withColumn("inmx", max(col("tsm")).over(w))
+      .withColumn("wm", greatest(col("pmx"), col("inmx")) - delayMicros)
+      .withColumn("late", col("wm").isNotNull && col("tsm") < col("wm"))
+      .drop("bucket", "inmx", "pmx")
+  }
 }

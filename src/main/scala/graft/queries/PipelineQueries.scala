@@ -590,10 +590,68 @@ object PipelineQueries {
       })
   }
 
+
+  /** Late-data DEAD-LETTER audit — the batch analog of the streaming
+    * operator's `numRowsDroppedByWatermark`
+    * ([[graft.streaming.OrderUnifyEventTime.unifyObserved]]): a
+    * watermark SIMULATION over an arrival-ordered log that reports the
+    * would-be drops instead of silently filtering them. The stored
+    * event log is time-sorted, so arrival order models ingest jitter
+    * deterministically (a ×3 bijection within each 8-block — the
+    * oracle replays it); the watermark an event meets = max event time
+    * of everything that arrived before it minus a 60 s delay. Per
+    * event type: arrivals, late count, late ppm, worst lateness — the
+    * dashboard that sizes a real pipeline's watermark delay.
+    * Scale: [[graft.operators.Unify.lateAudit]] runs the global
+    * running max as a two-level prefix scan (per-bucket maxima +
+    * broadcast prefix + within-bucket window), never a partition-less
+    * window. */
+  val qUnifyLateAudit: Q = Q(
+    "q_unify_late_audit",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsm"),
+          col("event_type"))
+        .withColumn("arr", expr(
+          "(event_id DIV 8) * 8 + ((event_id % 8) * 3 + event_id DIV 8) % 8"))
+      graft.operators.Unify.lateAudit(ev, delayMicros = 60000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("late").cast("long")).as("n_late"),
+          expr("sum(CASE WHEN late THEN 1 ELSE 0 END) * 1000000 DIV count(1)")
+            .as("late_ppm"),
+          coalesce(max(when(col("late"),
+            expr("(wm - tsm) DIV 1000"))), lit(0L)).as("max_late_ms"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsm, event_type,
+               (event_id // 8) * 8 + ((event_id % 8) * 3 + event_id // 8) % 8
+                 AS arr
+        FROM events),
+      r AS (
+        SELECT event_type, tsm,
+               max(tsm) OVER (ORDER BY arr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - 60000000 AS wm
+        FROM e)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CASE WHEN wm IS NOT NULL AND tsm < wm
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(sum(CASE WHEN wm IS NOT NULL AND tsm < wm
+                           THEN 1 ELSE 0 END) * 1000000 // count(*)
+               AS BIGINT) AS late_ppm,
+             CAST(coalesce(max(CASE WHEN wm IS NOT NULL AND tsm < wm
+                                    THEN (wm - tsm) // 1000 END), 0)
+               AS BIGINT) AS max_late_ms
+      FROM r GROUP BY event_type ORDER BY event_type
+    """.trim))
+
   def all: Seq[Q] = Seq(
     qScanEvents, qJsonExtract, qTsRoundtrip, qCanonicalizeType,
     qFilterNonnull, qRegexFilter, qRouteByType, qUnionAll,
     qDedupFirstWins, qCompleteGroups, qPrioritySort, qProjectionPayload,
     qIncompleteDropped, qFanoutExplode, qSchemaValidate, qJsonSchemaGeneric,
-    qVariantDetails, qSynthGen, qUnifyEventTime)
+    qVariantDetails, qSynthGen, qUnifyEventTime, qUnifyLateAudit)
 }

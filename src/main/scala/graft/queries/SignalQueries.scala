@@ -1425,10 +1425,84 @@ object SignalQueries {
       ORDER BY s.user_id, s.event_id
     """.trim))
 
+
+  /** Tokenize-pack-shard under the LEARNED vocabulary — the actual
+    * pretraining data-prep output: every document's TRUE subword token
+    * count comes from the stored BPE decompositions
+    * ([[graft.operators.BpeVocabArtifact]] reprs — each word occurrence
+    * contributes its learned `n_symbols`, never a whitespace count),
+    * and documents pack greedily in (source, doc_id) order into
+    * 2048-token shards by concat-and-chunk: shard = tokens-before DIV
+    * budget. The manifest row per (source, shard) is what a sharded
+    * dataset writer consumes: doc count, true token mass, id range.
+    * Scale: the only window is a per-source running sum (bounded
+    * partitions, the `q_chunk_boundaries` shape); the join to the
+    * vocab artifact is vocab-sized. The oracle replays the learned
+    * segmentation from the same merge rules, then the identical
+    * cumulative packing. */
+  val qTokenizedShards: Q = Q(
+    "q_tokenized_shards",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val reprs = graft.operators.BpeVocabArtifact.reprs(spark, dir)
+        .select(col("w"), col("n_symbols"))
+      val docTok = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(reprs, "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_symbols")).as("t"))
+      val allDocs = docs.select(col("doc_id"), col("source"))
+        .join(docTok, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("t"), lit(0L)).as("doc_tokens"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      allDocs
+        .withColumn("cum", sum(col("doc_tokens")).over(w))
+        .withColumn("shard", expr("(cum - doc_tokens) DIV 2048"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_tokens")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("shard"))
+    },
+    Some(s"""
+      WITH ${bpeVocabCtes(graft.operators.BpeVocabArtifact.Rounds)},
+      nsym AS (
+        SELECT w, CAST(len(string_split(trim(repr), '  ')) AS BIGINT)
+                 AS n_symbols
+        FROM r${graft.operators.BpeVocabArtifact.Rounds}),
+      occ AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+        FROM documents),
+      dt AS (
+        SELECT doc_id, sum(n_symbols) AS t
+        FROM occ JOIN nsym USING (w) WHERE len(w) > 0 GROUP BY doc_id),
+      alld AS (
+        SELECT d.doc_id, d.source, coalesce(dt.t, 0) AS doc_tokens
+        FROM documents d LEFT JOIN dt ON dt.doc_id = d.doc_id),
+      csum AS (
+        SELECT doc_id, source, doc_tokens,
+               sum(doc_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id) AS cum
+        FROM alld),
+      sh AS (
+        SELECT source, (cum - doc_tokens) // 2048 AS shard,
+               doc_tokens, doc_id
+        FROM csum)
+      SELECT source, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(doc_tokens) AS BIGINT) AS shard_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM sh GROUP BY 1, 2 ORDER BY source, shard
+    """.trim))
+
   def all: Seq[Q] = Seq(qTextJsd, qTextCollocations, qSignalCorr, qMetaMi,
     qTextHapax, qBpeMerges, qBpeVocab, qFertilityLearned,
     qUnigramVocab, qFertilityUnigram, qTokenizerDuel,
     qChaoRichness, qTextHeaps, qTextBurstiness,
     qPrefBradleyTerry, qPrefCalibration, qPrefIntransitivity,
-    qPrefKappa, qPrefFleiss, qPrefPairsExport)
+    qPrefKappa, qPrefFleiss, qPrefPairsExport, qTokenizedShards)
 }

@@ -2630,6 +2630,271 @@ object SimilarityQueries {
       FROM occ ORDER BY cell
     """.trim))
 
+  /** ANN PARETO capstone — the one table a deployment decision reads:
+    * every search path in the engine (exhaustive scan, IVF at 1 and 2
+    * probes, IVF-PQ compressed scoring, NN-descent graph beam walk)
+    * answers the SAME 8-query panel (qid 8..16) for its top-5 over the
+    * SAME corpus (everything outside the query range), and each leg
+    * reports recall@5 against the exhaustive baseline next to
+    * `cand_scored` — the number of candidate vectors it actually
+    * scored, the cost denominator of the recall-vs-work frontier.
+    * Expected dominance (asserted in AnnParetoSpec): exact ≥ ivf_p2 ≥
+    * ivf_p1 on recall with strictly shrinking candidates; ivfpq scores
+    * the SAME candidates as ivf_p2 compressed (recall ≤, the
+    * compression toll made visible); the beam walk's cost follows
+    * beam·degree·hops, independent of corpus size. All five legs are
+    * deterministic and the oracle replays each one. */
+  val qAnnPareto: Q = {
+    val k = 5
+    val (beam, hops) = (4, 4)
+    val hopCtes = (1 to hops).map { r =>
+      s"""
+      gc$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM f${r - 1}
+          UNION ALL
+          SELECT f.qid, b.dst AS node
+          FROM f${r - 1} f JOIN bsym b ON b.src = f.node)
+        WHERE node <> qid),
+      sc$r AS MATERIALIZED (
+        SELECT c.qid, c.node, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM gc$r c
+        JOIN bq q ON q.qid = c.qid
+        JOIN embeddings e ON e.vec_id = c.node),
+      f$r AS MATERIALIZED (
+        SELECT qid, node FROM (
+          SELECT qid, node,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, node) AS rn
+          FROM sc$r)
+        WHERE rn <= $beam),
+      seen$r AS MATERIALIZED (
+        SELECT DISTINCT qid, node FROM (
+          SELECT qid, node FROM seen${r - 1}
+          UNION ALL SELECT qid, node FROM gc$r))"""
+    }.mkString(",")
+    Q(
+      "q_ann_pareto",
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(spark, dir)
+        val inCorpus = col("vec_id") < 8 || col("vec_id") >= 16
+        val queries = broadcast(emb
+          .filter(col("vec_id") >= 8 && col("vec_id") < 16)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+        val corpus = emb.filter(inCorpus)
+          .select(col("vec_id"), col("embedding"))
+        // exhaustive baseline = the ground truth every leg is scored
+        // against; persisted, it anchors four overlap joins
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val exact = corpus.crossJoin(queries)
+          .select(col("qid"), col("vec_id"),
+            Similarity.cosine(col("qvec"), col("embedding")).as("cos"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("qid"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cents = graft.operators.IvfArtifact.centroids(spark, dir, 8, 2)
+        val inv = graft.operators.IvfArtifact.inverted(spark, dir, 8, 2)
+        // per-query probed cells at the max probe depth; rn = probe rank
+        val wp = Window.partitionBy(col("qid"))
+          .orderBy(col("pcos").desc, col("cell"))
+        val probes = queries.crossJoin(broadcast(cents))
+          .select(col("qid"), col("cell"),
+            Similarity.cosine(col("qvec"), col("cvec")).as("pcos"))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("cell"), col("rn"))
+        val cellSizes = inv.filter(inCorpus)
+          .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+        def ivfCost(p: Int): org.apache.spark.sql.DataFrame = probes
+          .filter(col("rn") <= p).join(broadcast(cellSizes), "cell")
+          .groupBy(col("qid")).agg(sum(col("csz")).as("cand_scored"))
+        def leg(method: String, param: String,
+            topk: org.apache.spark.sql.DataFrame,
+            cost: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          topk.select(col("qid"), col("vec_id"))
+            .join(exact, Seq("qid", "vec_id"))
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(cost.agg(sum(col("cand_scored")).as("cand_scored")))
+            .select(lit(method).as("method"), lit(param).as("param"),
+              col("cand_scored"), col("n_hit"))
+        val (graphTop, graphCost) = Similarity.graphBeamSearchWithCost(
+          emb.select(col("vec_id"), col("embedding")),
+          graft.operators.NndGraphArtifact.edges(spark, dir)
+            .select(col("qid"), col("vec_id")),
+          qMinId = 8, qMaxId = 16, k = k, beam = beam, hops = hops,
+          entry = 0L)
+        val legs = Seq(
+          leg("1_exact_scan", "exhaustive", exact,
+            corpus.agg((count(lit(1)) * 8).as("cand_scored"))),
+          leg("2_ivf_probe2", "c8,probes=2",
+            Similarity.ivfSearchIndexed(cents, inv, 8, 16, k, probes = 2),
+            ivfCost(2)),
+          leg("3_ivfpq_probe2", "c8,probes=2,pq8x16",
+            Similarity.ivfPqSearch(cents, inv, 8, 16, k, probes = 2),
+            ivfCost(2)),
+          leg("4_ivf_probe1", "c8,probes=1",
+            Similarity.ivfSearchIndexed(cents, inv, 8, 16, k, probes = 1),
+            ivfCost(1)),
+          leg("5_graph_beam", s"k10,beam=$beam,hops=$hops",
+            graphTop, graphCost))
+        legs.reduce(_ unionByName _)
+          .select(col("method"), col("param"), lit(8L).as("n_queries"),
+            col("cand_scored"), col("n_hit"),
+            round(col("n_hit") / lit(k * 8.0), 6).as("recall"))
+          .orderBy(col("method"))
+      },
+      Some(s"""
+      WITH $nndGraphCtes,
+      bsym AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT qid AS src, vec_id AS dst FROM g3
+          UNION ALL SELECT vec_id AS src, qid AS dst FROM g3)),
+      bq AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+        WHERE vec_id >= 8 AND vec_id < 16),
+      f0 AS (SELECT qid, CAST(0 AS BIGINT) AS node FROM bq),
+      seen0 AS (SELECT qid, node FROM f0),
+      $hopCtes,
+      -- exhaustive baseline over the shared corpus
+      xsc AS MATERIALIZED (
+        SELECT q.qid, e.vec_id, ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM bq q, embeddings e
+        WHERE e.vec_id < 8 OR e.vec_id >= 16),
+      xtop AS MATERIALIZED (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM xsc)
+        WHERE rnk <= $k),
+      ncorp AS (SELECT count(*) AS nc FROM embeddings
+                WHERE vec_id < 8 OR vec_id >= 16),
+      -- IVF probes over the Lloyd-refined cells (rn = probe rank)
+      pr AS MATERIALIZED (
+        SELECT qid, cell, rn FROM (
+          SELECT q.qid, c.cell,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${cosOf("q.qvec", "c.cvec")} DESC, c.cell) AS rn
+          FROM bq q, cents2 c)
+        WHERE rn <= 2),
+      icand AS MATERIALIZED (
+        SELECT p.qid, p.rn, e.vec_id,
+               ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM pr p JOIN bq q USING (qid)
+        JOIN final_asg fa ON fa.cell = p.cell
+        JOIN embeddings e ON e.vec_id = fa.vec_id
+        WHERE e.vec_id < 8 OR e.vec_id >= 16),
+      itop2 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM icand)
+        WHERE rnk <= $k),
+      itop1 AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM icand WHERE rn <= 1)
+        WHERE rnk <= $k),
+      -- IVF-PQ: per-cell encode against the first-16 seed codebook,
+      -- LUT, integer-nano ADC over the probe-2 candidates
+      subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+      cb AS (
+        SELECT s.sub, CAST(e.vec_id AS INT) AS cidx,
+               [e.embedding[i] FOR i IN generate_series(s.sub * 8 + 1, s.sub * 8 + 8)] AS cvec
+        FROM embeddings e, subs s WHERE e.vec_id < 16),
+      encd AS MATERIALIZED (
+        SELECT vec_id, cell, sub, cidx AS code FROM (
+          SELECT e.vec_id, a.cell, c.sub, c.cidx,
+                 row_number() OVER (PARTITION BY e.vec_id, c.sub ORDER BY
+                   list_sum([(e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             * (e.embedding[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                             FOR i IN generate_series(1, 8)]), c.cidx) AS rn
+          FROM embeddings e JOIN final_asg a USING (vec_id), cb c
+          WHERE e.vec_id < 8 OR e.vec_id >= 16)
+        WHERE rn = 1),
+      lut AS MATERIALIZED (
+        SELECT q.qid, c.sub, c.cidx,
+               CAST(floor(list_sum([(q.qvec[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    * (q.qvec[c.sub * 8 + i]::DOUBLE - c.cvec[i]::DOUBLE)
+                                    FOR i IN generate_series(1, 8)]) * 1000000000 + 0.5)
+                 AS BIGINT) AS d_int
+        FROM bq q, cb c),
+      adc AS (
+        SELECT l.qid, e.vec_id, sum(l.d_int) AS adc
+        FROM pr p
+        JOIN encd e ON e.cell = p.cell
+        JOIN lut l ON l.qid = p.qid AND l.sub = e.sub AND l.cidx = e.code
+        GROUP BY l.qid, e.vec_id),
+      ptop AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY adc, vec_id) AS rnk
+          FROM adc)
+        WHERE rnk <= $k),
+      -- graph beam top-5 over everything visited
+      gfin AS (
+        SELECT s.qid, s.node AS vec_id,
+               ${cosOf("q.qvec", "e.embedding")} AS cos
+        FROM seen$hops s
+        JOIN bq q ON q.qid = s.qid
+        JOIN embeddings e ON e.vec_id = s.node),
+      gtop AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, vec_id) AS rnk
+          FROM gfin)
+        WHERE rnk <= $k),
+      gcost AS (
+        SELECT CAST(sum(c) AS BIGINT) AS cand_scored FROM (
+          ${(1 to hops).map(r => s"SELECT count(*) AS c FROM gc$r")
+            .mkString("\n          UNION ALL ")})),
+      -- candidate-work totals per leg
+      isz AS (
+        SELECT p.rn, count(*) AS c
+        FROM pr p JOIN final_asg fa ON fa.cell = p.cell
+        WHERE fa.vec_id < 8 OR fa.vec_id >= 16
+        GROUP BY p.rn),
+      legs AS (
+        SELECT '1_exact_scan' AS method, 'exhaustive' AS param,
+               (SELECT nc * 8 FROM ncorp) AS cand_scored,
+               (SELECT count(*) FROM xtop) AS n_hit
+        UNION ALL
+        SELECT '2_ivf_probe2', 'c8,probes=2',
+               (SELECT sum(c) FROM isz),
+               (SELECT count(*) FROM itop2 t JOIN xtop x
+                  ON t.qid = x.qid AND t.vec_id = x.vec_id)
+        UNION ALL
+        SELECT '3_ivfpq_probe2', 'c8,probes=2,pq8x16',
+               (SELECT sum(c) FROM isz),
+               (SELECT count(*) FROM ptop t JOIN xtop x
+                  ON t.qid = x.qid AND t.vec_id = x.vec_id)
+        UNION ALL
+        SELECT '4_ivf_probe1', 'c8,probes=1',
+               (SELECT c FROM isz WHERE rn = 1),
+               (SELECT count(*) FROM itop1 t JOIN xtop x
+                  ON t.qid = x.qid AND t.vec_id = x.vec_id)
+        UNION ALL
+        SELECT '5_graph_beam', 'k10,beam=$beam,hops=$hops',
+               (SELECT cand_scored FROM gcost),
+               (SELECT count(*) FROM gtop t JOIN xtop x
+                  ON t.qid = x.qid AND t.vec_id = x.vec_id))
+      SELECT method, param, CAST(8 AS BIGINT) AS n_queries,
+             CAST(cand_scored AS BIGINT) AS cand_scored,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             round(CAST(n_hit AS DOUBLE) / ${k * 8}.0, 6) AS recall
+      FROM legs ORDER BY method
+    """.trim))
+  }
+
   def all: Seq[Q] = Seq(qEmbedKnn, qEmbedIvf, qEmbedIvfKnn,
     qEmbedIvfRefined, qEmbedIvfMultiprobe, qEmbedNeardup,
     qEmbedSrpNeardup, qEmbedQuantized, qEmbedPq, qEmbedPqRefined,
@@ -2640,5 +2905,5 @@ object SimilarityQueries {
     qEmbedPc1, qEmbedHubness, qEmbedFisher, qEmbedIsotropy,
     qEmbedCoreset, qEmbedLabelNoise, qKnnShapley, qLabelProp,
     qEmbedAlignUniform, qEmbedNndescent, qEmbedGraphSearch,
-    qEmbedBitextMargin, qEmbedGraphAppend, qEmbedIvfAppend)
+    qEmbedBitextMargin, qEmbedGraphAppend, qEmbedIvfAppend, qAnnPareto)
 }

@@ -144,6 +144,10 @@ final class HttpSchemaRegistryServer(root: String) {
   def start(): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", handle _)
+    // the default (null) executor runs exchanges serially on the
+    // dispatcher thread — one slow client would block all others;
+    // a cached pool delivers the thread-per-exchange the doc promises
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     server.getAddress.getPort
   }
@@ -229,13 +233,15 @@ final class HttpSchemaRegistryServer(root: String) {
         }
 
       case ("POST", Seq("subjects", s, "versions")) =>
-        val doc = Json.readTree(readBody(ex)).get("schema").asText()
-        val parsed =
-          try Some(JsonSchema.parse(doc)) catch { case _: Exception => None }
+        // an unparsable body or a missing/non-text "schema" field is
+        // the protocol's 422/42201, not an NPE surfacing as 500
+        val doc = schemaField(readBody(ex))
+        val parsed = doc.flatMap(d =>
+          try Some(JsonSchema.parse(d)) catch { case _: Exception => None })
         if (parsed.isEmpty) error(ex, 422, 42201, "Invalid schema")
         else
           try {
-            val r = FileSchemaRegistry.register(root, s, doc)
+            val r = FileSchemaRegistry.register(root, s, doc.get)
             val n = Json.createObjectNode(); n.put("id", r.id)
             respond(ex, 200, n.toString)
           } catch {
@@ -244,18 +250,39 @@ final class HttpSchemaRegistryServer(root: String) {
           }
 
       case ("POST", Seq("compatibility", "subjects", s, "versions", "latest")) =>
-        val doc = Json.readTree(readBody(ex)).get("schema").asText()
-        val compatible = FileSchemaRegistry.latest(root, s) match {
-          case None => true
-          case Some(last) => FileSchemaRegistry.backwardViolations(
-            JsonSchema.parse(last.doc), JsonSchema.parse(doc)).isEmpty
+        schemaField(readBody(ex)) match {
+          case None => error(ex, 422, 42201, "Invalid schema")
+          case Some(doc) =>
+            val parsedNew =
+              try Some(JsonSchema.parse(doc))
+              catch { case _: Exception => None }
+            parsedNew match {
+              case None => error(ex, 422, 42201, "Invalid schema")
+              case Some(pn) =>
+                val compatible = FileSchemaRegistry.latest(root, s) match {
+                  case None => true
+                  case Some(last) => FileSchemaRegistry.backwardViolations(
+                    JsonSchema.parse(last.doc), pn).isEmpty
+                }
+                val n = Json.createObjectNode()
+                n.put("is_compatible", compatible)
+                respond(ex, 200, n.toString)
+            }
         }
-        val n = Json.createObjectNode(); n.put("is_compatible", compatible)
-        respond(ex, 200, n.toString)
 
       case _ => error(ex, 404, 404, s"$method ${parts.mkString("/")}")
     }
   }
+
+  /** The `"schema"` field of a request body, or None when the body is
+    * not JSON or the field is absent/non-text — the protocol's
+    * "unparsable document" (422/42201), never a 500. */
+  private def schemaField(body: String): Option[String] =
+    try {
+      val node = Json.readTree(body)
+      Option(node).map(_.get("schema")).filter(_ != null)
+        .filter(_.isTextual).map(_.asText())
+    } catch { case _: Exception => None }
 }
 
 /** Minimal registry client over `HttpURLConnection` — the shape every
@@ -295,10 +322,18 @@ final class HttpSchemaRegistryClient(baseUrl: String) {
   private def parsed(method: String, path: String, body: Option[String])
       : com.fasterxml.jackson.databind.JsonNode = {
     val (status, text) = call(method, path, body)
-    val node = Json.readTree(text)
-    if (status >= 400)
-      throw RegistryHttpException(status, node.get("error_code").asInt(),
-        node.get("message").asText())
+    // an empty or non-JSON error body must not mask the real HTTP
+    // status behind a Jackson NPE/parse failure
+    val node = try Json.readTree(text) catch { case _: Exception => null }
+    if (status >= 400) {
+      val code = Option(node).map(_.get("error_code")).filter(_ != null)
+        .map(_.asInt()).getOrElse(status)
+      val msg = Option(node).map(_.get("message")).filter(_ != null)
+        .map(_.asText()).getOrElse(text)
+      throw RegistryHttpException(status, code, msg)
+    }
+    if (node == null)
+      throw RegistryHttpException(status, status, s"non-JSON body: $text")
     node
   }
 

@@ -119,9 +119,35 @@ object OrderUnifyEventTime {
   def unify(events: Dataset[OrderEvent],
             windowMillis: Long = OrderUnify.DefaultBufferMillis,
             watermarkDelay: String = "2 seconds"): Dataset[ProjectionResult] =
+    unifyObserved(events, windowMillis, watermarkDelay)
+
+  /** As [[unify]], with LATE-DATA OBSERVABILITY wired in — the
+    * event-time edition of the reference's "incomplete … dropped" log
+    * line. Two signals a production operator watches:
+    *
+    *  - the `unify_et_arrivals` observe metric counts every arrival
+    *    that reaches the operator (it sits ABOVE the stateful node's
+    *    watermark filter, so it includes arrivals the watermark then
+    *    drops) plus the max arrived event time — the lag gauge;
+    *  - events older than the watermark never reach the state
+    *    function (Spark filters them at the stateful operator) and are
+    *    counted EXACTLY by `numRowsDroppedByWatermark` in each
+    *    progress's stateOperators — `OrderUnifyEventTimeSpec`
+    *    (ET-DROP) pins the count to the event.
+    *
+    * The batch-side dead-letter audit of the same phenomenon is
+    * [[graft.operators.Unify.lateAudit]] (`q_unify_late_audit`): a
+    * watermark simulation over an arrival-ordered log that REPORTS
+    * would-be-dropped events instead of silently filtering them. */
+  def unifyObserved(events: Dataset[OrderEvent],
+            windowMillis: Long = OrderUnify.DefaultBufferMillis,
+            watermarkDelay: String = "2 seconds"): Dataset[ProjectionResult] =
     events
       .withColumn("eventTime", timestamp_micros(col("timestampMicros")))
       .withWatermark("eventTime", watermarkDelay)
+      .observe("unify_et_arrivals",
+        count(lit(1)).as("n_arrivals"),
+        max(col("eventTime")).as("max_event_time"))
       .as[TimedOrderEvent]
       .groupByKey(_.orderId)
       .flatMapGroupsWithState(

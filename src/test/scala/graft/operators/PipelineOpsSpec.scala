@@ -80,4 +80,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 13 && got.values.forall(_ == 0L))
   }
+
+  test("lateAudit two-level prefix scan equals the sequential watermark replay") {
+    // jittered arrivals: event times mostly increase with arr but with
+    // planted out-of-order stragglers; tiny bucket size (4) forces the
+    // bucket-seam paths (prefix max from earlier buckets, null head)
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 200L).map { arr =>
+      val base = arr * 100L
+      val tsm = if (rnd.nextInt(5) == 0) base - 700L - rnd.nextInt(500)
+                else base
+      (arr, tsm)
+    }
+    val delay = 300L
+    val got = Unify.lateAudit(rows.toDF("arr", "tsm"), delay, bucketSize = 4)
+      .select("arr", "wm", "late").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .sortBy(_._1)
+    // sequential replay: running max of everything strictly before
+    var mx = Long.MinValue
+    rows.sortBy(_._1).zip(got).foreach { case ((arr, tsm), (gArr, gWm, gLate)) =>
+      assert(arr == gArr)
+      val expWm = if (mx == Long.MinValue) None else Some(mx - delay)
+      assert(gWm == expWm, s"arr=$arr wm $gWm != $expWm")
+      assert(gLate == expWm.exists(tsm < _), s"arr=$arr late flag wrong")
+      mx = math.max(mx, tsm)
+    }
+    assert(got.count(_._3) > 5, "test data must actually contain late events")
+  }
 }

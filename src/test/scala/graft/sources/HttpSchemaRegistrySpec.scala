@@ -113,6 +113,42 @@ class HttpSchemaRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("malformed request bodies surface as protocol 422/42201, never 500") {
+    def rawPost(port: Int, path: String, body: String): (Int, String) = {
+      val c = new java.net.URL(s"http://127.0.0.1:$port$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      val status = c.getResponseCode
+      val in = if (status >= 400) c.getErrorStream else c.getInputStream
+      val text = if (in == null) "" else {
+        val b = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { b.write(tmp, 0, n); n = in.read(tmp) }
+        in.close(); new String(b.toByteArray, "UTF-8")
+      }
+      (status, text)
+    }
+    val root = tmp("httpreg_bad")
+    val server = new HttpSchemaRegistryServer(root)
+    val port = server.start()
+    try {
+      for (path <- Seq("/subjects/t/versions",
+          "/compatibility/subjects/t/versions/latest");
+          body <- Seq("not json at all", "{}", """{"schema": 42}""",
+            """{"other": "field"}""")) {
+        val (status, text) = rawPost(port, path, body)
+        assert(status == 422, s"$path body=$body -> $status ($text)")
+        assert(text.contains("42201"), s"$path body=$body -> $text")
+      }
+      // and nothing got registered by any of those
+      val client = new HttpSchemaRegistryClient(s"http://127.0.0.1:$port")
+      assert(client.subjects() == Seq.empty)
+    } finally server.stop()
+  }
+
   test("compatibility endpoint agrees with the register gate") {
     withServer { (client, _) =>
       // empty subject: anything is compatible

@@ -167,6 +167,50 @@ class OrderUnifyEventTimeSpec extends AnyFunSuite {
     assert(typesIn(out.head._2) == Seq("created", "placed", "cancelled"))
   }
 
+  test("ET-DROP: events past the watermark are counted exactly, and observed arrivals include them") {
+    // batch 1 completes ord-d1 at T0 and nudges the watermark to
+    // ~T0+58s (nudge at T0+60s, 2 s delay); batch 2 then delivers ONE
+    // event carrying event time T0 — below the watermark, so Spark's
+    // stateful-operator filter drops it before the state function.
+    // The production signals: numRowsDroppedByWatermark counts it
+    // EXACTLY, the observe metric (above the filter) still counts its
+    // arrival, and the dropped key never reaches the sink.
+    val input = MemoryStream[SourceRecord]
+    val name = nextName()
+    val out = OrderUnifyEventTime.unifyObserved(
+      OrderUnifyPipeline.parseAndCanonicalize(input.toDF()),
+      windowMillis = 1000, watermarkDelay = "2 seconds")
+    val query: StreamingQuery = out.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      input.addData(Seq(
+        rec("ord-d1", "created", 0, T0),
+        rec("ord-d1", "placed", 1, T0 + 100),
+        rec("ord-d1", "cancelled", 2, T0 + 200),
+        nudge(70, T0 + 60000)))
+      query.processAllAvailable()
+      input.addData(Seq(rec("ord-d2", "created", 3, T0))) // below watermark
+      query.processAllAvailable()
+      input.addData(Seq(nudge(71, T0 + 60001)))
+      query.processAllAvailable()
+      val progress = query.recentProgress
+      val dropped = progress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L,
+        s"exactly the one below-watermark event must be dropped, got $dropped")
+      val observed = progress.flatMap(p =>
+        Option(p.observedMetrics.get("unify_et_arrivals")))
+        .map(_.getAs[Long]("n_arrivals")).sum
+      assert(observed == 6L,
+        s"observe sits above the watermark filter: 6 arrivals, got $observed")
+      val keys = spark.table(name).as[(String, String)]
+        .collect().toSeq.map(_._1)
+      assert(keys == Seq("ord-d1"),
+        s"the dropped event's key must never reach the sink: $keys")
+    } finally query.stop()
+  }
+
   test("ET-REPLAY: historical replay flushes the same projections regardless of arrival batching") {
     val evs = Seq(
       rec("ord-9a", "created", 0, T0),
