@@ -198,8 +198,11 @@ object SuffixArray {
         least(col("x.min_len"), col("y.min_len")).as("cap"),
         lit(0L).as("lcp"))
     // each walk step is checkpointed too: the running-lcp CASE nests
-    // once per level and the frontier chains 8 joins otherwise.
-    val walked = levels.indices.reverse.foldLeft(adj) { (front, k) =>
+    // once per level and the frontier chains joins otherwise. Level K
+    // is skipped: adjacent pairs have DISTINCT final ranks by
+    // construction, so the level-K lookup at offset 0 can never
+    // advance — the walk starts at K-1.
+    val walked = (levels.size - 2 to 0 by -1).foldLeft(adj) { (front, k) =>
       val lk = levels(k)
       val ra = lk.select(col("doc_id").as("__da"),
         col("pos").as("__pa"), col("rank").as("__ra"))
@@ -320,7 +323,9 @@ object SuffixArray {
         col("y.m1.bid").as("bid_b"), col("y.m1.pos").as("bpos_b"),
         least(col("x.len"), col("y.len")).as("cap"),
         lit(0L).as("lcp"))
-    val walked = levels.indices.reverse.foldLeft(adj) { (front, k) =>
+    // level K skipped — adjacent final ranks are distinct, the
+    // offset-0 level-K lookup can never advance (see the plain walk)
+    val walked = (levels.size - 2 to 0 by -1).foldLeft(adj) { (front, k) =>
       val lk = levels(k)
       val ra = lk.select(col("doc_id").as("__da"),
         col("pos").as("__pa"), col("rank").as("__ra"))

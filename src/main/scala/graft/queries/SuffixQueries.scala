@@ -145,12 +145,12 @@ object SuffixQueries {
         FROM mem a JOIN mem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2),
       reps AS MATERIALIZED (
         SELECT rank, doc_id, pos, min_len FROM mem WHERE rn = 1),
-      w${Rounds + 1} AS (
+      w${Rounds} AS (
         SELECT x.doc_id AS doc_a, x.pos AS pos_a, y.doc_id AS doc_b,
                y.pos AS pos_b, least(x.min_len, y.min_len) AS cap,
                CAST(0 AS BIGINT) AS lcp
         FROM reps x JOIN reps y ON y.rank = x.rank + 1)""" +
-      (Rounds to 0 by -1).map { k =>
+      (Rounds - 1 to 0 by -1).map { k =>
         s""",
       w$k AS (
         SELECT f.doc_a, f.pos_a, f.doc_b, f.pos_b, f.cap,
@@ -310,13 +310,13 @@ object SuffixQueries {
                b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
         FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
         JOIN m1 m ON m.rank = a.rank),
-      w${Rounds + 1} AS (
+      w${Rounds} AS (
         SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
                x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
                y.bid AS bid_b, y.pos AS bpos_b,
                least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
         FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
-      (Rounds to 0 by -1).map { k =>
+      (Rounds - 1 to 0 by -1).map { k =>
         s""",
       w$k AS (
         SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
