@@ -1072,6 +1072,154 @@ object Codecs {
     }
 
   // ---------------------------------------------------------------
+  // TIFF (baseline, little-endian, uncompressed RGB8)
+  // ---------------------------------------------------------------
+  // The data-lake image container BMP/PNG don't cover: tag-directory
+  // metadata (an IFD of typed entries addressed by offset) instead of
+  // fixed headers. A baseline reader must get the IFD walk right —
+  // little-endian entry layout, value-vs-offset packing for entries
+  // whose payload exceeds 4 bytes (BitsPerSample), strip addressing —
+  // which is exactly what the parser below exercises.
+
+  /** Deterministic channel value at (x, y); distinct constants per
+    * channel so an RGB order slip is caught. */
+  def tiffChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    Math.floorMod(id * 3L + 11L * x + 5L * y + 41L * c, 256L).toInt
+
+  def tiffWidth(id: Long): Int = (5L + id % 4L).toInt
+  def tiffHeight(nBytes: Int): Int = 3 + nBytes % 5
+
+  /** A canonical single-strip baseline TIFF: `II*\0`, one IFD with the
+    * nine baseline tags of an uncompressed RGB image, pixel data RGB
+    * interleaved, rows unpadded (TIFF strips have no row padding —
+    * one of the quirks that differ from BMP). */
+  def synthesizeTiff(id: Long, nBytes: Int): Array[Byte] = {
+    val w = tiffWidth(id)
+    val h = tiffHeight(nBytes)
+    val nEntries = 9
+    // layout: 8-byte header | IFD (2 + 12*n + 4) | bps array (6) | pixels
+    val ifdOff = 8
+    val bpsOff = ifdOff + 2 + 12 * nEntries + 4
+    val pixOff = bpsOff + 6
+    val bb = java.nio.ByteBuffer.allocate(pixOff + 3 * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    bb.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      bb.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) bb.putShort(value.toShort).putShort(0)
+      else bb.putInt(value)
+    }
+    entry(256, 3, 1, w)        // ImageWidth, SHORT
+    entry(257, 3, 1, h)        // ImageLength
+    entry(258, 3, 3, bpsOff)   // BitsPerSample -> offset (3 shorts > 4B)
+    entry(259, 3, 1, 1)        // Compression = none
+    entry(262, 3, 1, 2)        // Photometric = RGB
+    entry(273, 4, 1, pixOff)   // StripOffsets, LONG
+    entry(277, 3, 1, 3)        // SamplesPerPixel
+    entry(278, 3, 1, h)        // RowsPerStrip = whole image
+    entry(279, 4, 1, 3 * w * h) // StripByteCounts
+    bb.putInt(0)               // next-IFD pointer: none
+    bb.putShort(8).putShort(8).putShort(8) // the bps array
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) { bb.put(tiffChannel(id, x, y, c).toByte); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    bb.array()
+  }
+
+  /** Baseline TIFF decoder: validates the `II*\0` magic, walks the IFD
+    * entries by their little-endian layout, honors the value-vs-offset
+    * packing (a SHORT[3] BitsPerSample lives behind an offset), reads
+    * the single strip, and reports the [[PixelMeta]] channel sums and
+    * raster-weighted sums. Malformed structure (wrong magic, offsets
+    * out of bounds, unsupported compression/photometric/bps, strip
+    * shorter than w·h·3) degrades to `ok = false`, never a throw. */
+  def parseTiff(id: Long, bytes: Array[Byte]): PixelMeta = {
+    val bad = PixelMeta(id, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, ok = false)
+    def u16(o: Int): Int =
+      if (o + 2 > bytes.length) -1
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      if (o + 4 > bytes.length) -1L
+      else (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (bytes.length < 8 || bytes(0) != 'I' || bytes(1) != 'I' ||
+      u16(2) != 42) return bad
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return bad
+    val n = u16(ifd.toInt)
+    if (n <= 0 || ifd + 2 + 12L * n > bytes.length) return bad
+    var (w, h, comp, photo, spp) = (0, 0, -1, -1, 0)
+    var bpsOk = false
+    var stripOff = -1L
+    var stripLen = -1L
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val count = u32(e + 4)
+      def shortOrLong: Int =
+        if (typ == 3) u16(e + 8) else u32(e + 8).toInt
+      tag match {
+        case 256 => w = shortOrLong
+        case 257 => h = shortOrLong
+        case 258 =>
+          if (count == 3 && typ == 3) {
+            val off = u32(e + 8)
+            bpsOk = off >= 0 && off + 6 <= bytes.length &&
+              u16(off.toInt) == 8 && u16(off.toInt + 2) == 8 &&
+              u16(off.toInt + 4) == 8
+          } else if (count == 1) bpsOk = shortOrLong == 8
+        case 259 => comp = shortOrLong
+        case 262 => photo = shortOrLong
+        case 273 => stripOff = if (typ == 4) u32(e + 8) else u16(e + 8).toLong
+        case 277 => spp = shortOrLong
+        case 279 => stripLen = if (typ == 4) u32(e + 8) else u16(e + 8).toLong
+        case _ => ()
+      }
+      i += 1
+    }
+    if (w <= 0 || h <= 0 || comp != 1 || photo != 2 || spp != 3 ||
+      !bpsOk || stripOff < 0 || stripLen < 3L * w * h ||
+      stripOff + 3L * w * h > bytes.length) return bad
+    // dimension cap: a crafted IFD must not drive allocation/looping
+    if (w.toLong * h > (1L << 24)) return bad
+    var (rs, gs, bs, rw, gw, bw) = (0L, 0L, 0L, 0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = stripOff.toInt + 3 * (y * w + x)
+        val wgt = y.toLong * w + x + 1
+        val r = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val b = bytes(o + 2) & 0xff
+        rs += r; gs += g; bs += b
+        rw += r * wgt; gw += g * wgt; bw += b * wgt
+        x += 1
+      }
+      y += 1
+    }
+    PixelMeta(id, w, h, rs, gs, bs, rw, gw, bw, ok = true)
+  }
+
+  /** Partition-batched TIFF decode (the [[Multimodal.decodeBatch]]
+    * seam, real codec). */
+  def decodeTiffBatch(
+      records: Dataset[Multimodal.MediaRecord]): Dataset[PixelMeta] =
+    records.mapPartitions { it =>
+      it.map(r => parseTiff(r.id, r.media))
+    }
+
+  // ---------------------------------------------------------------
   // MP3 (MPEG-1 Audio Layer III): frame-header metadata
   // ---------------------------------------------------------------
   // A duration/bitrate audit never decodes audio: MPEG audio streams

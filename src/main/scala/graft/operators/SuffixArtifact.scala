@@ -111,3 +111,36 @@ object StridedSuffixArtifact {
     spark.read.parquet(s"$p/level_$Rounds")
   }
 }
+
+/** Materialized STRIDED repeat-pair table — the greedy LCP walk's
+  * output (`(doc_a, pos_a, doc_b, pos_b, lcp)` in global coordinates,
+  * seam-reconciled and self-pair-free) stored once so every consumer
+  * of "which exact substrings repeat where" reads pairs instead of
+  * re-running the 2·K-join walk: `q_dedup_lrs_strided` is the
+  * registered build step (it pays the walk), `q_dedup_cross_source`
+  * reads the stored pairs. The two-deep artifact convention of the
+  * IVF → kNN-edges → NN-descent chain applied to the suffix family. */
+object StridedLrsPairsArtifact {
+
+  def path(dir: String): String =
+    s"${Artifacts.path(dir, "documents", "suffixpairs")}_w${StridedSuffixArtifact.Window}_s${StridedSuffixArtifact.Stride}"
+
+  /** Force a (re)build — the registered build step always pays this
+    * cost so the bench prices it honestly. */
+  def materialize(spark: SparkSession, dir: String): String = synchronized {
+    val p = path(dir)
+    if (Artifacts.skipBuild(p, Seq("pairs"))) return p
+    val levels = StridedSuffixArtifact.levels(spark, dir)
+    SuffixArray.longestRepeatedStrided(levels,
+        StridedSuffixArtifact.Window, StridedSuffixArtifact.Stride)
+      .write.mode("overwrite").parquet(s"$p/pairs")
+    p
+  }
+
+  /** The stored pair table, building first if absent. */
+  def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = path(dir)
+    if (!Artifacts.complete(p, Seq("pairs"))) materialize(spark, dir)
+    spark.read.parquet(s"$p/pairs")
+  }
+}

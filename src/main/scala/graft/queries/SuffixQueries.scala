@@ -271,9 +271,11 @@ object SuffixQueries {
     "q_dedup_lrs_strided",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val levels = graft.operators.StridedSuffixArtifact.levels(spark, dir)
-      graft.operators.SuffixArray
-        .longestRepeatedStrided(levels, Window, Stride)
+      // registered build step of the PAIR artifact: pays the greedy
+      // LCP walk once and stores its output; cross-source and any
+      // future repeat consumers read the stored pairs
+      graft.operators.StridedLrsPairsArtifact.materialize(spark, dir)
+      graft.operators.StridedLrsPairsArtifact.pairs(spark, dir)
         .join(broadcast(docs.select(col("doc_id").as("doc_a"),
           col("text").as("ta"))), Seq("doc_a"))
         .join(broadcast(docs.select(col("doc_id").as("doc_b"),
@@ -362,6 +364,100 @@ object SuffixQueries {
       ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
     """))
 
+  /** Cross-source EXACT-substring contamination matrix — the audit an
+    * eval-decontamination decision reads: for every unordered source
+    * pair, how many distinct ≥20-char exact repeats link documents of
+    * the two sources (left-maximal, so a length-L match counts once,
+    * not L times), and the worst such repeat. Same-document pairs are
+    * excluded; same-source cells stay (intra-source duplication is a
+    * signal too). CONSUMES the stored pair artifact
+    * ([[graft.operators.StridedLrsPairsArtifact]] — built/priced by
+    * `q_dedup_lrs_strided`): the audit is a pair-table scan + a
+    * broadcast source join, never a re-walk. */
+  val qDedupCrossSource: Q = Q(
+    "q_dedup_cross_source",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.StridedLrsPairsArtifact.pairs(spark, dir)
+        .filter(col("lcp") >= 20 && col("doc_a") =!= col("doc_b"))
+        .join(broadcast(docs.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"), col("text").as("ta"))), Seq("doc_a"))
+        .join(broadcast(docs.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"), col("text").as("tb"))), Seq("doc_b"))
+        .filter(col("pos_a") === 0 || col("pos_b") === 0 ||
+          col("ta").substr(col("pos_a").cast("int"), lit(1)) =!=
+            col("tb").substr(col("pos_b").cast("int"), lit(1)))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("lcp"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_repeats"), max(col("lcp")).as("max_lcp"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(stridedCte + s""",
+      gmem AS MATERIALIZED (
+        SELECT rank, gdoc, gpos,
+               row_number() OVER (PARTITION BY rank
+                 ORDER BY gdoc, gpos) AS rn
+        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
+      m1 AS MATERIALIZED (
+        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
+        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
+                row_number() OVER (PARTITION BY rank
+                  ORDER BY gdoc, gpos, bid, pos) AS rn
+              FROM sa) WHERE rn = 1),
+      eqp AS (
+        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
+               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
+        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
+        JOIN m1 m ON m.rank = a.rank),
+      w${Rounds} AS (
+        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
+               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
+               y.bid AS bid_b, y.pos AS bpos_b,
+               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
+        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
+      (Rounds - 1 to 0 by -1).map { k =>
+        s""",
+      w$k AS (
+        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
+               f.bid_b, f.bpos_b, f.cap,
+               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
+                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
+        FROM w${k + 1} f
+        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
+        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
+      }.mkString + s""",
+      allp AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
+        UNION ALL
+        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
+      best AS (
+        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_a ELSE doc_b END AS doc_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_a ELSE pos_b END AS pos_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_b ELSE doc_a END AS doc_b,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_b ELSE pos_a END AS pos_b,
+               max(lcp) AS lcp
+        FROM allp
+        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
+        GROUP BY 1, 2, 3, 4),
+      lm AS (
+        SELECT p.*, xa.source AS sa, xb.source AS sb FROM best p
+        JOIN documents xa ON xa.doc_id = p.doc_a
+        JOIN documents xb ON xb.doc_id = p.doc_b
+        WHERE p.lcp >= 20 AND p.doc_a <> p.doc_b
+          AND (p.pos_a = 0 OR p.pos_b = 0
+           OR substr(xa.text, CAST(p.pos_a AS INT), 1)
+              <> substr(xb.text, CAST(p.pos_b AS INT), 1)))
+      SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+             count(*) AS n_repeats, CAST(max(lcp) AS BIGINT) AS max_lcp
+      FROM lm GROUP BY 1, 2 ORDER BY source_a, source_b
+    """))
+
   val all: Seq[Q] =
-    Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided)
+    Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided,
+      qDedupCrossSource)
 }

@@ -2168,7 +2168,7 @@ object TextQueries {
       .groupBy(col("format"), col("mime"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("format").isin(
-          "plain", "container", "wav", "ulaw", "bmp"),
+          "plain", "container", "wav", "ulaw", "bmp", "tiff"),
           col("n_bytes")).otherwise(0L)).as("known_bytes"))
       .orderBy(col("format"), col("mime")),
     Some("""
@@ -2203,10 +2203,69 @@ object TextQueries {
         UNION ALL SELECT 'jpeg', 'image/jpeg', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'avi', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d
         UNION ALL SELECT 'avi_rle', 'video/x-msvideo', CAST(0 AS BIGINT) FROM d
-        UNION ALL SELECT 'mp3', 'audio/mpeg', CAST(0 AS BIGINT) FROM d)
+        UNION ALL SELECT 'mp3', 'audio/mpeg', CAST(0 AS BIGINT) FROM d
+        UNION ALL
+        SELECT 'tiff', 'image/tiff',
+               CAST(128 + 3 * (5 + id % 4) * (3 + len % 5) AS BIGINT) FROM d)
       SELECT format, mime, count(*) AS n_docs,
              CAST(sum(kb) AS BIGINT) AS known_bytes
       FROM rows GROUP BY 1, 2 ORDER BY format, mime
+    """.trim))
+
+  /** REAL TIFF decode — baseline little-endian uncompressed RGB8
+    * ([[graft.operators.Codecs.parseTiff]]): the tag-DIRECTORY
+    * container (an IFD of typed entries) the fixed-header formats
+    * don't exercise — the parser must walk entries by their 12-byte
+    * layout, honor value-vs-offset packing (BitsPerSample SHORT[3]
+    * lives behind an offset), and address the pixel strip by tag.
+    * Same raster-weighted channel-sum rollup as `q_multimodal_pixels`
+    * (unpadded rows and top-down order are TIFF's quirks vs BMP's
+    * padded bottom-up BGR); the oracle replays the synthesis
+    * arithmetic over a generated grid. */
+  val qMultimodalTiff: Q = Q(
+    "q_multimodal_tiff",
+    (spark, dir) => graft.operators.Codecs
+      .decodeTiffBatch(media(spark, dir, "tiff"))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rSum")).as("r_sum"),
+        sum(col("gSum")).as("g_sum"),
+        sum(col("bSum")).as("b_sum"),
+        sum(col("rWsum")).as("r_wsum"),
+        sum(col("gWsum")).as("g_wsum"),
+        sum(col("bWsum")).as("b_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(5 + doc_id % 4 AS INT) AS w,
+               CAST(3 + octet_length(encode(text)) % 5 AS INT) AS h
+        FROM documents),
+      px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+      g AS (SELECT doc_id, w, h, p % w AS x, p // w AS y FROM px),
+      c AS (
+        SELECT doc_id, w, h,
+               (doc_id * 3 + 11 * x + 5 * y) % 256 AS r,
+               (doc_id * 3 + 11 * x + 5 * y + 41) % 256 AS gg,
+               (doc_id * 3 + 11 * x + 5 * y + 82) % 256 AS b,
+               y * w + x + 1 AS wgt
+        FROM g),
+      per AS (
+        SELECT doc_id, w, h,
+               sum(r) AS r_sum, sum(gg) AS g_sum, sum(b) AS b_sum,
+               sum(r * wgt) AS r_wsum, sum(gg * wgt) AS g_wsum,
+               sum(b * wgt) AS b_wsum
+        FROM c GROUP BY 1, 2, 3)
+      SELECT w AS width, h AS height, count(*) AS n_docs,
+             CAST(sum(r_sum) AS BIGINT) AS r_sum,
+             CAST(sum(g_sum) AS BIGINT) AS g_sum,
+             CAST(sum(b_sum) AS BIGINT) AS b_sum,
+             CAST(sum(r_wsum) AS BIGINT) AS r_wsum,
+             CAST(sum(g_wsum) AS BIGINT) AS g_wsum,
+             CAST(sum(b_wsum) AS BIGINT) AS b_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
 
   /** MP3 duration/bitrate audit — a REAL MPEG-1 Layer III FRAME-HEADER
@@ -2401,7 +2460,7 @@ object TextQueries {
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
     qMultimodalScenes, qMultimodalJpeg, qMediaCatalog, qVideoFrames,
-    qVideoScenes, qVideoRleFrames, qAudioMp3Meta,
+    qVideoScenes, qVideoRleFrames, qAudioMp3Meta, qMultimodalTiff,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

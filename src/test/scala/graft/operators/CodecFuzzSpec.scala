@@ -75,6 +75,11 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => Codecs.parseMp3(7L, b))
   }
 
+  test("tiff ifd walk + strip decode survives 3000 corruptions") {
+    fuzz("tiff", Codecs.synthesizeTiff(7L, 23), 3000)(
+      b => Codecs.parseTiff(7L, b))
+  }
+
   test("avi demux + frame decode survives 3000 corruptions") {
     fuzz("avi", Video.synthesizeMjpegAvi(7L, 23), 3000)(
       b => Video.decodeFrames(7L, b))
