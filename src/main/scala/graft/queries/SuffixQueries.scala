@@ -368,14 +368,18 @@ object SuffixQueries {
     * eval-decontamination decision reads: for every unordered source
     * pair, how many distinct ≥20-char exact repeats link documents of
     * the two sources (left-maximal, so a length-L match counts once,
-    * not L times), and the worst such repeat. Same-document pairs are
+    * not L times), and the worst such repeat. The exact-substring
+    * complement of `q_dedup_cross_source` (which reads the NEAR-dup
+    * cluster labels): shingle clusters catch whole-document syndication,
+    * this table catches verbatim SPANS — quotes, boilerplate, leaked
+    * eval items — too short to cluster documents. Same-document pairs are
     * excluded; same-source cells stay (intra-source duplication is a
     * signal too). CONSUMES the stored pair artifact
     * ([[graft.operators.StridedLrsPairsArtifact]] — built/priced by
     * `q_dedup_lrs_strided`): the audit is a pair-table scan + a
     * broadcast source join, never a re-walk. */
-  val qDedupCrossSource: Q = Q(
-    "q_dedup_cross_source",
+  val qDedupExactCross: Q = Q(
+    "q_dedup_exact_cross",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
       graft.operators.StridedLrsPairsArtifact.pairs(spark, dir)
@@ -459,5 +463,5 @@ object SuffixQueries {
 
   val all: Seq[Q] =
     Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided,
-      qDedupCrossSource)
+      qDedupExactCross)
 }
