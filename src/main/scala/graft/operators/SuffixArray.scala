@@ -61,37 +61,70 @@ object SuffixArray {
         ascii(col("text").substr(col("pos") + 1, lit(1))).cast("long")
           .as("code"))
 
-  /** Dense 0-based ordinal rank of DISTINCT `(k1, k2)` keys via
-    * distributed range sort + two-pass scan: `rank` = number of
-    * distinct keys strictly smaller = `dense_rank() - 1`. Input rows
-    * must already be distinct. Deterministic — the ordinal is a
-    * property of the total order, not of partition boundaries. */
-  private def ordinalRank(keys: DataFrame): DataFrame = {
-    val spark = keys.sparkSession
-    val ranked = keys.select(col("k1"), col("k2")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(identity)
-      .zipWithIndex()
-      .map { case ((k1, k2), i) => Row(k1, k2, i) }
-    spark.createDataFrame(ranked, StructType(Seq(
-      StructField("k1", LongType, nullable = false),
-      StructField("k2", LongType, nullable = false),
+  /** Re-rank in ONE pass: sort `(k1, k2, doc_id, pos)` rows by key
+    * (range-partitioned distributed sort — the Tungsten exchange, not
+    * an RDD shuffle) and emit `(doc_id, pos, rank)` with `rank` = the
+    * dense 0-based ordinal of the row's `(k1, k2)` key, assigned
+    * DURING the ordered scan: pass 1 counts distinct keys per
+    * partition, pass 2 streams rows out with `partition prefix +
+    * running ordinal`. This folds what used to be three exchanges
+    * (a `distinct`, the ordinal sort, and a rank join-back over the
+    * full positions table) into the one sort — equal keys co-locate
+    * under range partitioning, so the scan sees each key run
+    * contiguously. Deterministic: the ordinal is a property of the
+    * total key order, never of sampled partition boundaries (a key
+    * run never splits across partitions). */
+  private def rankRows(paired: DataFrame): DataFrame = {
+    val spark = paired.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = paired
+      .select(col("k1"), col("k2"), col("doc_id"), col("pos"))
+      .repartitionByRange(np, col("k1"), col("k2"))
+      .sortWithinPartitions(col("k1"), col("k2"))
+    val rdd = sorted.rdd
+    val perPart = rdd.mapPartitions { it =>
+      var cnt = 0L; var pk1 = 0L; var pk2 = 0L; var first = true
+      while (it.hasNext) {
+        val r = it.next(); val a = r.getLong(0); val b = r.getLong(1)
+        if (first || a != pk1 || b != pk2) {
+          cnt += 1; pk1 = a; pk2 = b; first = false
+        }
+      }
+      Iterator.single(cnt)
+    }.collect() // partition order preserved — these are the offsets
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var rank = bc.value(pi) - 1
+      var pk1 = 0L; var pk2 = 0L; var first = true
+      it.map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (first || a != pk1 || b != pk2) {
+          rank += 1; pk1 = a; pk2 = b; first = false
+        }
+        Row(r.getLong(2), r.getLong(3), rank)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
       StructField("rank", LongType, nullable = false))))
   }
 
   /** One doubling round: rank by first `2 * off` chars given ranks by
-    * first `off` chars. `prev`: `(doc_id, pos, rank)`. */
+    * first `off` chars. `prev`: `(doc_id, pos, rank)`. Positions are
+    * DENSE per document (0..n-1 by construction), so the classic
+    * self-join on `pos + off` is exactly `lead(rank, off)` over a
+    * per-document window — bounded partitions (a document's own
+    * positions), zero exchange when `prev` is already hash-partitioned
+    * by `doc_id` (see [[rankLevels]]). One Tungsten range exchange per
+    * round (the re-rank sort) is all that remains. */
   private def doubleRound(prev: DataFrame, off: Int): DataFrame = {
-    val shifted = prev.select(col("doc_id"),
-      (col("pos") - off).as("pos"), col("rank").as("k2"))
-    val paired = prev.as("a")
-      .join(shifted.as("b"), Seq("doc_id", "pos"), "left")
-      .select(col("doc_id"), col("pos"), col("rank").as("k1"),
-        coalesce(col("k2"), lit(-1L)).as("k2"))
-    paired
-      .join(ordinalRank(paired.select("k1", "k2").distinct()),
-        Seq("k1", "k2"))
-      .select(col("doc_id"), col("pos"), col("rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    rankRows(prev.select(col("doc_id"), col("pos"),
+      col("rank").as("k1"),
+      lead(col("rank"), off, -1L).over(w).as("k2")))
   }
 
   /** All rank levels `0 .. ceil(log2(maxLen))`. `levels(k)`:
@@ -108,15 +141,18 @@ object SuffixArray {
     require(maxLen >= 2 && Integer.bitCount(maxLen) == 1,
       s"maxLen must be a power of two, got $maxLen")
     val pos = positions(documents, maxLen)
-    val r0 = pos
-      .join(ordinalRank(
-          pos.select(col("code").as("k1"), lit(-1L).as("k2")).distinct()),
-        pos("code") === col("k1"))
-      .select(col("doc_id"), col("pos"), col("rank"))
+    val r0 = rankRows(pos.select(col("code").as("k1"),
+        lit(-1L).as("k2"), col("doc_id"), col("pos")))
+      .repartition(col("doc_id"))
       .localCheckpoint(true)
     val rounds = Integer.numberOfTrailingZeros(maxLen)
+    // each level re-partitions by doc_id before the checkpoint: both
+    // sides of the NEXT round's self-join are then clustered on a
+    // prefix of the join key and exchange nothing
     (1 to rounds).scanLeft(r0) { (prev, k) =>
-      doubleRound(prev, 1 << (k - 1)).localCheckpoint(true)
+      doubleRound(prev, 1 << (k - 1))
+        .repartition(col("doc_id"))
+        .localCheckpoint(true)
     }
   }
 
@@ -197,8 +233,10 @@ object SuffixArray {
         col("y.m1.doc_id").as("doc_b"), col("y.m1.pos").as("pos_b"),
         least(col("x.min_len"), col("y.min_len")).as("cap"),
         lit(0L).as("lcp"))
-    // each walk step is checkpointed too: the running-lcp CASE nests
-    // once per level and the frontier chains joins otherwise. Level K
+    // every third walk step is checkpointed: the frontier grows two
+    // joins + one CASE per level — linear, not self-referencing, so a
+    // bounded stretch of lazy rounds keeps planning cheap while
+    // skipping most of the eager per-round materializations. Level K
     // is skipped: adjacent pairs have DISTINCT final ranks by
     // construction, so the level-K lookup at offset 0 can never
     // advance — the walk starts at K-1.
@@ -217,7 +255,7 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__ra") === col("__rb"),
             col("lcp") + (1L << k)).otherwise(col("lcp")))
         .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-        .localCheckpoint(true)
+        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
     }
     val adjPairs = walked
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
@@ -324,7 +362,8 @@ object SuffixArray {
         least(col("x.len"), col("y.len")).as("cap"),
         lit(0L).as("lcp"))
     // level K skipped — adjacent final ranks are distinct, the
-    // offset-0 level-K lookup can never advance (see the plain walk)
+    // offset-0 level-K lookup can never advance; checkpoint cadence
+    // every third level (see the plain walk)
     val walked = (levels.size - 2 to 0 by -1).foldLeft(adj) { (front, k) =>
       val lk = levels(k)
       val ra = lk.select(col("doc_id").as("__da"),
@@ -340,7 +379,7 @@ object SuffixArray {
           when(col("__ra").isNotNull && col("__ra") === col("__rb"),
             col("lcp") + (1L << k)).otherwise(col("lcp")))
         .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-        .localCheckpoint(true)
+        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
     }
     val adjPairs = walked
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
