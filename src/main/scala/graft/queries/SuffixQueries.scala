@@ -461,7 +461,139 @@ object SuffixQueries {
       FROM lm GROUP BY 1, 2 ORDER BY source_a, source_b
     """))
 
+  /** EXACT-substring dedup APPLY — the trim step of the Lee et al.
+    * (2022) ExactSubstr pipeline, over the stored pair artifact: every
+    * ≥20-char repeat keeps its canonical FIRST occurrence and marks
+    * the later one's span `[pos_b, pos_b + lcp)` for removal; spans
+    * merge per document (gaps-and-islands over a per-doc window —
+    * shadow pairs are subsumed by their maximal span, so no
+    * left-maximality pass is needed), and the report is the
+    * per-source removal budget a trim run is sized by: docs touched,
+    * exact chars removed, removal ppm. Pair-table-sized work — the
+    * walk was paid once by `q_dedup_lrs_strided`. */
+  val qDedupExactApply: Q = Q(
+    "q_dedup_exact_apply",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val docs = Tables.documents(spark, dir)
+      val spans = graft.operators.StridedLrsPairsArtifact.pairs(spark, dir)
+        .filter(col("lcp") >= 20 &&
+          (col("doc_a") =!= col("doc_b") || col("pos_a") =!= col("pos_b")))
+        .select(col("doc_b").as("doc_id"), col("pos_b").as("s"),
+          (col("pos_b") + col("lcp")).as("e"))
+      val wPrev = W.partitionBy(col("doc_id"))
+        .orderBy(col("s"), col("e"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wRun = W.partitionBy(col("doc_id"))
+        .orderBy(col("s"), col("e"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val removed = spans
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("gid", sum(when(col("pmax").isNull ||
+          col("s") >= col("pmax"), 1L).otherwise(0L)).over(wRun))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("me") - col("ms")).as("removed"))
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("chars"))
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("source"), col("chars"),
+          coalesce(col("removed"), lit(0L)).as("removed"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("removed") > 0).cast("long")).as("n_docs_trimmed"),
+          sum(col("chars")).as("chars_total"),
+          sum(col("removed")).as("chars_removed"))
+        .withColumn("removed_ppm",
+          expr("chars_removed * 1000000 DIV chars_total"))
+        .orderBy(col("source"))
+    },
+    Some(stridedCte + s""",
+      gmem AS MATERIALIZED (
+        SELECT rank, gdoc, gpos,
+               row_number() OVER (PARTITION BY rank
+                 ORDER BY gdoc, gpos) AS rn
+        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
+      m1 AS MATERIALIZED (
+        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
+        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
+                row_number() OVER (PARTITION BY rank
+                  ORDER BY gdoc, gpos, bid, pos) AS rn
+              FROM sa) WHERE rn = 1),
+      eqp AS (
+        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
+               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
+        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
+        JOIN m1 m ON m.rank = a.rank),
+      w${Rounds} AS (
+        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
+               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
+               y.bid AS bid_b, y.pos AS bpos_b,
+               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
+        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
+      (Rounds - 1 to 0 by -1).map { k =>
+        s""",
+      w$k AS (
+        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
+               f.bid_b, f.bpos_b, f.cap,
+               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
+                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
+        FROM w${k + 1} f
+        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
+        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
+      }.mkString + s""",
+      allp AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
+        UNION ALL
+        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
+      best AS (
+        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_a ELSE doc_b END AS doc_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_a ELSE pos_b END AS pos_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_b ELSE doc_a END AS doc_b,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_b ELSE pos_a END AS pos_b,
+               max(lcp) AS lcp
+        FROM allp
+        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
+        GROUP BY 1, 2, 3, 4),
+      sp AS (
+        SELECT doc_b AS doc_id, pos_b AS s, pos_b + lcp AS e
+        FROM best WHERE lcp >= 20),
+      ordd AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM sp),
+      isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM ordd),
+      mg AS (
+        SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+        FROM isl GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, sum(me - ms) AS removed FROM mg GROUP BY 1),
+      alld AS (
+        SELECT d.source, CAST(length(d.text) AS BIGINT) AS chars,
+               coalesce(p.removed, 0) AS removed
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_trimmed,
+             CAST(sum(chars) AS BIGINT) AS chars_total,
+             CAST(sum(removed) AS BIGINT) AS chars_removed,
+             CAST(sum(removed) * 1000000 // sum(chars) AS BIGINT)
+               AS removed_ppm
+      FROM alld GROUP BY source ORDER BY source
+    """))
+
   val all: Seq[Q] =
     Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided,
-      qDedupExactCross)
+      qDedupExactCross, qDedupExactApply)
 }
