@@ -111,6 +111,19 @@ object SuffixArray {
       StructField("rank", LongType, nullable = false))))
   }
 
+  /** Dense 0-based re-ranking of an existing `(doc_id, pos, rank)`
+    * level — the same distributed sort-and-scan as the doubling
+    * re-rank, keyed by the old rank alone. Restricting a ranking to a
+    * subset of its positions preserves order and equality classes, so
+    * re-densifying the restriction yields exactly the dense rank the
+    * subset would have been assigned by its own construction: the
+    * mechanism by which the plain 128-char-window family is DERIVED
+    * from the strided artifact's block-0 slice instead of building a
+    * second rank table (round-12 artifact collapse). */
+  def denseRerank(level: DataFrame): DataFrame =
+    rankRows(level.select(col("rank").as("k1"), lit(-1L).as("k2"),
+      col("doc_id"), col("pos")))
+
   /** One doubling round: rank by first `2 * off` chars given ranks by
     * first `off` chars. `prev`: `(doc_id, pos, rank)`. Positions are
     * DENSE per document (0..n-1 by construction), so the classic
@@ -275,13 +288,23 @@ object SuffixArray {
     * at least `window - stride` characters of lookahead in the block
     * whose first `stride` positions it falls in. Block ids are
     * arithmetic — `bid = doc_id * BlockBase + b` — so global
-    * coordinates need no mapping table: `doc_id = bid / BlockBase`,
+    * coordinates need no mapping table: `doc_id = bid DIV BlockBase`,
     * `gpos = (bid % BlockBase) * stride + pos`. Output schema matches
     * `documents` (`doc_id` = bid, `text` = the block slice) so
-    * [[rankLevels]] runs on it unchanged. */
+    * [[rankLevels]] runs on it unchanged.
+    *
+    * Documents longer than `BlockBase * stride` code points (64 Mi
+    * chars at stride 64) are EXCLUDED — their block index would
+    * overflow into the next document's bid space and silently corrupt
+    * global coordinates. The oracle CTE applies the identical cap, so
+    * the two engines always agree on the corpus in scope; a 100 TB
+    * deployment that ingests >64 Mi-char documents shards them
+    * upstream (they are beyond any plausible single training
+    * document). */
   def blocks(documents: DataFrame, window: Int, stride: Int): DataFrame =
     documents
-      .filter(length(col("text")) > 0)
+      .filter(length(col("text")) > 0 &&
+        length(col("text")) <= lit(BlockBase * stride))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           floor((length(col("text")) - 1) / stride).cast("int"))).as("blk"))
@@ -289,8 +312,10 @@ object SuffixArray {
         col("text").substr(col("blk") * stride + 1, lit(window)).as("text"))
 
   /** Max blocks per document the arithmetic bid supports — docs up to
-    * `BlockBase * stride` code points. */
-  val BlockBase = 1024L
+    * `BlockBase * stride` code points (longer ones are dropped by
+    * [[blocks]]). 2^20 keeps `bid = doc_id * BlockBase + blk` exact
+    * in a long for doc_ids up to 2^43. */
+  val BlockBase = 1L << 20
 
   /** Longest repeated substrings over the STRIDED block suffix array —
     * repeats anywhere in a document, not just its first-`window`
@@ -325,7 +350,9 @@ object SuffixArray {
       .join(blkLen, last("doc_id") === blkLen("bid"))
       .select(col("bid"), col("pos"), col("rank"),
         (col("blen") - col("pos")).as("suffix_len"),
-        (col("bid") / BlockBase).cast("long").as("gdoc"),
+        // integer floor-div, NOT double division: exact at any bid,
+        // consistent with the integer pmod used for gpos
+        expr(s"bid DIV $BlockBase").as("gdoc"),
         (pmod(col("bid"), lit(BlockBase)) * stride + col("pos")).as("gpos"))
       .localCheckpoint(true)
 

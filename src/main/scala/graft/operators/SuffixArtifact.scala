@@ -1,18 +1,22 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Materialized suffix-array RANK TABLE — all prefix-doubling levels
-  * `0..log2(window)` written once as fingerprint-keyed parquet, the
-  * layout-artifact treatment ([[Artifacts]]) applied to the suffix
-  * family: `q_suffix_array` is the registered build step (it pays the
-  * full doubling construction), and `q_dedup_lrs` consumes the stored
-  * levels instead of re-running the 7-round build — the greedy LCP
-  * walk needs EVERY level (one rank lookup per level per pair), which
-  * is exactly why the SA literature stores the rank table, not just
-  * the final array. Storage is (levels × window positions) — linear
-  * in corpus characters with a log(window) factor, the standard
-  * space/time trade of rank-table LCP. */
+/** Plain 128-char-window suffix-array rank levels, DERIVED from the
+  * strided artifact instead of stored — the round-12 collapse of what
+  * used to be two independently-built rank tables. Block 0 of the
+  * strided view covers exactly each document's first `window` code
+  * points, so the strided ranking RESTRICTED to block 0 is, level by
+  * level, an order- and equality-preserving image of the plain
+  * ranking: the LCP walk (which only tests rank EQUALITY at levels
+  * `k < K`) consumes the restriction directly, and the final level is
+  * re-densified with one distributed sort-and-scan
+  * ([[SuffixArray.denseRerank]]) to recover the exact dense ranks the
+  * adjacency pairing and the `q_suffix_array` output need. Net: the
+  * plain family costs one cheap re-rank per consumer instead of a
+  * second 7-round doubling build + its parquet writes every bench
+  * pass. */
 object SuffixArtifact {
 
   /** Chars of the suffix window — 128 keeps the doubling at 7 rounds
@@ -24,40 +28,34 @@ object SuffixArtifact {
   /** log2(MaxLen). */
   val Rounds: Int = Integer.numberOfTrailingZeros(MaxLen)
 
-  def path(dir: String): String =
-    s"${Artifacts.path(dir, "documents", "suffixarray")}_w$MaxLen"
+  /** Build = the strided build (one artifact serves both families). */
+  def materialize(spark: SparkSession, dir: String): String =
+    StridedSuffixArtifact.materialize(spark, dir)
 
-  private def parts: Seq[String] = (0 to Rounds).map(k => s"level_$k")
-
-  /** Force a (re)build — the registered build step always pays this
-    * cost so the bench prices it honestly. */
-  def materialize(spark: SparkSession, dir: String): String = synchronized {
-    val p = path(dir)
-    if (Artifacts.skipBuild(p, parts)) return p
-    val docs = graft.Tables.documents(spark, dir)
-    SuffixArray.rankLevels(docs, MaxLen).zipWithIndex.foreach {
-      case (lvl, k) => lvl.write.mode("overwrite").parquet(s"$p/level_$k")
-    }
-    p
+  /** Block-0 restriction of strided level `k`, in plain coordinates
+    * (`doc_id`, `pos` within the first-window slice). Ranks preserve
+    * the plain level's equality classes and order but are NOT dense
+    * over the slice — dense enough for the walk's equality tests. */
+  private def view(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = SuffixArray.BlockBase
+    StridedSuffixArtifact.levels(spark, dir)(k)
+      .filter(pmod(col("doc_id"), lit(base)) === 0)
+      .select(expr(s"doc_id DIV $base").as("doc_id"), col("pos"),
+        col("rank"))
   }
 
-  private def ensure(spark: SparkSession, dir: String): String = {
-    val p = path(dir)
-    if (!Artifacts.complete(p, parts)) materialize(spark, dir)
-    p
-  }
+  /** All plain rank levels: `levels(k)` ranked by first 2^k chars.
+    * Levels `0..Rounds-1` are block-0 views (equality-preserving);
+    * the final level is the dense re-rank ([[last]]). */
+  def levels(spark: SparkSession, dir: String): Seq[DataFrame] =
+    (0 until Rounds).map(k => view(spark, dir, k)) :+ last(spark, dir)
 
-  /** All stored rank levels, `levels(k)` = ranks by first 2^k chars. */
-  def levels(spark: SparkSession, dir: String): Seq[DataFrame] = {
-    val p = ensure(spark, dir)
-    (0 to Rounds).map(k => spark.read.parquet(s"$p/level_$k"))
-  }
-
-  /** The final level only — the suffix array itself. */
-  def last(spark: SparkSession, dir: String): DataFrame = {
-    val p = ensure(spark, dir)
-    spark.read.parquet(s"$p/level_$Rounds")
-  }
+  /** The final level — the plain suffix array itself, with exact
+    * dense ranks (equal to what the standalone plain doubling build
+    * assigned; the DuckDB oracle replaying the plain construction
+    * still matches hash-for-hash). */
+  def last(spark: SparkSession, dir: String): DataFrame =
+    SuffixArray.denseRerank(view(spark, dir, Rounds))
 }
 
 /** Strided variant of [[SuffixArtifact]] — the rank table over
@@ -75,8 +73,10 @@ object StridedSuffixArtifact {
   val Stride: Int = Window / 2
   val Rounds: Int = SuffixArtifact.Rounds
 
+  // BlockBase is part of the key: stored bids are base-dependent, so
+  // a base change must never serve a stale table
   def path(dir: String): String =
-    s"${Artifacts.path(dir, "documents", "suffixstrided")}_w${Window}_s$Stride"
+    s"${Artifacts.path(dir, "documents", "suffixstrided")}_w${Window}_s${Stride}_b${SuffixArray.BlockBase}"
 
   private def parts: Seq[String] = (0 to Rounds).map(k => s"level_$k")
 
@@ -123,7 +123,7 @@ object StridedSuffixArtifact {
 object StridedLrsPairsArtifact {
 
   def path(dir: String): String =
-    s"${Artifacts.path(dir, "documents", "suffixpairs")}_w${StridedSuffixArtifact.Window}_s${StridedSuffixArtifact.Stride}"
+    s"${Artifacts.path(dir, "documents", "suffixpairs")}_w${StridedSuffixArtifact.Window}_s${StridedSuffixArtifact.Stride}_b${SuffixArray.BlockBase}"
 
   /** Force a (re)build — the registered build step always pays this
     * cost so the bench prices it honestly. */

@@ -60,10 +60,12 @@ object SuffixQueries {
   /** The suffix array itself, smoke-sized: the 100 lexicographically
     * smallest suffixes (rank, position, 16-char prefix). Rank ties =
     * identical truncated suffixes; order is fully deterministic via
-    * (rank, doc_id, pos). This is the REGISTERED BUILD STEP of the
-    * rank-table artifact ([[graft.operators.SuffixArtifact]]): it
-    * pays the full doubling construction once; `q_dedup_lrs` consumes
-    * the stored levels. */
+    * (rank, doc_id, pos). Since round 12 the plain family is a VIEW
+    * over the strided artifact ([[graft.operators.SuffixArtifact]]
+    * block-0 derivation): `materialize` here triggers the ONE shared
+    * strided build; the only plain-specific cost is the final-level
+    * dense re-rank. The oracle still replays the standalone plain
+    * doubling — the hash match is the proof the derivation is exact. */
   val qSuffixArray: Q = Q(
     "q_suffix_array",
     (spark, dir) => {
@@ -197,7 +199,8 @@ object SuffixQueries {
          |         substr(text, CAST(blk * $Stride AS INT) + 1, $Window) AS text
          |  FROM (SELECT doc_id, text,
          |          unnest(generate_series(0, (length(text) - 1) // $Stride)) AS blk
-         |        FROM documents WHERE length(text) > 0))""".stripMargin,
+         |        FROM documents WHERE length(text) > 0
+         |          AND length(text) <= ${BlockBase * Stride}))""".stripMargin,
       s"""pos AS MATERIALIZED (
          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          |         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
@@ -239,7 +242,7 @@ object SuffixQueries {
       graft.operators.StridedSuffixArtifact.materialize(spark, dir)
       graft.operators.StridedSuffixArtifact.last(spark, dir)
         .select(col("rank").as("sa_rank"),
-          (col("doc_id") / BlockBase).cast("long").as("doc_id"),
+          expr(s"doc_id DIV $BlockBase").as("doc_id"),
           (pmod(col("doc_id"), lit(BlockBase)) * Stride + col("pos"))
             .as("pos"))
         .distinct()
