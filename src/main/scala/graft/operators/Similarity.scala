@@ -1160,6 +1160,10 @@ object Similarity {
     require(entry < qMinId || entry >= qMaxId,
       s"entry node $entry must lie outside the query id range " +
         s"[$qMinId, $qMaxId)")
+    // hops = 0 would leave the audit builder empty and make the
+    // unionAll reduce below throw; a zero-hop "walk" scores nothing
+    // and is a caller error, not a degenerate audit
+    require(hops >= 1, s"hops must be >= 1, got $hops")
     val corpus = prepared(embeddings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = corpus
@@ -1173,10 +1177,16 @@ object Similarity {
         audit = Some(cands))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()
-    val cost = cands.result()
-      .map(_.groupBy(col("qid")).agg(count(lit(1)).as("c")))
-      .reduce(_ unionAll _)
-      .groupBy(col("qid")).agg(sum(col("c")).as("cand_scored"))
+    // left-join against the query set so a query whose walk scored
+    // zero candidates still reports cand_scored = 0 instead of
+    // silently missing from the audit
+    val cost = queries.select(col("qid"))
+      .join(cands.result()
+        .map(_.groupBy(col("qid")).agg(count(lit(1)).as("c")))
+        .reduce(_ unionAll _)
+        .groupBy(col("qid")).agg(sum(col("c")).as("c")),
+        Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("c"), lit(0L)).as("cand_scored"))
     bsym.unpersist()
     corpus.unpersist()
     (res, cost)

@@ -140,6 +140,7 @@ final class HttpSchemaRegistryServer(root: String) {
   import HttpSchemaRegistry.{ContentType, Json}
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -147,13 +148,18 @@ final class HttpSchemaRegistryServer(root: String) {
     // the default (null) executor runs exchanges serially on the
     // dispatcher thread — one slow client would block all others;
     // a cached pool delivers the thread-per-exchange the doc promises
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = synchronized {
     if (server != null) { server.stop(0); server = null }
+    // the cached pool's non-daemon workers otherwise keep the JVM
+    // alive up to their 60 s idle timeout, and repeated start/stop
+    // cycles would leak one pool each
+    if (pool != null) { pool.shutdown(); pool = null }
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
