@@ -1243,6 +1243,108 @@ object AnalyticsQueries {
       ORDER BY user_id, ts, event_id
     """.trim))
 
+  /** Retroactive SESSION-MERGE audit — the batch twin of the
+    * state-store coalescing `SessionWindowSpec` pins on the live path
+    * (streaming/SessionWindows.scala): two sessions that look separate
+    * can be joined by one BRIDGING event that arrives later. Late
+    * arrivals are modeled deterministically (`event_id % 7 = 0` —
+    * events the stream would see after the rest); sessions (3 h gap)
+    * are computed over the base stream alone and over the full stream,
+    * and the merge count falls out of pure session accounting: each
+    * full-stream session containing k base sessions merged k−1 of
+    * them, so per user `n_merged = s_base + s_new − s_full` (s_new =
+    * full sessions made ONLY of late events — genuinely new, not
+    * merges). A positive n_merged is exactly a bridge event coalescing
+    * state-store sessions; the DuckDB oracle replays the identical
+    * accounting. Both windows stay inside the user partition
+    * (q_sessionize's scale shape). */
+  val qSessionMerge: Q = Q(
+    "q_session_merge",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val gapMicros = 10800000000L // 3 h — sized so bridges are common
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("event_id"), lit(7)) === 0).as("late"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      def starts(df: DataFrame): DataFrame = df
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_start",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros)
+            .cast("long"))
+      val sBase = starts(ev.filter(!col("late")))
+        .groupBy(col("user_id")).agg(sum(col("is_start")).as("s_base"))
+      val full = starts(ev)
+        .withColumn("sid", sum(col("is_start"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sFull = full
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("late").cast("long")).as("nl"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("s_full"),
+          sum((col("n") === col("nl")).cast("long")).as("s_new"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("late").cast("long")).as("n_late_events"))
+        .join(sBase, Seq("user_id"), "left")
+        .join(sFull, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("n_late_events"),
+          coalesce(col("s_base"), lit(0L)).as("s_base"),
+          col("s_full"), col("s_new"),
+          (coalesce(col("s_base"), lit(0L)) + col("s_new") - col("s_full"))
+            .as("n_merged"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               (event_id % 7 = 0) AS late
+        FROM events),
+      ff AS (
+        SELECT user_id, event_id, ts, late,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 10800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      fs AS (
+        SELECT user_id, late,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ff),
+      bf AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 10800000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev WHERE NOT late
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sb AS (
+        SELECT user_id, CAST(sum(is_start) AS BIGINT) AS s_base
+        FROM bf GROUP BY user_id),
+      fa AS (
+        SELECT user_id, sid, count(*) AS n,
+               sum(CASE WHEN late THEN 1 ELSE 0 END) AS nl
+        FROM fs GROUP BY user_id, sid),
+      sf AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS s_full,
+               CAST(sum(CASE WHEN n = nl THEN 1 ELSE 0 END) AS BIGINT) AS s_new
+        FROM fa GROUP BY user_id),
+      cnt AS (
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late_events
+        FROM ev GROUP BY user_id)
+      SELECT c.user_id, c.n_events, c.n_late_events,
+             coalesce(s.s_base, 0) AS s_base, f.s_full, f.s_new,
+             coalesce(s.s_base, 0) + f.s_new - f.s_full AS n_merged
+      FROM cnt c LEFT JOIN sb s USING (user_id) JOIN sf f USING (user_id)
+      ORDER BY user_id
+    """.trim))
+
   /** Market-basket pair mining: parts co-occurring in an order, with
     * support and exact integer-micro lift. The basket self-join is
     * co-partitioned on the order key (both sides shuffle once on
@@ -2088,7 +2190,7 @@ object AnalyticsQueries {
     qEvalPassk,
     qBenford,
     qRfmSegments, qAbtestStats, qTimeWeightedAvg, qWindowRanks,
-    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
+    qAggPricing, qJoinBroadcast, qJoinRevenue, qJoinSemi, qJoinAnti, qSetOps, qJoinSnowflake, qLagFeatures, qDownsampleOhlc, qSessionize, qSessionMerge, qMarketBasket, qMomGrowth, qAudienceOverlap, qRollingWau, qDeltaAgg, qColumnStats, qMixDrift, qSmallQtyRevenue, qConversionLatency, qArgminJoin,
     qAggHaving, qWindowTopn, qTopkAgg, qWindowRunning, qAggRollup, qAggCube, qGroupingSets, qWindowTime,
     qSessionWindow, qApproxDistinct, qPivot, qStatsMoments,
     qSampleStratified, qSampleWeighted, qAsofJoin, qAsofForward, qWindowSliding, qApproxQuantile,
