@@ -393,25 +393,12 @@ object DedupQueries {
     * reported per source. This is the step that actually shrinks the
     * training corpus; everything upstream exists to make this filter a
     * cheap join. */
-  val qDedupKeep: Q = Q(
-    "q_dedup_keep",
-    (spark, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(spark, dir)
-      val clusters = graft.operators.ClusterArtifact
-        .labels(spark, dir, 0.5, JaccardCap)
-      docs.join(clusters, Seq("doc_id"), "left")
-        .select(col("source"),
-          (col("cluster").isNull || col("cluster") === col("doc_id")).as("keep"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
-        .orderBy(col("source"))
-    },
-    Some(s"""
-      WITH RECURSIVE
-      ${shinglesCte.stripPrefix("WITH ")},
+  /** Shared cluster-label CTE chain — shingle df-cap, exact-Jaccard
+    * pairs, recursive label walk — ending at `cl(doc_id, cluster)`.
+    * Used by `q_dedup_keep` here and by `q_corpus_clean`'s composed
+    * oracle (SuffixQueries), so the two engines' notion of "cluster
+    * representative" can never drift apart. */
+  private[queries] def clusterCte: String = s"""${shinglesCte.stripPrefix("WITH ")},
       df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
       kept AS (
         SELECT doc_id, list(sh.shingle ORDER BY sh.shingle) AS sl
@@ -431,7 +418,27 @@ object DedupQueries {
         SELECT src, src FROM edges
         UNION
         SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.node = e.dst),
-      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node)
+      cl AS (SELECT node AS doc_id, min(lbl) AS cluster FROM walk GROUP BY node)"""
+
+  val qDedupKeep: Q = Q(
+    "q_dedup_keep",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val clusters = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, JaccardCap)
+      docs.join(clusters, Seq("doc_id"), "left")
+        .select(col("source"),
+          (col("cluster").isNull || col("cluster") === col("doc_id")).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $clusterCte
       SELECT d.source, count(*) AS n_docs,
              CAST(sum(CASE WHEN cl.cluster IS NULL OR cl.cluster = d.doc_id
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

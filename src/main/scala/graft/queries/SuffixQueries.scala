@@ -230,6 +230,65 @@ object SuffixQueries {
     "WITH " + blocks.mkString(",\n")
   }
 
+  /** Seam-reconciled repeat-pair chain over the strided suffix
+    * array — rank-group members (`gmem`/`m1`), the equal-rank and
+    * adjacent-rank pair families, the greedy per-level LCP walk, and
+    * the canonicalized `best(doc_a, pos_a, doc_b, pos_b, lcp)` table.
+    * Shared VERBATIM by every strided-family oracle (lrs, cross,
+    * apply, corpus-clean) so the walk semantics can never drift
+    * between them. Appended directly after [[stridedCte]]. */
+  private def bestPairsCte: String = s""",
+      gmem AS MATERIALIZED (
+        SELECT rank, gdoc, gpos,
+               row_number() OVER (PARTITION BY rank
+                 ORDER BY gdoc, gpos) AS rn
+        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
+      m1 AS MATERIALIZED (
+        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
+        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
+                row_number() OVER (PARTITION BY rank
+                  ORDER BY gdoc, gpos, bid, pos) AS rn
+              FROM sa) WHERE rn = 1),
+      eqp AS (
+        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
+               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
+        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
+        JOIN m1 m ON m.rank = a.rank),
+      w${Rounds} AS (
+        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
+               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
+               y.bid AS bid_b, y.pos AS bpos_b,
+               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
+        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
+      (Rounds - 1 to 0 by -1).map { k =>
+        s""",
+      w$k AS (
+        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
+               f.bid_b, f.bpos_b, f.cap,
+               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
+                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
+        FROM w${k + 1} f
+        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
+        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
+      }.mkString + s""",
+      allp AS (
+        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
+        UNION ALL
+        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
+      best AS (
+        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_a ELSE doc_b END AS doc_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_a ELSE pos_b END AS pos_a,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN doc_b ELSE doc_a END AS doc_b,
+               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
+                    THEN pos_b ELSE pos_a END AS pos_b,
+               max(lcp) AS lcp
+        FROM allp
+        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
+        GROUP BY 1, 2, 3, 4)"""
+
   /** Strided suffix array, smoke-sized: the 100 smallest distinct
     * (rank, global position) suffix entries — block copies of one
     * global position collapse via DISTINCT. Registered BUILD STEP of
@@ -298,57 +357,7 @@ object SuffixQueries {
         .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
           col("doc_b"), col("pos_b"))
     },
-    Some(stridedCte + s""",
-      gmem AS MATERIALIZED (
-        SELECT rank, gdoc, gpos,
-               row_number() OVER (PARTITION BY rank
-                 ORDER BY gdoc, gpos) AS rn
-        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
-      m1 AS MATERIALIZED (
-        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
-        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
-                row_number() OVER (PARTITION BY rank
-                  ORDER BY gdoc, gpos, bid, pos) AS rn
-              FROM sa) WHERE rn = 1),
-      eqp AS (
-        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
-               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
-        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
-        JOIN m1 m ON m.rank = a.rank),
-      w${Rounds} AS (
-        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
-               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
-               y.bid AS bid_b, y.pos AS bpos_b,
-               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
-        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
-      (Rounds - 1 to 0 by -1).map { k =>
-        s""",
-      w$k AS (
-        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
-               f.bid_b, f.bpos_b, f.cap,
-               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
-                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
-        FROM w${k + 1} f
-        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
-        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
-      }.mkString + s""",
-      allp AS (
-        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
-        UNION ALL
-        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
-      best AS (
-        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_a ELSE doc_b END AS doc_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_a ELSE pos_b END AS pos_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_b ELSE doc_a END AS doc_b,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_b ELSE pos_a END AS pos_b,
-               max(lcp) AS lcp
-        FROM allp
-        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
-        GROUP BY 1, 2, 3, 4),
+    Some(stridedCte + bestPairsCte + s""",
       lm AS (
         SELECT p.* FROM best p
         JOIN documents xa ON xa.doc_id = p.doc_a
@@ -400,57 +409,7 @@ object SuffixQueries {
         .agg(count(lit(1)).as("n_repeats"), max(col("lcp")).as("max_lcp"))
         .orderBy(col("source_a"), col("source_b"))
     },
-    Some(stridedCte + s""",
-      gmem AS MATERIALIZED (
-        SELECT rank, gdoc, gpos,
-               row_number() OVER (PARTITION BY rank
-                 ORDER BY gdoc, gpos) AS rn
-        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
-      m1 AS MATERIALIZED (
-        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
-        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
-                row_number() OVER (PARTITION BY rank
-                  ORDER BY gdoc, gpos, bid, pos) AS rn
-              FROM sa) WHERE rn = 1),
-      eqp AS (
-        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
-               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
-        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
-        JOIN m1 m ON m.rank = a.rank),
-      w${Rounds} AS (
-        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
-               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
-               y.bid AS bid_b, y.pos AS bpos_b,
-               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
-        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
-      (Rounds - 1 to 0 by -1).map { k =>
-        s""",
-      w$k AS (
-        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
-               f.bid_b, f.bpos_b, f.cap,
-               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
-                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
-        FROM w${k + 1} f
-        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
-        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
-      }.mkString + s""",
-      allp AS (
-        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
-        UNION ALL
-        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
-      best AS (
-        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_a ELSE doc_b END AS doc_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_a ELSE pos_b END AS pos_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_b ELSE doc_a END AS doc_b,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_b ELSE pos_a END AS pos_b,
-               max(lcp) AS lcp
-        FROM allp
-        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
-        GROUP BY 1, 2, 3, 4),
+    Some(stridedCte + bestPairsCte + s""",
       lm AS (
         SELECT p.*, xa.source AS sa, xb.source AS sb FROM best p
         JOIN documents xa ON xa.doc_id = p.doc_a
@@ -512,57 +471,7 @@ object SuffixQueries {
           expr("chars_removed * 1000000 DIV chars_total"))
         .orderBy(col("source"))
     },
-    Some(stridedCte + s""",
-      gmem AS MATERIALIZED (
-        SELECT rank, gdoc, gpos,
-               row_number() OVER (PARTITION BY rank
-                 ORDER BY gdoc, gpos) AS rn
-        FROM (SELECT DISTINCT rank, gdoc, gpos FROM sa)),
-      m1 AS MATERIALIZED (
-        SELECT rank, gdoc, gpos, bid, pos, suffix_len AS len
-        FROM (SELECT rank, gdoc, gpos, bid, pos, suffix_len,
-                row_number() OVER (PARTITION BY rank
-                  ORDER BY gdoc, gpos, bid, pos) AS rn
-              FROM sa) WHERE rn = 1),
-      eqp AS (
-        SELECT a.gdoc AS doc_a, a.gpos AS pos_a, b.gdoc AS doc_b,
-               b.gpos AS pos_b, CAST(m.len AS BIGINT) AS lcp
-        FROM gmem a JOIN gmem b ON a.rank = b.rank AND a.rn = 1 AND b.rn = 2
-        JOIN m1 m ON m.rank = a.rank),
-      w${Rounds} AS (
-        SELECT x.gdoc AS doc_a, x.gpos AS pos_a, x.bid AS bid_a,
-               x.pos AS bpos_a, y.gdoc AS doc_b, y.gpos AS pos_b,
-               y.bid AS bid_b, y.pos AS bpos_b,
-               least(x.len, y.len) AS cap, CAST(0 AS BIGINT) AS lcp
-        FROM m1 x JOIN m1 y ON y.rank = x.rank + 1)""" +
-      (Rounds - 1 to 0 by -1).map { k =>
-        s""",
-      w$k AS (
-        SELECT f.doc_a, f.pos_a, f.bid_a, f.bpos_a, f.doc_b, f.pos_b,
-               f.bid_b, f.bpos_b, f.cap,
-               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
-                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
-        FROM w${k + 1} f
-        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
-        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
-      }.mkString + s""",
-      allp AS (
-        SELECT doc_a, pos_a, doc_b, pos_b, lcp FROM eqp
-        UNION ALL
-        SELECT doc_a, pos_a, doc_b, pos_b, least(lcp, cap) AS lcp FROM w0),
-      best AS (
-        SELECT CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_a ELSE doc_b END AS doc_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_a ELSE pos_b END AS pos_a,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN doc_b ELSE doc_a END AS doc_b,
-               CASE WHEN (doc_a, pos_a) <= (doc_b, pos_b)
-                    THEN pos_b ELSE pos_a END AS pos_b,
-               max(lcp) AS lcp
-        FROM allp
-        WHERE NOT (doc_a = doc_b AND pos_a = pos_b)
-        GROUP BY 1, 2, 3, 4),
+    Some(stridedCte + bestPairsCte + s""",
       sp AS (
         SELECT doc_b AS doc_id, pos_b AS s, pos_b + lcp AS e
         FROM best WHERE lcp >= 20),
@@ -596,7 +505,112 @@ object SuffixQueries {
       FROM alld GROUP BY source ORDER BY source
     """))
 
+  /** The materialized CLEAN-CORPUS view — the composition the three
+    * removal plans were built for: `q_dedup_keep`'s cluster-keep
+    * decides which DOCUMENTS survive, the exact-substring pair
+    * artifact's merged spans decide which CHARACTERS survive inside
+    * them, and the result is the per-doc manifest a mixture/shard
+    * planner consumes: `(doc_id, source, chars, chars_removed,
+    * chars_clean, shard_idx)` for every kept document, `shard_idx` =
+    * the 8 KiB-char concat-and-chunk shard (per source, doc_id order)
+    * the cleaned text starts in — the char-unit analog of
+    * `q_tokenized_shards`' BPE manifest, over the CLEANED corpus.
+    *
+    * Composition rule worth stating: an exact span is subtracted only
+    * when BOTH endpoints of its repeat pair survive cluster-keep — a
+    * span whose canonical first occurrence was dropped with its
+    * near-dup document would otherwise delete the corpus's only
+    * remaining copy of that text. Work shape: label join + pair-table
+    * scan + per-doc windows (bounded by spans-per-doc) + one
+    * per-source running sum (the q_tokenized_shards manifest shape);
+    * the cluster walk and LCP walk were both paid once by their
+    * artifact build steps. */
+  val qCorpusClean: Q = Q(
+    "q_corpus_clean",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val docs = Tables.documents(spark, dir)
+      val labels = graft.operators.ClusterArtifact
+        .labels(spark, dir, 0.5, DedupQueries.JaccardCap)
+      val kept = docs.join(labels, Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("chars"))
+      val spans = graft.operators.StridedLrsPairsArtifact.pairs(spark, dir)
+        .filter(col("lcp") >= 20 &&
+          (col("doc_a") =!= col("doc_b") || col("pos_a") =!= col("pos_b")))
+        .join(kept.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+        .join(kept.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select(col("doc_b").as("doc_id"), col("pos_b").as("s"),
+          (col("pos_b") + col("lcp")).as("e"))
+      val wPrev = W.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wRun = W.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val removed = spans
+        .withColumn("pmax", max(col("e")).over(wPrev))
+        .withColumn("gid", sum(when(col("pmax").isNull ||
+          col("s") >= col("pmax"), 1L).otherwise(0L)).over(wRun))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("me") - col("ms")).as("removed"))
+      val wShard = W.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      kept.join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("chars"),
+          coalesce(col("removed"), lit(0L)).as("chars_removed"),
+          (col("chars") - coalesce(col("removed"), lit(0L)))
+            .as("chars_clean"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("chars_clean")).over(wShard), lit(0L)))
+        .select(col("doc_id"), col("source"), col("chars"),
+          col("chars_removed"), col("chars_clean"),
+          expr("cum_prev DIV 8192").as("shard_idx"))
+        .orderBy(col("doc_id"))
+    },
+    Some("WITH RECURSIVE\n      " + DedupQueries.clusterCte + ",\n      " +
+      stridedCte.stripPrefix("WITH ") + bestPairsCte + s""",
+      keepd AS (
+        SELECT d.doc_id, d.source, CAST(length(d.text) AS BIGINT) AS chars
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+        WHERE cl.cluster IS NULL OR cl.cluster = d.doc_id),
+      sp AS (
+        SELECT b.doc_b AS doc_id, b.pos_b AS s, b.pos_b + b.lcp AS e
+        FROM best b
+        JOIN keepd ka ON ka.doc_id = b.doc_a
+        JOIN keepd kb ON kb.doc_id = b.doc_b
+        WHERE b.lcp >= 20),
+      ordd AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM sp),
+      isl AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        FROM ordd),
+      mg AS (
+        SELECT doc_id, gid, min(s) AS ms, max(e) AS me
+        FROM isl GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, CAST(sum(me - ms) AS BIGINT) AS removed
+        FROM mg GROUP BY 1),
+      pd AS (
+        SELECT k.doc_id, k.source, k.chars,
+               coalesce(p.removed, 0) AS chars_removed,
+               k.chars - coalesce(p.removed, 0) AS chars_clean
+        FROM keepd k LEFT JOIN per p ON p.doc_id = k.doc_id)
+      SELECT doc_id, source, chars, chars_removed, chars_clean,
+             CAST(coalesce(sum(chars_clean) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+               1 PRECEDING), 0) // 8192 AS BIGINT) AS shard_idx
+      FROM pd ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided,
-      qDedupExactCross, qDedupExactApply)
+      qDedupExactCross, qDedupExactApply, qCorpusClean)
 }
