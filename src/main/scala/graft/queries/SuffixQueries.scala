@@ -512,7 +512,7 @@ object SuffixQueries {
     * them, and the result is the per-doc manifest a mixture/shard
     * planner consumes: `(doc_id, source, chars, chars_removed,
     * chars_clean, shard_idx)` for every kept document, `shard_idx` =
-    * the 8 KiB-char concat-and-chunk shard (per source, doc_id order)
+    * the 2048-char concat-and-chunk shard (per source, doc_id order)
     * the cleaned text starts in — the char-unit analog of
     * `q_tokenized_shards`' BPE manifest, over the CLEANED corpus.
     *
@@ -566,7 +566,7 @@ object SuffixQueries {
           coalesce(sum(col("chars_clean")).over(wShard), lit(0L)))
         .select(col("doc_id"), col("source"), col("chars"),
           col("chars_removed"), col("chars_clean"),
-          expr("cum_prev DIV 8192").as("shard_idx"))
+          expr("cum_prev DIV 2048").as("shard_idx"))
         .orderBy(col("doc_id"))
     },
     Some("WITH RECURSIVE\n      " + DedupQueries.clusterCte + ",\n      " +
@@ -606,7 +606,7 @@ object SuffixQueries {
       SELECT doc_id, source, chars, chars_removed, chars_clean,
              CAST(coalesce(sum(chars_clean) OVER (PARTITION BY source
                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-               1 PRECEDING), 0) // 8192 AS BIGINT) AS shard_idx
+               1 PRECEDING), 0) // 2048 AS BIGINT) AS shard_idx
       FROM pd ORDER BY doc_id
     """))
 
