@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -337,16 +337,16 @@ object SuffixArray {
     *
     * `levels` must be the rank levels of [[blocks]] output. Returns
     * `(doc_a, pos_a, doc_b, pos_b, lcp)` in GLOBAL coordinates. */
-  def longestRepeatedStrided(levels: Seq[DataFrame], window: Int,
-      stride: Int): DataFrame = {
-    val last = levels.last
-    // suffix_len = visible block length - pos; block length is known
-    // from the block's own positions table (max pos + 1), but the
-    // cheap exact form is to re-derive it from the final level itself:
-    // a block's positions are dense 0..len-1, so len = max(pos)+1.
+  /** The final-level strided suffix array with global coordinates and
+    * visible suffix lengths: `(bid, pos, rank, suffix_len, gdoc,
+    * gpos)`. suffix_len = visible block length - pos; block length is
+    * known from the block's own positions table (max pos + 1), but the
+    * cheap exact form is to re-derive it from the final level itself:
+    * a block's positions are dense 0..len-1, so len = max(pos)+1. */
+  def stridedSa(last: DataFrame, stride: Int): DataFrame = {
     val blkLen = last.groupBy(col("doc_id").as("bid"))
       .agg((max(col("pos")) + 1).as("blen"))
-    val sa = last
+    last
       .join(blkLen, last("doc_id") === blkLen("bid"))
       .select(col("bid"), col("pos"), col("rank"),
         (col("blen") - col("pos")).as("suffix_len"),
@@ -355,6 +355,145 @@ object SuffixArray {
         expr(s"bid DIV $BlockBase").as("gdoc"),
         (pmod(col("bid"), lit(BlockBase)) * stride + col("pos")).as("gpos"))
       .localCheckpoint(true)
+  }
+
+  /** Greedy rank-table LCP walk over stored levels for an arbitrary
+    * pair frame carrying `(bid_a, bpos_a, bid_b, bpos_b, lcp = 0,
+    * …)`: for level `k = K-1 .. 0`, if the level-`k` ranks of both
+    * suffixes shifted by the running lcp agree, advance by `2^k`.
+    * Level K is skipped — callers walk pairs with DISTINCT final
+    * ranks (equal final ranks mean identical truncated suffixes:
+    * lcp = the shared length, no walk needed). Extra columns pass
+    * through untouched; `lcp` comes back UNCAPPED (cap by the
+    * shorter visible suffix at the call site). Checkpoint cadence
+    * every third level — the frontier grows two joins + one CASE per
+    * level, linear, so a bounded stretch of lazy rounds keeps
+    * planning cheap. */
+  def lcpWalk(pairs: DataFrame, levels: Seq[DataFrame]): DataFrame =
+    (levels.size - 2 to 0 by -1).foldLeft(pairs) { (front, k) =>
+      val lk = levels(k)
+      val ra = lk.select(col("doc_id").as("__da"),
+        col("pos").as("__pa"), col("rank").as("__ra"))
+      val rb = lk.select(col("doc_id").as("__db"),
+        col("pos").as("__pb"), col("rank").as("__rb"))
+      front
+        .join(ra, col("bid_a") === col("__da") &&
+          col("bpos_a") + col("lcp") === col("__pa"), "left")
+        .join(rb, col("bid_b") === col("__db") &&
+          col("bpos_b") + col("lcp") === col("__pb"), "left")
+        .withColumn("lcp",
+          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
+            col("lcp") + (1L << k)).otherwise(col("lcp")))
+        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
+        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
+    }
+
+  /** Incremental exact-substring SCREEN — rank an arriving batch's
+    * suffixes against the STORED corpus suffix array at batch cost,
+    * never rebuilding it (the `q_embed_ivf_append` treatment applied
+    * to the suffix family): for every batch suffix, its best corpus
+    * match is its rank-order NEIGHBOR among corpus suffixes (the
+    * classic SA property — lcp is min over the adjacency chain, so
+    * the max against a set is attained at the nearest restricted
+    * neighbor on one of the two sides). The neighbor search is a
+    * range-sort by `(rank, corpus-first)` plus a per-partition
+    * forward/backward scan with boundary exchange — the
+    * [[rankRows]] offset pattern, 2 tiny rows per partition to the
+    * driver, never data. Equal-final-rank neighbors ARE the match
+    * (identical truncated suffixes, lcp = shared length); others get
+    * the greedy [[lcpWalk]]. Returns one row per distinct batch
+    * GLOBAL position: `(gdoc, gpos, lcp)` — its longest exact repeat
+    * against the corpus (window semantics: exact to `window-stride`,
+    * opportunistic to `window`).
+    *
+    * 100 TB deployment note: the one full-table range sort here exists
+    * because the artifact stores levels hash-partitioned by block; a
+    * corpus at scale stores the final level RANGE-partitioned by rank
+    * once, and this screen becomes a partition-pruned merge of the
+    * (small) batch rank set against only the touched rank ranges. */
+  def batchScreen(levels: Seq[DataFrame], stride: Int,
+      isBatch: Column => Column): DataFrame = {
+    val spark = levels.last.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = stridedSa(levels.last, stride)
+      .withColumn("flag", when(isBatch(col("gdoc")), 1).otherwise(0))
+      .select(col("rank"), col("flag"), col("bid"), col("pos"),
+        col("suffix_len"), col("gdoc"), col("gpos"))
+      .repartitionByRange(np, col("rank"), col("flag"))
+      .sortWithinPartitions(col("rank"), col("flag"))
+    val rdd = sorted.rdd
+    // pass 1: each partition's first/last CORPUS row — the boundary
+    // values neighboring partitions need (rank, bid, pos, suffix_len)
+    val bounds = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var first: Array[Long] = null
+      var last: Array[Long] = null
+      it.foreach { r =>
+        if (r.getInt(1) == 0) {
+          val c = Array(r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+          if (first == null) first = c
+          last = c
+        }
+      }
+      Iterator.single((pi, first, last))
+    }.collect().sortBy(_._1)
+    val nPart = bounds.length
+    val predB = new Array[Array[Long]](nPart)
+    val succB = new Array[Array[Long]](nPart)
+    var run: Array[Long] = null
+    for (i <- 0 until nPart) { predB(i) = run; if (bounds(i)._3 != null) run = bounds(i)._3 }
+    run = null
+    for (i <- nPart - 1 to 0 by -1) { succB(i) = run; if (bounds(i)._2 != null) run = bounds(i)._2 }
+    val bcPred = spark.sparkContext.broadcast(predB)
+    val bcSucc = spark.sparkContext.broadcast(succB)
+    // pass 2: forward scan (pred = running last corpus row at
+    // rank <= r, equal ranks included — corpus sorts first within a
+    // rank) and backward scan (succ = first corpus row at rank > r);
+    // one output row per (batch row, available side).
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rows = it.toArray
+      val res = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def emit(r: Row, c: Array[Long]): Unit =
+        res += Row(r.getLong(5), r.getLong(6), r.getLong(0), r.getLong(2),
+          r.getLong(3), r.getLong(4), c(0), c(1), c(2), c(3))
+      var pred = bcPred.value(pi)
+      rows.foreach { r =>
+        if (r.getInt(1) == 0)
+          pred = Array(r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+        else if (pred != null) emit(r, pred)
+      }
+      var succ = bcSucc.value(pi)
+      for (i <- rows.length - 1 to 0 by -1) {
+        val r = rows(i)
+        if (r.getInt(1) == 0)
+          succ = Array(r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+        else if (succ != null) emit(r, succ)
+      }
+      res.iterator
+    }
+    val schema = StructType(Seq("gdoc", "gpos", "rank_a", "bid_a",
+      "bpos_a", "len_a", "rank_b", "bid_b", "bpos_b", "len_b")
+      .map(StructField(_, LongType, nullable = false)))
+    val pairs = spark.createDataFrame(out, schema)
+      .withColumn("cap", least(col("len_a"), col("len_b")))
+      .withColumn("lcp", lit(0L))
+      .localCheckpoint(true)
+    // equal final rank: identical truncated suffixes, lcp = shared
+    // length (the walk would also need the skipped level K to see
+    // this); different ranks: the greedy walk, capped.
+    val eq = pairs.filter(col("rank_a") === col("rank_b"))
+      .select(col("gdoc"), col("gpos"), col("cap").as("lcp"))
+    val walked = lcpWalk(pairs.filter(col("rank_a") =!= col("rank_b")), levels)
+      .select(col("gdoc"), col("gpos"),
+        least(col("lcp"), col("cap")).as("lcp"))
+    // collapse block copies of one global position to the best lcp
+    eq.unionByName(walked)
+      .groupBy(col("gdoc"), col("gpos"))
+      .agg(max(col("lcp")).as("lcp"))
+  }
+
+  def longestRepeatedStrided(levels: Seq[DataFrame], window: Int,
+      stride: Int): DataFrame = {
+    val sa = stridedSa(levels.last, stride)
 
     // per final rank: distinct global members (sorted), one
     // representative WITH block coordinates for the LCP walk, and the
@@ -388,27 +527,7 @@ object SuffixArray {
         col("y.m1.bid").as("bid_b"), col("y.m1.pos").as("bpos_b"),
         least(col("x.len"), col("y.len")).as("cap"),
         lit(0L).as("lcp"))
-    // level K skipped — adjacent final ranks are distinct, the
-    // offset-0 level-K lookup can never advance; checkpoint cadence
-    // every third level (see the plain walk)
-    val walked = (levels.size - 2 to 0 by -1).foldLeft(adj) { (front, k) =>
-      val lk = levels(k)
-      val ra = lk.select(col("doc_id").as("__da"),
-        col("pos").as("__pa"), col("rank").as("__ra"))
-      val rb = lk.select(col("doc_id").as("__db"),
-        col("pos").as("__pb"), col("rank").as("__rb"))
-      front
-        .join(ra, col("bid_a") === col("__da") &&
-          col("bpos_a") + col("lcp") === col("__pa"), "left")
-        .join(rb, col("bid_b") === col("__db") &&
-          col("bpos_b") + col("lcp") === col("__pb"), "left")
-        .withColumn("lcp",
-          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
-            col("lcp") + (1L << k)).otherwise(col("lcp")))
-        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
-    }
-    val adjPairs = walked
+    val adjPairs = lcpWalk(adj, levels)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         least(col("lcp"), col("cap")).as("lcp"))
 

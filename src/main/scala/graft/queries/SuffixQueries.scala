@@ -610,7 +610,73 @@ object SuffixQueries {
       FROM pd ORDER BY doc_id
     """))
 
+  /** Incremental EXACT-substring dedup — the arriving-batch path the
+    * MinHash family already has (`q_dedup_incremental`), closed for
+    * the suffix family: batch documents (`doc_id % 10 = 0`, the
+    * registry's standard incremental split) are screened against the
+    * corpus (the rest) THROUGH the stored suffix artifact, never
+    * rebuilding it — [[SuffixArray.batchScreen]] merges the batch's
+    * suffixes into the stored rank order, takes each one's nearest
+    * corpus rank-neighbors (the max-lcp partner, by the SA adjacency
+    * property) and greedy-walks exactly those pairs. Per batch doc:
+    * how many of its positions start a ≥20-char exact repeat of
+    * corpus text, and the longest such repeat. The artifact is
+    * read-only here — its stored rows stay byte-identical. The
+    * DuckDB oracle replays the neighbor merge as two ASOF joins
+    * against the same doubling chain. */
+  val qDedupExactIncremental: Q = Q(
+    "q_dedup_exact_incremental",
+    (spark, dir) => {
+      val levels = graft.operators.StridedSuffixArtifact.levels(spark, dir)
+      SuffixArray.batchScreen(levels, Stride,
+          gdoc => pmod(gdoc, lit(10)) === 0)
+        .groupBy(col("gdoc"))
+        .agg(sum(when(col("lcp") >= 20, 1L).otherwise(0L)).as("n_pos20"),
+          max(col("lcp")).as("max_lcp"))
+        .select(col("gdoc").as("doc_id"), col("n_pos20"), col("max_lcp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(stridedCte + s""",
+      br AS MATERIALIZED (SELECT * FROM sa WHERE gdoc % 10 = 0),
+      cr AS MATERIALIZED (SELECT * FROM sa WHERE gdoc % 10 <> 0),
+      prd AS (
+        SELECT b.gdoc, b.gpos, b.rank AS rank_a, b.bid AS bid_a,
+               b.pos AS bpos_a, b.suffix_len AS len_a, c.rank AS rank_b,
+               c.bid AS bid_b, c.pos AS bpos_b, c.suffix_len AS len_b
+        FROM br b ASOF JOIN cr c ON b.rank >= c.rank),
+      suc AS (
+        SELECT b.gdoc, b.gpos, b.rank AS rank_a, b.bid AS bid_a,
+               b.pos AS bpos_a, b.suffix_len AS len_a, c.rank AS rank_b,
+               c.bid AS bid_b, c.pos AS bpos_b, c.suffix_len AS len_b
+        FROM br b ASOF JOIN cr c ON b.rank < c.rank),
+      v$Rounds AS (
+        SELECT *, least(len_a, len_b) AS cap, CAST(0 AS BIGINT) AS lcp
+        FROM (SELECT * FROM prd UNION ALL SELECT * FROM suc))""" +
+      (Rounds - 1 to 0 by -1).map { k =>
+        s""",
+      v$k AS (
+        SELECT f.gdoc, f.gpos, f.rank_a, f.bid_a, f.bpos_a, f.rank_b,
+               f.bid_b, f.bpos_b, f.cap,
+               CASE WHEN ra.rank IS NOT NULL AND ra.rank = rb.rank
+                    THEN f.lcp + ${1 << k} ELSE f.lcp END AS lcp
+        FROM v${k + 1} f
+        LEFT JOIN r$k ra ON ra.doc_id = f.bid_a AND ra.pos = f.bpos_a + f.lcp
+        LEFT JOIN r$k rb ON rb.doc_id = f.bid_b AND rb.pos = f.bpos_b + f.lcp)"""
+      }.mkString + s""",
+      bestp AS (
+        SELECT gdoc, gpos,
+               max(CASE WHEN rank_a = rank_b THEN cap
+                        ELSE least(lcp, cap) END) AS lcp
+        FROM v0 GROUP BY 1, 2)
+      SELECT gdoc AS doc_id,
+             CAST(sum(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos20,
+             CAST(max(lcp) AS BIGINT) AS max_lcp
+      FROM bestp GROUP BY gdoc ORDER BY doc_id
+    """))
+
   val all: Seq[Q] =
     Seq(qSuffixArray, qDedupLrs, qSuffixArrayStrided, qDedupLrsStrided,
-      qDedupExactCross, qDedupExactApply, qCorpusClean)
+      qDedupExactCross, qDedupExactApply, qCorpusClean,
+      qDedupExactIncremental)
 }
