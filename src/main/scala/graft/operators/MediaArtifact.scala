@@ -36,20 +36,21 @@ object MediaArtifact {
   val Formats: Seq[String] = Seq(
     "plain", "container", "wav", "ulaw", "bmp", "png", "png_from_bmp",
     "gif", "gif_variant", "gif_anim", "jpeg", "avi", "avi_rle", "mp3",
-    "tiff")
+    "tiff", "mpg")
 
   /** Bump when the layout or format set changes: the data fingerprint
     * keys on documents.parquet only, so a code-side schema evolution
     * must version the path or a stale artifact would be served.
     * v3: + avi_rle (MS-RLE8 inter-frame video, round 9).
     * v4: + mp3 (MPEG-1 Layer III frame stream, round 11).
-    * v5: + tiff (baseline II uncompressed RGB8, round 11). */
-  private val LayoutVersion = 5
+    * v5: + tiff (baseline II uncompressed RGB8, round 11).
+    * v6: + mpg (MPEG-1 video elementary stream, round 12). */
+  private val LayoutVersion = 6
 
   def path(dir: String): String =
     Artifacts.path(dir, "documents", s"media_v$LayoutVersion")
 
-  /** All 15 container synths for one batch of documents `(id, text
+  /** All 16 container synths for one batch of documents `(id, text
     * bytes)` — shared by the full build and the append path. */
   private def mediaRows(docs: Dataset[(Long, Array[Byte])]): Dataset[MediaRow] =
     docs.mapPartitions { it =>
@@ -75,12 +76,13 @@ object MediaArtifact {
           row("avi", "video/x-msvideo", Video.synthesizeMjpegAvi(id, n)),
           row("avi_rle", "video/x-msvideo", Video.synthesizeRle8Avi(id, n)),
           row("mp3", "audio/mpeg", Codecs.synthesizeMp3(id, n)),
-          row("tiff", "image/tiff", Codecs.synthesizeTiff(id, n)))
+          row("tiff", "image/tiff", Codecs.synthesizeTiff(id, n)),
+          row("mpg", "video/mpeg", Mpeg1.synthesizeMpeg1(id, n)))
       }
     }(mediaRowEnc)
 
   /** Force a (re)build: one pass over documents, one partitioned
-    * write. 15 container synths per doc, all in-partition. */
+    * write. 16 container synths per doc, all in-partition. */
   def materialize(spark: SparkSession, dir: String): String = synchronized {
     val p = path(dir)
     if (Artifacts.skipBuild(p, Seq("media"))) return p
@@ -96,7 +98,7 @@ object MediaArtifact {
   /** INCREMENTAL build: synthesize media rows for `newDocs`
     * (`doc_id, text`) ONLY and append them into the artifact at
     * `root` — at 100 TB an arriving source partition prices one
-    * synth-and-append over ITS rows, not a 15-format rebuild of the
+    * synth-and-append over ITS rows, not a 16-format rebuild of the
     * whole lake. Parquet append adds new files inside each `format=`
     * partition directory; every pre-existing file is untouched
     * byte-for-byte (MediaIncrementSpec pins both: old files

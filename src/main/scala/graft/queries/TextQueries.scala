@@ -2102,6 +2102,68 @@ object TextQueries {
       FROM per GROUP BY w, h ORDER BY width, height
     """.trim))
 
+  /** MPEG-1 VIDEO I-frame decode ([[graft.operators.Mpeg1]]) — the
+    * last codec stub class retired: start-code walk, sequence/GOP/
+    * picture headers, slice + macroblock + block layers (address and
+    * DC-size VLCs, AC subset + escape), the PUBLISHED default intra
+    * quantizer matrix, and a full 8×8 IDCT, over stored `mpg`
+    * elementary streams. I-pictures decode to real pixels (flat
+    * DC-only blocks — the lossless configuration, so the oracle
+    * replays decoded luma arithmetically); P-pictures are counted
+    * from their headers and skipped — inter-frame motion
+    * reconstruction is the one surface still behind the stub.
+    * `y_wsum` weights each block's pixel sum by its raster index, so
+    * a misplaced macroblock can never cancel. Partition-pruned `mpg`
+    * scan, in-partition decode, ≤2-group rollup; Mpeg1CodecSpec pins
+    * golden bits + AC/IDCT behavior, CodecFuzzSpec hardens the
+    * walk. */
+  val qVideoMpeg1: Q = Q(
+    "q_video_mpeg1_iframes",
+    (spark, dir) => graft.operators.Mpeg1
+      .decodeMpeg1Batch(media(spark, dir, "mpg"))
+      .toDF()
+      .groupBy(col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nFrames").cast("long")).as("n_frames"),
+        sum(col("nIFrames").cast("long")).as("n_iframes"),
+        sum(col("nPFrames").cast("long")).as("n_pframes"),
+        sum(col("lumSum")).as("y_sum"),
+        sum(col("lumWsum")).as("y_wsum"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_bad"))
+      .orderBy(col("width"), col("height")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(16 * (1 + doc_id % 2) AS INT) AS w,
+               CAST(16 AS INT) AS h,
+               CAST(3 + octet_length(encode(text)) % 4 AS INT) AS k
+        FROM documents),
+      fr AS (SELECT doc_id, w, h, unnest(range(0, k)) AS f FROM d),
+      ifr AS (SELECT * FROM fr WHERE f % 3 = 0),
+      blk AS (
+        SELECT doc_id, w, h, f, unnest(range(0, (w // 8) * 2)) AS b
+        FROM ifr),
+      v AS (
+        SELECT doc_id, w, h, f, b % (w // 8) AS bx, b // (w // 8) AS by,
+               16 + (doc_id * 7 + f * 13 + (b % (w // 8)) * 5
+                     + (b // (w // 8)) * 11) % 200 AS lum
+        FROM blk),
+      per AS (
+        SELECT doc_id, w, h, sum(64 * lum) AS s,
+               sum(64 * lum * (by * (w // 8) + bx + 1)) AS sw
+        FROM v GROUP BY 1, 2, 3),
+      cnt AS (
+        SELECT doc_id, w, h, k AS nf, (k + 2) // 3 AS ni FROM d)
+      SELECT c.w AS width, c.h AS height, count(*) AS n_docs,
+             CAST(sum(c.nf) AS BIGINT) AS n_frames,
+             CAST(sum(c.ni) AS BIGINT) AS n_iframes,
+             CAST(sum(c.nf - c.ni) AS BIGINT) AS n_pframes,
+             CAST(sum(p.s) AS BIGINT) AS y_sum,
+             CAST(sum(p.sw) AS BIGINT) AS y_wsum,
+             CAST(0 AS BIGINT) AS n_bad
+      FROM cnt c JOIN per p USING (doc_id)
+      GROUP BY c.w, c.h ORDER BY width, height
+    """.trim))
+
   /** REAL JPEG decode — a from-scratch T.81 baseline codec
     * ([[graft.operators.Jpeg]]): marker walk, canonical Huffman
     * decoding from the DHT bit-length counts, DC prediction, zigzag
@@ -2460,7 +2522,7 @@ object TextQueries {
     qMultimodalAudio, qMultimodalPixels, qMultimodalPng, qMultimodalAudioRuns,
     qMultimodalTranscode, qMultimodalUlaw, qMultimodalGif, qMultimodalPhash,
     qMultimodalScenes, qMultimodalJpeg, qMediaCatalog, qVideoFrames,
-    qVideoScenes, qVideoRleFrames, qAudioMp3Meta, qMultimodalTiff,
+    qVideoScenes, qVideoRleFrames, qVideoMpeg1, qAudioMp3Meta, qMultimodalTiff,
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qMultimodalDecode, qMultimodalSniff, qFeatureHash,
     qTextBpeTokens, qTextRedact, qTextRepetition,
     qMultimodalFeatures, qMultimodalFrames, qCorpusMixture,

@@ -90,6 +90,11 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => Video.decodeRleFrames(7L, b))
   }
 
+  test("mpeg-1 video start-code walk + intra decode survives 3000 corruptions") {
+    fuzz("mpg", Mpeg1.synthesizeMpeg1(7L, 23), 3000)(
+      b => Mpeg1.parseMpeg1(7L, b))
+  }
+
   test("sniff survives 3000 corruptions of every container kind") {
     val goods = Seq(
       Multimodal.wrapWithHeader(0L, "payload bytes".getBytes("UTF-8"))._1,
