@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * ([[Codecs]]: RIFF/WAV PCM, G.711 µ-law, 24-bit BMP, PNG via the
   * JVM's zlib/CRC32, GIF via a genuine LZW decompressor; [[Jpeg]]: a
   * from-scratch T.81 baseline codec; [[Video]]: an AVI demuxer over
-  * Motion-JPEG frames — all round 8); only inter-frame video codecs
-  * (H.264 etc.) remain STUBBED here with a deterministic fake so
-  * their plumbing stays testable end to end. Since round 8 the
+  * Motion-JPEG frames — all round 8; [[Mpeg1]]: an 11172-2 intra
+  * decoder, round 12); only inter-frame MOTION RECONSTRUCTION
+  * (H.264-class prediction against reference frames) remains STUBBED
+  * here with a deterministic fake so its plumbing stays testable end
+  * to end. Since round 8 the
   * containers live in a materialized parquet `binary` column
   * ([[MediaArtifact]]) instead of being synthesized inside each
   * query.

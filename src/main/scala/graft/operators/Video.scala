@@ -27,7 +27,9 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * walkers).
   *
   * What remains stubbed in [[Multimodal.decodeStub]]: inter-frame
-  * codecs (H.264 etc.), which genuinely need native decoders.
+  * MOTION RECONSTRUCTION only (H.264-class prediction) — since round
+  * 12 even MPEG-1 video headers, slices and I-frames decode for real
+  * ([[Mpeg1]]); predicted frames are counted and skipped there.
   */
 object Video {
 
