@@ -2268,7 +2268,8 @@ object TextQueries {
         UNION ALL SELECT 'mp3', 'audio/mpeg', CAST(0 AS BIGINT) FROM d
         UNION ALL
         SELECT 'tiff', 'image/tiff',
-               CAST(128 + 3 * (5 + id % 4) * (3 + len % 5) AS BIGINT) FROM d)
+               CAST(128 + 3 * (5 + id % 4) * (3 + len % 5) AS BIGINT) FROM d
+        UNION ALL SELECT 'mpg', 'video/mpeg', CAST(0 AS BIGINT) FROM d)
       SELECT format, mime, count(*) AS n_docs,
              CAST(sum(kb) AS BIGINT) AS known_bytes
       FROM rows GROUP BY 1, 2 ORDER BY format, mime
