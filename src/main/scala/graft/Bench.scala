@@ -8,16 +8,26 @@ import org.apache.spark.sql.SparkSession
   * Protocol (round 12 — sized to the driver's wall-clock budget, and
   * fail-soft under it):
   *
-  *   1. PRE-BUILD pass: one full registry execution with
-  *      `-Dgraft.artifacts.lazy=true`. Each materialized artifact
-  *      (suffix ranks, IVF index, NN-descent graph, media table, …)
-  *      is built exactly once here — the skip-if-complete guard
-  *      (`Artifacts.skipBuild`) turns every later force-build into a
-  *      no-op — and the same pass warms JIT/codegen/parquet footers,
-  *      so no separate warmup pass is needed. Its wall time is
-  *      reported as `build_sec`, NOT folded into `value`: the timed
-  *      reps measure query cost, the build phase prices construction
-  *      honestly but once.
+  *   0. FRESH-INPUT guarantee: the artifact root
+  *      (`$tmpdir/graft_artifacts`) is wiped at startup, so every
+  *      bench invocation recomputes every derived structure from the
+  *      parquet inputs — no intermediate persists across invocations
+  *      (an artifact left by an earlier run with a matching
+  *      fingerprint would otherwise be reused by the pre-build pass,
+  *      which would be result caching across runs, not optimization).
+  *   1. PRE-BUILD pass: the registered artifact BUILD-STEP queries
+  *      only (`Registry.buildSteps` — suffix ranks, repeat pairs, IVF
+  *      index, NN-descent graph, media table, …), with
+  *      `-Dgraft.artifacts.lazy=true` so each artifact is built
+  *      exactly once here (the skip-if-complete guard,
+  *      `Artifacts.skipBuild`, turns every later force-build into a
+  *      no-op). Wall time is reported as `build_sec`, NOT folded into
+  *      `value`: the timed reps measure query cost, the build phase
+  *      prices construction honestly but once. Round 12 change: the
+  *      pass used to run ALL queries as a warmup; at sf0.1 that was
+  *      ~270 s of non-build query wall per invocation for JIT warmth
+  *      the min-of-2-reps protocol already provides (rep 1 warms
+  *      codegen, the minimum picks the clean rep 2).
   *   2. TWO timed repetitions (SPARK_GRAFT_BENCH_REPS, default 2),
   *      per-query minimum reported. Same-code sweeps on this host
   *      span ±35% from ambient load; the minimum estimates the
@@ -78,6 +88,16 @@ object Bench {
     outPathV = java.nio.file.Paths.get(
       args.headOption.getOrElse(
         sys.props.getOrElse("user.dir", ".") + "/bench_result.json"))
+    // every invocation computes from the parquet inputs: drop any
+    // artifact a previous run left behind (fingerprint-keyed reuse
+    // across invocations would be cross-run result caching)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_artifacts"))
     // artifact builds happen ONCE (pre-build pass); every later
     // force-materialize of a complete artifact is a no-op.
     System.setProperty("graft.artifacts.lazy", "true")
@@ -111,17 +131,18 @@ object Bench {
     val ordered = Registry.all.filter(q => only.forall(_.contains(q.name)))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // ---- pre-build pass: artifacts + JIT warm, outside the clock ----
+    // ---- pre-build pass: artifact BUILD STEPS only, outside the clock ----
     phase = "prebuild"
     val b0 = System.nanoTime()
-    ordered.zipWithIndex.foreach { case (q, i) =>
+    val builders = ordered.filter(q => Registry.buildSteps(q.name))
+    builders.zipWithIndex.foreach { case (q, i) =>
       if (!terminating) {
         val q0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - q0) / 1e9
-        if (dt > 2.0 || (i + 1) % 50 == 0) System.err.println(
-          f"[bench] prebuild ${q.name} ${dt}%.1fs (${i + 1}/${ordered.size})")
+        System.err.println(
+          f"[bench] prebuild ${q.name} ${dt}%.1fs (${i + 1}/${builders.size})")
         try spark.sqlContext.clearCache()
         catch { case _: Throwable => () }
       }

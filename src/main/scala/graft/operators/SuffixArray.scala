@@ -111,6 +111,48 @@ object SuffixArray {
       StructField("rank", LongType, nullable = false))))
   }
 
+  /** One-pass re-rank for INTERMEDIATE doubling levels (round 12):
+    * order- and equality-preserving but NOT dense — `rank =
+    * (rangePartition << 40) | runIndexWithinPartition`. The doubling
+    * only ever consumes intermediate ranks as next-round sort keys
+    * (`k1`, `k2`), for which any strictly-monotone-in-key encoding is
+    * as good as a dense one; only the FINAL level (whose ranks feed
+    * the `rank + 1` adjacency join and surface in query output)
+    * needs [[rankRows]]' dense two-pass form. Dropping density saves
+    * the offset-collect job AND the second execution of the
+    * distributed sort per round (the two-pass form re-runs the
+    * reduce-side sort for pass 2). Correct because range partitioning
+    * never splits a key run across partitions (equal keys compare
+    * equal against every range bound), so `(partition, run)` is
+    * lexicographically ordered exactly like the keys; non-negative,
+    * so the `-1` lead padding still sorts strictly first. Rank VALUES
+    * depend on sampled range bounds and may differ between runs —
+    * fine for intermediates, whose values never surface (the final
+    * dense level is a pure function of key order alone). */
+  private def rankRowsFast(paired: DataFrame): DataFrame = {
+    val spark = paired.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val sorted = paired
+      .select(col("k1"), col("k2"), col("doc_id"), col("pos"))
+      .repartitionByRange(np, col("k1"), col("k2"))
+      .sortWithinPartitions(col("k1"), col("k2"))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val base = pi.toLong << 40
+      var run = -1L; var pk1 = 0L; var pk2 = 0L; var first = true
+      it.map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (first || a != pk1 || b != pk2) {
+          run += 1; pk1 = a; pk2 = b; first = false
+        }
+        Row(r.getLong(2), r.getLong(3), base | run)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
+  }
+
   /** Dense 0-based re-ranking of an existing `(doc_id, pos, rank)`
     * level — the same distributed sort-and-scan as the doubling
     * re-rank, keyed by the old rank alone. Restricting a ranking to a
@@ -132,10 +174,11 @@ object SuffixArray {
     * positions), zero exchange when `prev` is already hash-partitioned
     * by `doc_id` (see [[rankLevels]]). One Tungsten range exchange per
     * round (the re-rank sort) is all that remains. */
-  private def doubleRound(prev: DataFrame, off: Int): DataFrame = {
+  private def doubleRound(rerank: DataFrame => DataFrame)(
+      prev: DataFrame, off: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    rankRows(prev.select(col("doc_id"), col("pos"),
+    rerank(prev.select(col("doc_id"), col("pos"),
       col("rank").as("k1"),
       lead(col("rank"), off, -1L).over(w).as("k2")))
   }
@@ -144,37 +187,70 @@ object SuffixArray {
     * `(doc_id, pos, rank)` ranked by the first `2^k` characters.
     * `maxLen` must be a power of two.
     *
-    * Each level is eagerly `localCheckpoint`ed, not merely persisted:
-    * every level's plan references the previous level TWICE (the two
-    * join sides of the pairing), so an un-truncated lineage doubles
-    * per round — 2^rounds copies of the round-0 plan by the last
-    * level, which blows analysis/codegen heap long before any data
-    * does (the iterative-frame rule of [[Clusters]] / NN-descent). */
+    * Round 12: intermediate levels use the one-pass non-dense
+    * re-rank ([[rankRowsFast]]) — their ranks are only ever next-round
+    * sort keys — and only the final level pays [[rankRows]]' dense
+    * two-pass form. The per-round eager `localCheckpoint` is gone too:
+    * each re-rank crosses an RDD boundary (`LogicalRDD` leaf), so
+    * every level's logical plan is flat regardless — the lineage lives
+    * in RDD land where each round is consumed exactly once (the lead
+    * window, not a self-join), so nothing re-executes. Callers that
+    * consume the final level more than once materialize it themselves
+    * (the artifact writes it to parquet and reads that back). */
   def rankLevels(documents: DataFrame, maxLen: Int): Seq[DataFrame] = {
     require(maxLen >= 2 && Integer.bitCount(maxLen) == 1,
       s"maxLen must be a power of two, got $maxLen")
     val pos = positions(documents, maxLen)
-    val r0 = rankRows(pos.select(col("code").as("k1"),
-        lit(-1L).as("k2"), col("doc_id"), col("pos")))
-      .repartition(col("doc_id"))
-      .localCheckpoint(true)
     val rounds = Integer.numberOfTrailingZeros(maxLen)
-    // each level re-partitions by doc_id before the checkpoint: both
-    // sides of the NEXT round's self-join are then clustered on a
-    // prefix of the join key and exchange nothing
-    (1 to rounds).scanLeft(r0) { (prev, k) =>
-      doubleRound(prev, 1 << (k - 1))
-        .repartition(col("doc_id"))
-        .localCheckpoint(true)
+    val r0 = rankRowsFast(pos.select(col("code").as("k1"),
+      lit(-1L).as("k2"), col("doc_id"), col("pos")))
+    val mids = (1 until rounds).scanLeft(r0) { (prev, k) =>
+      doubleRound(rankRowsFast)(prev, 1 << (k - 1))
     }
+    mids :+ doubleRound(rankRows)(mids.last, 1 << (rounds - 1))
   }
 
   /** The suffix array (truncated at `maxLen` chars): positions with
     * their final rank, plus the doc's truncated suffix length. Ties
     * (identical `maxLen`-suffixes) share a rank. */
-  def suffixArray(documents: DataFrame, maxLen: Int): DataFrame = {
-    val levels = rankLevels(documents, maxLen)
-    withSuffixLen(documents, levels.last, maxLen)
+  def suffixArray(documents: DataFrame, maxLen: Int): DataFrame =
+    withSuffixLen(documents, rankLevels(documents, maxLen).last, maxLen)
+
+  /** In-row longest-common-prefix length of two strings — the
+    * round-12 replacement for the greedy rank-table walk. The walk's
+    * capped result IS the plain common-prefix length of the two
+    * visible (truncated) suffixes: rank equality at level `k` means
+    * the `2^k`-char spans match (including end-of-suffix behavior, by
+    * the `-1` padding rule), so the walk accumulates exactly the
+    * common prefix, and the call-site cap by the shorter visible
+    * length removes the one overshoot case (identical remainders).
+    * Computing that directly over the ≤`window`-char block texts
+    * turns 2·(levels−1) shuffled joins per pair frame into TWO small
+    * joins (attach the block slices — bounded 128-char rows, the
+    * lightweight unit of guide §8) plus one codegen expression.
+    *
+    * The expression is the classic doubling, run IN-ROW via the
+    * `aggregate` higher-order function (the accumulator is a runtime
+    * value, so the 8 steps don't nest CASE expressions): for
+    * `k = 7..0`, advance by `2^k` iff both strings still have
+    * `lcp + 2^k` characters and the `2^k`-char spans at offset `lcp`
+    * compare equal — 8 substring comparisons (each a bounded memcmp)
+    * per pair instead of per-character probing (a per-char `substr(i)`
+    * is O(i) on UTF-8, quadratic per pair). Greedy high-bit-first
+    * accumulation is exact for any common prefix ≤ 255 chars — every
+    * caller feeds ≤ 128-char window/block slices. */
+  def commonPrefixLen(a: Column, b: Column): Column = {
+    val n = least(length(a), length(b)).cast("long")
+    aggregate(
+      sequence(lit(7), lit(0), lit(-1)),
+      lit(0L),
+      (lcp, k) => {
+        val w = pow(lit(2.0), k).cast("long") // exact: k ≤ 7
+        when(lcp + w <= n &&
+            a.substr((lcp + 1).cast("int"), w.cast("int")) ===
+              b.substr((lcp + 1).cast("int"), w.cast("int")),
+          lcp + w).otherwise(lcp)
+      })
   }
 
   private def withSuffixLen(documents: DataFrame, ranks: DataFrame,
@@ -195,29 +271,30 @@ object SuffixArray {
     *    lexicographically-smallest `(doc_id, pos)` members.
     *  - CONSECUTIVE final ranks `r, r+1` (dense ranks — adjacency is
     *    a join on `rank_b = rank_a + 1`, no global sequence window):
-    *    lcp computed by the classic greedy rank-table walk — for
-    *    level `k = K..0`, if the level-`k` ranks of both suffixes
-    *    shifted by the running lcp agree, advance by `2^k`. Because
-    *    all members of a rank group share the same truncated suffix,
-    *    the representative choice cannot change the lcp.
+    *    lcp = [[commonPrefixLen]] of the two visible window suffixes,
+    *    in-row over the attached window texts (round 12 — equals the
+    *    classic greedy rank-table walk's capped result, see
+    *    [[commonPrefixLen]]). Because all members of a rank group
+    *    share the same truncated suffix, the representative choice
+    *    cannot change the lcp.
     *
     * The maximum lcp over all suffix pairs is attained at an adjacent
     * pair in suffix order (the classic SA result), so the top rows
     * ARE the corpus's longest repeated substrings (capped at
-    * `maxLen`; the greedy walk can overshoot into the padding only
-    * when both remainders are identical, so capping by the shorter
-    * remaining length is exact). Per-pair cost: K+1 rank lookups —
+    * `maxLen`). Per-pair cost: O(window) in-row char comparisons —
     * linear in rank boundaries, never quadratic in positions. */
   def longestRepeated(documents: DataFrame, maxLen: Int): DataFrame =
-    longestRepeated(documents, rankLevels(documents, maxLen), maxLen)
+    longestRepeated(documents, rankLevels(documents, maxLen).last, maxLen)
 
-  /** As above, over PRE-BUILT rank levels (the [[SuffixArtifact]]
-    * consumer path — the walk reads every level, so storing the rank
-    * table saves the whole doubling construction per consumer). */
-  def longestRepeated(documents: DataFrame, levels: Seq[DataFrame],
+  /** As above, over the PRE-BUILT final rank level (the
+    * [[SuffixArtifact]] consumer path). Round 12: the per-level greedy
+    * rank walk (2 joins × levels, each against a positions-sized rank
+    * table) is replaced by [[commonPrefixLen]] over the two window
+    * texts — two small joins against the ≤`maxLen`-char window slices
+    * plus one codegen expression; only the final level is consumed. */
+  def longestRepeated(documents: DataFrame, last: DataFrame,
       maxLen: Int): DataFrame = {
-    val sa = withSuffixLen(documents, levels.last, maxLen)
-      .localCheckpoint(true)
+    val sa = withSuffixLen(documents, last, maxLen)
 
     // representatives: per final rank, the two smallest (doc,pos)
     // members + the shortest member suffix length. Group size = the
@@ -239,40 +316,28 @@ object SuffixArray {
         element_at(col("m2s"), 1).getField("pos").as("pos_b"),
         col("min_len").as("lcp"))
 
-    // family 2: consecutive ranks — greedy LCP walk over the levels.
-    val adj = reps.as("x")
+    // family 2: consecutive ranks — in-row LCP over the two window
+    // texts (the walk's capped result equals the string LCP; the cap
+    // is kept as the documented overshoot guard). The window slices
+    // are `maxLen`-char proxies of the documents — the lightweight
+    // attach unit; the joins auto-broadcast when the corpus is small
+    // and degrade to shuffling 128-char rows at scale.
+    val wt = documents.select(col("doc_id"),
+      substring(col("text"), 1, maxLen).as("wt"))
+    val adjPairs = reps.as("x")
       .join(reps.as("y"), col("y.rank") === col("x.rank") + 1)
       .select(col("x.m1.doc_id").as("doc_a"), col("x.m1.pos").as("pos_a"),
         col("y.m1.doc_id").as("doc_b"), col("y.m1.pos").as("pos_b"),
-        least(col("x.min_len"), col("y.min_len")).as("cap"),
-        lit(0L).as("lcp"))
-    // every third walk step is checkpointed: the frontier grows two
-    // joins + one CASE per level — linear, not self-referencing, so a
-    // bounded stretch of lazy rounds keeps planning cheap while
-    // skipping most of the eager per-round materializations. Level K
-    // is skipped: adjacent pairs have DISTINCT final ranks by
-    // construction, so the level-K lookup at offset 0 can never
-    // advance — the walk starts at K-1.
-    val walked = (levels.size - 2 to 0 by -1).foldLeft(adj) { (front, k) =>
-      val lk = levels(k)
-      val ra = lk.select(col("doc_id").as("__da"),
-        col("pos").as("__pa"), col("rank").as("__ra"))
-      val rb = lk.select(col("doc_id").as("__db"),
-        col("pos").as("__pb"), col("rank").as("__rb"))
-      front
-        .join(ra, col("doc_a") === col("__da") &&
-          col("pos_a") + col("lcp") === col("__pa"), "left")
-        .join(rb, col("doc_b") === col("__db") &&
-          col("pos_b") + col("lcp") === col("__pb"), "left")
-        .withColumn("lcp",
-          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
-            col("lcp") + (1L << k)).otherwise(col("lcp")))
-        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
-    }
-    val adjPairs = walked
+        least(col("x.min_len"), col("y.min_len")).as("cap"))
+      .join(wt.select(col("doc_id").as("doc_a"), col("wt").as("wa")),
+        Seq("doc_a"))
+      .join(wt.select(col("doc_id").as("doc_b"), col("wt").as("wb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-        least(col("lcp"), col("cap")).as("lcp"))
+        least(commonPrefixLen(
+          col("wa").substr((col("pos_a") + 1).cast("int"), lit(maxLen)),
+          col("wb").substr((col("pos_b") + 1).cast("int"), lit(maxLen))),
+          col("cap")).as("lcp"))
 
     equalPairs.unionByName(adjPairs)
   }
@@ -335,17 +400,20 @@ object SuffixArray {
     *    genuine repeat of length L still surfaces through some
     *    non-self adjacency with lcp ≥ L.
     *
-    * `levels` must be the rank levels of [[blocks]] output. Returns
-    * `(doc_a, pos_a, doc_b, pos_b, lcp)` in GLOBAL coordinates. */
+    * `last` must be the FINAL rank level of [[blocks]] output and
+    * `blockText` the [[blocks]] output itself. Returns
+    * `(doc_a, pos_a, doc_b, pos_b, lcp)` in GLOBAL coordinates.
+    * (Doc for [[longestRepeatedStrided]], defined below.) */
   /** The final-level strided suffix array with global coordinates and
     * visible suffix lengths: `(bid, pos, rank, suffix_len, gdoc,
-    * gpos)`. suffix_len = visible block length - pos; block length is
-    * known from the block's own positions table (max pos + 1), but the
-    * cheap exact form is to re-derive it from the final level itself:
-    * a block's positions are dense 0..len-1, so len = max(pos)+1. */
-  def stridedSa(last: DataFrame, stride: Int): DataFrame = {
-    val blkLen = last.groupBy(col("doc_id").as("bid"))
-      .agg((max(col("pos")) + 1).as("blen"))
+    * gpos)`. suffix_len = visible block length - pos; block length =
+    * `length(block text)` exactly (positions are generated over the
+    * clipped block slice), so the block-text table supplies it with
+    * one small join instead of a positions-sized group-by. */
+  def stridedSa(last: DataFrame, blockText: DataFrame,
+      stride: Int): DataFrame = {
+    val blkLen = blockText.select(col("doc_id").as("bid"),
+      length(col("text")).cast("long").as("blen"))
     last
       .join(blkLen, last("doc_id") === blkLen("bid"))
       .select(col("bid"), col("pos"), col("rank"),
@@ -354,39 +422,7 @@ object SuffixArray {
         // consistent with the integer pmod used for gpos
         expr(s"bid DIV $BlockBase").as("gdoc"),
         (pmod(col("bid"), lit(BlockBase)) * stride + col("pos")).as("gpos"))
-      .localCheckpoint(true)
   }
-
-  /** Greedy rank-table LCP walk over stored levels for an arbitrary
-    * pair frame carrying `(bid_a, bpos_a, bid_b, bpos_b, lcp = 0,
-    * …)`: for level `k = K-1 .. 0`, if the level-`k` ranks of both
-    * suffixes shifted by the running lcp agree, advance by `2^k`.
-    * Level K is skipped — callers walk pairs with DISTINCT final
-    * ranks (equal final ranks mean identical truncated suffixes:
-    * lcp = the shared length, no walk needed). Extra columns pass
-    * through untouched; `lcp` comes back UNCAPPED (cap by the
-    * shorter visible suffix at the call site). Checkpoint cadence
-    * every third level — the frontier grows two joins + one CASE per
-    * level, linear, so a bounded stretch of lazy rounds keeps
-    * planning cheap. */
-  def lcpWalk(pairs: DataFrame, levels: Seq[DataFrame]): DataFrame =
-    (levels.size - 2 to 0 by -1).foldLeft(pairs) { (front, k) =>
-      val lk = levels(k)
-      val ra = lk.select(col("doc_id").as("__da"),
-        col("pos").as("__pa"), col("rank").as("__ra"))
-      val rb = lk.select(col("doc_id").as("__db"),
-        col("pos").as("__pb"), col("rank").as("__rb"))
-      front
-        .join(ra, col("bid_a") === col("__da") &&
-          col("bpos_a") + col("lcp") === col("__pa"), "left")
-        .join(rb, col("bid_b") === col("__db") &&
-          col("bpos_b") + col("lcp") === col("__pb"), "left")
-        .withColumn("lcp",
-          when(col("__ra").isNotNull && col("__ra") === col("__rb"),
-            col("lcp") + (1L << k)).otherwise(col("lcp")))
-        .drop("__da", "__pa", "__ra", "__db", "__pb", "__rb")
-        .transform(f => if (k % 3 == 0) f.localCheckpoint(true) else f)
-    }
 
   /** Incremental exact-substring SCREEN — rank an arriving batch's
     * suffixes against the STORED corpus suffix array at batch cost,
@@ -399,23 +435,24 @@ object SuffixArray {
     * range-sort by `(rank, corpus-first)` plus a per-partition
     * forward/backward scan with boundary exchange — the
     * [[rankRows]] offset pattern, 2 tiny rows per partition to the
-    * driver, never data. Equal-final-rank neighbors ARE the match
-    * (identical truncated suffixes, lcp = shared length); others get
-    * the greedy [[lcpWalk]]. Returns one row per distinct batch
-    * GLOBAL position: `(gdoc, gpos, lcp)` — its longest exact repeat
-    * against the corpus (window semantics: exact to `window-stride`,
-    * opportunistic to `window`).
+    * driver, never data. The lcp of each neighbor pair is
+    * [[commonPrefixLen]] over the two attached block texts (equal
+    * final ranks fall out of the same expression — identical visible
+    * suffixes, string lcp = shared length). Returns one row per
+    * distinct batch GLOBAL position: `(gdoc, gpos, lcp)` — its longest
+    * exact repeat against the corpus (window semantics: exact to
+    * `window-stride`, opportunistic to `window`).
     *
     * 100 TB deployment note: the one full-table range sort here exists
     * because the artifact stores levels hash-partitioned by block; a
     * corpus at scale stores the final level RANGE-partitioned by rank
     * once, and this screen becomes a partition-pruned merge of the
     * (small) batch rank set against only the touched rank ranges. */
-  def batchScreen(levels: Seq[DataFrame], stride: Int,
+  def batchScreen(last: DataFrame, blockText: DataFrame, stride: Int,
       isBatch: Column => Column): DataFrame = {
-    val spark = levels.last.sparkSession
+    val spark = last.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    val sorted = stridedSa(levels.last, stride)
+    val sorted = stridedSa(last, blockText, stride)
       .withColumn("flag", when(isBatch(col("gdoc")), 1).otherwise(0))
       .select(col("rank"), col("flag"), col("bid"), col("pos"),
         col("suffix_len"), col("gdoc"), col("gpos"))
@@ -474,30 +511,33 @@ object SuffixArray {
       "bpos_a", "len_a", "rank_b", "bid_b", "bpos_b", "len_b")
       .map(StructField(_, LongType, nullable = false)))
     val pairs = spark.createDataFrame(out, schema)
-      .withColumn("cap", least(col("len_a"), col("len_b")))
-      .withColumn("lcp", lit(0L))
-      .localCheckpoint(true)
-    // equal final rank: identical truncated suffixes, lcp = shared
-    // length (the walk would also need the skipped level K to see
-    // this); different ranks: the greedy walk, capped.
-    val eq = pairs.filter(col("rank_a") === col("rank_b"))
-      .select(col("gdoc"), col("gpos"), col("cap").as("lcp"))
-    val walked = lcpWalk(pairs.filter(col("rank_a") =!= col("rank_b")), levels)
+    // in-row LCP over the two block texts (round 12): equal final
+    // ranks mean identical visible suffixes, where the string LCP IS
+    // the shared length — so one expression covers both the equal-rank
+    // and the walked family, no frame split, no per-level joins.
+    val bt = blockText.select(col("doc_id"), col("text"))
+    pairs
+      .join(bt.select(col("doc_id").as("bid_a"), col("text").as("ta")),
+        Seq("bid_a"))
+      .join(bt.select(col("doc_id").as("bid_b"), col("text").as("tb")),
+        Seq("bid_b"))
       .select(col("gdoc"), col("gpos"),
-        least(col("lcp"), col("cap")).as("lcp"))
-    // collapse block copies of one global position to the best lcp
-    eq.unionByName(walked)
+        least(commonPrefixLen(
+          col("ta").substr((col("bpos_a") + 1).cast("int"), length(col("ta"))),
+          col("tb").substr((col("bpos_b") + 1).cast("int"), length(col("tb")))),
+          least(col("len_a"), col("len_b"))).as("lcp"))
+      // collapse block copies of one global position to the best lcp
       .groupBy(col("gdoc"), col("gpos"))
       .agg(max(col("lcp")).as("lcp"))
   }
 
-  def longestRepeatedStrided(levels: Seq[DataFrame], window: Int,
-      stride: Int): DataFrame = {
-    val sa = stridedSa(levels.last, stride)
+  def longestRepeatedStrided(last: DataFrame, blockText: DataFrame,
+      window: Int, stride: Int): DataFrame = {
+    val sa = stridedSa(last, blockText, stride)
 
     // per final rank: distinct global members (sorted), one
-    // representative WITH block coordinates for the LCP walk, and the
-    // group's common truncated-suffix length (identical across
+    // representative WITH block coordinates for the LCP computation,
+    // and the group's common truncated-suffix length (identical across
     // members — equal rank means equal string and length).
     val reps = sa
       .groupBy(col("rank"))
@@ -517,19 +557,27 @@ object SuffixArray {
         element_at(col("gm"), 2).getField("gpos").as("pos_b"),
         col("len").as("lcp"))
 
-    // family 2: consecutive ranks — greedy rank-table walk on BLOCK
-    // coordinates (the levels are keyed by bid), output in GLOBAL ones.
-    val adj = reps.as("x")
+    // family 2: consecutive ranks — in-row LCP over the two block
+    // texts on BLOCK coordinates, output in GLOBAL ones (round 12:
+    // replaces the per-level greedy rank walk; the capped walk result
+    // equals the string LCP of the visible block suffixes).
+    val bt = blockText.select(col("doc_id"), col("text"))
+    val adjPairs = reps.as("x")
       .join(reps.as("y"), col("y.rank") === col("x.rank") + 1)
       .select(col("x.m1.gdoc").as("doc_a"), col("x.m1.gpos").as("pos_a"),
         col("x.m1.bid").as("bid_a"), col("x.m1.pos").as("bpos_a"),
         col("y.m1.gdoc").as("doc_b"), col("y.m1.gpos").as("pos_b"),
         col("y.m1.bid").as("bid_b"), col("y.m1.pos").as("bpos_b"),
-        least(col("x.len"), col("y.len")).as("cap"),
-        lit(0L).as("lcp"))
-    val adjPairs = lcpWalk(adj, levels)
+        least(col("x.len"), col("y.len")).as("cap"))
+      .join(bt.select(col("doc_id").as("bid_a"), col("text").as("ta")),
+        Seq("bid_a"))
+      .join(bt.select(col("doc_id").as("bid_b"), col("text").as("tb")),
+        Seq("bid_b"))
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-        least(col("lcp"), col("cap")).as("lcp"))
+        least(commonPrefixLen(
+          col("ta").substr((col("bpos_a") + 1).cast("int"), length(col("ta"))),
+          col("tb").substr((col("bpos_b") + 1).cast("int"), length(col("tb")))),
+          col("cap")).as("lcp"))
 
     // seam reconciliation: drop self-pairs, canonicalize the unordered
     // global pair, keep the best lcp either seam reported.

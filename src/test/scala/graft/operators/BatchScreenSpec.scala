@@ -24,8 +24,9 @@ class BatchScreenSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val df = docs.toDF("doc_id", "text")
-    val levels = SuffixArray.rankLevels(SuffixArray.blocks(df, W, S), W)
-    SuffixArray.batchScreen(levels, S,
+    val blk = SuffixArray.blocks(df, W, S)
+    val last = SuffixArray.rankLevels(blk, W).last
+    SuffixArray.batchScreen(last, blk, S,
         gdoc => gdoc.isin(docs.map(_._1).filter(batch): _*))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

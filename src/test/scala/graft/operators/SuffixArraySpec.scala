@@ -123,4 +123,23 @@ class SuffixArraySpec extends AnyFunSuite {
       .map(_.toSeq).sortBy(_.toString)
     assert(run().sameElements(run()))
   }
+
+  test("commonPrefixLen equals brute force on every edge shape") {
+    // the round-12 in-row replacement for the greedy rank-table walk:
+    // empty sides, identical strings, one a prefix of the other,
+    // first-char mismatch, mid mismatch, non-ASCII code points
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+      ("abc", "abd"), ("abc", "abcdef"), ("abcdef", "abc"),
+      ("xyz", "abc"), ("ab", "a"), ("café x", "café y"),
+      ("a" * 128, "a" * 128), ("a" * 128, "a" * 127 + "b"))
+    val got = cases.toDF("a", "b")
+      .withColumn("got", SuffixArray.commonPrefixLen(col("a"), col("b")))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val want = a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      assert(r.getLong(2) == want, s"'$a' vs '$b': got ${r.getLong(2)}, want $want")
+    }
+  }
 }
