@@ -15,19 +15,19 @@ import org.apache.spark.sql.SparkSession
   *      (an artifact left by an earlier run with a matching
   *      fingerprint would otherwise be reused by the pre-build pass,
   *      which would be result caching across runs, not optimization).
-  *   1. PRE-BUILD pass: the registered artifact BUILD-STEP queries
-  *      only (`Registry.buildSteps` — suffix ranks, repeat pairs, IVF
-  *      index, NN-descent graph, media table, …), with
-  *      `-Dgraft.artifacts.lazy=true` so each artifact is built
-  *      exactly once here (the skip-if-complete guard,
-  *      `Artifacts.skipBuild`, turns every later force-build into a
-  *      no-op). Wall time is reported as `build_sec`, NOT folded into
+  *   1. PRE-BUILD pass: one full registry execution with
+  *      `-Dgraft.artifacts.lazy=true`. Each materialized artifact
+  *      (suffix ranks, IVF index, NN-descent graph, media table, …)
+  *      is built exactly once here — the skip-if-complete guard
+  *      (`Artifacts.skipBuild`) turns every later force-build into a
+  *      no-op — and the same pass warms JIT/codegen/parquet footers.
+  *      Its wall time is reported as `build_sec`, NOT folded into
   *      `value`: the timed reps measure query cost, the build phase
-  *      prices construction honestly but once. Round 12 change: the
-  *      pass used to run ALL queries as a warmup; at sf0.1 that was
-  *      ~270 s of non-build query wall per invocation for JIT warmth
-  *      the min-of-2-reps protocol already provides (rep 1 warms
-  *      codegen, the minimum picks the clean rep 2).
+  *      prices construction honestly but once. (Round 12 measured a
+  *      builders-only prebuild: it cut ~270 s of prebuild wall but
+  *      inflated the reported minimum ~30% across the whole registry —
+  *      a query's 3rd execution is materially faster than its 2nd, so
+  *      the full warm pass pays for itself; see OPTIMIZATION_r12.md.)
   *   2. TWO timed repetitions (SPARK_GRAFT_BENCH_REPS, default 2),
   *      per-query minimum reported. Same-code sweeps on this host
   *      span ±35% from ambient load; the minimum estimates the
@@ -131,18 +131,17 @@ object Bench {
     val ordered = Registry.all.filter(q => only.forall(_.contains(q.name)))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // ---- pre-build pass: artifact BUILD STEPS only, outside the clock ----
+    // ---- pre-build pass: artifacts + JIT warm, outside the clock ----
     phase = "prebuild"
     val b0 = System.nanoTime()
-    val builders = ordered.filter(q => Registry.buildSteps(q.name))
-    builders.zipWithIndex.foreach { case (q, i) =>
+    ordered.zipWithIndex.foreach { case (q, i) =>
       if (!terminating) {
         val q0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - q0) / 1e9
-        System.err.println(
-          f"[bench] prebuild ${q.name} ${dt}%.1fs (${i + 1}/${builders.size})")
+        if (dt > 2.0 || (i + 1) % 50 == 0) System.err.println(
+          f"[bench] prebuild ${q.name} ${dt}%.1fs (${i + 1}/${ordered.size})")
         try spark.sqlContext.clearCache()
         catch { case _: Throwable => () }
       }

@@ -256,9 +256,32 @@ object Mpeg1 {
   // Decode
   // ------------------------------------------------------------------
 
+  // cos((2x+1)·u·π/16) and the u=0 1/√2 normalization, precomputed
+  // once: the naive loop called math.cos 8192 times per 8×8 block —
+  // the whole-blob decode cost was trigonometry, not entropy walking.
+  // Same argument expressions, so the looked-up doubles (and therefore
+  // every rounded pixel) are BIT-IDENTICAL to the inline computation.
+  private val CosTbl: Array[Double] = {
+    val t = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+        u += 1
+      }
+      x += 1
+    }
+    t
+  }
+  private val CNorm: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+
   /** Inverse 8×8 DCT over dequantized coefficients (natural order),
     * rounded and clamped to [0, 255] — intra pixels carry no level
-    * shift in MPEG-1. */
+    * shift in MPEG-1. Summation order is the reference quadruple loop
+    * (kept so the floating-point result is exactly the spec-literal
+    * form's); only the per-term cosines come from [[CosTbl]]. */
   def idctBlock(coef: Array[Int]): Array[Int] = {
     val out = new Array[Int](64)
     var y = 0
@@ -270,11 +293,8 @@ object Mpeg1 {
         while (v < 8) {
           var u = 0
           while (u < 8) {
-            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
-            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
-            s += cu * cv * coef(v * 8 + u) *
-              math.cos((2 * x + 1) * u * math.Pi / 16) *
-              math.cos((2 * y + 1) * v * math.Pi / 16)
+            s += CNorm(u) * CNorm(v) * coef(v * 8 + u) *
+              CosTbl(x * 8 + u) * CosTbl(y * 8 + v)
             u += 1
           }
           v += 1
